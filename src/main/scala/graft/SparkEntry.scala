@@ -1,13 +1,505 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine.Engine
+import graft.sources.ParquetDirCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is an operator from SURVEY.md §2 (or a driver-
+  * mandated pipeline extension), and runs through the real engine path:
+  * native Druid-shaped JSON → Query ADT → QueryPlanner → DataFrame.
+  * `oracleSql` holds the DuckDB-equivalent SQL for the hash-compare gate.
+  *
+  * Result post-processing done here (rounding of double aggregates, explicit
+  * orderBy) exists only to make the hash compare robust: float summation
+  * order differs between engines, and queries without a total order would be
+  * hash-unstable.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // --- plumbing ------------------------------------------------------------
+
+  private val engines = scala.collection.concurrent.TrieMap.empty[String, Engine]
+
+  private def engine(spark: SparkSession, dir: String): Engine =
+    engines.getOrElseUpdate(dir, new Engine(spark, new ParquetDirCatalog(dir)))
+
+  /** round the named double columns to `scale` decimals (hash robustness) */
+  private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 3): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), scale)))
+
+  private def registerTpch(spark: SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region",
+      "events", "documents", "embeddings").foreach { t =>
+      graft.sources.TableLoader.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+
+  // --- flagship ------------------------------------------------------------
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * This is SURVEY §7.7's minimum slice: the reference's own documented
+    * timeseries query shape (`query/query-timeseries.md:8-41`) end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    engine(spark, "/root/testdata/sf0.001").plan(Q.timeseriesDay)
+
+  // --- native query JSON specs --------------------------------------------
+
+  private object Q {
+    /** reference `query/query-timeseries.md:8-41` shape: and/or/selector +
+      * bound filter, longSum/doubleSum, arithmetic post-agg, day buckets,
+      * zero-fill. */
+    val timeseriesDay: String =
+      """{"queryType":"timeseries","dataSource":"events",
+         |"intervals":["2024-01-05T00:00:00Z/2024-01-15T00:00:00Z"],
+         |"granularity":"day",
+         |"filter":{"type":"and","fields":[
+         |  {"type":"or","fields":[
+         |    {"type":"selector","dimension":"event_type","value":"click"},
+         |    {"type":"selector","dimension":"event_type","value":"purchase"}]},
+         |  {"type":"bound","dimension":"value","lower":"1","ordering":"numeric"}]},
+         |"aggregations":[
+         |  {"type":"count","name":"cnt"},
+         |  {"type":"longSum","name":"sum_ev","fieldName":"event_id"},
+         |  {"type":"doubleSum","name":"sum_val","fieldName":"value"}],
+         |"postAggregations":[
+         |  {"type":"arithmetic","name":"avg_val","fn":"/","fields":[
+         |    {"type":"fieldAccess","fieldName":"sum_val"},
+         |    {"type":"fieldAccess","fieldName":"cnt"}]}]}""".stripMargin
+
+    /** hour granularity + filtered aggregator + skipEmptyBuckets */
+    val timeseriesHour: String =
+      """{"queryType":"timeseries","dataSource":"events",
+         |"intervals":["2024-01-10T00:00:00Z/2024-01-12T00:00:00Z"],
+         |"granularity":"hour",
+         |"context":{"skipEmptyBuckets":"true"},
+         |"aggregations":[
+         |  {"type":"count","name":"cnt"},
+         |  {"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"error"},
+         |   "aggregator":{"type":"count","name":"err_cnt"}},
+         |  {"type":"doubleMax","name":"max_val","fieldName":"value"},
+         |  {"type":"doubleMin","name":"min_val","fieldName":"value"}]}""".stripMargin
+
+    /** topN over one dimension, granularity all (global top-K) */
+    val topnAll: String =
+      """{"queryType":"topN","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         |"granularity":"all","dimension":"event_type","threshold":3,
+         |"metric":"sum_val",
+         |"aggregations":[
+         |  {"type":"doubleSum","name":"sum_val","fieldName":"value"},
+         |  {"type":"count","name":"cnt"}]}""".stripMargin
+
+    /** topN per week bucket */
+    val topnWeek: String =
+      """{"queryType":"topN","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-01-29T00:00:00Z"],
+         |"granularity":"week","dimension":"event_type","threshold":2,
+         |"metric":"cnt",
+         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+
+    /** groupBy: bucket + dim, having, limitSpec with numeric ordering */
+    val groupbyDay: String =
+      """{"queryType":"groupBy","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+         |"granularity":"day",
+         |"dimensions":["event_type"],
+         |"aggregations":[
+         |  {"type":"count","name":"cnt"},
+         |  {"type":"doubleSum","name":"sum_val","fieldName":"value"}],
+         |"having":{"type":"greaterThan","aggregation":"cnt","value":40},
+         |"limitSpec":{"type":"default","limit":50,"columns":[
+         |  {"dimension":"sum_val","direction":"descending","dimensionOrder":"numeric"},
+         |  {"dimension":"event_type","direction":"ascending"}]}}""".stripMargin
+
+    /** groupBy with extraction dimension specs: substring+upper cascade and a
+      * lookup dimension (SURVEY §2.4) */
+    val groupbyExtraction: String =
+      """{"queryType":"groupBy","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         |"granularity":"all",
+         |"dimensions":[
+         |  {"type":"extraction","dimension":"event_type","outputName":"prefix",
+         |   "extractionFn":{"type":"cascade","extractionFns":[
+         |     {"type":"substring","index":0,"length":3},
+         |     {"type":"upper"}]}},
+         |  {"type":"extraction","dimension":"event_type","outputName":"category",
+         |   "extractionFn":{"type":"lookup","lookup":{"type":"map","map":{
+         |     "click":"engagement","view":"engagement","purchase":"revenue"}},
+         |     "replaceMissingValueWith":"other"}}],
+         |"aggregations":[{"type":"count","name":"cnt"}],
+         |"limitSpec":{"type":"default","columns":[
+         |  {"dimension":"prefix","direction":"ascending"},
+         |  {"dimension":"category","direction":"ascending"}]}}""".stripMargin
+
+    /** every remaining filter type in one groupBy: in/like/regex/not/search/
+      * interval/columnComparison (SURVEY §2.2) */
+    val groupbyFilters: String =
+      """{"queryType":"groupBy","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         |"granularity":"all",
+         |"dimensions":["event_type"],
+         |"filter":{"type":"and","fields":[
+         |  {"type":"in","dimension":"event_type","values":["click","view","signup","error"]},
+         |  {"type":"like","dimension":"event_type","pattern":"%i%"},
+         |  {"type":"regex","dimension":"event_type","pattern":"^[a-z]+$"},
+         |  {"type":"not","field":{"type":"selector","dimension":"event_type","value":"error"}},
+         |  {"type":"search","dimension":"event_type","query":{"type":"insensitive_contains","value":"i"}},
+         |  {"type":"interval","dimension":"__time","intervals":["2024-01-03T00:00:00Z/2024-01-25T00:00:00Z"]},
+         |  {"type":"bound","dimension":"user_id","lower":"10","upper":"140","ordering":"numeric"}]},
+         |"aggregations":[{"type":"count","name":"cnt"},
+         |  {"type":"longMax","name":"max_uid","fieldName":"user_id"},
+         |  {"type":"longMin","name":"min_uid","fieldName":"user_id"}],
+         |"limitSpec":{"type":"default","columns":[{"dimension":"event_type","direction":"ascending"}]}}""".stripMargin
+
+    /** first/last aggregators by day (min_by/max_by over __time) */
+    val groupbyFirstLast: String =
+      """{"queryType":"groupBy","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-01-04T00:00:00Z"],
+         |"granularity":"day",
+         |"dimensions":["event_type"],
+         |"aggregations":[
+         |  {"type":"longFirst","name":"first_ev","fieldName":"event_id"},
+         |  {"type":"longLast","name":"last_ev","fieldName":"event_id"}],
+         |"limitSpec":{"type":"default","columns":[
+         |  {"dimension":"event_type","direction":"ascending"}]}}""".stripMargin
+
+    /** timeseries over lineitem (l_shipdate as __time) at month granularity,
+      * post-agg arithmetic chain (greatest/least) */
+    val timeseriesMonthLineitem: String =
+      """{"queryType":"timeseries","dataSource":"lineitem",
+         |"intervals":["1996-01-01T00:00:00Z/1997-01-01T00:00:00Z"],
+         |"granularity":"month",
+         |"filter":{"type":"selector","dimension":"l_returnflag","value":"N"},
+         |"aggregations":[
+         |  {"type":"doubleSum","name":"sum_qty","fieldName":"l_quantity"},
+         |  {"type":"doubleSum","name":"sum_price","fieldName":"l_extendedprice"},
+         |  {"type":"count","name":"cnt"}],
+         |"postAggregations":[
+         |  {"type":"doubleGreatest","name":"biggest","fields":[
+         |    {"type":"fieldAccess","fieldName":"sum_qty"},
+         |    {"type":"fieldAccess","fieldName":"cnt"}]},
+         |  {"type":"arithmetic","name":"qty_per_row","fn":"/","fields":[
+         |    {"type":"fieldAccess","fieldName":"sum_qty"},
+         |    {"type":"fieldAccess","fieldName":"cnt"}]}]}""".stripMargin
+
+    /** nested query datasource: re-aggregate an inner groupBy (SURVEY §2.8) */
+    val nestedGroupby: String =
+      """{"queryType":"groupBy",
+         |"dataSource":{"type":"query","query":
+         |  {"queryType":"groupBy","dataSource":"events",
+         |   "intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         |   "granularity":"day",
+         |   "dimensions":["event_type"],
+         |   "aggregations":[{"type":"doubleSum","name":"day_val","fieldName":"value"}]}},
+         |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         |"granularity":"all",
+         |"dimensions":["event_type"],
+         |"aggregations":[{"type":"doubleMax","name":"best_day","fieldName":"day_val"}],
+         |"limitSpec":{"type":"default","columns":[{"dimension":"event_type","direction":"ascending"}]}}""".stripMargin
+
+    val timeBoundary: String =
+      """{"queryType":"timeBoundary","dataSource":"events","bound":"both"}""".stripMargin
+
+    val dsMetadata: String =
+      """{"queryType":"dataSourceMetadata","dataSource":"events"}""".stripMargin
+
+    val segmentMetadata: String =
+      """{"queryType":"segmentMetadata","dataSource":"events",
+         |"analysisTypes":["cardinality"]}""".stripMargin
+
+    val search: String =
+      """{"queryType":"search","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-01-20T00:00:00Z"],
+         |"searchDimensions":["event_type"],
+         |"query":{"type":"insensitive_contains","value":"c"},
+         |"sort":"lexicographic","limit":10}""".stripMargin
+
+    val select: String =
+      """{"queryType":"select","dataSource":"events",
+         |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+         |"dimensions":["event_type"],"metrics":["value","event_id"],
+         |"filter":{"type":"selector","dimension":"event_type","value":"purchase"},
+         |"pagingSpec":{"pagingIdentifiers":{"offset":100},"threshold":50}}""".stripMargin
+
+    val scan: String =
+      """{"queryType":"scan","dataSource":"events",
+         |"intervals":["2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"],
+         |"columns":["__time","event_type","value","event_id"],
+         |"filter":{"type":"bound","dimension":"value","lower":"50","ordering":"numeric"},
+         |"order":"ascending","limit":500}""".stripMargin
+
+    /** union datasource: events ∪ events (same-schema union semantics) */
+    val unionTimeseries: String =
+      """{"queryType":"timeseries",
+         |"dataSource":{"type":"union","dataSources":["events","events"]},
+         |"intervals":["2024-01-01T00:00:00Z/2024-01-05T00:00:00Z"],
+         |"granularity":"day",
+         |"aggregations":[{"type":"count","name":"cnt"},
+         |  {"type":"longSum","name":"sum_uid","fieldName":"user_id"}]}""".stripMargin
+  }
+
+  // --- queries (driver-verified against DuckDB) ----------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_timeseries_day" -> ((s, dir) =>
+      roundCols(engine(s, dir).plan(Q.timeseriesDay), Seq("sum_val", "avg_val"))),
+    "q02_timeseries_hour" -> ((s, dir) =>
+      roundCols(engine(s, dir).plan(Q.timeseriesHour), Seq("max_val", "min_val"))),
+    "q03_topn_all" -> ((s, dir) =>
+      roundCols(engine(s, dir).plan(Q.topnAll), Seq("sum_val"))),
+    "q04_topn_week" -> ((s, dir) => engine(s, dir).plan(Q.topnWeek)),
+    "q05_groupby_day" -> ((s, dir) =>
+      roundCols(engine(s, dir).plan(Q.groupbyDay), Seq("sum_val"))),
+    "q06_groupby_extraction" -> ((s, dir) => engine(s, dir).plan(Q.groupbyExtraction)),
+    "q07_groupby_filters" -> ((s, dir) => engine(s, dir).plan(Q.groupbyFilters)),
+    "q08_groupby_firstlast" -> ((s, dir) => engine(s, dir).plan(Q.groupbyFirstLast)),
+    "q09_timeseries_month_li" -> ((s, dir) =>
+      roundCols(engine(s, dir).plan(Q.timeseriesMonthLineitem),
+        Seq("sum_qty", "sum_price", "biggest", "qty_per_row"))),
+    "q10_nested_groupby" -> ((s, dir) =>
+      roundCols(engine(s, dir).plan(Q.nestedGroupby), Seq("best_day"))),
+    "q11_timeboundary" -> ((s, dir) => engine(s, dir).plan(Q.timeBoundary)),
+    "q12_dsmetadata" -> ((s, dir) => engine(s, dir).plan(Q.dsMetadata)),
+    "q13_segment_metadata" -> ((s, dir) =>
+      engine(s, dir).plan(Q.segmentMetadata).orderBy("column")),
+    "q14_search" -> ((s, dir) => engine(s, dir).plan(Q.search)),
+    "q15_select_page" -> ((s, dir) => engine(s, dir).plan(Q.select)),
+    "q16_scan" -> ((s, dir) => engine(s, dir).plan(Q.scan)),
+    "q17_union_timeseries" -> ((s, dir) => engine(s, dir).plan(Q.unionTimeseries)),
+    "q18_sql_tpch1" -> ((s, dir) => {
+      registerTpch(s, dir)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_base_price,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |  round(avg(l_quantity), 4) AS avg_qty,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= timestamp'1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+    "q19_sql_join" -> ((s, dir) => {
+      registerTpch(s, dir)
+      s.sql(
+        """SELECT n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation   ON c_nationkey = n_nationkey
+          |WHERE o_orderdate >= timestamp'1996-01-01 00:00:00'
+          |  AND o_orderdate < timestamp'1997-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
+    "q20_dedup_exact" -> ((s, dir) => {
+      // exact dedup: hash-groupBy on content (SURVEY §7.1 step 8)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select(col("keep_id"), col("dup_count"))
+        .orderBy("keep_id")
+    }),
+    "q21_text_stats" -> ((s, dir) => {
+      // token counting + quality ratios over documents
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
+          .cast("long").as("n_the"),
+        round(length(col("text")).cast("double") /
+          size(split(trim(col("text")), "\\s+")), 3).as("avg_tok_len"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  // --- DuckDB oracle SQL ----------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_timeseries_day" ->
+      """WITH f AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-15'
+        |    AND (event_type = 'click' OR event_type = 'purchase') AND value >= 1),
+        |agg AS (
+        |  SELECT date_trunc('day', ts) AS __time, count(*) AS c,
+        |         CAST(sum(event_id) AS BIGINT) AS se, sum(value) AS sv
+        |  FROM f GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+        |    TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS __time)
+        |SELECT spine.__time AS __time, coalesce(c, 0) AS cnt,
+        |  coalesce(se, 0) AS sum_ev, round(coalesce(sv, 0), 3) AS sum_val,
+        |  round(CASE WHEN coalesce(c, 0) = 0 THEN 0 ELSE sv / c END, 3) AS avg_val
+        |FROM spine LEFT JOIN agg USING (__time) ORDER BY 1""".stripMargin,
+    "q02_timeseries_hour" ->
+      """SELECT date_trunc('hour', ts) AS __time, count(*) AS cnt,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS err_cnt,
+        |  round(max(value), 3) AS max_val, round(min(value), 3) AS min_val
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q03_topn_all" ->
+      """SELECT TIMESTAMP '2024-01-01' AS __time, event_type,
+        |  round(sum(value), 3) AS sum_val, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY event_type ORDER BY sum(value) DESC, event_type LIMIT 3""".stripMargin,
+    "q04_topn_week" ->
+      """SELECT date_trunc('week', ts) AS __time, event_type, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-29'
+        |GROUP BY 1, 2
+        |QUALIFY row_number() OVER (PARTITION BY date_trunc('week', ts)
+        |  ORDER BY count(*) DESC, event_type ASC) <= 2
+        |ORDER BY 1, cnt DESC, event_type""".stripMargin,
+    "q05_groupby_day" ->
+      """SELECT date_trunc('day', ts) AS __time, event_type, count(*) AS cnt,
+        |  round(sum(value), 3) AS sum_val
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |GROUP BY 1, 2 HAVING count(*) > 40
+        |ORDER BY sum(value) DESC, event_type ASC LIMIT 50""".stripMargin,
+    "q06_groupby_extraction" ->
+      """SELECT upper(substr(event_type, 1, 3)) AS prefix,
+        |  CASE event_type WHEN 'click' THEN 'engagement'
+        |    WHEN 'view' THEN 'engagement' WHEN 'purchase' THEN 'revenue'
+        |    ELSE 'other' END AS category,
+        |  count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY 1, 2 ORDER BY prefix, category""".stripMargin,
+    "q07_groupby_filters" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(max(user_id) AS BIGINT) AS max_uid,
+        |  CAST(min(user_id) AS BIGINT) AS min_uid
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-25'
+        |  AND event_type IN ('click','view','signup','error')
+        |  AND event_type LIKE '%i%'
+        |  AND regexp_matches(event_type, '^[a-z]+$')
+        |  AND event_type <> 'error'
+        |  AND contains(lower(event_type), 'i')
+        |  AND user_id >= 10 AND user_id <= 140
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q08_groupby_firstlast" ->
+      """SELECT date_trunc('day', ts) AS __time, event_type,
+        |  CAST(arg_min(event_id, ts) AS BIGINT) AS first_ev,
+        |  CAST(arg_max(event_id, ts) AS BIGINT) AS last_ev
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-04'
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+    "q09_timeseries_month_li" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('month', l_shipdate) AS __time,
+        |    sum(l_quantity) AS sq, sum(l_extendedprice) AS sp, count(*) AS c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_returnflag = 'N'
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '1996-01-01',
+        |    TIMESTAMP '1996-12-01', INTERVAL 1 MONTH)) AS __time)
+        |SELECT spine.__time AS __time, round(coalesce(sq, 0), 3) AS sum_qty,
+        |  round(coalesce(sp, 0), 3) AS sum_price, coalesce(c, 0) AS cnt,
+        |  round(greatest(coalesce(sq, 0), coalesce(c, 0)), 3) AS biggest,
+        |  round(CASE WHEN coalesce(c, 0) = 0 THEN 0 ELSE sq / c END, 3) AS qty_per_row
+        |FROM spine LEFT JOIN agg USING (__time) ORDER BY 1""".stripMargin,
+    "q10_nested_groupby" ->
+      """WITH inner_q AS (
+        |  SELECT date_trunc('day', ts) AS __time, event_type,
+        |    sum(value) AS day_val
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1, 2)
+        |SELECT event_type, round(max(day_val), 3) AS best_day
+        |FROM inner_q GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q11_timeboundary" ->
+      """SELECT min(ts) AS minTime, max(ts) AS maxTime FROM events""".stripMargin,
+    "q12_dsmetadata" ->
+      """SELECT max(ts) AS maxIngestedEventTime FROM events""".stripMargin,
+    "q13_segment_metadata" ->
+      """WITH stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS c_event_id,
+        |  CAST(count(DISTINCT ts) AS BIGINT) AS c_ts,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS c_user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS c_event_type,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS c_value,
+        |  CAST(count(DISTINCT props) AS BIGINT) AS c_props
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'event_id' AS "column", 'bigint' AS "type", c_event_id AS cardinality, n AS "rows" FROM stats
+        |  UNION ALL SELECT 'event_type', 'string', c_event_type, n FROM stats
+        |  UNION ALL SELECT 'props', 'string', c_props, n FROM stats
+        |  UNION ALL SELECT 'ts', 'timestamp', c_ts, n FROM stats
+        |  UNION ALL SELECT 'user_id', 'bigint', c_user_id, n FROM stats
+        |  UNION ALL SELECT 'value', 'double', c_value, n FROM stats)
+        |ORDER BY "column"""".stripMargin,
+    "q14_search" ->
+      """SELECT 'event_type' AS dimension, event_type AS value, count(*) AS "count"
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-20'
+        |  AND contains(lower(event_type), 'c')
+        |GROUP BY event_type ORDER BY dimension, value LIMIT 10""".stripMargin,
+    "q15_select_page" ->
+      """SELECT ts AS __time, event_type, value, event_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  AND event_type = 'purchase'
+        |ORDER BY ts, event_type, value, event_id
+        |OFFSET 100 LIMIT 50""".stripMargin,
+    "q16_scan" ->
+      """SELECT ts AS __time, event_type, value, event_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+        |  AND value >= 50
+        |ORDER BY ts LIMIT 500""".stripMargin,
+    "q17_union_timeseries" ->
+      """WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |SELECT date_trunc('day', ts) AS __time, count(*) AS cnt,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM u
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_sql_tpch1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q19_sql_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q21_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the,
+        |  round(CAST(length(text) AS DOUBLE) /
+        |    len(string_split_regex(trim(text), '\s+')), 3) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,238 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.model._
+import graft.plan.QueryPlanner
+import graft.sources.Catalog
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.util.UUID
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import scala.util.control.NonFatal
+
+/** Engine façade — the Spark-native equivalent of Druid's single query
+  * endpoint `POST /druid/v2` (reference `query/query-module-overview.md:3-6`,
+  * `query/query-internal-procedure.md:13-29`):
+  *
+  *   json → Query ADT → QueryPlanner → DataFrame → Catalyst → result rows
+  *        → Druid-shaped JSON (`[{timestamp, result}]` per query type).
+  *
+  * Cancellation mirrors `DELETE /druid/v2/{id}` by running every query in a
+  * Spark job group keyed by queryId (`query/query-module-overview.md:55-59`);
+  * the error model mirrors `query/query-module-overview.md:60-87`.
+  */
+class Engine(spark: SparkSession, catalog: Catalog) {
+
+  import Engine._
+
+  /** Parse + plan without executing — the logical surface. */
+  def plan(json: String): DataFrame =
+    QueryPlanner.plan(spark, QueryJson.parseQuery(json), catalog)
+
+  def plan(q: Query): DataFrame = QueryPlanner.plan(spark, q, catalog)
+
+  /** Execute a JSON query; returns the result as a single JSON string in the
+    * query type's Druid result shape. Honors context `timeout` (millis) and
+    * `queryId` (cancellation key). */
+  def executeJson(json: String): String = {
+    val query =
+      try QueryJson.parseQuery(json)
+      catch {
+        case NonFatal(e) => throw QueryError.unknown(e)
+      }
+    val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
+    val timeoutMs = query.context.get("timeout").flatMap(t => t.toLongOption)
+
+    spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
+      interruptOnCancel = true)
+    try {
+      val run = () => {
+        val df = QueryPlanner.plan(spark, query, catalog)
+        ResultEncoder.encode(query, df)
+      }
+      timeoutMs match {
+        case None => run()
+        case Some(ms) =>
+          val ex = Executors.newSingleThreadExecutor()
+          val fut = ex.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = run()
+          })
+          try fut.get(ms, TimeUnit.MILLISECONDS)
+          catch {
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(queryId)
+              throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
+                "io.druid.query.QueryTimeoutException")
+          } finally ex.shutdownNow()
+      }
+    } catch {
+      case qe: QueryError => throw qe
+      case e: InterruptedException =>
+        throw QueryError("Query interrupted", String.valueOf(e.getMessage),
+          e.getClass.getName)
+      case NonFatal(e) if isCancellation(e) =>
+        throw QueryError("Query cancelled", s"query $queryId cancelled", e.getClass.getName)
+      case NonFatal(e) => throw QueryError.unknown(e)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** `DELETE /druid/v2/{id}` equivalent. */
+  def cancel(queryId: String): Unit = spark.sparkContext.cancelJobGroup(queryId)
+
+  private def isCancellation(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.getMessage != null && c.getMessage.contains("cancelled")) return true
+      c = c.getCause
+    }
+    false
+  }
+}
+
+object Engine {
+
+  /** Error contract (reference `query/query-module-overview.md:60-87`):
+    * `{error, errorMessage, errorClass, host}` with the five documented codes. */
+  final case class QueryError(error: String, errorMessage: String, errorClass: String,
+      host: String = java.net.InetAddress.getLoopbackAddress.getHostName)
+      extends RuntimeException(s"$error: $errorMessage") {
+    def toJson: String = {
+      val m = new ObjectMapper()
+      val o = m.createObjectNode()
+      o.put("error", error); o.put("errorMessage", errorMessage)
+      o.put("errorClass", errorClass); o.put("host", host)
+      m.writeValueAsString(o)
+    }
+  }
+
+  object QueryError {
+    def unknown(e: Throwable): QueryError =
+      QueryError("Unknown exception", String.valueOf(e.getMessage), e.getClass.getName)
+  }
+}
+
+/** Per-query-type Druid JSON result shapes (reference
+  * `query/query-timeseries.md:60-72` for timeseries; others per the Druid
+  * v0.12.1 API the reference's overview links to). */
+object ResultEncoder {
+
+  private val mapper = new ObjectMapper()
+  private val isoFmt = DateTimeFormatter.ISO_INSTANT
+
+  private def tsString(v: Any): String = v match {
+    case t: java.sql.Timestamp => isoFmt.format(t.toInstant)
+    case i: Instant => isoFmt.format(i)
+    case other => String.valueOf(other)
+  }
+
+  private def putValue(o: ObjectNode, k: String, v: Any): Unit = v match {
+    case null                  => o.putNull(k)
+    case b: Boolean            => o.put(k, b)
+    case i: Int                => o.put(k, i)
+    case l: Long               => o.put(k, l)
+    case f: Float              => o.put(k, f)
+    case d: Double             => o.put(k, d)
+    case d: java.math.BigDecimal => o.put(k, d)
+    case t: java.sql.Timestamp => o.put(k, tsString(t))
+    case s: Seq[_]             =>
+      val a = o.putArray(k); s.foreach(e => addValue(a, e))
+    case other                 => o.put(k, String.valueOf(other))
+  }
+
+  private def addValue(a: ArrayNode, v: Any): Unit = v match {
+    case null                  => a.addNull()
+    case b: Boolean            => a.add(b)
+    case i: Int                => a.add(i)
+    case l: Long               => a.add(l)
+    case f: Float              => a.add(f)
+    case d: Double             => a.add(d)
+    case t: java.sql.Timestamp => a.add(tsString(t))
+    case s: Seq[_]             => val sub = a.addArray(); s.foreach(e => addValue(sub, e))
+    case other                 => a.add(String.valueOf(other))
+  }
+
+  def encode(q: Query, df: DataFrame): String = {
+    val root = mapper.createArrayNode()
+    q match {
+      case _: Query.Timeseries =>
+        df.toLocalIterator().forEachRemaining { row =>
+          val o = root.addObject()
+          o.put("timestamp", tsString(row.getAs[Any]("__time")))
+          val r = o.putObject("result")
+          row.schema.fieldNames.filterNot(_ == "__time")
+            .foreach(f => putValue(r, f, row.getAs[Any](f)))
+        }
+      case _: Query.GroupBy =>
+        df.toLocalIterator().forEachRemaining { row =>
+          val o = root.addObject()
+          o.put("version", "v1")
+          if (row.schema.fieldNames.contains("__time"))
+            o.put("timestamp", tsString(row.getAs[Any]("__time")))
+          val ev = o.putObject("event")
+          row.schema.fieldNames.filterNot(_ == "__time")
+            .foreach(f => putValue(ev, f, row.getAs[Any](f)))
+        }
+      case _: Query.TopN =>
+        // rows arrive ordered by (__time, rank) — group into per-bucket arrays
+        var curTs: String = null
+        var curArr: ArrayNode = null
+        df.toLocalIterator().forEachRemaining { row =>
+          val ts = tsString(row.getAs[Any]("__time"))
+          if (ts != curTs) {
+            val o = root.addObject()
+            o.put("timestamp", ts)
+            curArr = o.putArray("result")
+            curTs = ts
+          }
+          val e = curArr.addObject()
+          row.schema.fieldNames.filterNot(_ == "__time")
+            .foreach(f => putValue(e, f, row.getAs[Any](f)))
+        }
+      case _: Query.SearchQ =>
+        val o = root.addObject()
+        val arr = o.putArray("result")
+        df.toLocalIterator().forEachRemaining { row =>
+          val e = arr.addObject()
+          row.schema.fieldNames.foreach(f => putValue(e, f, row.getAs[Any](f)))
+        }
+      case _: Query.TimeBoundary | _: Query.DataSourceMetadata =>
+        df.toLocalIterator().forEachRemaining { row =>
+          val o = root.addObject()
+          val r = o.putObject("result")
+          row.schema.fieldNames.foreach(f => putValue(r, f, row.getAs[Any](f)))
+        }
+      case _: Query.Scan =>
+        val cols = df.schema.fieldNames
+        val o = root.addObject()
+        val colArr = o.putArray("columns")
+        cols.foreach(colArr.add)
+        val events = o.putArray("events")
+        df.toLocalIterator().forEachRemaining { row =>
+          val e = events.addArray()
+          cols.indices.foreach(i => addValue(e, row.get(i)))
+        }
+      case _: Query.Select =>
+        val o = root.addObject()
+        val r = o.putObject("result")
+        val events = r.putArray("events")
+        var n = 0
+        df.toLocalIterator().forEachRemaining { row =>
+          val e = events.addObject()
+          row.schema.fieldNames.foreach(f => putValue(e, f, row.getAs[Any](f)))
+          n += 1
+        }
+        r.putObject("pagingIdentifiers").put("offset", n)
+      case _: Query.SegmentMetadata =>
+        df.toLocalIterator().forEachRemaining { row =>
+          val o = root.addObject()
+          row.schema.fieldNames.foreach(f => putValue(o, f, row.getAs[Any](f)))
+        }
+    }
+    mapper.writeValueAsString(root)
+  }
+}

@@ -1,0 +1,533 @@
+package graft.expr
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.time.{Instant, ZoneId}
+
+/** Pure compilers: query-model ADTs → Spark `Column` expressions.
+  *
+  * All of these emit built-in Catalyst expressions (`functions._`) so the
+  * whole query stays inside whole-stage codegen and predicate pushdown —
+  * the Spark-native replacement for Druid's per-segment query engines
+  * (reference `query/query-internal-procedure.md:128-142`).
+  *
+  * Type-awareness: Druid compares dimension values as strings; we instead
+  * cast the *literal* to the column's native type wherever possible so
+  * Parquet predicate pushdown survives (casting the column would defeat it).
+  */
+object Compilers {
+
+  val TimeColumn = "__time"
+
+  // =========================================================================
+  // Time / granularity
+  // =========================================================================
+
+  /** Millisecond length of fixed-size units. */
+  private val fixedUnitMillis: Map[String, Long] = Map(
+    "second" -> 1000L,
+    "minute" -> 60000L,
+    "fifteen_minute" -> 900000L,
+    "thirty_minute" -> 1800000L,
+    "hour" -> 3600000L,
+    "day" -> 86400000L)
+
+  /** Bucketing expression for a granularity over a timestamp column.
+    * Returns None for `all` (single bucket — no group column). */
+  def granularityCol(g: Granularity, t: Column): Option[Column] = g match {
+    case Granularity.All   => None
+    case Granularity.NoneG => Some(t)
+    case Granularity.Simple(u) => Some(simpleTrunc(u, t))
+    case Granularity.Duration(ms, origin) =>
+      val o = origin.map(_.toEpochMilli).getOrElse(0L)
+      Some(timestamp_millis(((unix_millis(t) - o).cast(LongType) / ms)
+        .cast(LongType).*(ms).+(o)))
+    case Granularity.Period(p, tz, origin) => Some(periodTrunc(p, tz, origin, t))
+  }
+
+  private def simpleTrunc(unit: String, t: Column): Column = unit match {
+    case "fifteen_minute" | "thirty_minute" =>
+      val ms = fixedUnitMillis(unit)
+      timestamp_millis((unix_millis(t) / ms).cast(LongType) * ms)
+    case u => date_trunc(u, t)
+  }
+
+  /** Period granularity: calendar-aware truncation in `tz`, result in UTC.
+    * Handles P1D/PT1H/... (n=1 calendar units) in any timezone, and
+    * arbitrary fixed-length periods (PTnH, PTnM, PTnS, PnD without DST
+    * concerns are treated as fixed when tz is UTC). */
+  def periodTrunc(period: String, tzOpt: Option[String], origin: Option[Instant],
+      t: Column): Column = {
+    val tz = tzOpt.getOrElse("UTC")
+    val unitOpt = period match {
+      case "P1D" => Some("day"); case "PT1H" => Some("hour")
+      case "PT1M" => Some("minute"); case "PT1S" => Some("second")
+      case "P1W" => Some("week"); case "P1M" => Some("month")
+      case "P3M" => Some("quarter"); case "P1Y" => Some("year")
+      case _ => None
+    }
+    unitOpt match {
+      case Some(u) if tz == "UTC" => simpleTrunc(u, t)
+      case Some(u) =>
+        // shift into tz, truncate on the wall clock, shift back
+        to_utc_timestamp(date_trunc(u, from_utc_timestamp(t, tz)), tz)
+      case None =>
+        // general fixed-length period (e.g. PT6H, P2D): duration bucketing
+        val ms = periodMillis(period)
+        val o = origin.map(_.toEpochMilli).getOrElse(0L)
+        timestamp_millis(((unix_millis(t) - o) / ms).cast(LongType) * ms + o)
+    }
+  }
+
+  /** Fixed-length millis of an ISO period (PT*, PnD, PnW). Calendar-length
+    * periods (months/years multiples) are rejected — handled by the n=1
+    * cases above. */
+  def periodMillis(period: String): Long = {
+    val dayP = "P(\\d+)D".r
+    val weekP = "P(\\d+)W".r
+    period match {
+      case dayP(n)  => n.toLong * 86400000L
+      case weekP(n) => n.toLong * 7L * 86400000L
+      case p if p.startsWith("PT") => java.time.Duration.parse(p).toMillis
+      case p => throw new IllegalArgumentException(
+        s"unsupported variable-length period '$p' (use P1M/P3M/P1Y or fixed periods)")
+    }
+  }
+
+  /** Driver-side truncation of an instant — used for zero-fill spine starts. */
+  def truncInstant(g: Granularity, i: Instant, tz: ZoneId = ZoneId.of("UTC")): Instant =
+    g match {
+      case Granularity.All | Granularity.NoneG => i
+      case Granularity.Simple(u) => truncSimple(u, i, tz)
+      case Granularity.Duration(ms, origin) =>
+        val o = origin.map(_.toEpochMilli).getOrElse(0L)
+        Instant.ofEpochMilli(Math.floorDiv(i.toEpochMilli - o, ms) * ms + o)
+      case Granularity.Period(p, tzS, origin) =>
+        val zone = ZoneId.of(tzS.getOrElse("UTC"))
+        p match {
+          case "P1D"  => truncSimple("day", i, zone)
+          case "PT1H" => truncSimple("hour", i, zone)
+          case "PT1M" => truncSimple("minute", i, zone)
+          case "P1W"  => truncSimple("week", i, zone)
+          case "P1M"  => truncSimple("month", i, zone)
+          case "P3M"  => truncSimple("quarter", i, zone)
+          case "P1Y"  => truncSimple("year", i, zone)
+          case _ =>
+            val ms = periodMillis(p)
+            val o = origin.map(_.toEpochMilli).getOrElse(0L)
+            Instant.ofEpochMilli(Math.floorDiv(i.toEpochMilli - o, ms) * ms + o)
+        }
+    }
+
+  private def truncSimple(unit: String, i: Instant, tz: ZoneId): Instant = {
+    import java.time._
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    val z = i.atZone(tz)
+    val truncated = unit match {
+      case "second" => z.truncatedTo(ChronoUnit.SECONDS)
+      case "minute" => z.truncatedTo(ChronoUnit.MINUTES)
+      case "fifteen_minute" =>
+        z.truncatedTo(ChronoUnit.HOURS).plusMinutes((z.getMinute / 15) * 15L)
+      case "thirty_minute" =>
+        z.truncatedTo(ChronoUnit.HOURS).plusMinutes((z.getMinute / 30) * 30L)
+      case "hour"  => z.truncatedTo(ChronoUnit.HOURS)
+      case "day"   => z.truncatedTo(ChronoUnit.DAYS)
+      case "week"  => z.truncatedTo(ChronoUnit.DAYS)
+        .`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+      case "month" => z.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+      case "quarter" =>
+        z.truncatedTo(ChronoUnit.DAYS).withDayOfMonth(1)
+          .withMonth(((z.getMonthValue - 1) / 3) * 3 + 1)
+      case "year" => z.truncatedTo(ChronoUnit.DAYS).withDayOfYear(1)
+      case u => throw new IllegalArgumentException(s"unknown unit $u")
+    }
+    truncated.toInstant
+  }
+
+  /** Driver-side bucket step — advance one granularity bucket. */
+  def nextBucket(g: Granularity, i: Instant): Instant = g match {
+    case Granularity.All | Granularity.NoneG => i.plusMillis(1)
+    case Granularity.Simple(u) => stepSimple(u, i, ZoneId.of("UTC"))
+    case Granularity.Duration(ms, _) => i.plusMillis(ms)
+    case Granularity.Period(p, tzS, _) =>
+      val zone = ZoneId.of(tzS.getOrElse("UTC"))
+      p match {
+        case "P1D"  => stepSimple("day", i, zone)
+        case "P1W"  => stepSimple("week", i, zone)
+        case "P1M"  => stepSimple("month", i, zone)
+        case "P3M"  => stepSimple("quarter", i, zone)
+        case "P1Y"  => stepSimple("year", i, zone)
+        case _      => i.plusMillis(java.time.Duration.parse(p).toMillis)
+      }
+  }
+
+  private def stepSimple(unit: String, i: Instant, tz: ZoneId): Instant = {
+    val z = i.atZone(tz)
+    (unit match {
+      case "second" => z.plusSeconds(1)
+      case "minute" => z.plusMinutes(1)
+      case "fifteen_minute" => z.plusMinutes(15)
+      case "thirty_minute" => z.plusMinutes(30)
+      case "hour" => z.plusHours(1)
+      case "day" => z.plusDays(1)
+      case "week" => z.plusWeeks(1)
+      case "month" => z.plusMonths(1)
+      case "quarter" => z.plusMonths(3)
+      case "year" => z.plusYears(1)
+    }).toInstant
+  }
+
+  /** Predicate for `intervals` — the Spark replacement for Druid's
+    * interval→segment routing (reference `query/query-internal-procedure.md:7`):
+    * Catalyst pushes this to Parquet row-group min/max + partition pruning. */
+  def intervalPredicate(intervals: Seq[Interval], t: Column): Column =
+    intervals
+      .map(iv => t >= lit(java.sql.Timestamp.from(iv.start)) &&
+                 t <  lit(java.sql.Timestamp.from(iv.end)))
+      .reduceOption(_ || _)
+      .getOrElse(lit(true))
+
+  // =========================================================================
+  // Extraction functions
+  // =========================================================================
+
+  def extractionCol(fn: ExtractionFn, in: Column): Column = {
+    import ExtractionFn._
+    fn match {
+      case RegexE(expr, idx, replaceMissing, replaceWith) =>
+        val ex = regexp_extract(in.cast(StringType), expr, idx)
+        val missing = if (replaceMissing) lit(replaceWith.orNull) else lit(null)
+        when(ex === "" && !in.cast(StringType).rlike(expr), missing).otherwise(ex)
+      case Substring(idx, len) =>
+        val s = len match {
+          case Some(l) => substring(in.cast(StringType), idx + 1, l)
+          case None    => in.cast(StringType).substr(lit(idx + 1), length(in.cast(StringType)))
+        }
+        when(length(in.cast(StringType)) <= idx, lit(null)).otherwise(s)
+      case Strlen => length(in.cast(StringType)).cast(StringType)
+      case Upper  => upper(in.cast(StringType))
+      case Lower  => lower(in.cast(StringType))
+      case TimeFormat(format, tzOpt, granOpt) =>
+        val shifted0 = granOpt.flatMap(g => granularityCol(g, in)).getOrElse(in)
+        val shifted = tzOpt match {
+          case Some(tz) if tz != "UTC" => from_utc_timestamp(shifted0, tz)
+          case _ => shifted0
+        }
+        date_format(shifted, format.getOrElse("yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
+      case TimeParse(inFmt, outFmt) =>
+        date_format(to_timestamp(in.cast(StringType), inFmt), outFmt)
+      case Bucket(size, offset) =>
+        val d = in.cast(DoubleType)
+        (floor((d - offset) / size) * size + offset).cast(StringType)
+      case StringFormat(fmt) => format_string(fmt, in)
+      case Cascade(fns)      => fns.foldLeft(in)((c, f) => extractionCol(f, c))
+      case Partial(expr)     =>
+        when(in.cast(StringType).rlike(expr), in.cast(StringType))
+      case SearchQueryE(q)   =>
+        when(searchMatch(q, in.cast(StringType)), in.cast(StringType))
+      case Lookup(m, retain, replaceWith) =>
+        val mapped =
+          if (m.isEmpty) lit(null).cast(StringType)
+          else element_at(typedLit(m), in.cast(StringType))
+        if (retain) coalesce(mapped, in.cast(StringType))
+        else replaceWith.map(r => coalesce(mapped, lit(r))).getOrElse(mapped)
+    }
+  }
+
+  /** SearchQuerySpec match predicate on a string column
+    * (reference `query/query-module-overview.md:32-33`). */
+  def searchMatch(spec: SearchQuerySpec, c: Column): Column = spec match {
+    case SearchQuerySpec.InsensitiveContains(v) => lower(c).contains(v.toLowerCase)
+    case SearchQuerySpec.Contains(v, cs) =>
+      if (cs) c.contains(v) else lower(c).contains(v.toLowerCase)
+    case SearchQuerySpec.Fragment(vs, cs) =>
+      vs.map(v => if (cs) c.contains(v) else lower(c).contains(v.toLowerCase))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    case SearchQuerySpec.RegexS(p) => c.rlike(p)
+  }
+
+  // =========================================================================
+  // Filters
+  // =========================================================================
+
+  private def fieldType(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  private def isMultiValue(schema: StructType, dim: String): Boolean =
+    fieldType(schema, dim).exists(_.isInstanceOf[ArrayType])
+
+  /** Literal coerced to the column's native type (keeps pushdown alive). */
+  private def typedLitFor(schema: StructType, dim: String, v: String): Column =
+    fieldType(schema, dim) match {
+      case Some(_: StringType)  => lit(v)
+      case Some(ArrayType(e, _)) => lit(v).cast(e)
+      case Some(t)              => lit(v).cast(t)
+      case None                 => lit(v)
+    }
+
+  /** Scala-native value matching the column's type (for `isin`). */
+  private def nativeValue(schema: StructType, dim: String, v: String): Any =
+    fieldType(schema, dim) match {
+      case Some(_: LongType) | Some(_: IntegerType) | Some(_: ShortType) =>
+        try v.toLong catch { case _: NumberFormatException => v }
+      case Some(_: DoubleType) | Some(_: FloatType) =>
+        try v.toDouble catch { case _: NumberFormatException => v }
+      case _ => v
+    }
+
+  /** Compile a filter against a source schema. Multi-value (array) dims use
+    * Druid's "matches any value" semantics (SURVEY §7.4). */
+  def filterCol(f: Filter, schema: StructType): Column = {
+    import Filter._
+    f match {
+      case Selector(dim, vOpt, exOpt) =>
+        val c = dimCol(dim, exOpt, schema)
+        vOpt match {
+          case None | Some("") =>
+            if (fieldType(schema, dim).exists(_.isInstanceOf[StringType]) && exOpt.isEmpty)
+              c.isNull || c === ""
+            else c.isNull
+          case Some(v) =>
+            if (isMultiValue(schema, dim) && exOpt.isEmpty)
+              array_contains(col(dim), typedLitFor(schema, dim, v).cast(
+                fieldType(schema, dim).get.asInstanceOf[ArrayType].elementType))
+            else if (exOpt.isEmpty) c === typedLitFor(schema, dim, v)
+            else c === lit(v)
+        }
+      case In(dim, vs, exOpt) =>
+        if (isMultiValue(schema, dim) && exOpt.isEmpty) {
+          val et = fieldType(schema, dim).get.asInstanceOf[ArrayType].elementType
+          arrays_overlap(col(dim), array(vs.map(v => lit(v).cast(et)): _*))
+        } else {
+          val c = dimCol(dim, exOpt, schema)
+          if (exOpt.isEmpty) c.isin(vs.map(v => nativeValue(schema, dim, v)): _*)
+          else c.isin(vs: _*)
+        }
+      case Bound(dim, lo, up, loS, upS, ordering, exOpt) =>
+        val base = dimCol(dim, exOpt, schema)
+        val (c, mk): (Column, String => Column) = ordering match {
+          case "numeric" =>
+            fieldType(schema, dim) match {
+              case Some(t: NumericType) if exOpt.isEmpty =>
+                (base, (s: String) => lit(s).cast(t))
+              case _ => (base.cast(DoubleType), (s: String) => lit(s).cast(DoubleType))
+            }
+          case "strlen" => (length(base.cast(StringType)).cast(LongType),
+            (s: String) => lit(s.length.toLong))
+          case _ => // lexicographic (and alphanumeric approximated as such)
+            fieldType(schema, dim) match {
+              case Some(_: StringType) if exOpt.isEmpty => (base, (s: String) => lit(s))
+              case _ => (base.cast(StringType), (s: String) => lit(s))
+            }
+        }
+        val loPred = lo.map(v => if (loS) c > mk(v) else c >= mk(v))
+        val upPred = up.map(v => if (upS) c < mk(v) else c <= mk(v))
+        Seq(loPred, upPred).flatten.reduceOption(_ && _).getOrElse(lit(true))
+      case Like(dim, pattern, escape, exOpt) =>
+        val c = dimCol(dim, exOpt, schema).cast(StringType)
+        // Column.like has no escape-char overload; normalize a custom escape
+        // char to the default backslash in the pattern instead.
+        val normalized = escape match {
+          case Some(e) if e.nonEmpty && e.head != '\\' =>
+            pattern.replace("\\", "\\\\").replace(e.head.toString, "\\")
+          case _ => pattern
+        }
+        c.like(normalized)
+      case Regex(dim, pattern, exOpt) =>
+        dimCol(dim, exOpt, schema).cast(StringType).rlike(pattern)
+      case Search(dim, q, exOpt) =>
+        searchMatch(q, dimCol(dim, exOpt, schema).cast(StringType))
+      case IntervalF(dim, ivs, exOpt) =>
+        intervalPredicate(ivs, dimCol(dim, exOpt, schema))
+      case ColumnComparison(dims) =>
+        dims.sliding(2).map { case Seq(a, b) =>
+          col(a).cast(StringType) === col(b).cast(StringType)
+        }.reduceOption(_ && _).getOrElse(lit(true))
+      case And(fs) => fs.map(filterCol(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
+      case Or(fs)  => fs.map(filterCol(_, schema)).reduceOption(_ || _).getOrElse(lit(false))
+      case Not(f0) =>
+        // Druid NOT matches rows where the inner filter is false — including
+        // null dimension values; plain !pred would yield null and drop them.
+        val inner = filterCol(f0, schema)
+        !coalesce(inner, lit(false))
+      case True => lit(true)
+    }
+  }
+
+  private def dimCol(dim: String, exOpt: Option[ExtractionFn], schema: StructType): Column = {
+    val base =
+      if (isMultiValue(schema, dim) && exOpt.isDefined)
+        col(dim) // extraction over multi-value applied per-element by caller; rare
+      else col(dim)
+    exOpt.map(extractionCol(_, base)).getOrElse(base)
+  }
+
+  // =========================================================================
+  // Aggregators
+  // =========================================================================
+
+  /** Compile an aggregator to an aggregate Column aliased to its name.
+    * `rollupCount`: when reading rolled-up segments, `count` must become
+    * `sum(<storedCountMetric>)` (SURVEY §7.3). */
+  def aggCol(a: Aggregator, schema: StructType, rollupCount: Option[String] = None): Column = {
+    import Aggregator._
+
+    def input(field: String, typ: String): Column = {
+      val c = col(field)
+      typ match {
+        case "long"   => c.cast(LongType)
+        case "float"  => c.cast(FloatType)
+        case _        => c.cast(DoubleType)
+      }
+    }
+
+    def inner(a0: Aggregator, pred: Option[Column]): Column = a0 match {
+      case Count(_) =>
+        (rollupCount, pred) match {
+          case (Some(stored), None)    => sum(col(stored)).cast(LongType)
+          case (Some(stored), Some(p)) => sum(when(p, col(stored))).cast(LongType)
+          case (None, None)            => count(lit(1))
+          case (None, Some(p))         => count(when(p, lit(1)))
+        }
+      case Sum(_, f, t) =>
+        val in = pred.map(p => when(p, input(f, t))).getOrElse(input(f, t))
+        t match {
+          case "long" => coalesce(sum(in), lit(0L)).cast(LongType)
+          case "float" => sum(in).cast(FloatType)
+          case _ => sum(in)
+        }
+      case Min(_, f, t) =>
+        val in = pred.map(p => when(p, input(f, t))).getOrElse(input(f, t))
+        min(in)
+      case Max(_, f, t) =>
+        val in = pred.map(p => when(p, input(f, t))).getOrElse(input(f, t))
+        max(in)
+      case First(_, f, t) =>
+        val in = pred.map(p => when(p, input(f, t))).getOrElse(input(f, t))
+        min_by(in, when(in.isNotNull, col(TimeColumn)))
+      case Last(_, f, t) =>
+        val in = pred.map(p => when(p, input(f, t))).getOrElse(input(f, t))
+        max_by(in, when(in.isNotNull, col(TimeColumn)))
+      case HyperUnique(_, f) =>
+        val in = pred.map(p => when(p, col(f))).getOrElse(col(f))
+        approx_count_distinct(in)
+      case Cardinality(_, fields, byRow) =>
+        val base =
+          if (fields.size == 1) col(fields.head)
+          else if (byRow) struct(fields.map(col): _*)
+          else concat_ws("", fields.map(c => col(c).cast(StringType)): _*)
+        val in = pred.map(p => when(p, base)).getOrElse(base)
+        approx_count_distinct(in)
+      case Filtered(f, agg) =>
+        val p = filterCol(f, schema)
+        inner(agg, pred.map(_ && p).orElse(Some(p)))
+    }
+
+    inner(a, None).as(a.name)
+  }
+
+  // =========================================================================
+  // Post-aggregators
+  // =========================================================================
+
+  /** Compile a post-aggregator into a projection over agg output columns
+    * (reference `query/query-timeseries.md:30-39`). */
+  def postAggCol(pa: PostAggregator): Column = {
+    import PostAggregator._
+
+    def eval(p: PostAggregator): Column = p match {
+      case Arithmetic(_, fn, fields) =>
+        val cs = fields.map(f => eval(f).cast(DoubleType))
+        fn match {
+          case "+" => cs.reduce(_ + _)
+          case "-" => cs.reduce(_ - _)
+          case "*" => cs.reduce(_ * _)
+          case "/" =>
+            // Druid `/` → 0 on divide-by-zero
+            cs.reduce((a, b) => when(b === 0.0 || b.isNull, lit(0.0)).otherwise(a / b))
+          case "quotient" => cs.reduce(_ / _)
+          case other => throw new IllegalArgumentException(s"unknown arithmetic fn '$other'")
+        }
+      case FieldAccess(_, f)            => col(f)
+      case FinalizingFieldAccess(_, f)  => col(f)
+      case Constant(_, v)               => lit(v)
+      case GreatestLeast(_, fn, typ, fields) =>
+        val t: DataType = if (typ == "long") LongType else DoubleType
+        val cs = fields.map(f => eval(f).cast(t))
+        if (fn == "greatest") greatest(cs: _*) else least(cs: _*)
+      case HyperUniqueCardinality(_, f) => col(f).cast(DoubleType)
+    }
+
+    eval(pa).as(pa.name)
+  }
+
+  // =========================================================================
+  // Dimension specs
+  // =========================================================================
+
+  /** Compile a dimension spec to a Column aliased to its outputName. */
+  def dimensionCol(spec: DimensionSpec, schema: StructType): Column = {
+    import DimensionSpec._
+
+    def eval(s: DimensionSpec): Column = s match {
+      case Default(dim, _, outTypeOpt) =>
+        val c = col(dim)
+        outTypeOpt match {
+          case Some("LONG")   => c.cast(LongType)
+          case Some("FLOAT")  => c.cast(FloatType)
+          case Some("DOUBLE") => c.cast(DoubleType)
+          case Some("STRING") => c.cast(StringType)
+          case _ => c
+        }
+      case Extraction(dim, _, fn, outTypeOpt) =>
+        val c = extractionCol(fn, col(dim))
+        outTypeOpt match {
+          case Some("LONG")   => c.cast(LongType)
+          case Some("FLOAT")  => c.cast(FloatType)
+          case Some("DOUBLE") => c.cast(DoubleType)
+          case _ => c
+        }
+      case ListFiltered(delegate, values, whitelist) =>
+        val c = eval(delegate)
+        fieldTypeOfSpec(delegate, schema) match {
+          case Some(ArrayType(et, _)) =>
+            val arr = array(values.map(v => lit(v).cast(et)): _*)
+            if (whitelist) array_intersect(c, arr) else array_except(c, arr)
+          case _ =>
+            if (whitelist) when(c.isin(values: _*), c)
+            else when(!c.isin(values: _*), c)
+        }
+      case RegexFiltered(delegate, pattern) =>
+        val c = eval(delegate)
+        fieldTypeOfSpec(delegate, schema) match {
+          case Some(ArrayType(_, _)) => filter(c, x => x.cast(StringType).rlike(pattern))
+          case _ => when(c.cast(StringType).rlike(pattern), c)
+        }
+    }
+
+    eval(spec).as(spec.outputName)
+  }
+
+  private def fieldTypeOfSpec(spec: DimensionSpec, schema: StructType): Option[DataType] =
+    spec match {
+      case DimensionSpec.Default(d, _, _)       => fieldType(schema, d)
+      case DimensionSpec.Extraction(_, _, _, _) => Some(StringType)
+      case DimensionSpec.ListFiltered(d, _, _)  => fieldTypeOfSpec(d, schema)
+      case DimensionSpec.RegexFiltered(d, _)    => fieldTypeOfSpec(d, schema)
+    }
+
+  /** Ordering column for limitSpec `dimensionOrder` (SURVEY §2.7). */
+  def orderingCol(dimensionOrder: String, c: Column): Column = dimensionOrder match {
+    case "numeric" => c.cast(DoubleType)
+    case "strlen"  => length(c.cast(StringType))
+    case "alphanumeric" =>
+      // numeric-aware sort, approximated: pure-integer strings sort by value
+      // (zero-padded), everything else lexicographically
+      val s = c.cast(StringType)
+      when(s.rlike("^\\d+$"), lpad(s, 32, "0")).otherwise(s)
+    case _ => c
+  }
+}

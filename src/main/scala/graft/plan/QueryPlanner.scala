@@ -1,0 +1,403 @@
+package graft.plan
+
+import graft.expr.Compilers
+import graft.expr.Compilers.TimeColumn
+import graft.model._
+import graft.sources.Catalog
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+import java.time.Instant
+import scala.jdk.CollectionConverters._
+
+/** Query ADT → DataFrame (Catalyst logical plan).
+  *
+  * This is the Spark-native replacement for Druid's QueryRunner construction
+  * + broker scatter-gather (reference `query/query-internal-procedure.md:98-142`):
+  * we declare the plan; Catalyst partition pruning replaces interval→segment
+  * routing, and `HashAggregateExec` partial/final replaces per-node partial
+  * aggregation + broker merge.
+  *
+  * Druid-specific semantics that Catalyst does not know about (zero-fill,
+  * multi-value dimension explode, topN ranking, paging) are applied here,
+  * *before* the plan is handed to Catalyst — keeping the optimizer free to
+  * do pushdown/pruning on a fully declarative plan.
+  */
+object QueryPlanner {
+
+  /** Cap on driver-side generated zero-fill buckets. */
+  private val MaxSpineBuckets = 200000
+
+  def plan(spark: SparkSession, q: Query, catalog: Catalog): DataFrame = q match {
+    case t: Query.Timeseries       => planTimeseries(spark, t, catalog)
+    case t: Query.TopN             => planTopN(spark, t, catalog)
+    case g: Query.GroupBy          => planGroupBy(spark, g, catalog)
+    case t: Query.TimeBoundary     => planTimeBoundary(spark, t, catalog)
+    case s: Query.SegmentMetadata  => planSegmentMetadata(spark, s, catalog)
+    case d: Query.DataSourceMetadata => planDataSourceMetadata(spark, d, catalog)
+    case s: Query.SearchQ          => planSearch(spark, s, catalog)
+    case s: Query.Select           => planSelect(spark, s, catalog)
+    case s: Query.Scan             => planScan(spark, s, catalog)
+  }
+
+  // -- datasource resolution ------------------------------------------------
+
+  def source(spark: SparkSession, ds: DataSource, catalog: Catalog): DataFrame = ds match {
+    case DataSource.Table(name) => catalog.table(spark, name)
+    case DataSource.Union(names) =>
+      names.map(catalog.table(spark, _))
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    case DataSource.QueryD(inner) => plan(spark, inner, catalog)
+  }
+
+  /** interval + filter pushdown — applied before any aggregation so Catalyst
+    * can push to the Parquet scan. */
+  private def filtered(df: DataFrame, intervals: Seq[Interval], filter: Option[Filter])
+      : DataFrame = {
+    val withIntervals =
+      if (intervals.nonEmpty && df.columns.contains(TimeColumn))
+        df.where(Compilers.intervalPredicate(intervals, col(TimeColumn)))
+      else df
+    filter match {
+      case Some(f) => withIntervals.where(Compilers.filterCol(f, df.schema))
+      case None    => withIntervals
+    }
+  }
+
+  // -- timeseries (reference `query/query-timeseries.md`) -------------------
+
+  private def planTimeseries(spark: SparkSession, q: Query.Timeseries, catalog: Catalog)
+      : DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base = filtered(src, q.intervals, q.filter)
+    val aggs = q.aggregations.map(a => Compilers.aggCol(a, src.schema))
+    require(aggs.nonEmpty, "timeseries query requires at least one aggregation")
+
+    val skipEmpty = q.context.get("skipEmptyBuckets").exists(_.toBoolean)
+
+    val aggregated = Compilers.granularityCol(q.granularity, col(TimeColumn)) match {
+      case Some(bucket) =>
+        val agged = base.groupBy(bucket.as(TimeColumn)).agg(aggs.head, aggs.tail: _*)
+        if (skipEmpty) agged
+        else zeroFill(spark, agged, q.intervals, q.granularity, q.aggregations)
+      case None => // granularity 'all': one bucket stamped with the interval start
+        val start = q.intervals.headOption.map(_.start).getOrElse(Instant.EPOCH)
+        base.agg(aggs.head, aggs.tail: _*)
+          .withColumn(TimeColumn, lit(Timestamp.from(start)))
+    }
+
+    val projected = withPostAggs(aggregated, q.postAggregations)
+    projected.orderBy(if (q.descending) col(TimeColumn).desc else col(TimeColumn).asc)
+  }
+
+  /** Left-join the aggregate against a generated bucket spine so empty
+    * buckets inside the interval appear zero-filled (reference
+    * `query/query-timeseries.md:74-95`). Sums/counts fill with 0; min/max/
+    * first/last stay null. */
+  private def zeroFill(spark: SparkSession, agged: DataFrame, intervals: Seq[Interval],
+      g: Granularity, aggs: Seq[Aggregator]): DataFrame = {
+    val buckets = spineBuckets(intervals, g)
+    if (buckets.isEmpty || buckets.size > MaxSpineBuckets) return agged
+    val rows = buckets.map(i => Row(Timestamp.from(i))).asJava
+    val spine = spark.createDataFrame(rows,
+      StructType(Seq(StructField(TimeColumn, TimestampType, nullable = false))))
+    val joined = spine.join(agged, Seq(TimeColumn), "left")
+    val fills: Seq[Column] = aggs.map(a => zeroFillCol(a))
+    val keep = joined.columns.filterNot(c => aggs.exists(_.name == c)).map(col).toSeq
+    joined.select(keep ++ fills: _*)
+  }
+
+  private def zeroFillCol(a: Aggregator): Column = a match {
+    case Aggregator.Count(n) => coalesce(col(n), lit(0L)).as(n)
+    case Aggregator.Sum(n, _, "long") => coalesce(col(n), lit(0L)).as(n)
+    case Aggregator.Sum(n, _, "float") => coalesce(col(n), lit(0.0f)).as(n)
+    case Aggregator.Sum(n, _, _) => coalesce(col(n), lit(0.0)).as(n)
+    case Aggregator.HyperUnique(n, _) => coalesce(col(n), lit(0L)).as(n)
+    case Aggregator.Cardinality(n, _, _) => coalesce(col(n), lit(0L)).as(n)
+    case Aggregator.Filtered(_, inner) => zeroFillCol(inner)
+    case other => col(other.name)
+  }
+
+  /** Driver-side enumeration of granularity buckets covering the intervals. */
+  def spineBuckets(intervals: Seq[Interval], g: Granularity): Seq[Instant] = {
+    g match {
+      case Granularity.All | Granularity.NoneG => return Seq.empty
+      case _ =>
+    }
+    val out = Seq.newBuilder[Instant]
+    var n = 0
+    intervals.foreach { iv =>
+      var b = Compilers.truncInstant(g, iv.start)
+      while (b.isBefore(iv.end) && n <= MaxSpineBuckets) {
+        out += b
+        n += 1
+        b = Compilers.nextBucket(g, b)
+      }
+    }
+    if (n > MaxSpineBuckets) Seq.empty else out.result().distinct
+  }
+
+  /** Project post-aggregations on top of the aggregate result
+    * (reference `query/query-timeseries.md:30-39`). */
+  private def withPostAggs(df: DataFrame, postAggs: Seq[PostAggregator]): DataFrame =
+    if (postAggs.isEmpty) df
+    else df.select(df.columns.map(col).toSeq ++ postAggs.map(Compilers.postAggCol): _*)
+
+  // -- groupBy (reference `query/query-internal-procedure.md:128-142`) ------
+
+  private def planGroupBy(spark: SparkSession, q: Query.GroupBy, catalog: Catalog)
+      : DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base0 = filtered(src, q.intervals, q.filter)
+
+    // Multi-value dimensions: a row counts once per value → explode before
+    // grouping (Druid semantics, SURVEY §7.4).
+    val (base, dimCols) = explodeMultiValue(base0, q.dimensions, src.schema)
+
+    val aggs = q.aggregations.map(a => Compilers.aggCol(a, base.schema))
+    val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
+    val groupCols = bucketOpt.map(_.as(TimeColumn)).toSeq ++ dimCols
+
+    val agged =
+      if (groupCols.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else if (aggs.isEmpty) base.select(groupCols: _*).distinct()
+      else base.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+
+    val posted = withPostAggs(agged, q.postAggregations)
+    val havinged = q.having match {
+      case Some(h) => posted.where(havingCol(h, posted.schema))
+      case None    => posted
+    }
+    q.limitSpec match {
+      case Some(LimitSpec(cols, limitOpt)) =>
+        val ordered =
+          if (cols.isEmpty) havinged
+          else havinged.orderBy(cols.map { c =>
+            val oc = Compilers.orderingCol(c.dimensionOrder, col(c.dimension))
+            if (c.direction.startsWith("desc")) oc.desc else oc.asc
+          }: _*)
+        limitOpt.map(ordered.limit).getOrElse(ordered)
+      case None => havinged
+    }
+  }
+
+  /** Rewrite dimension specs over ArrayType columns into explode_outer
+    * projections. Returns (augmented source, dimension Columns). */
+  private def explodeMultiValue(df: DataFrame, specs: Seq[DimensionSpec],
+      schema: StructType): (DataFrame, Seq[Column]) = {
+    var cur = df
+    val cols = specs.map { spec =>
+      val baseDim = underlyingDim(spec)
+      val isArray = baseDim.exists(d =>
+        schema.fields.exists(f => f.name == d && f.dataType.isInstanceOf[ArrayType]))
+      if (isArray) {
+        val d = baseDim.get
+        val tmp = s"__mv_$d"
+        if (!cur.columns.contains(tmp)) {
+          // ListFiltered/RegexFiltered prune the value list BEFORE explode
+          val pruned = Compilers.dimensionCol(stripOutput(spec), schema)
+          cur = cur.withColumn(tmp, explode_outer(pruned))
+        }
+        col(tmp).as(spec.outputName)
+      } else {
+        Compilers.dimensionCol(spec, schema)
+      }
+    }
+    (cur, cols)
+  }
+
+  private def underlyingDim(spec: DimensionSpec): Option[String] = spec match {
+    case DimensionSpec.Default(d, _, _)        => Some(d)
+    case DimensionSpec.Extraction(d, _, _, _)  => Some(d)
+    case DimensionSpec.ListFiltered(d, _, _)   => underlyingDim(d)
+    case DimensionSpec.RegexFiltered(d, _)     => underlyingDim(d)
+  }
+
+  /** The spec itself (filters applied) but without the final alias mattering. */
+  private def stripOutput(spec: DimensionSpec): DimensionSpec = spec
+
+  private def havingCol(h: HavingSpec, schema: StructType): Column = {
+    import HavingSpec._
+    h match {
+      case EqualTo(a, v)     => col(a).cast(DoubleType) === v
+      case GreaterThan(a, v) => col(a).cast(DoubleType) > v
+      case LessThan(a, v)    => col(a).cast(DoubleType) < v
+      case DimSelector(d, v) => col(d).cast(StringType) === v
+      case AndH(hs)          => hs.map(havingCol(_, schema)).reduce(_ && _)
+      case OrH(hs)           => hs.map(havingCol(_, schema)).reduce(_ || _)
+      case NotH(h0)          => !coalesce(havingCol(h0, schema), lit(false))
+      case FilterH(f)        => Compilers.filterCol(f, schema)
+    }
+  }
+
+  // -- topN (reference `query/query-module-overview.md:24,51-53`) -----------
+  //
+  // Computed EXACTLY (groupBy + rank) — a documented superset of Druid's
+  // per-segment approximate topN (SURVEY §2.1 Q2).
+
+  private def planTopN(spark: SparkSession, q: Query.TopN, catalog: Catalog): DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base0 = filtered(src, q.intervals, q.filter)
+    val (base, dimCols) = explodeMultiValue(base0, Seq(q.dimension), src.schema)
+    val dimOut = q.dimension.outputName
+
+    val aggs = q.aggregations.map(a => Compilers.aggCol(a, base.schema))
+    require(aggs.nonEmpty, "topN requires at least one aggregation")
+    val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
+    val groupCols = bucketOpt.map(_.as(TimeColumn)).toSeq ++ dimCols
+
+    val agged = base.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+    val posted = withPostAggs(agged, q.postAggregations)
+
+    val (orderKey, descending) = topNOrder(q.metric, dimOut)
+    val orderCol = if (descending) orderKey.desc else orderKey.asc
+    val tiebreak = col(dimOut).asc
+
+    bucketOpt match {
+      case None =>
+        // granularity 'all' → global top-K: TakeOrderedAndProject, no window
+        val start = q.intervals.headOption.map(_.start).getOrElse(Instant.EPOCH)
+        posted.orderBy(orderCol, tiebreak)
+          .limit(q.threshold)
+          .withColumn(TimeColumn, lit(Timestamp.from(start)))
+      case Some(_) =>
+        val w = Window.partitionBy(col(TimeColumn)).orderBy(orderCol, tiebreak)
+        posted.withColumn("__rank", row_number().over(w))
+          .where(col("__rank") <= q.threshold)
+          .drop("__rank")
+          .orderBy(col(TimeColumn).asc, orderCol, tiebreak)
+    }
+  }
+
+  /** (ranking key, descending?) for a topN metric spec. */
+  private def topNOrder(m: TopNMetricSpec, dimOut: String): (Column, Boolean) = m match {
+    case TopNMetricSpec.Numeric(metric)  => (col(metric), true)
+    case TopNMetricSpec.Lexicographic(_) => (col(dimOut), false)
+    case TopNMetricSpec.Alphanumeric(_)  =>
+      (Compilers.orderingCol("alphanumeric", col(dimOut)), false)
+    case TopNMetricSpec.Inverted(delegate) =>
+      val (k, desc) = topNOrder(delegate, dimOut)
+      (k, !desc)
+  }
+
+  // -- timeBoundary ---------------------------------------------------------
+
+  private def planTimeBoundary(spark: SparkSession, q: Query.TimeBoundary, catalog: Catalog)
+      : DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base = filtered(src, Seq.empty, q.filter)
+    q.bound match {
+      case "minTime" => base.agg(min(col(TimeColumn)).as("minTime"))
+      case "maxTime" => base.agg(max(col(TimeColumn)).as("maxTime"))
+      case _ => base.agg(min(col(TimeColumn)).as("minTime"),
+        max(col(TimeColumn)).as("maxTime"))
+    }
+  }
+
+  // -- segmentMetadata ------------------------------------------------------
+
+  private def planSegmentMetadata(spark: SparkSession, q: Query.SegmentMetadata,
+      catalog: Catalog): DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base = if (q.intervals.nonEmpty) filtered(src, q.intervals, None) else src
+    val wantCardinality = q.analysisTypes.isEmpty || q.analysisTypes.contains("cardinality")
+    val fields = src.schema.fields.toSeq
+    val aggCols: Seq[Column] =
+      count(lit(1)).as("__rows") +:
+      fields.filterNot(_.name == TimeColumn).map { f =>
+        if (wantCardinality) countDistinct(col(f.name)).as(s"card_${f.name}")
+        else lit(null).cast(LongType).as(s"card_${f.name}")
+      }
+    val one = base.agg(aggCols.head, aggCols.tail: _*)
+    // one row per column: (column, type, cardinality, rows)
+    val stacked = fields.filterNot(_.name == TimeColumn).map { f =>
+      struct(lit(f.name).as("column"), lit(f.dataType.simpleString).as("type"),
+        col(s"card_${f.name}").as("cardinality"), col("__rows").as("rows"))
+    }
+    one.select(explode(array(stacked: _*)).as("c"))
+      .select(col("c.column"), col("c.type"), col("c.cardinality"), col("c.rows"))
+  }
+
+  // -- dataSourceMetadata ---------------------------------------------------
+
+  private def planDataSourceMetadata(spark: SparkSession, q: Query.DataSourceMetadata,
+      catalog: Catalog): DataFrame =
+    source(spark, q.dataSource, catalog)
+      .agg(max(col(TimeColumn)).as("maxIngestedEventTime"))
+
+  // -- search (reference `query/query-module-overview.md:32-33`) ------------
+
+  private def planSearch(spark: SparkSession, q: Query.SearchQ, catalog: Catalog)
+      : DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base = filtered(src, q.intervals, q.filter)
+    val dims =
+      if (q.searchDimensions.nonEmpty) q.searchDimensions
+      else src.schema.fields.collect {
+        case f if f.dataType == StringType && f.name != TimeColumn => f.name
+      }.toSeq
+
+    val perDim = dims.map { d =>
+      val isArray = src.schema.fields.exists(f =>
+        f.name == d && f.dataType.isInstanceOf[ArrayType])
+      val valueCol = if (isArray) explode(col(d)) else col(d)
+      base.select(valueCol.cast(StringType).as("value"))
+        .where(Compilers.searchMatch(q.query, col("value")))
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("count"))
+        .select(lit(d).as("dimension"), col("value"), col("count"))
+    }
+    val unioned = perDim.reduce(_ unionAll _)
+    val sorted = q.sort match {
+      case "count" => unioned.orderBy(col("count").desc, col("dimension").asc, col("value").asc)
+      case "strlen" => unioned.orderBy(length(col("value")).asc, col("value").asc, col("dimension").asc)
+      case "alphanumeric" => unioned.orderBy(
+        Compilers.orderingCol("alphanumeric", col("value")).asc, col("dimension").asc)
+      case _ => unioned.orderBy(col("dimension").asc, col("value").asc)
+    }
+    sorted.limit(q.limit)
+  }
+
+  // -- select (paged raw rows; reference `query/query-module-overview.md:36`)
+
+  private def planSelect(spark: SparkSession, q: Query.Select, catalog: Catalog)
+      : DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base = filtered(src, q.intervals, q.filter)
+    val cols: Seq[String] =
+      if (q.dimensions.isEmpty && q.metrics.isEmpty)
+        src.columns.toSeq
+      else (TimeColumn +: (q.dimensions ++ q.metrics)).distinct
+    val projected = base.select(cols.map(col): _*)
+    // Deterministic global order: __time + every projected column as tiebreak
+    // (stable cursors need deterministic ordering, SURVEY §7.3.6).
+    val timeOrder = if (q.descending) col(TimeColumn).desc else col(TimeColumn).asc
+    val tiebreaks = cols.filterNot(_ == TimeColumn).map(col(_).asc)
+    val offset = if (q.pagingSpec.pagingIdentifiers.isEmpty) 0
+      else q.pagingSpec.pagingIdentifiers.values.max
+    projected.orderBy(timeOrder +: tiebreaks: _*)
+      .offset(offset)
+      .limit(q.pagingSpec.threshold)
+  }
+
+  // -- scan (reference `query/query-module-overview.md:37`) -----------------
+
+  private def planScan(spark: SparkSession, q: Query.Scan, catalog: Catalog): DataFrame = {
+    val src = source(spark, q.dataSource, catalog)
+    val base = filtered(src, q.intervals, q.filter)
+    val projected =
+      if (q.columns.isEmpty) base else base.select(q.columns.map(col): _*)
+    val ordered = q.order match {
+      case "ascending"  => projected.orderBy(col(TimeColumn).asc)
+      case "descending" => projected.orderBy(col(TimeColumn).desc)
+      case _            => projected
+    }
+    q.limit match {
+      case Some(n) => ordered.limit(n.toInt)
+      case None    => ordered
+    }
+  }
+}

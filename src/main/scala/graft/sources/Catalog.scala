@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resolves datasource names to DataFrames with a normalized `__time`
+  * column — the engine's "table in an RDBMS" abstraction (reference
+  * `query/query-timeseries.md:49`). The `__time` normalization mirrors
+  * Druid's mandatory timestamp column (SURVEY §1.2).
+  */
+trait Catalog {
+  def table(spark: SparkSession, name: String): DataFrame
+}
+
+/** Catalog over a flat directory of `<name>.parquet` files (the driver's
+  * TESTDATA layout), mapping each table's event-time column to `__time`.
+  * The original column is kept so queries can reference it as a dimension.
+  */
+class ParquetDirCatalog(dir: String,
+    timeColumns: Map[String, String] = ParquetDirCatalog.defaultTimeColumns)
+    extends Catalog {
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def table(spark: SparkSession, name: String): DataFrame =
+    cache.getOrElseUpdate(name, {
+      val df = TableLoader.load(spark, dir, name)
+      timeColumns.get(name) match {
+        case Some(tc) if df.columns.contains(tc) =>
+          df.withColumn("__time", col(tc))
+        case _ if df.columns.contains("__time") => df
+        case _ => df
+      }
+    })
+}
+
+object ParquetDirCatalog {
+  /** Event-time column per TESTDATA table (FIXTURES.md). */
+  val defaultTimeColumns: Map[String, String] = Map(
+    "events"   -> "ts",
+    "lineitem" -> "l_shipdate",
+    "orders"   -> "o_orderdate")
+}

@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Single place all fixture tables are loaded from.
+  *
+  * Spark 4's vectorized Parquet reader rejects TIMESTAMP(NANOS) columns
+  * (PARQUET_TYPE_ILLEGAL) — the driver's `events.ts` is nanos. We read nanos
+  * as long (`spark.sql.legacy.parquet.nanosAsLong`) and floor-divide to
+  * microsecond timestamps, matching DuckDB's ns→µs cast of the same file
+  * (both are truncations of positive epochs, so values agree exactly).
+  */
+object TableLoader {
+
+  /** Columns that may arrive as nano-long and must become TimestampType. */
+  private val nanoTimeColumns: Set[String] = Set("ts")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (nanoTimeColumns.contains(f.name) && f.dataType == LongType)
+        d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+      else d
+    }
+  }
+}
