@@ -28,6 +28,9 @@ class Engine(spark: SparkSession, catalog: Catalog) {
 
   import Engine._
 
+  // Druid comparisons/casts are lenient (no-match, not error) — ANSI off.
+  spark.conf.set("spark.sql.ansi.enabled", "false")
+
   /** Parse + plan without executing — the logical surface. */
   def plan(json: String): DataFrame =
     QueryPlanner.plan(spark, QueryJson.parseQuery(json), catalog)

@@ -448,7 +448,16 @@ object Compilers {
           case "/" =>
             // Druid `/` → 0 on divide-by-zero
             cs.reduce((a, b) => when(b === 0.0 || b.isNull, lit(0.0)).otherwise(a / b))
-          case "quotient" => cs.reduce(_ / _)
+          case "quotient" =>
+            // Druid `quotient` = plain Java double division (IEEE: 0/0=NaN,
+            // x/0=±Inf) — spelled out so it holds under ANSI mode too
+            cs.reduce { (a, b) =>
+              when(b === 0.0,
+                when(a > 0.0, lit(Double.PositiveInfinity))
+                  .when(a < 0.0, lit(Double.NegativeInfinity))
+                  .otherwise(lit(Double.NaN)))
+                .otherwise(a / b)
+            }
           case other => throw new IllegalArgumentException(s"unknown arithmetic fn '$other'")
         }
       case FieldAccess(_, f)            => col(f)

@@ -34,6 +34,14 @@ class ParquetDirCatalog(dir: String,
     })
 }
 
+/** In-memory catalog (tests, embedded use). DataFrames must already carry a
+  * `__time` column if time semantics are needed. */
+class MapCatalog(tables: Map[String, DataFrame]) extends Catalog {
+  def table(spark: SparkSession, name: String): DataFrame =
+    tables.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown datasource '$name'"))
+}
+
 object ParquetDirCatalog {
   /** Event-time column per TESTDATA table (FIXTURES.md). */
   val defaultTimeColumns: Map[String, String] = Map(

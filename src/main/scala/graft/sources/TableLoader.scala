@@ -19,6 +19,8 @@ object TableLoader {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Druid is lenient where ANSI SQL throws (bad casts, overflow); match it.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (nanoTimeColumns.contains(f.name) && f.dataType == LongType)

@@ -1,0 +1,237 @@
+package graft
+
+import graft.engine.Engine
+import graft.model._
+import graft.sources.MapCatalog
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Goldens for the Druid-specific semantics a naive SQL translation would
+  * silently get wrong (SURVEY §5.4, §7.3-7.6). */
+class DruidSemanticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
+  private lazy val events = Seq(
+    // day 1: two click rows; day 2: EMPTY; day 3: one view row
+    (ts("2024-03-01T01:00:00Z"), "click", 10.0, 1L, Seq("a", "b")),
+    (ts("2024-03-01T02:00:00Z"), "click", 20.0, 2L, Seq("b")),
+    (ts("2024-03-03T05:00:00Z"), "view", 40.0, 3L, Seq("c")),
+  ).toDF("__time", "event_type", "value", "uid", "tags")
+
+  private lazy val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+
+  // --- zero-fill contract (reference query/query-timeseries.md:74-95) ------
+
+  test("timeseries zero-fills empty buckets inside the interval") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+      .collect()
+    assert(rows.length == 3) // 3 day buckets, middle one zero-filled
+    val day2 = rows(1)
+    assert(day2.getAs[Timestamp]("__time") == ts("2024-03-02T00:00:00Z"))
+    assert(day2.getAs[Long]("cnt") == 0L)
+    assert(day2.getAs[Double]("sv") == 0.0)
+  }
+
+  test("zero-fill does NOT extend outside the queried interval") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.length == 1) // only the one bucket the interval covers
+  }
+
+  test("skipEmptyBuckets context disables zero-fill (query-timeseries.md:95)") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"day","context":{"skipEmptyBuckets":"true"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.length == 2)
+  }
+
+  test("descending timeseries orders buckets desc (query-timeseries.md:50)") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev","descending":true,
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.map(_.getAs[Timestamp]("__time").toInstant.toString).toSeq ==
+      Seq("2024-03-03T00:00:00Z", "2024-03-02T00:00:00Z", "2024-03-01T00:00:00Z"))
+  }
+
+  // --- post-agg arithmetic (reference query/query-timeseries.md:30-39) -----
+
+  test("arithmetic '/' yields 0 on divide-by-zero; 'quotient' does not") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}],
+        |"postAggregations":[
+        |  {"type":"arithmetic","name":"safe","fn":"/","fields":[
+        |    {"type":"fieldAccess","fieldName":"sv"},{"type":"fieldAccess","fieldName":"cnt"}]},
+        |  {"type":"arithmetic","name":"raw","fn":"quotient","fields":[
+        |    {"type":"fieldAccess","fieldName":"sv"},{"type":"fieldAccess","fieldName":"cnt"}]}]}""".stripMargin)
+      .collect()
+    val empty = rows(1) // zero-filled bucket: cnt=0
+    assert(empty.getAs[Double]("safe") == 0.0)        // Druid / semantics
+    assert(empty.getAs[Double]("raw").isNaN)          // plain double division 0/0
+  }
+
+  // --- multi-value dimensions (SURVEY §7.4) --------------------------------
+
+  test("selector filter matches ANY value of a multi-value dim") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"selector","dimension":"tags","value":"b"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("cnt") == 2L) // both rows containing "b"
+  }
+
+  test("groupBy on a multi-value dim counts a row once PER value") {
+    val rows = engine.plan(
+      """{"queryType":"groupBy","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all","dimensions":["tags"],
+        |"aggregations":[{"type":"count","name":"cnt"}],
+        |"limitSpec":{"type":"default","columns":[{"dimension":"tags","direction":"ascending"}]}}""".stripMargin)
+      .collect()
+    // values: a(1), b(2), c(1) — row 1 contributes to both a and b
+    assert(rows.map(r => (r.getAs[String]("tags"), r.getAs[Long]("cnt"))).toSeq ==
+      Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+  }
+
+  // --- NOT-filter null semantics -------------------------------------------
+
+  test("not filter keeps rows where inner filter is null-valued") {
+    val withNull = Seq(
+      (ts("2024-03-01T01:00:00Z"), null.asInstanceOf[String], 1.0),
+      (ts("2024-03-01T02:00:00Z"), "x", 2.0),
+    ).toDF("__time", "d", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> withNull)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"not","field":{"type":"selector","dimension":"d","value":"x"}},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("cnt") == 1L) // the null-d row survives NOT
+  }
+
+  // --- rollup-aware count rewrite (SURVEY §7.3.1) --------------------------
+
+  test("count over a rolled-up source becomes sum(stored count)") {
+    import graft.expr.Compilers
+    val rolled = Seq(("a", 3L), ("b", 2L)).toDF("d", "stored_cnt")
+    val c = Compilers.aggCol(Aggregator.Count("cnt"), rolled.schema,
+      rollupCount = Some("stored_cnt"))
+    val out = rolled.agg(c).collect().head
+    assert(out.getAs[Long]("cnt") == 5L)
+  }
+
+  // --- period granularity with timezone (SURVEY §7.3.5) --------------------
+
+  test("P1D in America/New_York buckets by local midnight across DST") {
+    // 2024-03-10 is the US spring-forward date. 03:30Z on Mar 9 = 22:30 EST
+    // Mar 8; 03:30Z on Mar 11 = 23:30 EDT Mar 10.
+    val df = Seq(
+      (ts("2024-03-09T03:30:00Z"), 1.0),
+      (ts("2024-03-11T03:30:00Z"), 2.0),
+    ).toDF("__time", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-03-08T00:00:00Z/2024-03-12T00:00:00Z"],
+        |"granularity":{"type":"period","period":"P1D","timeZone":"America/New_York"},
+        |"context":{"skipEmptyBuckets":"true"},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect()
+    val buckets = rows.map(_.getAs[Timestamp]("__time").toInstant.toString).toSeq
+    // local midnights: Mar 8 EST = 05:00Z; Mar 10 EDT-transition day = 05:00Z
+    assert(buckets == Seq("2024-03-08T05:00:00Z", "2024-03-10T05:00:00Z"))
+  }
+
+  test("duration granularity buckets by fixed millis with origin") {
+    val df = Seq((ts("2024-03-01T00:10:00Z"), 1.0), (ts("2024-03-01T02:50:00Z"), 2.0))
+      .toDF("__time", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-01T06:00:00Z"],
+        |"granularity":{"type":"duration","duration":7200000},
+        |"context":{"skipEmptyBuckets":"true"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.map(_.getAs[Timestamp]("__time").toInstant.toString).toSeq ==
+      Seq("2024-03-01T00:00:00Z", "2024-03-01T02:00:00Z"))
+  }
+
+  // --- topN metric specs ---------------------------------------------------
+
+  test("topN inverted metric ranks ascending (bottom-K)") {
+    val rows = engine.plan(
+      """{"queryType":"topN","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all","dimension":"event_type","threshold":1,
+        |"metric":{"type":"inverted","metric":{"type":"numeric","metric":"sv"}},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[String]("event_type") == "click") // 30 < 40
+  }
+
+  test("topN lexicographic metric ranks by dimension value") {
+    val rows = engine.plan(
+      """{"queryType":"topN","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all","dimension":"event_type","threshold":1,
+        |"metric":{"type":"lexicographic"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[String]("event_type") == "click")
+  }
+
+  // --- error contract (reference query/query-module-overview.md:60-87) -----
+
+  test("unknown queryType surfaces the documented error JSON shape") {
+    val e = intercept[Engine.QueryError](engine.executeJson(
+      """{"queryType":"wat","dataSource":"ev","intervals":["2024-01-01/2024-01-02"]}"""))
+    assert(e.error == "Unknown exception")
+    assert(e.toJson.contains("\"errorMessage\""))
+    assert(e.toJson.contains("\"host\""))
+  }
+
+  // --- filtered aggregator -------------------------------------------------
+
+  test("filtered aggregator filters only its own input") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"aggregations":[
+        |  {"type":"count","name":"all_cnt"},
+        |  {"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"view"},
+        |   "aggregator":{"type":"doubleSum","name":"view_sv","fieldName":"value"}}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("all_cnt") == 3L)
+    assert(rows.head.getAs[Double]("view_sv") == 40.0)
+  }
+}
