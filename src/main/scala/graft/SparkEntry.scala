@@ -30,11 +30,16 @@ object SparkEntry {
   private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 3): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), scale)))
 
+  private val registeredViews = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   private def registerTpch(spark: SparkSession, dir: String): Unit =
-    Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region",
-      "events", "documents", "embeddings").foreach { t =>
-      graft.sources.TableLoader.load(spark, dir, t).createOrReplaceTempView(t)
-    }
+    registeredViews.getOrElseUpdate(dir, {
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region",
+        "events", "documents", "embeddings").foreach { t =>
+        graft.sources.TableLoader.load(spark, dir, t).createOrReplaceTempView(t)
+      }
+      true
+    })
 
   // --- flagship ------------------------------------------------------------
 
