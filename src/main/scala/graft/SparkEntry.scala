@@ -323,6 +323,64 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")), 3).as("avg_tok_len"))
         .orderBy("doc_id")
     }),
+    "q22_minhash_dups" -> ((s, dir) => {
+      // MinHash LSH near-dup pairs (not SQL-expressible → rows-only check)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+    "q23_simhash_dups" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard pairs over a bounded candidate set
+      val docs = s.read.parquet(s"$dir/documents.parquet").where(col("doc_id") < 150)
+      graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleN = 3,
+        threshold = 0.1)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b")
+    }),
+    "q25_ann_cosine" -> ((s, dir) => {
+      // brute-force cosine top-k (exact ANN baseline)
+      val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      graft.ext.Similarity.bruteForceTopK(qs, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+        .withColumn("cosine", round(col("cosine"), 3))
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
+    "q26_text_analysis" -> ((s, dir) => {
+      import graft.ext.TextAnalysis._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(
+        col("doc_id"),
+        languageId(col("text")).as("lang_id"),
+        tokenCountBpe(col("text")).as("n_bpe_tokens"),
+        fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "q27_multimodal_decode" -> ((s, dir) => {
+      // binary-column decode plumbing (stubbed codec; deterministic)
+      val media = graft.ext.Multimodal.syntheticMedia(s, 200)
+      val decoded = graft.ext.Multimodal.decode(media, "media_id", "content", 8)
+      graft.ext.Multimodal.sampleFrames(decoded, 4)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("n_frames"), size(col("sampled_frames")).as("n_sampled"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    }),
+    "q28_cosine_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
+      val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
+      graft.ext.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.45, bands = 16, rowsPerBand = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // --- DuckDB oracle SQL ----------------------------------------------------
@@ -505,6 +563,75 @@ object SparkEntry {
         |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the,
         |  round(CAST(length(text) AS DOUBLE) /
         |    len(string_split_regex(trim(text), '\s+')), 3) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    END) AS sh
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1
+        |ORDER BY 1, 2""".stripMargin,
+    "q25_ann_cosine" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |  round(CAST(list_cosine_similarity(qv, embedding) AS DOUBLE), 3) AS cosine
+        |FROM embeddings, qs
+        |WHERE vec_id <> query_id
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY list_cosine_similarity(qv, embedding) DESC, vec_id) <= 5
+        |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin,
+    "q26_text_analysis" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN len(regexp_extract_all(text, '[一-鿿]')) > 5 THEN 'zh'
+        |    WHEN ((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) // 3)
+        |      >= ((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' la ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' de ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' que ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' los ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' una ', ''))) // 5)
+        |      AND ((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) // 3) > 0
+        |      THEN 'en'
+        |    WHEN ((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' la ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' de ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' que ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' los ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' una ', ''))) // 5)
+        |      > ((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) // 5
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' is ', ''))) // 4
+        |        + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) // 3)
+        |      THEN 'es'
+        |    ELSE 'und' END AS lang_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (driver mandate): image/audio/video travel as
+  * opaque `binary` columns with typed metadata; decode / feature-extract /
+  * resize / frame-sample run per-partition in batches.
+  *
+  * The Spark-side plumbing — schema, partition-parallel batch shape,
+  * deterministic output — is real and tested. The codec itself is a STUB:
+  * this container has no image/audio libraries, so `decodeStub` derives a
+  * deterministic fake (dimensions + a pixel-hash "feature") from the bytes.
+  * Swap `decodeStub`'s body for a real codec (e.g. TwelveMonkeys/JavaCV on
+  * the executor classpath) without touching any plumbing.
+  */
+object Multimodal {
+
+  /** Schema of a decoded media asset. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /** STUB decode: deterministic fake metadata + feature vector from raw
+    * bytes. Replace with a real codec for production. */
+  private def decodeStub(id: Long, bytes: Array[Byte], featureDim: Int)
+      : Row = {
+    if (bytes == null || bytes.isEmpty) {
+      Row(id, null, null, null, null, null)
+    } else {
+      // deterministic pseudo-properties derived from content
+      val h = java.util.Arrays.hashCode(bytes)
+      val fmt = (h & 3) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "webp"; case _ => "gif"
+      }
+      val w = 64 + (math.abs(h) % 1024)
+      val ht = 64 + (math.abs(h / 7) % 1024)
+      val frames = 1 + math.abs(h / 13) % 32
+      val feat = Array.tabulate(featureDim) { i =>
+        // stable per-(content, i) float in [-1, 1)
+        val x = scala.util.hashing.MurmurHash3.bytesHash(bytes, i)
+        (x.toDouble / Int.MaxValue).toFloat
+      }
+      Row(id, fmt, w, ht, frames, feat.toSeq)
+    }
+  }
+
+  /** Decode a binary media column into typed metadata + feature vectors.
+    * Runs per-partition (executor-parallel); the per-partition iterator is
+    * the batch boundary a real codec would reuse its native context across.
+    */
+  def decode(df: DataFrame, idCol: String, binCol: String, featureDim: Int = 16)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(col(idCol).cast(LongType), col(binCol))
+    val enc = RowEncoder.encoderFor(mediaMetaSchema)
+    input.mapPartitions { it =>
+      // batch-scoped decoder state would be initialized here (real codec)
+      it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1), featureDim))
+    }(enc)
+  }
+
+  /** "Resize": recompute the stub feature at a different resolution —
+    * demonstrates a transform stage over decoded assets that preserves the
+    * partitioning of its input (no shuffle). */
+  def resizeFeatures(decoded: DataFrame, newDim: Int): DataFrame =
+    decoded.withColumn("feature",
+      when(col("feature").isNull, lit(null))
+        .otherwise(slice(concat(col("feature"), col("feature")), 1, newDim)))
+
+  /** Frame sampling for video-like assets: pick every `stride`-th frame
+    * index up to n_frames. Pure expression — no shuffle, codegen'd. */
+  def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.withColumn("sampled_frames",
+      when(col("n_frames").isNull, lit(null))
+        .otherwise(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+
+  /** Build a synthetic media table from any source table (used by tests and
+    * the verify harness — the fixtures ship no binary columns). */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate[Byte](32 + i % 64)(j => ((i * 31 + j * 7) % 251).toByte))
+    }.toDF("media_id", "content")
+  }
+}

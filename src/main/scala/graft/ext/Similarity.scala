@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`) — driver mandate.
+  *
+  *  - Brute-force: broadcast the (small) query set against the corpus,
+  *    cosine via `zip_with`/`aggregate` (codegen'd, no UDF), per-query
+  *    top-k via window rank. Exact baseline; one corpus scan, no corpus
+  *    shuffle — at 100 TB this is the right shape when |queries| is small.
+  *  - LSH (random hyperplanes): per-row signature computed map-side from a
+  *    seeded deterministic plane set; candidates = bucket collisions on any
+  *    band; exact cosine re-rank on candidates only. Trades recall for a
+  *    |corpus|-proportional (not |corpus|²) cost.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (0 when either norm=0).
+    * Backed by the native codegen'd expression (graft.functions). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * `queries`: (qidCol, vecCol) — must be small enough to broadcast.
+    * `corpus`:  (idCol, vecCol).
+    * Output: (query_id, neighbor_id, cosine), k rows per query,
+    * excluding self-matches on equal ids.
+    */
+  def bruteForceTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes(seed, n, dim)` —
+    * components in [-1, 1) derived from a seeded LCG (stable across runs
+    * and JVMs, so signatures are reproducible). */
+  private[ext] def planes(seed: Long, n: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(n, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Bit signature of a vector against `n` hyperplanes (sign of dot).
+    * Native expression: the plane matrix is baked into generated code and
+    * evaluated in one primitive loop per row. */
+  def lshSignature(vec: Column, seed: Long, n: Int, dim: Int): Column =
+    graft.functions.VectorFunctions.hyperplane_bits(vec, planes(seed, n, dim))
+
+  /** ANN top-k via random-hyperplane LSH: `bands` buckets of `rowsPerBand`
+    * bits each; candidate pairs share any band bucket; exact cosine re-rank
+    * keeps the top k per query. Recall < 1 by design (documented deviation
+    * from the exact baseline; raise bands×rows for higher recall). */
+  def lshTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int, bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val nBits = bands * rowsPerBand
+
+    def banded(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) =
+      df.select(col(id).as(idOut), col(vec).as(vecOut),
+        lshSignature(col(vec), seed, nBits, dim).as("__sig"))
+        .select(col(idOut), col(vecOut),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => to_json(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+            .as(Seq("band", "bucket")))
+
+    val qb = banded(queries, qidCol, qvecCol, "query_id", "__qvec")
+    val cb = banded(corpus, idCol, vecCol, "neighbor_id", "__cvec")
+
+    val candidates = cb.join(qb, Seq("band", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qvec"), col("__cvec"))
+      .distinct()
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cosine"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within one table: all pairs with
+    * cosine >= threshold, found via LSH candidates (corpus-side only). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bands: Int = 8, rowsPerBand: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val nBits = bands * rowsPerBand
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshSignature(col(vecCol), seed, nBits, dim).as("__sig"))
+      .select(col("id"), col("vec"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => to_json(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines (driver mandate):
+  * language ID, quality scoring, token counting, fingerprinting. All are
+  * pure codegen'd Column expressions — usable in any query, pushdown-safe.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+"))).cast(LongType)
+
+  /** BPE-ish subword count: splits on word/number/punct boundaries the way a
+    * byte-pair tokenizer's pre-tokenizer does (letters runs, digit runs,
+    * single punctuation marks each count). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  /** Occurrences of a literal marker (exact substring count). */
+  def substringCount(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length))
+      .cast(LongType)
+
+  /** n-gram-heuristic language ID over a small closed set: counts
+    * language-marker stopwords (space-delimited) + a CJK codepoint check.
+    * Returns "zh" | "en" | "es" | "und". */
+  def languageId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def marks(words: Seq[String]): Column =
+      words.map(w => substringCount(t, s" $w ")).reduce(_ + _)
+    val en = marks(Seq("the", "and", "of", "to", "is", "a"))
+    val es = marks(Seq("el", "la", "de", "que", "los", "una"))
+    val zhChars = size(regexp_extract_all(text, lit("[一-鿿]"), lit(0)))
+    when(zhChars > 5, "zh")
+      .when(en >= es && en > 0, "en")
+      .when(es > en, "es")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0,1]: blend of length band, punctuation ratio,
+    * stopword presence, and mean token length (the classic cheap filters). */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast(DoubleType)
+    val nTokens = tokenCountWs(text).cast(DoubleType)
+    val punct = size(regexp_extract_all(text, lit("[.,!?;:]"), lit(0))).cast(DoubleType)
+    val stop = substringCount(concat(lit(" "), lower(text), lit(" ")), " the ")
+      .cast(DoubleType)
+    val lenScore = when(nChars >= 100 && nChars <= 20000, 1.0)
+      .when(nChars < 100, nChars / 100.0).otherwise(lit(20000.0) / nChars)
+    val punctScore = when(nTokens === 0, 0.0)
+      .otherwise(least(punct / greatest(nTokens, lit(1.0)) * 5.0, lit(1.0)))
+    val stopScore = least(stop / greatest(nTokens, lit(1.0)) * 20.0, lit(1.0))
+    val meanTok = when(nTokens === 0, 0.0).otherwise(nChars / nTokens)
+    val tokScore = when(meanTok >= 3.0 && meanTok <= 12.0, 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punctScore * 0.2 + stopScore * 0.2 + tokScore * 0.2), 6)
+  }
+
+  /** Stable 128-bit content fingerprint of normalized text (casefold +
+    * whitespace collapse) — md5 so it matches any other engine's md5. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling fingerprint (xxhash64 of normalized text) — cheaper
+    * join key than md5 at scale. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

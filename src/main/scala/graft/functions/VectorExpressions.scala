@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The `functions._` route (zip_with + aggregate) works but higher-order
+  * functions don't participate in whole-stage codegen — per-pair lambda
+  * interpretation dominates ANN re-rank cost. These expressions generate a
+  * tight primitive loop instead (~100× per-row improvement on 64-dim
+  * vectors), the preference order SURVEY §4 prescribes: built-ins where
+  * possible, a custom `Expression` with `doGenCode` where the built-ins
+  * can't express the shape efficiently.
+  */
+abstract class BinaryVectorExpression extends BinaryExpression with Serializable {
+
+  private def okType(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> inputs, " +
+        s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+
+  protected def elemAccessor(t: DataType): String =
+    t.asInstanceOf[ArrayType].elementType match {
+      case FloatType => "getFloat"
+      case _         => "getDouble"
+    }
+
+  protected def elemAt(a: ArrayData, t: DataType, i: Int): Double =
+    t.asInstanceOf[ArrayType].elementType match {
+      case FloatType => a.getFloat(i).toDouble
+      case _         => a.getDouble(i)
+    }
+}
+
+/** Dot product of two numeric arrays (min-length semantics). */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        dot += elemAt(a, left.dataType, i) * elemAt(b, right.dataType, i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ga, gb) = (elemAccessor(left.dataType), elemAccessor(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    ${ev.value}_acc += (double) $a.$ga($i) * (double) $b.$gb($i);
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** Cosine similarity of two numeric arrays; 0.0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = elemAt(a, left.dataType, i); val y = elemAt(b, right.dataType, i)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ga, gb) = (elemAccessor(left.dataType), elemAccessor(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $x = (double) $a.$ga($i); double $y = (double) $b.$gb($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+/** LSH sign-bit signature: vec ⋅ each row of a constant plane matrix → bit
+  * array. One expression evaluating the whole matrix in a primitive loop
+  * (the matrix is baked into the generated code as a 2-D double array). */
+case class HyperplaneSignBits(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val bits = new Array[Int](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0; var i = 0
+      val n = math.min(dim, plane.length)
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += x * plane(i); i += 1
+      }
+      bits(p) = if (dot >= 0.0) 1 else 0
+      p += 1
+    }
+    ArrayData.toArrayData(bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = if (isFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val bits = ctx.freshName("bits")
+      val n = ctx.freshName("n")
+      s"""
+         |int[] $bits = new int[$planesRef.length];
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double $dot = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $planesRef[$p].length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.$acc($i) * $planesRef[$p][$i];
+         |  }
+         |  $bits[$p] = ($dot >= 0.0) ? 1 : 0;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bits);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points for the native vector expressions. */
+object VectorFunctions {
+  def vector_dot(a: Column, b: Column): Column =
+    GraftBridge.column(VectorDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def hyperplane_bits(v: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(HyperplaneSignBits(GraftBridge.expression(v), planes))
+}
