@@ -32,6 +32,23 @@ object SparkEntry {
 
   private val registeredViews = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  private val rollupStores = scala.collection.concurrent.TrieMap.empty[String, graft.store.SegmentStore]
+
+  /** Build (once per JVM per sf dir) an hour-rollup segment store from the
+    * raw events table — the ingest-time rollup fixture (SURVEY §7.3). */
+  private def rollupStore(spark: SparkSession, dir: String): graft.store.SegmentStore =
+    rollupStores.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      val store = new graft.store.SegmentStore(root)
+      val events = graft.sources.TableLoader.load(spark, dir, "events")
+        .withColumn("__time", col("ts")).drop("ts")
+      store.write(events, "events_rollup",
+        rollup = Some((graft.model.Granularity.Simple("hour"),
+          Seq("event_type"),
+          Seq(graft.model.Aggregator.Sum("sv", "value", "double")))))
+      store
+    })
+
   private def registerTpch(spark: SparkSession, dir: String): Unit =
     registeredViews.getOrElseUpdate(dir, {
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region",
@@ -373,6 +390,62 @@ object SparkEntry {
           round(element_at(col("feature"), 1), 4).as("f0"))
         .orderBy("media_id")
     }),
+    "q29_rollup_query" -> ((s, dir) => {
+      // ingest-time rollup end-to-end: raw events → hour-rollup segments →
+      // day-granularity query with the count→sum(stored count) rewrite;
+      // the oracle aggregates the RAW table, proving rollup preserves
+      // query semantics (SURVEY §7.3)
+      val store = rollupStore(s, dir)
+      val eng = new Engine(s, new graft.store.SegmentCatalog(store))
+      roundCols(eng.plan(
+        """{"queryType":"timeseries","dataSource":"events_rollup",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-31T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"count","name":"cnt"},
+          |  {"type":"doubleSum","name":"sum_val","fieldName":"sv"}]}""".stripMargin),
+        Seq("sum_val"))
+    }),
+    "q30_hll_cardinality" -> ((s, dir) => {
+      // hyperUnique + cardinality (approximate — rows-only check)
+      engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          |"granularity":"week",
+          |"aggregations":[
+          |  {"type":"hyperUnique","name":"uniq_users","fieldName":"user_id"},
+          |  {"type":"cardinality","name":"combo_card",
+          |   "fields":["event_type","user_id"],"byRow":true}]}""".stripMargin)
+    }),
+    "q31_period_tz" -> ((s, dir) =>
+      // P1D buckets on Asia/Shanghai local midnights (UTC+8, no DST)
+      engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"events",
+          |"intervals":["2024-01-10T00:00:00Z/2024-01-15T00:00:00Z"],
+          |"granularity":{"type":"period","period":"P1D","timeZone":"Asia/Shanghai"},
+          |"context":{"skipEmptyBuckets":"true"},
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)),
+    "q32_duration_gran" -> ((s, dir) =>
+      // fixed 6-hour duration buckets
+      engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"events",
+          |"intervals":["2024-01-03T00:00:00Z/2024-01-06T00:00:00Z"],
+          |"granularity":{"type":"duration","duration":21600000},
+          |"aggregations":[{"type":"count","name":"cnt"},
+          |  {"type":"longMin","name":"min_ev","fieldName":"event_id"}]}""".stripMargin)),
+    "q33_sql_window" -> ((s, dir) => {
+      // SQL-surface bonus: analytic window functions over detail rows
+      registerTpch(s, dir)
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT l_orderkey, l_linenumber,
+          |    round(l_extendedprice, 2) AS price,
+          |    row_number() OVER (PARTITION BY l_orderkey
+          |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn,
+          |    round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 2) AS order_total
+          |  FROM lineitem WHERE l_orderkey < 200) t
+          |WHERE rn <= 2
+          |ORDER BY l_orderkey, rn""".stripMargin)
+    }),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -564,6 +637,36 @@ object SparkEntry {
         |  round(CAST(length(text) AS DOUBLE) /
         |    len(string_split_regex(trim(text), '\s+')), 3) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_rollup_query" ->
+      """SELECT date_trunc('day', ts) AS __time, count(*) AS cnt,
+        |  round(sum(value), 3) AS sum_val
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_period_tz" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |  (((CAST(epoch(ts) AS BIGINT) + 28800) // 86400) * 86400 - 28800) * INTERVAL 1 SECOND AS __time,
+        |  count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_duration_gran" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00' +
+        |  ((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) * INTERVAL 1 SECOND AS __time,
+        |  count(*) AS cnt, CAST(min(event_id) AS BIGINT) AS min_ev
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-06'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_sql_window" ->
+      """SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    round(l_extendedprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn,
+        |    round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 2) AS order_total
+        |  FROM lineitem WHERE l_orderkey < 200) t
+        |WHERE rn <= 2
+        |ORDER BY l_orderkey, rn""".stripMargin,
     "q24_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -1,0 +1,155 @@
+package graft.ingest
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.model.{Aggregator, Granularity, QueryJson}
+import graft.store.SegmentStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Task ADT — mirrors the reference's `Task` JsonSubTypes registry
+  * (`arch/indexing-service/indexing-service-submit-task.md:75-93`). */
+sealed trait Task { def id: String; def taskType: String }
+object Task {
+  /** batch index: read input, parse timestamp, optional rollup, write
+    * segments (`index`/`index_hadoop` collapse into one Spark job —
+    * SURVEY §2.9). */
+  final case class Index(id: String, dataSource: String, inputPath: String,
+      inputFormat: String, timestampColumn: String,
+      rollup: Option[(Granularity, Seq[String], Seq[Aggregator])])
+      extends Task { def taskType = "index" }
+  final case class Append(id: String, dataSource: String, chunk: String,
+      targetFiles: Int) extends Task { def taskType = "append" }
+  final case class Merge(id: String, dataSource: String, chunk: String,
+      dims: Seq[String], metricAggs: Seq[Aggregator])
+      extends Task { def taskType = "merge" }
+  final case class Kill(id: String, dataSource: String, chunk: String)
+      extends Task { def taskType = "kill" }
+  final case class Move(id: String, dataSource: String, chunk: String,
+      targetRoot: String) extends Task { def taskType = "move" }
+  final case class Archive(id: String, dataSource: String, chunk: String,
+      archiveRoot: String) extends Task { def taskType = "archive" }
+  final case class Restore(id: String, dataSource: String, chunk: String,
+      liveRoot: String) extends Task { def taskType = "restore" }
+  final case class ConvertSegment(id: String, dataSource: String, chunk: String,
+      options: Map[String, String]) extends Task { def taskType = "convert_segment" }
+  final case class Noop(id: String) extends Task { def taskType = "noop" }
+}
+
+/** Task submission/execution/completion — the Spark-native collapse of the
+  * Overlord → MiddleManager → Peon choreography (reference
+  * `arch/indexing-service` docs, traced in SURVEY §3.3). ZK announcement,
+  * worker selection and JVM forking become the Spark scheduler; what is
+  * preserved:
+  *   - the task-type semantics (each type maps onto a SegmentStore job),
+  *   - the status lifecycle pending → running → SUCCESS/FAILED
+  *     (`indexing-service-submit-task.md:148`, `indexing-service-end-task.md:227`),
+  *   - duplicate-id rejection ("Task already exists",
+  *     `indexing-service-submit-task.md:45-48`),
+  *   - interval locking via SegmentStore's chunk locks (TaskLockbox,
+  *     `indexing-service-submit-task.md:132`).
+  */
+class TaskService(spark: SparkSession, store: SegmentStore) {
+
+  import TaskService._
+
+  private val mapper = new ObjectMapper()
+  private val statuses = new java.util.concurrent.ConcurrentHashMap[String, TaskStatus]()
+
+  def status(id: String): Option[TaskStatus] = Option(statuses.get(id))
+
+  def statusList: Seq[TaskStatus] = statuses.values().asScala.toSeq
+
+  /** POST /druid/indexer/v1/task equivalent: parse, reject duplicates,
+    * run synchronously as a Spark job (job group = task id), record the
+    * terminal status. Returns the task id. */
+  def submit(taskJson: String): String = {
+    val task = parseTask(taskJson)
+    if (statuses.putIfAbsent(task.id, TaskStatus(task.id, "RUNNING")) != null)
+      throw new IllegalStateException(s"Task[${task.id}] already exists")
+    spark.sparkContext.setJobGroup(task.id, s"graft task ${task.id}",
+      interruptOnCancel = true)
+    try {
+      run(task)
+      statuses.put(task.id, TaskStatus(task.id, "SUCCESS"))
+    } catch {
+      case NonFatal(e) =>
+        statuses.put(task.id, TaskStatus(task.id, "FAILED", Option(e.getMessage)))
+        throw e
+    } finally spark.sparkContext.clearJobGroup()
+    task.id
+  }
+
+  private def run(task: Task): Unit = task match {
+    case t: Task.Index =>
+      val raw: DataFrame = t.inputFormat match {
+        case "parquet" => spark.read.parquet(t.inputPath)
+        case "json"    => spark.read.json(t.inputPath)
+        case "csv"     => spark.read.option("header", "true").csv(t.inputPath)
+        case f         => throw new IllegalArgumentException(s"unknown input format '$f'")
+      }
+      val withTime =
+        if (t.timestampColumn == "__time") raw
+        else raw.withColumn("__time", col(t.timestampColumn).cast("timestamp"))
+      store.write(withTime, t.dataSource, t.rollup)
+    case t: Task.Append  => store.compactChunk(spark, t.dataSource, t.chunk, t.targetFiles)
+    case t: Task.Merge   => store.mergeChunk(spark, t.dataSource, t.chunk, t.dims, t.metricAggs)
+    case t: Task.Kill    => store.killChunk(t.dataSource, t.chunk)
+    case t: Task.Move    => store.moveChunk(t.dataSource, t.chunk, t.targetRoot)
+    case t: Task.Archive => store.moveChunk(t.dataSource, t.chunk, t.archiveRoot)
+    case t: Task.Restore => store.moveChunk(t.dataSource, t.chunk, t.liveRoot)
+    case t: Task.ConvertSegment =>
+      store.convertChunk(spark, t.dataSource, t.chunk, t.options)
+    case _: Task.Noop    => ()
+  }
+
+  // -- task JSON parsing (polymorphic on `type`) ----------------------------
+
+  def parseTask(json: String): Task = {
+    val n = mapper.readTree(json)
+    def s(f: String): String = Option(n.get(f)).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(s"task missing '$f'"))
+    def sOpt(f: String): Option[String] = Option(n.get(f)).filterNot(_.isNull).map(_.asText())
+    val id = sOpt("id").getOrElse(s"${s("type")}_${java.util.UUID.randomUUID()}")
+    s("type") match {
+      case "index" | "index_hadoop" =>
+        val rollup = Option(n.get("rollup")).filterNot(_.isNull).map { r =>
+          val gran = QueryJson.parseGranularity(Option(r.get("queryGranularity")))
+          val dims = Option(r.get("dimensions")).map(_.elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq.empty)
+          val aggs = Option(r.get("metricsSpec")).map(_.elements().asScala.toSeq)
+            .getOrElse(Seq.empty).map(QueryJson.parseAggregator)
+          (gran, dims, aggs)
+        }
+        Task.Index(id, s("dataSource"), s("inputPath"),
+          sOpt("inputFormat").getOrElse("parquet"),
+          sOpt("timestampColumn").getOrElse("__time"), rollup)
+      case "append" =>
+        Task.Append(id, s("dataSource"), s("chunk"),
+          Option(n.get("targetFiles")).map(_.asInt()).getOrElse(1))
+      case "merge" =>
+        val dims = Option(n.get("dimensions")).map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Seq.empty)
+        val aggs = Option(n.get("metricsSpec")).map(_.elements().asScala.toSeq)
+          .getOrElse(Seq.empty).map(QueryJson.parseAggregator)
+        Task.Merge(id, s("dataSource"), s("chunk"), dims, aggs)
+      case "kill"    => Task.Kill(id, s("dataSource"), s("chunk"))
+      case "move"    => Task.Move(id, s("dataSource"), s("chunk"), s("targetRoot"))
+      case "archive" => Task.Archive(id, s("dataSource"), s("chunk"), s("archiveRoot"))
+      case "restore" => Task.Restore(id, s("dataSource"), s("chunk"), s("liveRoot"))
+      case "convert_segment" | "hadoop_convert_segment" =>
+        val opts = Option(n.get("options")).map(o =>
+          o.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty[String, String])
+        Task.ConvertSegment(id, s("dataSource"), s("chunk"), opts)
+      case "noop" => Task.Noop(id)
+      case t      => throw new IllegalArgumentException(s"unknown task type '$t'")
+    }
+  }
+}
+
+object TaskService {
+  final case class TaskStatus(id: String, state: String, error: Option[String] = None)
+}

@@ -45,6 +45,13 @@ object QueryPlanner {
 
   // -- datasource resolution ------------------------------------------------
 
+  /** Stored rollup count column of a datasource, if any (SURVEY §7.3). */
+  private def rollupCountOf(ds: DataSource, catalog: Catalog): Option[String] = ds match {
+    case DataSource.Table(n)  => catalog.rollupCountColumn(n)
+    case DataSource.Union(ns) => ns.flatMap(catalog.rollupCountColumn(_)).headOption
+    case _                    => None
+  }
+
   def source(spark: SparkSession, ds: DataSource, catalog: Catalog): DataFrame = ds match {
     case DataSource.Table(name) => catalog.table(spark, name)
     case DataSource.Union(names) =>
@@ -73,7 +80,8 @@ object QueryPlanner {
       : DataFrame = {
     val src = source(spark, q.dataSource, catalog)
     val base = filtered(src, q.intervals, q.filter)
-    val aggs = q.aggregations.map(a => Compilers.aggCol(a, src.schema))
+    val rollupCount = rollupCountOf(q.dataSource, catalog)
+    val aggs = q.aggregations.map(a => Compilers.aggCol(a, src.schema, rollupCount))
     require(aggs.nonEmpty, "timeseries query requires at least one aggregation")
 
     val skipEmpty = q.context.get("skipEmptyBuckets").exists(_.toBoolean)
@@ -157,7 +165,8 @@ object QueryPlanner {
     // grouping (Druid semantics, SURVEY §7.4).
     val (base, dimCols) = explodeMultiValue(base0, q.dimensions, src.schema)
 
-    val aggs = q.aggregations.map(a => Compilers.aggCol(a, base.schema))
+    val aggs = q.aggregations.map(a =>
+      Compilers.aggCol(a, base.schema, rollupCountOf(q.dataSource, catalog)))
     val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
     val groupCols = bucketOpt.map(_.as(TimeColumn)).toSeq ++ dimCols
 
@@ -244,7 +253,8 @@ object QueryPlanner {
     val (base, dimCols) = explodeMultiValue(base0, Seq(q.dimension), src.schema)
     val dimOut = q.dimension.outputName
 
-    val aggs = q.aggregations.map(a => Compilers.aggCol(a, base.schema))
+    val aggs = q.aggregations.map(a =>
+      Compilers.aggCol(a, base.schema, rollupCountOf(q.dataSource, catalog)))
     require(aggs.nonEmpty, "topN requires at least one aggregation")
     val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
     val groupCols = bucketOpt.map(_.as(TimeColumn)).toSeq ++ dimCols

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 trait Catalog {
   def table(spark: SparkSession, name: String): DataFrame
+
+  /** If the named datasource is stored rolled-up, the name of its stored
+    * count metric — query-time `count` must become `sum` of it
+    * (SURVEY §7.3). */
+  def rollupCountColumn(name: String): Option[String] = None
 }
 
 /** Catalog over a flat directory of `<name>.parquet` files (the driver's

@@ -1,0 +1,286 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.expr.Compilers
+import graft.model.{Aggregator, Granularity}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Time-chunked, versioned segment storage — the Spark-native equivalent of
+  * Druid's segment + deep-storage + metadata-store triad (reference
+  * `arch/druid-arch.md:15-23`, `arch/indexing-service/indexing-service.md:3`).
+  *
+  * Layout:
+  * {{{
+  *   root/<datasource>/dt=<yyyy-MM-dd>/v<N>/part-*.parquet   // segment files
+  *   root/<datasource>/manifest.json                          // metadata store
+  * }}}
+  *
+  * - Segments are immutable: a rewrite of a chunk lands in a NEW `v<N+1>`
+  *   directory and the manifest flips atomically (rename) — readers never
+  *   see partial data. Old versions are removed after the flip (Druid's
+  *   overshadowing + kill).
+  * - Chunk-level write locks mirror TaskLockbox's interval locks
+  *   (`indexing-service-submit-task.md:132`): two writers on one chunk →
+  *   the second fails with TaskConflictException.
+  * - Rollup: an optional ingest-time pre-aggregation; the manifest records
+  *   the stored count-metric name so the planner can rewrite query-time
+  *   `count` to `sum(count_metric)` (SURVEY §7.3).
+  */
+class SegmentStore(val root: String) {
+
+  private val mapper = new ObjectMapper()
+
+  // -- manifest -------------------------------------------------------------
+
+  final case class SegmentInfo(chunk: String, version: Int, path: String,
+      rowCount: Long, rollupCountCol: Option[String])
+
+  final case class Manifest(datasource: String, segments: Seq[SegmentInfo]) {
+    def rollupCountCol: Option[String] =
+      segments.headOption.flatMap(_.rollupCountCol)
+  }
+
+  private def manifestPath(ds: String): Path = Paths.get(root, ds, "manifest.json")
+
+  def readManifest(ds: String): Manifest = {
+    val p = manifestPath(ds)
+    if (!Files.exists(p)) Manifest(ds, Seq.empty)
+    else {
+      val node = mapper.readTree(Files.readString(p))
+      val segs = node.get("segments").elements().asScala.map { s =>
+        SegmentInfo(s.get("chunk").asText(), s.get("version").asInt(),
+          s.get("path").asText(), s.get("rowCount").asLong(),
+          Option(s.get("rollupCountCol")).filterNot(_.isNull).map(_.asText()))
+      }.toSeq
+      Manifest(ds, segs)
+    }
+  }
+
+  private def writeManifest(m: Manifest): Unit = {
+    val rootNode: ObjectNode = mapper.createObjectNode()
+    rootNode.put("datasource", m.datasource)
+    val arr: ArrayNode = rootNode.putArray("segments")
+    m.segments.sortBy(s => (s.chunk, s.version)).foreach { s =>
+      val o = arr.addObject()
+      o.put("chunk", s.chunk); o.put("version", s.version)
+      o.put("path", s.path); o.put("rowCount", s.rowCount)
+      s.rollupCountCol.foreach(o.put("rollupCountCol", _))
+    }
+    val p = manifestPath(m.datasource)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"manifest.json.tmp${System.nanoTime()}")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING) // atomic flip = segment visibility
+  }
+
+  // -- interval locks (TaskLockbox equivalent) ------------------------------
+
+  final case class TaskConflictException(msg: String) extends RuntimeException(msg)
+
+  private def lockPath(ds: String, chunk: String): Path =
+    Paths.get(root, ds, s".lock-$chunk")
+
+  private def withChunkLocks[T](ds: String, chunks: Seq[String])(body: => T): T = {
+    val acquired = scala.collection.mutable.ListBuffer.empty[Path]
+    try {
+      chunks.foreach { c =>
+        val lp = lockPath(ds, c)
+        Files.createDirectories(lp.getParent)
+        try { Files.createFile(lp); acquired += lp }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw TaskConflictException(
+              s"interval lock held for $ds chunk $c (another task is writing)")
+        }
+      }
+      body
+    } finally acquired.foreach(p => try Files.deleteIfExists(p) catch { case NonFatal(_) => })
+  }
+
+  // -- write (index task core) ----------------------------------------------
+
+  /** Ingest `df` (must carry `__time`) into day-chunked segments, optionally
+    * rolled up to `queryGranularity` over `dims` with `metricAggs`.
+    * Overwrites any existing version of the touched chunks. */
+  def write(df: DataFrame, ds: String,
+      rollup: Option[(Granularity, Seq[String], Seq[Aggregator])] = None): Unit = {
+
+    val prepared = rollup match {
+      case Some((qGran, dims, metricAggs)) =>
+        val bucket = Compilers.granularityCol(qGran, col("__time"))
+          .getOrElse(col("__time"))
+        val aggs = metricAggs.map(a => Compilers.aggCol(a, df.schema)) :+
+          count(lit(1)).as("__rollup_count")
+        df.groupBy((bucket.as("__time") +: dims.map(col)): _*)
+          .agg(aggs.head, aggs.tail: _*)
+      case None => df
+    }
+
+    val withChunk = prepared.withColumn("dt", date_format(col("__time"), "yyyy-MM-dd"))
+    val chunks = withChunk.select("dt").distinct().collect().map(_.getString(0)).sorted
+    val manifest = readManifest(ds)
+
+    withChunkLocks(ds, chunks.toSeq) {
+      val byChunk = chunks.map { c =>
+        val cur = manifest.segments.filter(_.chunk == c).map(_.version).maxOption.getOrElse(0)
+        val v = cur + 1
+        val dir = Paths.get(root, ds, s"dt=$c", s"v$v").toString
+        val part = withChunk.where(col("dt") === c).drop("dt")
+        part.write.mode(SaveMode.Overwrite).parquet(dir)
+        val rows = org.apache.spark.sql.SparkSession.active.read.parquet(dir).count()
+        SegmentInfo(c, v, dir, rows,
+          rollup.map(_ => "__rollup_count"))
+      }
+      val untouched = manifest.segments.filterNot(s => chunks.contains(s.chunk))
+      val old = manifest.segments.filter(s => chunks.contains(s.chunk))
+      writeManifest(Manifest(ds, untouched ++ byChunk))
+      old.foreach(s => deleteDir(Paths.get(s.path))) // overshadowed versions
+    }
+  }
+
+  /** Append-style micro-batch commit (streaming): new files into the
+    * CURRENT version dir of each chunk; manifest row counts refreshed.
+    * Unlike `write`, existing data in the chunk is kept. */
+  def appendBatch(df: DataFrame, ds: String): Unit = {
+    val withChunk = df.withColumn("dt", date_format(col("__time"), "yyyy-MM-dd"))
+    val chunks = withChunk.select("dt").distinct().collect().map(_.getString(0)).sorted
+    val manifest = readManifest(ds)
+    withChunkLocks(ds, chunks.toSeq) {
+      val updated = chunks.map { c =>
+        val existing = manifest.segments.find(_.chunk == c)
+        val v = existing.map(_.version).getOrElse(1)
+        val dir = Paths.get(root, ds, s"dt=$c", s"v$v").toString
+        withChunk.where(col("dt") === c).drop("dt")
+          .write.mode(SaveMode.Append).parquet(dir)
+        val rows = org.apache.spark.sql.SparkSession.active.read.parquet(dir).count()
+        SegmentInfo(c, v, dir, rows, existing.flatMap(_.rollupCountCol))
+      }
+      val untouched = manifest.segments.filterNot(s => chunks.contains(s.chunk))
+      writeManifest(Manifest(ds, untouched ++ updated))
+    }
+  }
+
+  // -- segment-management tasks (reference submit-task.md:75-93) ------------
+
+  /** `append` task: merge a chunk's many small files into `targetFiles`
+    * (compaction — the streaming handoff path). */
+  def compactChunk(spark: SparkSession, ds: String, chunk: String,
+      targetFiles: Int = 1): Unit = {
+    val manifest = readManifest(ds)
+    val seg = manifest.segments.find(_.chunk == chunk)
+      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+    withChunkLocks(ds, Seq(chunk)) {
+      val v = seg.version + 1
+      val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
+      spark.read.parquet(seg.path).coalesce(targetFiles)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      val rows = spark.read.parquet(dir).count()
+      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
+        SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol)))
+      deleteDir(Paths.get(seg.path))
+    }
+  }
+
+  /** `merge` task: re-run rollup aggregation across a chunk's rows (merges
+    * shards that were rolled up separately). */
+  def mergeChunk(spark: SparkSession, ds: String, chunk: String,
+      dims: Seq[String], metricAggs: Seq[Aggregator]): Unit = {
+    val manifest = readManifest(ds)
+    val seg = manifest.segments.find(_.chunk == chunk)
+      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+    withChunkLocks(ds, Seq(chunk)) {
+      val df = spark.read.parquet(seg.path)
+      val countCol = seg.rollupCountCol.getOrElse("__rollup_count")
+      val aggs = metricAggs.map(a => Compilers.aggCol(a, df.schema)) :+
+        sum(col(countCol)).cast("long").as(countCol)
+      val merged = df.groupBy((col("__time") +: dims.map(col)): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      val v = seg.version + 1
+      val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
+      merged.write.mode(SaveMode.Overwrite).parquet(dir)
+      val rows = spark.read.parquet(dir).count()
+      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
+        SegmentInfo(chunk, v, dir, rows, Some(countCol))))
+      deleteDir(Paths.get(seg.path))
+    }
+  }
+
+  /** `kill` task: permanently delete a chunk's segment + metadata. */
+  def killChunk(ds: String, chunk: String): Unit = {
+    val manifest = readManifest(ds)
+    val (dead, keep) = manifest.segments.partition(_.chunk == chunk)
+    withChunkLocks(ds, Seq(chunk)) {
+      writeManifest(Manifest(ds, keep))
+      dead.foreach(s => deleteDir(Paths.get(s.path)))
+    }
+  }
+
+  /** `move`/`archive`/`restore` tasks: relocate segment files to another
+    * storage root and repoint the manifest. */
+  def moveChunk(ds: String, chunk: String, newRoot: String): Unit = {
+    val manifest = readManifest(ds)
+    val seg = manifest.segments.find(_.chunk == chunk)
+      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+    withChunkLocks(ds, Seq(chunk)) {
+      val dest = Paths.get(newRoot, ds, s"dt=$chunk", s"v${seg.version}")
+      Files.createDirectories(dest.getParent)
+      Files.move(Paths.get(seg.path), dest, StandardCopyOption.ATOMIC_MOVE)
+      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
+        seg.copy(path = dest.toString)))
+    }
+  }
+
+  /** `convert_segment` task: rewrite a chunk with new writer options
+    * (e.g. codec). */
+  def convertChunk(spark: SparkSession, ds: String, chunk: String,
+      options: Map[String, String]): Unit = {
+    val manifest = readManifest(ds)
+    val seg = manifest.segments.find(_.chunk == chunk)
+      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+    withChunkLocks(ds, Seq(chunk)) {
+      val v = seg.version + 1
+      val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
+      spark.read.parquet(seg.path).write.mode(SaveMode.Overwrite)
+        .options(options).parquet(dir)
+      val rows = spark.read.parquet(dir).count()
+      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
+        SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol)))
+      deleteDir(Paths.get(seg.path))
+    }
+  }
+
+  // -- read -----------------------------------------------------------------
+
+  /** Current view of a datasource: union of the live version of every
+    * chunk. Interval pruning works through Parquet row-group stats on
+    * `__time`; with many chunks the path list itself prunes (the manifest
+    * is the segment-timeline the broker would consult). */
+  def read(spark: SparkSession, ds: String): DataFrame = {
+    val manifest = readManifest(ds)
+    require(manifest.segments.nonEmpty, s"datasource '$ds' has no segments")
+    val paths = manifest.segments.map(_.path)
+    spark.read.parquet(paths: _*)
+  }
+
+  private def deleteDir(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+        try Files.deleteIfExists(f) catch { case NonFatal(_) => })
+    }
+}
+
+/** Catalog over a SegmentStore: resolves datasources from manifests and
+  * exposes rollup metadata for the planner's count-rewrite. */
+class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
+  def table(spark: SparkSession, name: String): DataFrame = store.read(spark, name)
+
+  override def rollupCountColumn(name: String): Option[String] =
+    store.readManifest(name).rollupCountCol
+}

@@ -1,0 +1,208 @@
+package graft
+
+import graft.engine.Engine
+import graft.ingest.TaskService
+import graft.model.{Aggregator, Granularity}
+import graft.store.{SegmentCatalog, SegmentStore}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Ingestion/segment-management lifecycle (SURVEY §2.9, §3.3):
+  * index → query → compact/merge/kill, status transitions, duplicate
+  * rejection, interval locks, rollup-aware counting end-to-end. */
+class IngestSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
+  private def freshStore(): SegmentStore =
+    new SegmentStore(Files.createTempDirectory("graft-seg").toString)
+
+  private lazy val raw = Seq(
+    (ts("2024-05-01T01:00:00Z"), "click", 10.0),
+    (ts("2024-05-01T01:30:00Z"), "click", 20.0),
+    (ts("2024-05-01T05:00:00Z"), "view", 5.0),
+    (ts("2024-05-02T03:00:00Z"), "view", 7.0),
+  ).toDF("__time", "event_type", "value")
+
+  test("index task writes day-chunked segments; queries read them back") {
+    val store = freshStore()
+    val svc = new TaskService(spark, store)
+    val input = Files.createTempDirectory("graft-in").toString
+    raw.write.mode("overwrite").parquet(input)
+
+    val id = svc.submit(
+      s"""{"type":"index","id":"t1","dataSource":"ev","inputPath":"$input",
+         |"inputFormat":"parquet","timestampColumn":"__time"}""".stripMargin)
+    assert(id == "t1")
+    assert(svc.status("t1").get.state == "SUCCESS")
+
+    val m = store.readManifest("ev")
+    assert(m.segments.map(_.chunk).sorted == Seq("2024-05-01", "2024-05-02"))
+    assert(m.segments.map(_.rowCount).sum == 4)
+
+    // query through the engine over the segment catalog
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getAs[Long]("cnt"), r.getAs[Double]("sv"))).toSeq ==
+      Seq((3L, 35.0), (1L, 7.0)))
+  }
+
+  test("rollup index pre-aggregates and count is rewritten to sum") {
+    val store = freshStore()
+    store.write(raw, "ev_rollup", rollup = Some((Granularity.Simple("hour"),
+      Seq("event_type"), Seq(Aggregator.Sum("sv", "value", "double")))))
+
+    // stored rows: (05-01T01,click,30),(05-01T05,view,5),(05-02T03,view,7)
+    assert(store.read(spark, "ev_rollup").count() == 3)
+
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev_rollup",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+        |"granularity":"all",
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"sv"}]}""".stripMargin)
+      .collect()
+    // count must report RAW rows (4), not rolled-up rows (3)
+    assert(rows.head.getAs[Long]("cnt") == 4L)
+    assert(rows.head.getAs[Double]("sv") == 42.0)
+  }
+
+  test("append (compact) task preserves data, bumps version") {
+    val store = freshStore()
+    store.write(raw, "ev")
+    val v1 = store.readManifest("ev").segments.find(_.chunk == "2024-05-01").get
+    store.compactChunk(spark, "ev", "2024-05-01", targetFiles = 1)
+    val v2 = store.readManifest("ev").segments.find(_.chunk == "2024-05-01").get
+    assert(v2.version == v1.version + 1)
+    assert(v2.rowCount == v1.rowCount)
+    assert(store.read(spark, "ev").count() == 4)
+  }
+
+  test("kill task removes chunk data and metadata") {
+    val store = freshStore()
+    store.write(raw, "ev")
+    store.killChunk("ev", "2024-05-01")
+    val m = store.readManifest("ev")
+    assert(m.segments.map(_.chunk) == Seq("2024-05-02"))
+    assert(store.read(spark, "ev").count() == 1)
+  }
+
+  test("move task relocates files and repoints the manifest") {
+    val store = freshStore()
+    store.write(raw, "ev")
+    val newRoot = Files.createTempDirectory("graft-tier2").toString
+    store.moveChunk("ev", "2024-05-02", newRoot)
+    val m = store.readManifest("ev")
+    assert(m.segments.find(_.chunk == "2024-05-02").get.path.startsWith(newRoot))
+    assert(store.read(spark, "ev").count() == 4)
+  }
+
+  test("duplicate task id is rejected (submit-task.md:45-48)") {
+    val store = freshStore()
+    val svc = new TaskService(spark, store)
+    svc.submit("""{"type":"noop","id":"dup"}""")
+    val e = intercept[IllegalStateException](
+      svc.submit("""{"type":"noop","id":"dup"}"""))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("failed task records FAILED status with the error") {
+    val store = freshStore()
+    val svc = new TaskService(spark, store)
+    intercept[Exception](svc.submit(
+      """{"type":"index","id":"bad","dataSource":"x",
+        |"inputPath":"/nonexistent","inputFormat":"parquet"}""".stripMargin))
+    assert(svc.status("bad").get.state == "FAILED")
+  }
+
+  test("interval lock: concurrent writer on a locked chunk fails") {
+    val store = freshStore()
+    store.write(raw, "ev")
+    // simulate a held lock (another task mid-write)
+    val lockFile = java.nio.file.Paths.get(store.root, "ev", ".lock-2024-05-01")
+    Files.createFile(lockFile)
+    try {
+      val e = intercept[Exception](store.compactChunk(spark, "ev", "2024-05-01"))
+      assert(e.getMessage.contains("interval lock"))
+    } finally Files.deleteIfExists(lockFile)
+  }
+
+  test("streaming ingest: micro-batches land as queryable segments; late data dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val store = freshStore()
+    implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("__time", "event_type", "value")
+
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = graft.streaming.RealtimeIngest.start(stream, store, "live",
+      watermark = None, checkpointDir = ckpt, trigger = Trigger.AvailableNow())
+
+    mem.addData((ts("2024-06-01T10:00:00Z"), "click", 1.0),
+      (ts("2024-06-01T11:00:00Z"), "view", 2.0))
+    q.awaitTermination(60000)
+
+    assert(store.read(spark, "live").count() == 2)
+
+    // second batch appends to the same chunk
+    val q2 = graft.streaming.RealtimeIngest.start(stream, store, "live",
+      watermark = None, checkpointDir = ckpt, trigger = Trigger.AvailableNow())
+    mem.addData((ts("2024-06-01T12:00:00Z"), "click", 3.0))
+    q2.awaitTermination(60000)
+    assert(store.read(spark, "live").count() == 3)
+
+    // engine sees fresh data immediately (queryable-before-handoff)
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val r = engine.plan(
+      """{"queryType":"timeBoundary","dataSource":"live","bound":"both"}""")
+      .collect().head
+    assert(r.getAs[Timestamp]("maxTime") == ts("2024-06-01T12:00:00Z"))
+  }
+
+  test("streaming windowed rollup drops late rows beyond the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val store = freshStore()
+    implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("__time", "event_type", "value")
+    val ckpt = Files.createTempDirectory("graft-ckpt2").toString
+
+    // watermark 30 min, 1-hour tumbling windows
+    val q = graft.streaming.RealtimeIngest.windowedRollup(stream, store, "agg",
+      granularity = "1 hour", watermark = "30 minutes", dims = Seq("event_type"),
+      aggExprs = Seq(count(lit(1)).as("cnt"), sum(col("value")).as("sv")),
+      checkpointDir = ckpt)
+    // batch 1 advances the watermark to 12:30 (max 13:00 - 30min)
+    mem.addData(
+      (ts("2024-06-01T10:05:00Z"), "click", 1.0),
+      (ts("2024-06-01T10:10:00Z"), "click", 2.0),
+      (ts("2024-06-01T13:00:00Z"), "view", 9.0))
+    q.processAllAvailable()
+    // batch 2: row at 10:20 is now beyond the watermark → dropped; the
+    // closed 10:00 window emits without it
+    mem.addData((ts("2024-06-01T10:20:00Z"), "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = store.read(spark, "agg")
+      .select("__time", "event_type", "cnt", "sv").collect()
+    // only the 10:00 window closed (watermark 12:30) — and WITHOUT the late row
+    val w10 = out.find(_.getAs[Timestamp]("__time") == ts("2024-06-01T10:00:00Z"))
+    assert(w10.isDefined)
+    assert(w10.get.getAs[Long]("cnt") == 2L)
+    assert(w10.get.getAs[Double]("sv") == 3.0)
+  }
+}
