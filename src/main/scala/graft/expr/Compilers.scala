@@ -413,7 +413,14 @@ object Compilers {
         max_by(in, when(in.isNotNull, col(TimeColumn)))
       case HyperUnique(_, f) =>
         val in = pred.map(p => when(p, col(f))).getOrElse(col(f))
-        approx_count_distinct(in)
+        fieldType(schema, f) match {
+          case Some(BinaryType) =>
+            // pre-built mergeable sketch column (rollup segment):
+            // merge sketches, then finalize (Druid hyperUnique-on-metric)
+            graft.functions.HllFunctions.hll_sketch_estimate(
+              graft.functions.HllFunctions.hll_sketch_merge(in))
+          case _ => approx_count_distinct(in)
+        }
       case Cardinality(_, fields, byRow) =>
         val base =
           if (fields.size == 1) col(fields.head)

@@ -52,10 +52,15 @@ object QueryPlanner {
     case _                    => None
   }
 
-  def source(spark: SparkSession, ds: DataSource, catalog: Catalog): DataFrame = ds match {
-    case DataSource.Table(name) => catalog.table(spark, name)
+  /** Datasource resolution with interval routing: table-backed sources get
+    * the query intervals so a segment-timeline catalog can prune chunks
+    * before listing (Druid's broker routing,
+    * `query/query-internal-procedure.md:7`). */
+  def source(spark: SparkSession, ds: DataSource, catalog: Catalog,
+      intervals: Seq[Interval] = Seq.empty): DataFrame = ds match {
+    case DataSource.Table(name) => catalog.table(spark, name, intervals)
     case DataSource.Union(names) =>
-      names.map(catalog.table(spark, _))
+      names.map(catalog.table(spark, _, intervals))
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     case DataSource.QueryD(inner) => plan(spark, inner, catalog)
   }
@@ -78,7 +83,7 @@ object QueryPlanner {
 
   private def planTimeseries(spark: SparkSession, q: Query.Timeseries, catalog: Catalog)
       : DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
+    val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = filtered(src, q.intervals, q.filter)
     val rollupCount = rollupCountOf(q.dataSource, catalog)
     val aggs = q.aggregations.map(a => Compilers.aggCol(a, src.schema, rollupCount))
@@ -158,7 +163,7 @@ object QueryPlanner {
 
   private def planGroupBy(spark: SparkSession, q: Query.GroupBy, catalog: Catalog)
       : DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
+    val src = source(spark, q.dataSource, catalog, q.intervals)
     val base0 = filtered(src, q.intervals, q.filter)
 
     // Multi-value dimensions: a row counts once per value → explode before
@@ -248,7 +253,7 @@ object QueryPlanner {
   // per-segment approximate topN (SURVEY §2.1 Q2).
 
   private def planTopN(spark: SparkSession, q: Query.TopN, catalog: Catalog): DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
+    val src = source(spark, q.dataSource, catalog, q.intervals)
     val base0 = filtered(src, q.intervals, q.filter)
     val (base, dimCols) = explodeMultiValue(base0, Seq(q.dimension), src.schema)
     val dimOut = q.dimension.outputName
@@ -311,7 +316,7 @@ object QueryPlanner {
 
   private def planSegmentMetadata(spark: SparkSession, q: Query.SegmentMetadata,
       catalog: Catalog): DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
+    val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = if (q.intervals.nonEmpty) filtered(src, q.intervals, None) else src
     val wantCardinality = q.analysisTypes.isEmpty || q.analysisTypes.contains("cardinality")
     val fields = src.schema.fields.toSeq
@@ -342,7 +347,7 @@ object QueryPlanner {
 
   private def planSearch(spark: SparkSession, q: Query.SearchQ, catalog: Catalog)
       : DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
+    val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = filtered(src, q.intervals, q.filter)
     val dims =
       if (q.searchDimensions.nonEmpty) q.searchDimensions
@@ -375,7 +380,7 @@ object QueryPlanner {
 
   private def planSelect(spark: SparkSession, q: Query.Select, catalog: Catalog)
       : DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
+    val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = filtered(src, q.intervals, q.filter)
     val cols: Seq[String] =
       if (q.dimensions.isEmpty && q.metrics.isEmpty)
@@ -396,7 +401,7 @@ object QueryPlanner {
   // -- scan (reference `query/query-module-overview.md:37`) -----------------
 
   private def planScan(spark: SparkSession, q: Query.Scan, catalog: Catalog): DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
+    val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = filtered(src, q.intervals, q.filter)
     val projected =
       if (q.columns.isEmpty) base else base.select(q.columns.map(col): _*)

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
 trait Catalog {
   def table(spark: SparkSession, name: String): DataFrame
 
+  /** Interval-routed resolution: implementations backed by a segment
+    * timeline (manifest) return only the segments overlapping `intervals` —
+    * the Druid broker's interval→segment routing
+    * (reference `query/query-internal-procedure.md:7`). Default: no routing.
+    */
+  def table(spark: SparkSession, name: String,
+      intervals: Seq[graft.model.Interval]): DataFrame = table(spark, name)
+
   /** If the named datasource is stored rolled-up, the name of its stored
     * count metric — query-time `count` must become `sum` of it
     * (SURVEY §7.3). */

@@ -116,8 +116,12 @@ class SegmentStore(val root: String) {
       case Some((qGran, dims, metricAggs)) =>
         val bucket = Compilers.granularityCol(qGran, col("__time"))
           .getOrElse(col("__time"))
-        val aggs = metricAggs.map(a => Compilers.aggCol(a, df.schema)) :+
-          count(lit(1)).as("__rollup_count")
+        val aggs = metricAggs.map {
+          // hyperUnique at ingest = build a mergeable sketch column
+          case Aggregator.HyperUnique(name, field) =>
+            graft.functions.HllFunctions.hll_sketch_build(col(field)).as(name)
+          case a => Compilers.aggCol(a, df.schema)
+        } :+ count(lit(1)).as("__rollup_count")
         df.groupBy((bucket.as("__time") +: dims.map(col)): _*)
           .agg(aggs.head, aggs.tail: _*)
       case None => df
@@ -269,6 +273,26 @@ class SegmentStore(val root: String) {
     spark.read.parquet(paths: _*)
   }
 
+  /** Interval-routed read: only segments whose day-chunk overlaps one of
+    * the query intervals are listed at all — Druid's interval→segment
+    * routing against the manifest timeline. At 100 TB this keeps a narrow
+    * query from even LISTING the other ~36k daily chunks. */
+  def readIntervals(spark: SparkSession, ds: String,
+      intervals: Seq[graft.model.Interval]): DataFrame = {
+    val manifest = readManifest(ds)
+    require(manifest.segments.nonEmpty, s"datasource '$ds' has no segments")
+    val live =
+      if (intervals.isEmpty) manifest.segments
+      else manifest.segments.filter { s =>
+        val dayStart = java.time.LocalDate.parse(s.chunk)
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+        val dayEnd = dayStart.plus(java.time.Duration.ofDays(1))
+        intervals.exists(iv => iv.start.isBefore(dayEnd) && dayStart.isBefore(iv.end))
+      }
+    if (live.isEmpty) read(spark, ds).limit(0) // keep the schema
+    else spark.read.parquet(live.map(_.path): _*)
+  }
+
   private def deleteDir(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
@@ -280,6 +304,10 @@ class SegmentStore(val root: String) {
   * exposes rollup metadata for the planner's count-rewrite. */
 class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
   def table(spark: SparkSession, name: String): DataFrame = store.read(spark, name)
+
+  override def table(spark: SparkSession, name: String,
+      intervals: Seq[graft.model.Interval]): DataFrame =
+    store.readIntervals(spark, name, intervals)
 
   override def rollupCountColumn(name: String): Option[String] =
     store.readManifest(name).rollupCountCol

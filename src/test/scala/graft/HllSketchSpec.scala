@@ -1,0 +1,79 @@
+package graft
+
+import graft.engine.Engine
+import graft.functions.{Hll, HllFunctions}
+import graft.model.{Aggregator, Granularity}
+import graft.store.{SegmentCatalog, SegmentStore}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Mergeable HLL sketch aggregate (SURVEY §7.2): accuracy, merge
+  * associativity, and the full rollup round-trip (build at ingest → store
+  * as binary → merge+finalize at query time). */
+class HllSketchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("sketch estimate within 5% of exact distinct") {
+    val n = 50000
+    val reg = Hll.emptySketch
+    (1 to n).foreach(i => Hll.add(reg, i.toLong))
+    val est = Hll.estimate(reg)
+    assert(math.abs(est - n).toDouble / n < 0.05, s"est=$est for n=$n")
+  }
+
+  test("merge of disjoint sketches ≈ union cardinality") {
+    val a = Hll.emptySketch; val b = Hll.emptySketch
+    (1 to 10000).foreach(i => Hll.add(a, i.toLong))
+    (10001 to 20000).foreach(i => Hll.add(b, i.toLong))
+    Hll.merge(a, b)
+    val est = Hll.estimate(a)
+    assert(math.abs(est - 20000).toDouble / 20000 < 0.05, s"est=$est")
+  }
+
+  test("merge of identical sketches is idempotent") {
+    val a = Hll.emptySketch; val b = Hll.emptySketch
+    (1 to 5000).foreach { i => Hll.add(a, i.toLong); Hll.add(b, i.toLong) }
+    val before = Hll.estimate(a)
+    Hll.merge(a, b)
+    assert(Hll.estimate(a) == before)
+  }
+
+  test("DataFrame aggregate: build + estimate matches exact within 5%") {
+    val df = (1 to 20000).map(i => (i % 7, s"user_${i % 3000}")).toDF("g", "u")
+    // build per-group sketches, merge them in a second aggregation, finalize
+    val merged = df.groupBy($"g")
+      .agg(HllFunctions.hll_sketch_build($"u").as("sk"))
+      .agg(HllFunctions.hll_sketch_merge($"sk").as("m"))
+      .select(HllFunctions.hll_sketch_estimate($"m").as("est"))
+      .collect().head.getAs[Long]("est")
+    assert(math.abs(merged - 3000).toDouble / 3000 < 0.05, s"est=$merged")
+  }
+
+  test("rollup segment with hyperUnique sketch: query merges stored sketches") {
+    def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+    val raw = (0 until 2000).map { i =>
+      (ts(f"2024-07-01T${i % 24}%02d:00:00Z"), s"type_${i % 3}", (i % 400).toLong)
+    }.toDF("__time", "event_type", "user_id")
+
+    val store = new SegmentStore(Files.createTempDirectory("graft-hll").toString)
+    store.write(raw, "ev_hll", rollup = Some((Granularity.Simple("hour"),
+      Seq("event_type"), Seq(Aggregator.HyperUnique("uu", "user_id")))))
+
+    // stored column is a binary sketch
+    val stored = store.read(spark, "ev_hll")
+    assert(stored.schema("uu").dataType == org.apache.spark.sql.types.BinaryType)
+
+    // hyperUnique over the rolled-up table merges sketches, finalizes
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val est = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev_hll",
+        |"intervals":["2024-07-01T00:00:00Z/2024-07-02T00:00:00Z"],
+        |"granularity":"all",
+        |"aggregations":[{"type":"hyperUnique","name":"uu","fieldName":"uu"}]}""".stripMargin)
+      .collect().head.getAs[Long]("uu")
+    assert(math.abs(est - 400).toDouble / 400 < 0.05, s"est=$est")
+  }
+}

@@ -108,6 +108,21 @@ class IngestSpec extends SparkTestBase {
     assert(store.read(spark, "ev").count() == 4)
   }
 
+  test("interval routing reads only overlapping segment chunks") {
+    val store = freshStore()
+    store.write(raw, "ev")
+    import graft.model.Interval
+    // only 2024-05-01 overlaps
+    val routed = store.readIntervals(spark, "ev",
+      Seq(Interval.parse("2024-05-01T00:00:00Z/2024-05-02T00:00:00Z")))
+    assert(routed.inputFiles.forall(_.contains("dt=2024-05-01")))
+    assert(routed.count() == 3)
+    // no overlap → empty with intact schema
+    val none = store.readIntervals(spark, "ev",
+      Seq(Interval.parse("2030-01-01T00:00:00Z/2030-01-02T00:00:00Z")))
+    assert(none.count() == 0 && none.columns.contains("__time"))
+  }
+
   test("duplicate task id is rejected (submit-task.md:45-48)") {
     val store = freshStore()
     val svc = new TaskService(spark, store)
