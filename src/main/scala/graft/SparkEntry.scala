@@ -446,6 +446,25 @@ object SparkEntry {
           |WHERE rn <= 2
           |ORDER BY l_orderkey, rn""".stripMargin)
     }),
+    "q34_multivalue_groupby" -> ((s, dir) =>
+      // groupBy on a multi-value dim: each row counts once per value
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"events_mv",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-10T00:00:00Z"],
+          |"granularity":"all","dimensions":["tags"],
+          |"aggregations":[{"type":"count","name":"cnt"}],
+          |"limitSpec":{"type":"default","columns":[{"dimension":"tags","direction":"ascending"}]}}""".stripMargin)),
+    "q35_multivalue_filter" -> ((s, dir) =>
+      // selector filter on a multi-value dim matches ANY value
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"events_mv",
+          |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          |"granularity":"all","dimensions":["event_type"],
+          |"filter":{"type":"selector","dimension":"tags","value":"u3"},
+          |"aggregations":[{"type":"count","name":"cnt"},
+          |  {"type":"doubleSum","name":"sum_val","fieldName":"value"}],
+          |"limitSpec":{"type":"default","columns":[{"dimension":"event_type","direction":"ascending"}]}}""".stripMargin)
+        .withColumn("sum_val", round(col("sum_val"), 3))),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -667,6 +686,17 @@ object SparkEntry {
         |  FROM lineitem WHERE l_orderkey < 200) t
         |WHERE rn <= 2
         |ORDER BY l_orderkey, rn""".stripMargin,
+    "q34_multivalue_groupby" ->
+      """SELECT u.t AS tags, count(*) AS cnt
+        |FROM events, unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS u(t)
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-10'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_multivalue_filter" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 3) AS sum_val
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  AND list_contains([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)], 'u3')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -37,9 +37,33 @@ class Engine(spark: SparkSession, catalog: Catalog) {
 
   def plan(q: Query): DataFrame = QueryPlanner.plan(spark, q, catalog)
 
+  /** (query json, datasource versions) → cached result JSON. LRU, keyed so
+    * any segment change invalidates (reference
+    * `query/query-internal-procedure.md:43-47`, context `useCache`/
+    * `populateCache` `TOC.md:39`). */
+  private val resultCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, String](128, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+          size() > 128
+      })
+
+  private def datasourceNames(ds: DataSource): Seq[String] = ds match {
+    case DataSource.Table(n)   => Seq(n)
+    case DataSource.Union(ns)  => ns
+    case DataSource.QueryD(q0) => datasourceNames(q0.dataSource)
+  }
+
+  /** Cache key / HTTP etag for a query against current segment versions. */
+  def etag(json: String, query: Query): String = {
+    val versions = datasourceNames(query.dataSource)
+      .map(n => s"$n=${catalog.versionToken(n)}").mkString(";")
+    Integer.toHexString(json.hashCode) + "-" + Integer.toHexString(versions.hashCode)
+  }
+
   /** Execute a JSON query; returns the result as a single JSON string in the
-    * query type's Druid result shape. Honors context `timeout` (millis) and
-    * `queryId` (cancellation key). */
+    * query type's Druid result shape. Honors context `timeout` (millis),
+    * `queryId` (cancellation key) and `useCache`/`populateCache`. */
   def executeJson(json: String): String = {
     val query =
       try QueryJson.parseQuery(json)
@@ -49,14 +73,30 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
     val timeoutMs = query.context.get("timeout").flatMap(t => t.toLongOption)
 
+    val useCache = query.context.get("useCache").forall(_.toBoolean)
+    val populateCache = query.context.get("populateCache").forall(_.toBoolean)
+    val cacheKey = etag(json, query)
+    if (useCache) {
+      val hit = resultCache.get(cacheKey)
+      if (hit != null) return hit
+    }
+
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
     try {
       val run = () => {
         val df = QueryPlanner.plan(spark, query, catalog)
+        // groupBy resource cap → the documented "Resource limit exceeded"
+        // error (reference `query/query-module-overview.md:86`)
+        query.context.get("maxResults").flatMap(_.toIntOption).foreach { mx =>
+          if (query.isInstanceOf[Query.GroupBy] && df.limit(mx + 1).count() > mx)
+            throw QueryError("Resource limit exceeded",
+              s"groupBy produced more than maxResults=$mx rows",
+              "ResourceLimitExceededException")
+        }
         ResultEncoder.encode(query, df)
       }
-      timeoutMs match {
+      val result = timeoutMs match {
         case None => run()
         case Some(ms) =>
           val ex = Executors.newSingleThreadExecutor()
@@ -68,9 +108,11 @@ class Engine(spark: SparkSession, catalog: Catalog) {
             case _: TimeoutException =>
               spark.sparkContext.cancelJobGroup(queryId)
               throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
-                "io.druid.query.QueryTimeoutException")
+                "QueryTimeoutException")
           } finally ex.shutdownNow()
       }
+      if (populateCache) resultCache.put(cacheKey, result)
+      result
     } catch {
       case qe: QueryError => throw qe
       case e: InterruptedException =>

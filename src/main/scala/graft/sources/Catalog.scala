@@ -23,6 +23,11 @@ trait Catalog {
     * count metric — query-time `count` must become `sum` of it
     * (SURVEY §7.3). */
   def rollupCountColumn(name: String): Option[String] = None
+
+  /** Version token of a datasource's current state — result-cache entries
+    * are keyed on it so any segment change invalidates them (the etag
+    * basis, reference `query/query-internal-procedure.md:43-47`). */
+  def versionToken(name: String): String = "static"
 }
 
 /** Catalog over a flat directory of `<name>.parquet` files (the driver's
@@ -36,14 +41,21 @@ class ParquetDirCatalog(dir: String,
   private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   def table(spark: SparkSession, name: String): DataFrame =
-    cache.getOrElseUpdate(name, {
-      val df = TableLoader.load(spark, dir, name)
-      timeColumns.get(name) match {
-        case Some(tc) if df.columns.contains(tc) =>
-          df.withColumn("__time", col(tc))
-        case _ if df.columns.contains("__time") => df
-        case _ => df
-      }
+    cache.getOrElseUpdate(name, name match {
+      // derived datasource with a multi-value (array) dimension `tags` —
+      // the Druid multi-value-string fixture (SURVEY §7.4, FIXTURES.md)
+      case "events_mv" =>
+        table(spark, "events").withColumn("tags",
+          array(col("event_type"),
+            concat(lit("u"), (col("user_id") % 10).cast("string"))))
+      case _ =>
+        val df = TableLoader.load(spark, dir, name)
+        timeColumns.get(name) match {
+          case Some(tc) if df.columns.contains(tc) =>
+            df.withColumn("__time", col(tc))
+          case _ if df.columns.contains("__time") => df
+          case _ => df
+        }
     })
 }
 

@@ -311,4 +311,8 @@ class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
 
   override def rollupCountColumn(name: String): Option[String] =
     store.readManifest(name).rollupCountCol
+
+  override def versionToken(name: String): String =
+    store.readManifest(name).segments.sortBy(_.chunk)
+      .map(s => s"${s.chunk}:v${s.version}:${s.rowCount}").mkString(",")
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.engine.Engine
+import graft.model.{Aggregator, Granularity}
+import graft.sources.MapCatalog
+import graft.store.{SegmentCatalog, SegmentStore}
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Engine service semantics: result cache + invalidation, resource caps,
+  * timeout — the query-service surface (SURVEY §2.12). */
+class EngineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
+  private lazy val raw = Seq(
+    (ts("2024-05-01T01:00:00Z"), "click", 10.0),
+    (ts("2024-05-01T02:00:00Z"), "view", 20.0),
+    (ts("2024-05-02T03:00:00Z"), "view", 7.0),
+  ).toDF("__time", "event_type", "value")
+
+  private val tsQuery =
+    """{"queryType":"timeseries","dataSource":"ev",
+      |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+      |"granularity":"day",
+      |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+
+  test("result cache: same query + same segments → cache hit; write invalidates") {
+    val store = new SegmentStore(Files.createTempDirectory("graft-cache").toString)
+    store.write(raw, "ev")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+
+    val r1 = engine.executeJson(tsQuery)
+    val etag1 = engine.etag(tsQuery, graft.model.QueryJson.parseQuery(tsQuery))
+    val r2 = engine.executeJson(tsQuery)
+    assert(r1 == r2)
+
+    // new data → new version token → etag changes, cache misses, fresh result
+    store.appendBatch(Seq((ts("2024-05-02T04:00:00Z"), "click", 1.0))
+      .toDF("__time", "event_type", "value"), "ev")
+    val etag2 = engine.etag(tsQuery, graft.model.QueryJson.parseQuery(tsQuery))
+    assert(etag1 != etag2)
+    val r3 = engine.executeJson(tsQuery)
+    assert(r3 != r1)
+    assert(r3.contains("\"cnt\":2")) // 05-02 now has 2 events
+  }
+
+  test("useCache=false bypasses the cache") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    val q = tsQuery.replace("\"context\":{}", "")
+    val withCtx = q.dropRight(1) + ""","context":{"useCache":"false","populateCache":"false"}}"""
+    assert(engine.executeJson(withCtx) == engine.executeJson(withCtx))
+  }
+
+  test("maxResults breach → 'Resource limit exceeded' (query-module-overview.md:86)") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    val e = intercept[Engine.QueryError](engine.executeJson(
+      """{"queryType":"groupBy","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+        |"granularity":"all","dimensions":["event_type"],
+        |"context":{"maxResults":"1"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin))
+    assert(e.error == "Resource limit exceeded")
+  }
+
+  test("timeout context → 'Query timeout' error") {
+    // a plan that cannot finish in 1ms: big crossJoin aggregation
+    val big = spark.range(4000000).toDF("id").withColumn("__time", org.apache.spark.sql.functions.lit(ts("2024-05-01T00:00:00Z")))
+    val engine = new Engine(spark, new MapCatalog(Map("big" -> big.crossJoin(big.select(org.apache.spark.sql.functions.col("id").as("id2"))))))
+    val e = intercept[Engine.QueryError](engine.executeJson(
+      """{"queryType":"timeseries","dataSource":"big",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-02T00:00:00Z"],
+        |"granularity":"all","context":{"timeout":"50"},
+        |"aggregations":[{"type":"longSum","name":"s","fieldName":"id"}]}""".stripMargin))
+    assert(e.error == "Query timeout")
+  }
+}
