@@ -465,6 +465,54 @@ object SparkEntry {
           |  {"type":"doubleSum","name":"sum_val","fieldName":"value"}],
           |"limitSpec":{"type":"default","columns":[{"dimension":"event_type","direction":"ascending"}]}}""".stripMargin)
         .withColumn("sum_val", round(col("sum_val"), 3))),
+    "q36_scan_desc" -> ((s, dir) =>
+      engine(s, dir).plan(
+        """{"queryType":"scan","dataSource":"events",
+          |"intervals":["2024-01-28T00:00:00Z/2024-01-31T00:00:00Z"],
+          |"columns":["__time","event_id","user_id"],
+          |"order":"descending","limit":200}""".stripMargin)),
+    "q37_search_fragment" -> ((s, dir) =>
+      // fragment search spec (all fragments must match) + count sort
+      engine(s, dir).plan(
+        """{"queryType":"search","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          |"searchDimensions":["event_type"],
+          |"query":{"type":"fragment","values":["c","k"],"caseSensitive":true},
+          |"sort":"count","limit":10}""".stripMargin)),
+    "q38_timeformat_dim" -> ((s, dir) =>
+      // timeFormat extraction fn as a grouping dimension
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          |"granularity":"all",
+          |"dimensions":[
+          |  {"type":"extraction","dimension":"__time","outputName":"ym",
+          |   "extractionFn":{"type":"timeFormat","format":"yyyy-MM-dd"}},
+          |  "event_type"],
+          |"filter":{"type":"bound","dimension":"event_type","lower":"p","upper":"t",
+          |  "ordering":"lexicographic"},
+          |"aggregations":[{"type":"count","name":"cnt"}],
+          |"limitSpec":{"type":"default","limit":30,"columns":[
+          |  {"dimension":"ym","direction":"ascending"},
+          |  {"dimension":"event_type","direction":"ascending"}]}}""".stripMargin)),
+    "q39_listfiltered_mv" -> ((s, dir) =>
+      // listFiltered dimension spec over the multi-value tags dim
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"events_mv",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-15T00:00:00Z"],
+          |"granularity":"all",
+          |"dimensions":[{"type":"listFiltered",
+          |  "delegate":{"type":"default","dimension":"tags","outputName":"tag"},
+          |  "values":["click","view","u1","u2"],"isWhitelist":true}],
+          |"aggregations":[{"type":"count","name":"cnt"}],
+          |"limitSpec":{"type":"default","columns":[{"dimension":"tag","direction":"ascending"}]}}""".stripMargin)),
+    "q40_select_desc" -> ((s, dir) =>
+      engine(s, dir).plan(
+        """{"queryType":"select","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          |"descending":true,
+          |"dimensions":["event_type"],"metrics":["event_id"],
+          |"pagingSpec":{"pagingIdentifiers":{},"threshold":25}}""".stripMargin)),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -686,6 +734,39 @@ object SparkEntry {
         |  FROM lineitem WHERE l_orderkey < 200) t
         |WHERE rn <= 2
         |ORDER BY l_orderkey, rn""".stripMargin,
+    "q36_scan_desc" ->
+      """SELECT ts AS __time, event_id, user_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-28' AND ts < TIMESTAMP '2024-01-31'
+        |ORDER BY ts DESC LIMIT 200""".stripMargin,
+    "q37_search_fragment" ->
+      """SELECT 'event_type' AS dimension, event_type AS value, count(*) AS "count"
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  AND contains(event_type, 'c') AND contains(event_type, 'k')
+        |GROUP BY event_type
+        |ORDER BY "count" DESC, dimension, value LIMIT 10""".stripMargin,
+    "q38_timeformat_dim" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS ym, event_type, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  AND event_type >= 'p' AND event_type <= 't'
+        |GROUP BY 1, 2 ORDER BY ym, event_type LIMIT 30""".stripMargin,
+    "q39_listfiltered_mv" ->
+      """WITH f AS (
+        |  SELECT list_intersect([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)],
+        |    ['click','view','u1','u2']) AS li
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15')
+        |SELECT u.t AS tag, count(*) AS cnt
+        |FROM f, unnest(CASE WHEN len(li) = 0 THEN [NULL] ELSE li END) AS u(t)
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    "q40_select_desc" ->
+      """SELECT ts AS __time, event_type, event_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |ORDER BY ts DESC, event_type, event_id
+        |LIMIT 25""".stripMargin,
     "q34_multivalue_groupby" ->
       """SELECT u.t AS tags, count(*) AS cnt
         |FROM events, unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS u(t)

@@ -49,13 +49,11 @@ object Dedup {
   // MinHash + LSH
   // -------------------------------------------------------------------------
 
-  /** MinHash signature: element i = min over shingles of xxhash64(i, s).
-    * numHashes independent hash functions via seed-mixing the index. */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
-    val sh = shingles(text, shingleN)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
+  /** MinHash signature over word shingles — native one-pass expression
+    * (graft.functions.MinHashSignature): tokens hashed once, shingles are
+    * hash-chains (never materialized), k permutations by double hashing. */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
+    graft.functions.TextHashFunctions.minhash_signature(tokens(text), numHashes, shingleN)
 
   /** Estimated Jaccard from two minhash signatures. */
   def minhashJaccard(sigA: Column, sigB: Column): Column =
@@ -79,10 +77,9 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
 
-    // one row per (doc, band): bucket key = hash of the band's slice
+    // one row per (doc, band): bucket key = native band hash of the slice
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, to_json(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      posexplode(graft.functions.TextHashFunctions.band_keys(col("sig"), bands))
         .as(Seq("band", "bucket")))
 
     val l = banded.select(col("band"), col("bucket"),
@@ -137,20 +134,8 @@ object Dedup {
     * One pass over tokens: per-token hash folded into 64 bit-sums via an
     * array accumulator, then packed (bit positions are compile-time ints,
     * so the whole thing stays a codegen'd expression). */
-  def simhash(text: Column): Column = {
-    val t = array_distinct(tokens(text))
-    // accumulate per-bit sums in one aggregate over tokens
-    val zero = array((0 until 64).map(_ => lit(0)): _*)
-    val bitSums = aggregate(t, zero, (acc, tok) => {
-      val h = xxhash64(tok)
-      zip_with(acc, array((0 until 64).map(b =>
-        when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
-        (a, d) => a + d)
-    })
-    (0 until 64).map(b =>
-      when(element_at(bitSums, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextHashFunctions.simhash64(array_distinct(tokens(text)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -73,8 +73,7 @@ object Similarity {
       df.select(col(id).as(idOut), col(vec).as(vecOut),
         lshSignature(col(vec), seed, nBits, dim).as("__sig"))
         .select(col(idOut), col(vecOut),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => to_json(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
             .as(Seq("band", "bucket")))
 
     val qb = banded(queries, qidCol, qvecCol, "query_id", "__qvec")
@@ -104,8 +103,7 @@ object Similarity {
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), seed, nBits, dim).as("__sig"))
       .select(col("id"), col("vec"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => to_json(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
           .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))

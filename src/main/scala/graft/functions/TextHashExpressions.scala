@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the dedup hot path.
+  *
+  * The HOF formulation (`transform`/`aggregate` lambdas) is interpreted
+  * per-element — a 64-hash MinHash signature over a few hundred shingles
+  * costs tens of ms per row that way. These expressions do one pass over
+  * the array with primitive arithmetic:
+  *
+  *  - MinHash: double hashing — two byte-level hashes per shingle,
+  *    hash_i = h1 + i*h2 (the standard k-permutation approximation), so
+  *    k=64 signatures cost 2 byte-passes + 64 mul/adds per shingle.
+  *  - SimHash: one byte-level hash per token folded into 64 bit-sums.
+  */
+abstract class StringArrayExpression extends UnaryExpression with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${t.simpleString}")
+  }
+
+  protected def hash(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+}
+
+/** k-element MinHash signature over word `shingleN`-gram shingles of a
+  * token array. Shingles are never materialized as strings: each token is
+  * hashed once, a shingle's identity is the XXH64 chain of its token
+  * hashes, and the k permutations come from double hashing. */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
+    extends StringArrayExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    // 1. hash each token once
+    val th = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      th(j) = if (arr.isNullAt(j)) 0L else hash(arr.getUTF8String(j), 42L)
+      j += 1
+    }
+    // 2. shingle hash = chain of member token hashes; double-hash to k mins
+    val nShingles = math.max(1, n - shingleN + 1)
+    var s = 0
+    while (s < nShingles) {
+      var h1 = 42L
+      var t = s
+      val end = math.min(s + shingleN, n)
+      while (t < end) { h1 = XXH64.hashLong(th(t), h1); t += 1 }
+      val h2 = XXH64.hashLong(h1, 0x9E3779B97F4A7C15L) | 1L // odd → full-period
+      var i = 0
+      var h = h1
+      while (i < numHashes) {
+        if (h < mins(i)) mins(i) = h
+        h += h2
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash of a string array (token set). */
+case class SimHash64(child: Expression)
+    extends StringArrayExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = hash(arr.getUTF8String(j), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** LSH band keys of a long-array signature: key_b = hash of band slice
+  * (band index mixed in). One pass, no JSON serialization. */
+case class SignatureBandKeys(child: Expression, bands: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>/array<int> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isInt = child.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val rowsPerBand = n / bands
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, 42L)
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) {
+        val e = if (isInt) arr.getInt(i).toLong else arr.getLong(i)
+        h = XXH64.hashLong(e, h)
+        i += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashFunctions {
+  def minhash_signature(tokens: Column, numHashes: Int, shingleN: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), numHashes, shingleN))
+
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  def band_keys(signature: Column, bands: Int): Column =
+    GraftBridge.column(SignatureBandKeys(GraftBridge.expression(signature), bands))
+}
