@@ -513,6 +513,68 @@ object SparkEntry {
           |"descending":true,
           |"dimensions":["event_type"],"metrics":["event_id"],
           |"pagingSpec":{"pagingIdentifiers":{},"threshold":25}}""".stripMargin)),
+    "q41_colcmp_filter" -> ((s, dir) =>
+      // columnComparison filter: dimA == dimB (string compare)
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"lineitem",
+          |"intervals":["1995-01-01T00:00:00Z/2002-01-01T00:00:00Z"],
+          |"granularity":"all","dimensions":["l_returnflag"],
+          |"filter":{"type":"columnComparison","dimensions":["l_suppkey","l_linenumber"]},
+          |"aggregations":[{"type":"count","name":"cnt"}],
+          |"limitSpec":{"type":"default","columns":[{"dimension":"l_returnflag","direction":"ascending"}]}}""".stripMargin)),
+    "q42_extractions2" -> ((s, dir) =>
+      // bucket / stringFormat / strlen extraction fns as dimensions
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-08T00:00:00Z"],
+          |"granularity":"all",
+          |"dimensions":[
+          |  {"type":"extraction","dimension":"value","outputName":"val_bucket",
+          |   "extractionFn":{"type":"bucket","size":25,"offset":0}},
+          |  {"type":"extraction","dimension":"event_type","outputName":"fmt",
+          |   "extractionFn":{"type":"stringFormat","format":"t[%s]"}},
+          |  {"type":"extraction","dimension":"event_type","outputName":"tlen",
+          |   "extractionFn":{"type":"strlen"}}],
+          |"aggregations":[{"type":"count","name":"cnt"}],
+          |"limitSpec":{"type":"default","columns":[
+          |  {"dimension":"val_bucket","direction":"ascending","dimensionOrder":"numeric"},
+          |  {"dimension":"fmt","direction":"ascending"}]}}""".stripMargin)),
+    "q43_gran_none" -> ((s, dir) =>
+      // granularity 'none': millisecond-identity buckets
+      engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-01T02:00:00Z"],
+          |"granularity":"none",
+          |"aggregations":[{"type":"count","name":"cnt"},
+          |  {"type":"longSum","name":"se","fieldName":"event_id"}]}""".stripMargin)),
+    "q44_having_combo" -> ((s, dir) =>
+      // having: and / not / dimSelector / equalTo / lessThan composition
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-15T00:00:00Z"],
+          |"granularity":"day","dimensions":["event_type"],
+          |"aggregations":[{"type":"count","name":"cnt"}],
+          |"having":{"type":"and","havingSpecs":[
+          |  {"type":"greaterThan","aggregation":"cnt","value":30},
+          |  {"type":"lessThan","aggregation":"cnt","value":80},
+          |  {"type":"not","havingSpec":{"type":"dimSelector","dimension":"event_type","value":"error"}}]},
+          |"limitSpec":{"type":"default","columns":[
+          |  {"dimension":"event_type","direction":"ascending"}]}}""".stripMargin)),
+    "q45_postagg_constant" -> ((s, dir) =>
+      // constant post-agg + arithmetic chain over it
+      roundCols(engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-05T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}],
+          |"postAggregations":[
+          |  {"type":"arithmetic","name":"scaled","fn":"*","fields":[
+          |    {"type":"fieldAccess","fieldName":"sv"},
+          |    {"type":"constant","name":"k","value":0.001}]},
+          |  {"type":"arithmetic","name":"shifted","fn":"-","fields":[
+          |    {"type":"fieldAccess","fieldName":"sv"},
+          |    {"type":"constant","name":"c","value":100}]}]}""".stripMargin),
+        Seq("sv", "scaled", "shifted"))),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -767,6 +829,40 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
         |ORDER BY ts DESC, event_type, event_id
         |LIMIT 25""".stripMargin,
+    "q41_colcmp_filter" ->
+      """SELECT l_returnflag, count(*) AS cnt
+        |FROM lineitem
+        |WHERE CAST(l_suppkey AS VARCHAR) = CAST(l_linenumber AS VARCHAR)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_extractions2" ->
+      """SELECT CAST(floor(value / 25) * 25 AS VARCHAR) AS val_bucket,
+        |  't[' || event_type || ']' AS fmt,
+        |  CAST(length(event_type) AS VARCHAR) AS tlen,
+        |  count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |GROUP BY 1, 2, 3
+        |ORDER BY CAST(val_bucket AS DOUBLE), fmt""".stripMargin,
+    "q43_gran_none" ->
+      """SELECT ts AS __time, count(*) AS cnt,
+        |  CAST(sum(event_id) AS BIGINT) AS se
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-01 02:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_having_combo" ->
+      """SELECT date_trunc('day', ts) AS __time, event_type, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1, 2
+        |HAVING count(*) > 30 AND count(*) < 80 AND event_type <> 'error'
+        |ORDER BY event_type""".stripMargin,
+    "q45_postagg_constant" ->
+      """SELECT date_trunc('day', ts) AS __time, round(sum(value), 3) AS sv,
+        |  round(sum(value) * 0.001, 3) AS scaled,
+        |  round(sum(value) - 100, 3) AS shifted
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q34_multivalue_groupby" ->
       """SELECT u.t AS tags, count(*) AS cnt
         |FROM events, unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS u(t)

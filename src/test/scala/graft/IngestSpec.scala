@@ -89,6 +89,39 @@ class IngestSpec extends SparkTestBase {
     assert(store.read(spark, "ev").count() == 4)
   }
 
+  test("merge task re-aggregates rolled-up shards in a chunk") {
+    val store = freshStore()
+    // two appends create unmerged shards of the same rollup rows
+    val rolled = Seq(
+      (ts("2024-05-01T01:00:00Z"), "click", 30.0, 2L),
+      (ts("2024-05-01T05:00:00Z"), "view", 5.0, 1L),
+    ).toDF("__time", "event_type", "sv", "__rollup_count")
+    store.write(rolled, "evr", rollup = None)
+    store.appendBatch(Seq((ts("2024-05-01T01:00:00Z"), "click", 10.0, 1L))
+      .toDF("__time", "event_type", "sv", "__rollup_count"), "evr")
+    assert(store.read(spark, "evr").count() == 3)
+
+    store.mergeChunk(spark, "evr", "2024-05-01", Seq("event_type"),
+      Seq(Aggregator.Sum("sv", "sv", "double")))
+    val out = store.read(spark, "evr").collect()
+    assert(out.length == 2) // click shards merged
+    val click = out.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Double]("sv") == 40.0)
+    assert(click.getAs[Long]("__rollup_count") == 3L)
+  }
+
+  test("convert_segment task rewrites a chunk with new writer options") {
+    val store = freshStore()
+    store.write(raw, "ev")
+    val before = store.readManifest("ev").segments.find(_.chunk == "2024-05-01").get
+    store.convertChunk(spark, "ev", "2024-05-01",
+      Map("compression" -> "gzip"))
+    val after = store.readManifest("ev").segments.find(_.chunk == "2024-05-01").get
+    assert(after.version == before.version + 1)
+    assert(after.rowCount == before.rowCount)
+    assert(store.read(spark, "ev").count() == 4)
+  }
+
   test("kill task removes chunk data and metadata") {
     val store = freshStore()
     store.write(raw, "ev")
