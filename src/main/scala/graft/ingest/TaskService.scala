@@ -16,9 +16,12 @@ object Task {
   /** batch index: read input, parse timestamp, optional rollup, write
     * segments (`index`/`index_hadoop` collapse into one Spark job —
     * SURVEY §2.9). */
+  /** flatten: (outputColumn, sourceJsonColumn, jsonPath) triples — Druid's
+    * ingest-time flattenSpec for nested input (SURVEY §1.2). */
   final case class Index(id: String, dataSource: String, inputPath: String,
       inputFormat: String, timestampColumn: String,
-      rollup: Option[(Granularity, Seq[String], Seq[Aggregator])])
+      rollup: Option[(Granularity, Seq[String], Seq[Aggregator])],
+      flatten: Seq[(String, String, String)] = Seq.empty)
       extends Task { def taskType = "index" }
   final case class Append(id: String, dataSource: String, chunk: String,
       targetFiles: Int) extends Task { def taskType = "append" }
@@ -93,7 +96,11 @@ class TaskService(spark: SparkSession, store: SegmentStore) {
       val withTime =
         if (t.timestampColumn == "__time") raw
         else raw.withColumn("__time", col(t.timestampColumn).cast("timestamp"))
-      store.write(withTime, t.dataSource, t.rollup)
+      // flattenSpec: project nested JSON fields into flat dimension columns
+      val flattened = t.flatten.foldLeft(withTime) { case (d, (out, src, path)) =>
+        d.withColumn(out, get_json_object(col(src), path))
+      }
+      store.write(flattened, t.dataSource, t.rollup)
     case t: Task.Append  => store.compactChunk(spark, t.dataSource, t.chunk, t.targetFiles)
     case t: Task.Merge   => store.mergeChunk(spark, t.dataSource, t.chunk, t.dims, t.metricAggs)
     case t: Task.Kill    => store.killChunk(t.dataSource, t.chunk)
@@ -123,9 +130,16 @@ class TaskService(spark: SparkSession, store: SegmentStore) {
             .getOrElse(Seq.empty).map(QueryJson.parseAggregator)
           (gran, dims, aggs)
         }
+        val flatten = Option(n.get("flattenSpec")).flatMap(f => Option(f.get("fields")))
+          .map(_.elements().asScala.toSeq.map { fld =>
+            val name = fld.get("name").asText()
+            (name,
+              Option(fld.get("column")).map(_.asText()).getOrElse("props"),
+              Option(fld.get("expr")).map(_.asText()).getOrElse(s"$$.$name"))
+          }).getOrElse(Seq.empty)
         Task.Index(id, s("dataSource"), s("inputPath"),
           sOpt("inputFormat").getOrElse("parquet"),
-          sOpt("timestampColumn").getOrElse("__time"), rollup)
+          sOpt("timestampColumn").getOrElse("__time"), rollup, flatten)
       case "append" =>
         Task.Append(id, s("dataSource"), s("chunk"),
           Option(n.get("targetFiles")).map(_.asInt()).getOrElse(1))

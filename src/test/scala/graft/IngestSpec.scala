@@ -89,6 +89,23 @@ class IngestSpec extends SparkTestBase {
     assert(store.read(spark, "ev").count() == 4)
   }
 
+  test("index task flattenSpec projects nested JSON into dimensions") {
+    val store = freshStore()
+    val svc = new TaskService(spark, store)
+    val withProps = raw.withColumn("props",
+      concat(lit("""{"k": """), (col("value") * 2).cast("int"), lit("""}""")))
+    val input = Files.createTempDirectory("graft-fl").toString
+    withProps.write.mode("overwrite").parquet(input)
+
+    svc.submit(
+      s"""{"type":"index","id":"fl1","dataSource":"ev_flat","inputPath":"$input",
+         |"inputFormat":"parquet","timestampColumn":"__time",
+         |"flattenSpec":{"fields":[{"name":"k","column":"props","expr":"$$.k"}]}}""".stripMargin)
+    val out = store.read(spark, "ev_flat")
+    assert(out.columns.contains("k"))
+    assert(out.where(col("k") === "20").count() == 1) // value=10.0 → k=20
+  }
+
   test("merge task re-aggregates rolled-up shards in a chunk") {
     val store = freshStore()
     // two appends create unmerged shards of the same rollup rows
