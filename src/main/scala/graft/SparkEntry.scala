@@ -55,6 +55,7 @@ object SparkEntry {
         "events", "documents", "embeddings").foreach { t =>
         graft.sources.TableLoader.load(spark, dir, t).createOrReplaceTempView(t)
       }
+      graft.functions.GraftFunctionRegistry.registerAll(spark)
       true
     })
 
@@ -575,6 +576,17 @@ object SparkEntry {
           |    {"type":"fieldAccess","fieldName":"sv"},
           |    {"type":"constant","name":"c","value":100}]}]}""".stripMargin),
         Seq("sv", "scaled", "shifted"))),
+    "q46_sql_custom_fn" -> ((s, dir) => {
+      // custom native expressions through the SQL surface
+      registerTpch(s, dir)
+      s.sql(
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(cosine_similarity(a.embedding, b.embedding), 3) AS cosine
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE a.vec_id < 40 AND b.vec_id < 40
+          |  AND cosine_similarity(a.embedding, b.embedding) > 0.15
+          |ORDER BY id_a, id_b""".stripMargin)
+    }),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -863,6 +875,13 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_sql_custom_fn" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 40 AND b.vec_id < 40
+        |  AND list_cosine_similarity(a.embedding, b.embedding) > 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
     "q34_multivalue_groupby" ->
       """SELECT u.t AS tags, count(*) AS cnt
         |FROM events, unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS u(t)

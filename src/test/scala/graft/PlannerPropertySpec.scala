@@ -1,0 +1,141 @@
+package graft
+
+import graft.engine.Engine
+import graft.model._
+import graft.plan.QueryPlanner
+import graft.sources.MapCatalog
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import java.sql.Timestamp
+import java.time.Instant
+
+/** Property-based planner checks (SURVEY §5.3): the planner is total over
+  * random query ADTs, and algebraic laws hold (filtered-agg = agg-of-
+  * filtered; topN with K ≥ cardinality = groupBy+sort; union = double). */
+class PlannerPropertySpec extends SparkTestBase {
+
+  /** scalatest/scalacheck bridge isn't in the offline cache — drive Gen
+    * directly with a fixed seed chain (deterministic, 25 cases). */
+  private def forAllSampled[T](gen: Gen[T], cases: Int = 25)(body: T => Unit): Unit =
+    (0 until cases).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(body)
+    }
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  private lazy val events = (0 until 500).map { i =>
+    (ts(f"2024-04-${1 + i % 10}%02dT${i % 24}%02d:00:00Z"),
+      Seq("click", "view", "error")(i % 3), (i % 97).toDouble, (i % 13).toLong)
+  }.toDF("__time", "event_type", "value", "uid")
+
+  private lazy val catalog = new MapCatalog(Map("ev" -> events))
+
+  private val interval = Interval.parse("2024-04-01T00:00:00Z/2024-04-11T00:00:00Z")
+
+  // -- generators -----------------------------------------------------------
+
+  private val genLeafFilter: Gen[Filter] = Gen.oneOf(
+    Gen.oneOf("click", "view", "error", "zzz").map(v =>
+      Filter.Selector("event_type", Some(v))),
+    Gen.chooseNum(0, 96).map(v =>
+      Filter.Bound("value", Some(v.toString), None, lowerStrict = false,
+        upperStrict = false, "numeric")),
+    Gen.chooseNum(0L, 12L).map(v => Filter.In("uid", Seq(v.toString))),
+    Gen.const(Filter.Regex("event_type", "^[cv]")),
+    Gen.const(Filter.Like("event_type", "%i%", None)),
+    Gen.const(Filter.Search("event_type",
+      SearchQuerySpec.InsensitiveContains("R"))),
+  )
+
+  private def genFilter(depth: Int): Gen[Filter] =
+    if (depth <= 0) genLeafFilter
+    else Gen.frequency(
+      3 -> genLeafFilter,
+      1 -> Gen.listOfN(2, genFilter(depth - 1)).map(Filter.And(_)),
+      1 -> Gen.listOfN(2, genFilter(depth - 1)).map(Filter.Or(_)),
+      1 -> genFilter(depth - 1).map(Filter.Not(_)),
+    )
+
+  private val genAgg: Gen[Aggregator] = Gen.oneOf(
+    Gen.const(Aggregator.Count("cnt")),
+    Gen.const(Aggregator.Sum("sv", "value", "double")),
+    Gen.const(Aggregator.Sum("su", "uid", "long")),
+    Gen.const(Aggregator.Max("mx", "value", "double")),
+    Gen.const(Aggregator.Min("mn", "uid", "long")),
+    genLeafFilter.map(f => Aggregator.Filtered(f, Aggregator.Count("fc"))),
+  )
+
+  private val genGranularity: Gen[Granularity] = Gen.oneOf(
+    Granularity.All, Granularity.Simple("day"), Granularity.Simple("hour"),
+    Granularity.Duration(7200000L, None))
+
+  private val genTimeseries: Gen[Query.Timeseries] = for {
+    f <- Gen.option(genFilter(2))
+    aggs <- Gen.nonEmptyListOf(genAgg).map(_.distinctBy(_.name).take(3))
+    g <- genGranularity
+    desc <- Gen.oneOf(true, false)
+  } yield Query.Timeseries(DataSource.Table("ev"), Seq(interval), g, f, aggs,
+    Seq.empty, desc)
+
+  // -- properties -----------------------------------------------------------
+
+  test("planner is total: random timeseries queries plan and execute") {
+    forAllSampled(genTimeseries) { q =>
+      val rows = QueryPlanner.plan(spark, q, catalog).collect()
+      assert(rows != null)
+      // every aggregation name must be an output column
+      val cols = QueryPlanner.plan(spark, q, catalog).columns.toSet
+      q.aggregations.foreach(a => assert(cols.contains(a.name)))
+    }
+  }
+
+  test("law: query with filter F == query over pre-filtered source") {
+    forAllSampled(genFilter(2), cases = 15) { f =>
+      val q = Query.Timeseries(DataSource.Table("ev"), Seq(interval),
+        Granularity.Simple("day"), Some(f),
+        Seq(Aggregator.Count("cnt"), Aggregator.Sum("sv", "value", "double")),
+        Seq.empty, descending = false)
+      val direct = QueryPlanner.plan(spark, q, catalog).collect().map(_.toString).sorted
+
+      val preFiltered = events.where(
+        graft.expr.Compilers.filterCol(f, events.schema))
+      val cat2 = new MapCatalog(Map("ev" -> preFiltered))
+      val viaPre = QueryPlanner.plan(spark, q.copy(filter = None), cat2)
+        .collect().map(_.toString).sorted
+      assert(direct.sameElements(viaPre))
+    }
+  }
+
+  test("law: topN with threshold >= cardinality == groupBy sorted by metric") {
+    val topn = Query.TopN(DataSource.Table("ev"), Seq(interval),
+      Granularity.All, DimensionSpec.Default("event_type", "event_type"), 100,
+      TopNMetricSpec.Numeric("cnt"), None, Seq(Aggregator.Count("cnt")), Seq.empty)
+    val topRows = QueryPlanner.plan(spark, topn, catalog)
+      .select("event_type", "cnt").collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val gb = Query.GroupBy(DataSource.Table("ev"), Seq(interval),
+      Granularity.All, Seq(DimensionSpec.Default("event_type", "event_type")),
+      None, Seq(Aggregator.Count("cnt")), Seq.empty, None,
+      Some(LimitSpec(Seq(OrderByColumnSpec("cnt", "descending", "numeric"),
+        OrderByColumnSpec("event_type", "ascending", "lexicographic")), None)))
+    val gbRows = QueryPlanner.plan(spark, gb, catalog)
+      .select("event_type", "cnt").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(topRows.sameElements(gbRows))
+  }
+
+  test("law: union datasource == doubled aggregates") {
+    val single = Query.Timeseries(DataSource.Table("ev"), Seq(interval),
+      Granularity.Simple("day"), None,
+      Seq(Aggregator.Count("cnt"), Aggregator.Sum("su", "uid", "long")),
+      Seq.empty, descending = false)
+    val union = single.copy(dataSource = DataSource.Union(Seq("ev", "ev")))
+    val s = QueryPlanner.plan(spark, single, catalog).collect()
+      .map(r => (r.getAs[Timestamp]("__time"), r.getAs[Long]("cnt") * 2, r.getAs[Long]("su") * 2))
+    val u = QueryPlanner.plan(spark, union, catalog).collect()
+      .map(r => (r.getAs[Timestamp]("__time"), r.getAs[Long]("cnt"), r.getAs[Long]("su")))
+    assert(s.sameElements(u))
+  }
+}
