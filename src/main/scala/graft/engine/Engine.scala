@@ -78,8 +78,14 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     val cacheKey = etag(json, query)
     if (useCache) {
       val hit = resultCache.get(cacheKey)
-      if (hit != null) return hit
+      if (hit != null) {
+        record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
+          success = true, cached = true, bytes = hit.length.toLong))
+        return hit
+      }
     }
+    val t0 = System.nanoTime()
+    def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
 
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
@@ -112,18 +118,46 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           } finally ex.shutdownNow()
       }
       if (populateCache) resultCache.put(cacheKey, result)
+      record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
+        success = true, cached = false, bytes = result.length.toLong))
       result
     } catch {
-      case qe: QueryError => throw qe
+      case qe: QueryError =>
+        record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
+          success = false, cached = false, bytes = 0L))
+        throw qe
       case e: InterruptedException =>
+        record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
+          success = false, cached = false, bytes = 0L))
         throw QueryError("Query interrupted", String.valueOf(e.getMessage),
           e.getClass.getName)
-      case NonFatal(e) if isCancellation(e) =>
-        throw QueryError("Query cancelled", s"query $queryId cancelled", e.getClass.getName)
-      case NonFatal(e) => throw QueryError.unknown(e)
+      case NonFatal(e) =>
+        record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
+          success = false, cached = false, bytes = 0L))
+        if (isCancellation(e))
+          throw QueryError("Query cancelled", s"query $queryId cancelled", e.getClass.getName)
+        else throw QueryError.unknown(e)
     } finally {
       spark.sparkContext.clearJobGroup()
     }
+  }
+
+  /** Per-query metrics ring (Druid's query/time + bytes emission,
+    * reference `query/query-internal-procedure.md:152-189`). */
+  final case class QueryMetric(queryId: String, queryType: String, millis: Long,
+      success: Boolean, cached: Boolean, bytes: Long)
+
+  private val metricsRing = new java.util.concurrent.ConcurrentLinkedDeque[QueryMetric]()
+
+  private def record(m: QueryMetric): Unit = {
+    metricsRing.addLast(m)
+    while (metricsRing.size() > 256) metricsRing.pollFirst()
+  }
+
+  /** Most recent query metrics, newest last. */
+  def metrics: Seq[QueryMetric] = {
+    import scala.jdk.CollectionConverters._
+    metricsRing.iterator().asScala.toSeq
   }
 
   /** `DELETE /druid/v2/{id}` equivalent. */

@@ -56,9 +56,9 @@ object Compilers {
   }
 
   /** Period granularity: calendar-aware truncation in `tz`, result in UTC.
-    * Handles P1D/PT1H/... (n=1 calendar units) in any timezone, and
-    * arbitrary fixed-length periods (PTnH, PTnM, PTnS, PnD without DST
-    * concerns are treated as fixed when tz is UTC). */
+    * Handles n=1 calendar units in any timezone, calendar multiples
+    * (PnM/PnY via month arithmetic against the origin), and arbitrary
+    * fixed-length periods (PTnX/PnD/PnW) via duration bucketing. */
   def periodTrunc(period: String, tzOpt: Option[String], origin: Option[Instant],
       t: Column): Column = {
     val tz = tzOpt.getOrElse("UTC")
@@ -69,17 +69,37 @@ object Compilers {
       case "P3M" => Some("quarter"); case "P1Y" => Some("year")
       case _ => None
     }
-    unitOpt match {
-      case Some(u) if tz == "UTC" => simpleTrunc(u, t)
-      case Some(u) =>
+    val monthP = "P(\\d+)M".r
+    val yearP = "P(\\d+)Y".r
+    (unitOpt, period) match {
+      case (Some(u), _) if tz == "UTC" => simpleTrunc(u, t)
+      case (Some(u), _) =>
         // shift into tz, truncate on the wall clock, shift back
         to_utc_timestamp(date_trunc(u, from_utc_timestamp(t, tz)), tz)
-      case None =>
+      case (None, monthP(n)) => monthMultipleTrunc(t, n.toInt, tz, origin)
+      case (None, yearP(n))  => monthMultipleTrunc(t, n.toInt * 12, tz, origin)
+      case _ =>
         // general fixed-length period (e.g. PT6H, P2D): duration bucketing
         val ms = periodMillis(period)
         val o = origin.map(_.toEpochMilli).getOrElse(0L)
         timestamp_millis(((unix_millis(t) - o) / ms).cast(LongType) * ms + o)
     }
+  }
+
+  /** PnM-style bucketing: floor the month distance from the origin month to
+    * a multiple of n, in the wall clock of `tz`. */
+  private def monthMultipleTrunc(t: Column, n: Int, tz: String,
+      origin: Option[Instant]): Column = {
+    val originMonth = origin
+      .map(o => truncSimple("month", o, ZoneId.of(tz)))
+      .getOrElse(Instant.EPOCH) // 1970-01-01, already a month boundary
+    val originWall = lit(java.sql.Timestamp.from(originMonth)) // as UTC wall
+    val wall = if (tz == "UTC") t else from_utc_timestamp(t, tz)
+    val originLocal = if (tz == "UTC") originWall else from_utc_timestamp(originWall, tz)
+    val m = floor(months_between(date_trunc("month", wall), date_trunc("month", originLocal)) / n) * n
+    val bucketWall = add_months(date_trunc("month", originLocal), m.cast(IntegerType))
+      .cast(TimestampType)
+    if (tz == "UTC") bucketWall else to_utc_timestamp(bucketWall, tz)
   }
 
   /** Fixed-length millis of an ISO period (PT*, PnD, PnW). Calendar-length
@@ -107,6 +127,8 @@ object Compilers {
         Instant.ofEpochMilli(Math.floorDiv(i.toEpochMilli - o, ms) * ms + o)
       case Granularity.Period(p, tzS, origin) =>
         val zone = ZoneId.of(tzS.getOrElse("UTC"))
+        val monthP = "P(\\d+)M".r
+        val yearP = "P(\\d+)Y".r
         p match {
           case "P1D"  => truncSimple("day", i, zone)
           case "PT1H" => truncSimple("hour", i, zone)
@@ -115,12 +137,23 @@ object Compilers {
           case "P1M"  => truncSimple("month", i, zone)
           case "P3M"  => truncSimple("quarter", i, zone)
           case "P1Y"  => truncSimple("year", i, zone)
+          case monthP(n) => truncMonthMultiple(i, n.toInt, zone, origin)
+          case yearP(n)  => truncMonthMultiple(i, n.toInt * 12, zone, origin)
           case _ =>
             val ms = periodMillis(p)
             val o = origin.map(_.toEpochMilli).getOrElse(0L)
             Instant.ofEpochMilli(Math.floorDiv(i.toEpochMilli - o, ms) * ms + o)
         }
     }
+
+  private def truncMonthMultiple(i: Instant, n: Int, zone: ZoneId,
+      origin: Option[Instant]): Instant = {
+    val o = origin.map(x => truncSimple("month", x, zone)).getOrElse(Instant.EPOCH)
+      .atZone(zone)
+    val z = truncSimple("month", i, zone).atZone(zone)
+    val months = (z.getYear * 12 + z.getMonthValue) - (o.getYear * 12 + o.getMonthValue)
+    o.plusMonths(Math.floorDiv(months, n).toLong * n).toInstant
+  }
 
   private def truncSimple(unit: String, i: Instant, tz: ZoneId): Instant = {
     import java.time._
@@ -154,13 +187,17 @@ object Compilers {
     case Granularity.Duration(ms, _) => i.plusMillis(ms)
     case Granularity.Period(p, tzS, _) =>
       val zone = ZoneId.of(tzS.getOrElse("UTC"))
+      val monthP = "P(\\d+)M".r
+      val yearP = "P(\\d+)Y".r
       p match {
         case "P1D"  => stepSimple("day", i, zone)
         case "P1W"  => stepSimple("week", i, zone)
         case "P1M"  => stepSimple("month", i, zone)
         case "P3M"  => stepSimple("quarter", i, zone)
         case "P1Y"  => stepSimple("year", i, zone)
-        case _      => i.plusMillis(java.time.Duration.parse(p).toMillis)
+        case monthP(n) => i.atZone(zone).plusMonths(n.toInt.toLong).toInstant
+        case yearP(n)  => i.atZone(zone).plusMonths(n.toInt * 12L).toInstant
+        case _      => i.plusMillis(periodMillis(p))
       }
   }
 

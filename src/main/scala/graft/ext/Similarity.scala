@@ -94,6 +94,56 @@ object Similarity {
       .drop("__rank")
   }
 
+  /** IVF (inverted-file) index: deterministic k-means-lite centroids —
+    * seeded by the first `nClusters` corpus vectors, refined by one Lloyd
+    * iteration — collected to the driver (nClusters × dim doubles, tiny)
+    * and baked into a native assignment expression.
+    *
+    * At 100 TB: centroid build reads a bounded sample; assignment is one
+    * map-side pass; search touches only `nProbe`/`nClusters` of the corpus
+    * via a cluster-keyed join. */
+  def buildIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int): Array[Array[Double]] = {
+    val init: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nClusters)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // one Lloyd iteration: assign every vector, average per cluster/position
+    val assigned = corpus.select(
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        col(vecCol), init, 1), 1).as("cluster"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
+    val means = assigned.groupBy("cluster", "pos").agg(avg("x").as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val out = init.map(_.clone())
+    means.foreach { case (c, p, m) => if (c < out.length && p < out(c).length) out(c)(p) = m }
+    out
+  }
+
+  /** ANN top-k via IVF: probe the `nProbe` closest clusters per query,
+    * exact cosine re-rank within them. */
+  def ivfTopK(queries: DataFrame, qidCol: String, qvecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = buildIvfCentroids(corpus, idCol, vecCol, nClusters)
+    val corpusAssigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"),
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        col(vecCol), cents, 1), 1).as("cluster"))
+    val queriesProbed = queries.select(col(qidCol).as("query_id"),
+      col(qvecCol).as("__qvec"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col(qvecCol), cents, nProbe)).as("cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpusAssigned.join(broadcast(queriesProbed), Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cosine"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within one table: all pairs with
     * cosine >= threshold, found via LSH candidates (corpus-side only). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -188,6 +188,52 @@ case class HyperplaneSignBits(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Top-`probe` nearest centroids of a vector against a baked-in centroid
+  * matrix (by dot product against L2-normalized centroids ≈ cosine order).
+  * Returns the centroid indices, most-similar first — the IVF assignment /
+  * probe primitive. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+    probe: Int) extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // normalize once so dot order == cosine order
+  @transient private lazy val normed: Array[Array[Double]] = centroids.map { c =>
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0) c else c.map(_ / n)
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val scores = new Array[Double](normed.length)
+    var ci = 0
+    while (ci < normed.length) {
+      val c = normed(ci)
+      var dot = 0.0; var i = 0
+      val n = math.min(dim, c.length)
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += x * c(i); i += 1
+      }
+      scores(ci) = dot; ci += 1
+    }
+    val order = scores.zipWithIndex.sortBy(-_._1).take(probe).map(_._2)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(order)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
@@ -198,4 +244,7 @@ object VectorFunctions {
 
   def hyperplane_bits(v: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneSignBits(GraftBridge.expression(v), planes))
+
+  def nearest_centroids(v: Column, centroids: Array[Array[Double]], probe: Int): Column =
+    GraftBridge.column(NearestCentroids(GraftBridge.expression(v), centroids, probe))
 }

@@ -170,6 +170,28 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(buckets == Seq("2024-03-08T05:00:00Z", "2024-03-10T05:00:00Z"))
   }
 
+  test("P2M period granularity buckets by 2-month calendar multiples") {
+    val df = Seq(
+      (ts("2024-01-15T00:00:00Z"), 1.0), (ts("2024-02-20T00:00:00Z"), 2.0),
+      (ts("2024-03-05T00:00:00Z"), 3.0), (ts("2024-06-30T00:00:00Z"), 4.0),
+    ).toDF("__time", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-01-01T00:00:00Z/2024-08-01T00:00:00Z"],
+        |"granularity":{"type":"period","period":"P2M"},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect()
+    // epoch-origin 2-month buckets: Jan, Mar, May, Jul boundaries
+    val got = rows.map(r => (r.getAs[Timestamp]("__time").toInstant.toString,
+      r.getAs[Double]("sv"))).toSeq
+    assert(got == Seq(
+      ("2024-01-01T00:00:00Z", 3.0),   // Jan+Feb rows
+      ("2024-03-01T00:00:00Z", 3.0),   // Mar row
+      ("2024-05-01T00:00:00Z", 4.0),   // Jun row
+      ("2024-07-01T00:00:00Z", 0.0)))  // zero-filled
+  }
+
   test("duration granularity buckets by fixed millis with origin") {
     val df = Seq((ts("2024-03-01T00:10:00Z"), 1.0), (ts("2024-03-01T02:50:00Z"), 2.0))
       .toDF("__time", "v")

@@ -62,6 +62,29 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.5, s"LSH recall $recall (bands=32,r=2)") // random vectors: modest recall OK
   }
 
+  test("IVF ANN: high recall on clustered vectors, touches only probed clusters") {
+    // synthetic clustered corpus: 8 well-separated centers, 40 points each
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 10)
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val qs = corpus.where($"vec_id" < 16)
+
+    val exact = Similarity.bruteForceTopK(qs, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(qs, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall on clustered data")
+  }
+
   test("language ID classifies constructed en/es/zh text") {
     // NOTE: the fixture's `lang` column is a synthetic label — its "zh"
     // docs contain English word-salad — so the heuristic is tested on
