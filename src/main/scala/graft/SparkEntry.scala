@@ -295,9 +295,9 @@ object SparkEntry {
       registerTpch(s, dir)
       s.sql(
         """SELECT l_returnflag, l_linestatus,
-          |  round(sum(l_quantity), 2) AS sum_qty,
-          |  round(sum(l_extendedprice), 2) AS sum_base_price,
-          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |  round(sum(l_quantity), 1) AS sum_qty,
+          |  round(sum(l_extendedprice), 1) AS sum_base_price,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
           |  round(avg(l_quantity), 4) AS avg_qty,
           |  count(*) AS count_order
           |FROM lineitem
@@ -309,7 +309,7 @@ object SparkEntry {
       registerTpch(s, dir)
       s.sql(
         """SELECT n_name,
-          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
           |  count(*) AS n_items
           |FROM lineitem
           |JOIN orders   ON l_orderkey = o_orderkey
@@ -747,9 +747,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_sql_tpch1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_quantity), 1) AS sum_qty,
+        |  round(sum(l_extendedprice), 1) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
@@ -758,7 +758,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q19_sql_join" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey

@@ -355,23 +355,41 @@ object QueryPlanner {
         case f if f.dataType == StringType && f.name != TimeColumn => f.name
       }.toSeq
 
+    // per-granularity-bucket results when granularity != all
+    val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
+
     val perDim = dims.map { d =>
       val isArray = src.schema.fields.exists(f =>
         f.name == d && f.dataType.isInstanceOf[ArrayType])
       val valueCol = if (isArray) explode(col(d)) else col(d)
-      base.select(valueCol.cast(StringType).as("value"))
-        .where(Compilers.searchMatch(q.query, col("value")))
-        .groupBy(col("value"))
-        .agg(count(lit(1)).as("count"))
-        .select(lit(d).as("dimension"), col("value"), col("count"))
+      val projected = bucketOpt match {
+        case Some(b) => base.select(b.as(TimeColumn), valueCol.cast(StringType).as("value"))
+        case None    => base.select(valueCol.cast(StringType).as("value"))
+      }
+      val grouped = bucketOpt match {
+        case Some(_) => projected.where(Compilers.searchMatch(q.query, col("value")))
+          .groupBy(col(TimeColumn), col("value"))
+        case None => projected.where(Compilers.searchMatch(q.query, col("value")))
+          .groupBy(col("value"))
+      }
+      val counted = grouped.agg(count(lit(1)).as("count"))
+      bucketOpt match {
+        case Some(_) => counted.select(col(TimeColumn), lit(d).as("dimension"),
+          col("value"), col("count"))
+        case None => counted.select(lit(d).as("dimension"), col("value"), col("count"))
+      }
     }
     val unioned = perDim.reduce(_ unionAll _)
+    val bucketPrefix = bucketOpt.map(_ => col(TimeColumn).asc).toSeq
     val sorted = q.sort match {
-      case "count" => unioned.orderBy(col("count").desc, col("dimension").asc, col("value").asc)
-      case "strlen" => unioned.orderBy(length(col("value")).asc, col("value").asc, col("dimension").asc)
-      case "alphanumeric" => unioned.orderBy(
-        Compilers.orderingCol("alphanumeric", col("value")).asc, col("dimension").asc)
-      case _ => unioned.orderBy(col("dimension").asc, col("value").asc)
+      case "count" => unioned.orderBy(bucketPrefix ++ Seq(col("count").desc,
+        col("dimension").asc, col("value").asc): _*)
+      case "strlen" => unioned.orderBy(bucketPrefix ++ Seq(length(col("value")).asc,
+        col("value").asc, col("dimension").asc): _*)
+      case "alphanumeric" => unioned.orderBy(bucketPrefix ++ Seq(
+        Compilers.orderingCol("alphanumeric", col("value")).asc, col("dimension").asc): _*)
+      case _ => unioned.orderBy(bucketPrefix ++ Seq(col("dimension").asc,
+        col("value").asc): _*)
     }
     sorted.limit(q.limit)
   }
