@@ -587,6 +587,33 @@ object SparkEntry {
           |  AND cosine_similarity(a.embedding, b.embedding) > 0.15
           |ORDER BY id_a, id_b""".stripMargin)
     }),
+    "q47_ivf_ann" -> ((s, dir) => {
+      // IVF-indexed ANN (k-means-lite centroids + probe; rows-only check)
+      val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+      graft.ext.Similarity.ivfTopK(qs, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 3)
+        .withColumn("cosine", round(col("cosine"), 4))
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
+    "q48_registered_lookup" -> ((s, dir) =>
+      // registeredLookup dimension → broadcast join against the catalog's
+      // nation_name lookup table
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"customer",
+          |"intervals":["1990-01-01T00:00:00Z/2030-01-01T00:00:00Z"],
+          |"granularity":"all",
+          |"dimensions":[
+          |  {"type":"extraction","dimension":"c_nationkey","outputName":"nation",
+          |   "extractionFn":{"type":"registeredLookup","lookup":"nation_name",
+          |    "replaceMissingValueWith":"UNKNOWN"}},
+          |  "c_mktsegment"],
+          |"aggregations":[{"type":"count","name":"cnt"},
+          |  {"type":"doubleSum","name":"acct","fieldName":"c_acctbal"}],
+          |"limitSpec":{"type":"default","columns":[
+          |  {"dimension":"nation","direction":"ascending"},
+          |  {"dimension":"c_mktsegment","direction":"ascending"}]}}""".stripMargin)
+        .withColumn("acct", round(col("acct"), 2))),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -875,6 +902,11 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_registered_lookup" ->
+      """SELECT coalesce(n_name, 'UNKNOWN') AS nation, c_mktsegment,
+        |  count(*) AS cnt, round(sum(c_acctbal), 2) AS acct
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, c_mktsegment""".stripMargin,
     "q46_sql_custom_fn" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cosine

@@ -265,6 +265,9 @@ object Compilers {
         when(in.cast(StringType).rlike(expr), in.cast(StringType))
       case SearchQueryE(q)   =>
         when(searchMatch(q, in.cast(StringType)), in.cast(StringType))
+      case RegisteredLookup(name, _, _) =>
+        throw new IllegalStateException(
+          s"registeredLookup '$name' must be rewritten to a broadcast join by the planner")
       case Lookup(m, retain, replaceWith) =>
         val mapped =
           if (m.isEmpty) lit(null).cast(StringType)

@@ -218,10 +218,19 @@ object QueryJson {
       case "partial"      => Partial(str(n, "expr"))
       case "searchQuery"  => SearchQueryE(parseSearchSpec(n.get("query")))
       case "lookup" =>
-        val m = opt(n, "lookup").flatMap(l => opt(l, "map")).map { mn =>
-          mn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-        }.getOrElse(Map.empty[String, String])
-        Lookup(m, boolOpt(n, "retainMissingValue", dflt = false),
+        opt(n, "lookup") match {
+          case Some(l) if l.isTextual =>
+            RegisteredLookup(l.asText(), boolOpt(n, "retainMissingValue", dflt = false),
+              strOpt(n, "replaceMissingValueWith"))
+          case other =>
+            val m = other.flatMap(l => opt(l, "map")).map { mn =>
+              mn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+            }.getOrElse(Map.empty[String, String])
+            Lookup(m, boolOpt(n, "retainMissingValue", dflt = false),
+              strOpt(n, "replaceMissingValueWith"))
+        }
+      case "registeredLookup" =>
+        RegisteredLookup(str(n, "lookup"), boolOpt(n, "retainMissingValue", dflt = false),
           strOpt(n, "replaceMissingValueWith"))
       case t => fail(s"unknown extractionFn type '$t'")
     }

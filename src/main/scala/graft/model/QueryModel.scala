@@ -183,6 +183,10 @@ object ExtractionFn {
   /** key→value mapping with missing-value policy (Druid lookup extractionFn) */
   final case class Lookup(map: Map[String, String], retainMissingValue: Boolean,
       replaceMissingValueWith: Option[String]) extends ExtractionFn
+  /** named lookup resolved from the catalog — big lookups become broadcast
+    * joins at plan time (Druid registeredLookup; SURVEY §2.4) */
+  final case class RegisteredLookup(name: String, retainMissingValue: Boolean,
+      replaceMissingValueWith: Option[String]) extends ExtractionFn
 }
 
 sealed trait DimensionSpec { def outputName: String }

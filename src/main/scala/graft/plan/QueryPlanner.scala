@@ -79,6 +79,33 @@ object QueryPlanner {
     }
   }
 
+
+  /** Rewrite registeredLookup dimension specs into broadcast joins against
+    * the catalog's lookup tables (Druid registeredLookup — SURVEY §2.4:
+    * "broadcast join for big lookups"). Each spec becomes a plain column
+    * reference over the joined value. */
+  private def applyRegisteredLookups(spark: SparkSession, df: DataFrame,
+      specs: Seq[DimensionSpec], catalog: Catalog): (DataFrame, Seq[DimensionSpec]) = {
+    var cur = df
+    val out = specs.map {
+      case DimensionSpec.Extraction(dim, outName,
+          ExtractionFn.RegisteredLookup(name, retain, replaceWith), _) =>
+        val lkp = catalog.lookupTable(spark, name).getOrElse(
+          throw new IllegalArgumentException(s"unknown registered lookup '$name'"))
+        val keyCol = s"__lkpk_$outName"; val valCol = s"__lkpv_$outName"
+        val l = broadcast(lkp.select(col("key").as(keyCol), col("value").as(valCol)))
+        cur = cur.join(l, cur(dim).cast(StringType) === col(keyCol), "left")
+        val resolved =
+          if (retain) coalesce(col(valCol), col(dim).cast(StringType))
+          else replaceWith.map(r => coalesce(col(valCol), lit(r))).getOrElse(col(valCol))
+        cur = cur.withColumn(s"__lkp_$outName", resolved)
+          .drop(keyCol, valCol)
+        DimensionSpec.Default(s"__lkp_$outName", outName)
+      case other => other
+    }
+    (cur, out)
+  }
+
   // -- timeseries (reference `query/query-timeseries.md`) -------------------
 
   private def planTimeseries(spark: SparkSession, q: Query.Timeseries, catalog: Catalog)
@@ -166,9 +193,10 @@ object QueryPlanner {
     val src = source(spark, q.dataSource, catalog, q.intervals)
     val base0 = filtered(src, q.intervals, q.filter)
 
-    // Multi-value dimensions: a row counts once per value → explode before
-    // grouping (Druid semantics, SURVEY §7.4).
-    val (base, dimCols) = explodeMultiValue(base0, q.dimensions, src.schema)
+    // registeredLookup dims → broadcast joins, then multi-value dims: a row
+    // counts once per value → explode before grouping (SURVEY §7.4).
+    val (base1, specs1) = applyRegisteredLookups(spark, base0, q.dimensions, catalog)
+    val (base, dimCols) = explodeMultiValue(base1, specs1, base1.schema)
 
     val aggs = q.aggregations.map(a =>
       Compilers.aggCol(a, base.schema, rollupCountOf(q.dataSource, catalog)))
@@ -255,7 +283,8 @@ object QueryPlanner {
   private def planTopN(spark: SparkSession, q: Query.TopN, catalog: Catalog): DataFrame = {
     val src = source(spark, q.dataSource, catalog, q.intervals)
     val base0 = filtered(src, q.intervals, q.filter)
-    val (base, dimCols) = explodeMultiValue(base0, Seq(q.dimension), src.schema)
+    val (base1, specs1) = applyRegisteredLookups(spark, base0, Seq(q.dimension), catalog)
+    val (base, dimCols) = explodeMultiValue(base1, specs1, base1.schema)
     val dimOut = q.dimension.outputName
 
     val aggs = q.aggregations.map(a =>

@@ -24,6 +24,10 @@ trait Catalog {
     * (SURVEY §7.3). */
   def rollupCountColumn(name: String): Option[String] = None
 
+  /** Registered lookup table: (key, value)-schema DataFrame, broadcast-
+    * joined by the planner for registeredLookup dimension specs. */
+  def lookupTable(spark: SparkSession, name: String): Option[DataFrame] = None
+
   /** Version token of a datasource's current state — result-cache entries
     * are keyed on it so any segment change invalidates them (the etag
     * basis, reference `query/query-internal-procedure.md:43-47`). */
@@ -57,6 +61,16 @@ class ParquetDirCatalog(dir: String,
           case _ => df
         }
     })
+
+  /** Built-in fixture lookups: nation/region key→name (FIXTURES.md). */
+  override def lookupTable(spark: SparkSession, name: String): Option[DataFrame] =
+    name match {
+      case "nation_name" => Some(TableLoader.load(spark, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("key"), col("n_name").as("value")))
+      case "region_name" => Some(TableLoader.load(spark, dir, "region")
+        .select(col("r_regionkey").cast("string").as("key"), col("r_name").as("value")))
+      case _ => None
+    }
 }
 
 /** In-memory catalog (tests, embedded use). DataFrames must already carry a
