@@ -1,0 +1,94 @@
+package graft
+
+import graft.engine.Engine
+import graft.sources.ParquetDirCatalog
+import org.apache.spark.sql.DataFrame
+
+
+/** Plan-quality gates: the properties that keep queries viable at 100 TB
+  * must be visible in the physical plan, not just assumed — filter/column
+  * pushdown to the scan, partial top-K before the topN shuffle, broadcast
+  * joins for small dimension sides. A regression here is a scale bug even
+  * when results stay correct. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val engine = new Engine(spark, new ParquetDirCatalog(dir))
+
+  private def physicalPlan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("interval + selector filters push down to the parquet scan (lineitem)") {
+    val df = engine.plan(
+      """{"queryType":"timeseries","dataSource":"lineitem",
+        |"intervals":["1996-01-01T00:00:00Z/1997-01-01T00:00:00Z"],
+        |"granularity":"month",
+        |"filter":{"type":"selector","dimension":"l_returnflag","value":"N"},
+        |"aggregations":[{"type":"doubleSum","name":"sq","fieldName":"l_quantity"}]}""".stripMargin)
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters:"), "no pushed filters section")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("gte(l_shipdate"),
+      s"interval lower bound not pushed:\n${plan.take(2000)}")
+    assert(plan.contains("EqualTo(l_returnflag,N)") || plan.contains("eq(l_returnflag"),
+      "selector filter not pushed")
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val df = engine.plan(
+      """{"queryType":"timeseries","dataSource":"lineitem",
+        |"intervals":["1996-01-01T00:00:00Z/1997-01-01T00:00:00Z"],
+        |"granularity":"all",
+        |"aggregations":[{"type":"doubleSum","name":"sq","fieldName":"l_quantity"}]}""".stripMargin)
+    val plan = physicalPlan(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("topN compiles to partial top-K before the shuffle (WindowGroupLimit)") {
+    val df = engine.plan(
+      """{"queryType":"topN","dataSource":"events",
+        |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+        |"granularity":"day","dimension":"event_type","threshold":3,"metric":"cnt",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    assert(physicalPlan(df).contains("WindowGroupLimit"),
+      "topN should pre-limit per partition before shuffling")
+  }
+
+  test("aggregations are partial->final (map-side combine)") {
+    val df = engine.plan(
+      """{"queryType":"groupBy","dataSource":"events",
+        |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+        |"granularity":"all","dimensions":["event_type"],
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    val plan = physicalPlan(df)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      "no partial aggregation before shuffle")
+  }
+
+  test("registeredLookup dim becomes a broadcast join") {
+    val df = engine.plan(
+      """{"queryType":"groupBy","dataSource":"customer",
+        |"intervals":["1990-01-01T00:00:00Z/2030-01-01T00:00:00Z"],
+        |"granularity":"all",
+        |"dimensions":[{"type":"extraction","dimension":"c_nationkey","outputName":"nation",
+        |  "extractionFn":{"type":"registeredLookup","lookup":"nation_name"}}],
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    assert(physicalPlan(df).contains("BroadcastHashJoin"),
+      "lookup should broadcast, not shuffle")
+  }
+
+  test("whole-stage codegen covers the filter+agg pipeline") {
+    val df = engine.plan(
+      """{"queryType":"timeseries","dataSource":"lineitem",
+        |"intervals":["1996-01-01T00:00:00Z/1997-01-01T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"doubleSum","name":"sq","fieldName":"l_quantity"}]}""".stripMargin)
+    df.collect() // AQE assigns codegen stages only once executed
+    // '*(n)' prefixes mark WholeStageCodegen stages in the compact plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "hot path fell out of whole-stage codegen")
+  }
+}
