@@ -203,6 +203,35 @@ class IngestSpec extends SparkTestBase {
     } finally Files.deleteIfExists(lockFile)
   }
 
+  test("compaction policy rewrites old chunks; retention kills them") {
+    import graft.ingest.Compactor
+    val store = freshStore()
+    store.write(raw, "ev") // chunks 2024-05-01, 2024-05-02
+    // append twice to fragment 05-01
+    store.appendBatch(Seq((ts("2024-05-01T09:00:00Z"), "view", 1.0))
+      .toDF("__time", "event_type", "value"), "ev")
+    val compacted = Compactor.compactOlderThan(spark, store, "ev",
+      java.time.Instant.parse("2024-05-02T00:00:00Z"))
+    assert(compacted == Seq("2024-05-01"))
+    assert(store.read(spark, "ev").count() == 5)
+    val killed = Compactor.enforceRetention(store, "ev",
+      java.time.Instant.parse("2024-05-02T00:00:00Z"))
+    assert(killed == Seq("2024-05-01"))
+    assert(store.readManifest("ev").segments.map(_.chunk) == Seq("2024-05-02"))
+  }
+
+  test("native functions resolve through the SQL surface") {
+    // (withExtensions only applies to a fresh SparkContext — in-JVM tests
+    // exercise the registry route; GraftExtensions wires the same builders)
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    val r = spark.sql(
+      "SELECT round(cosine_similarity(array(3.0D,4.0D), array(3.0D,4.0D)), 3) v")
+      .collect().head.getDouble(0)
+    assert(r == 1.0)
+    val h = spark.sql("SELECT simhash64(array('a','b','c')) v").collect().head.getLong(0)
+    assert(h == spark.sql("SELECT simhash64(array('a','b','c')) v").collect().head.getLong(0))
+  }
+
   test("streaming ingest: micro-batches land as queryable segments; late data dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
