@@ -580,10 +580,9 @@ object Compilers {
     case "numeric" => c.cast(DoubleType)
     case "strlen"  => length(c.cast(StringType))
     case "alphanumeric" =>
-      // numeric-aware sort, approximated: pure-integer strings sort by value
-      // (zero-padded), everything else lexicographically
-      val s = c.cast(StringType)
-      when(s.rlike("^\\d+$"), lpad(s, 32, "0")).otherwise(s)
+      // exact Druid alphanumeric comparator via a native sort-key expression
+      // (embedded digit runs compare numerically)
+      graft.functions.TextHashFunctions.alphanumeric_sort_key(c.cast(StringType))
     case _ => c
   }
 }

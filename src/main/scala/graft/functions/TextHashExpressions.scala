@@ -149,6 +149,51 @@ case class SignatureBandKeys(child: Expression, bands: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sort key realizing Druid's alphanumeric comparator: embedded digit runs
+  * compare numerically ("file2" < "file10"), everything else byte-wise.
+  * Digit runs are rewritten to (0-padded-length-prefix + digits) so plain
+  * string ordering of the key equals alphanumeric ordering of the input. */
+case class AlphanumericSortKey(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+        // strip leading zeros for numeric value comparison, keep at least one
+        var k = i
+        while (k < j - 1 && s.charAt(k) == '0') k += 1
+        val digits = s.substring(k, j)
+        // length prefix (2 chars, supports runs up to 99 digits) then digits:
+        // shorter runs sort before longer ones, equal lengths compare bytewise
+        sb.append('#') // digits sort before letters, marker keeps that
+        sb.append(f"${digits.length}%02d")
+        sb.append(digits)
+        i = j
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextHashFunctions {
   def minhash_signature(tokens: Column, numHashes: Int, shingleN: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), numHashes, shingleN))
@@ -158,4 +203,7 @@ object TextHashFunctions {
 
   def band_keys(signature: Column, bands: Int): Column =
     GraftBridge.column(SignatureBandKeys(GraftBridge.expression(signature), bands))
+
+  def alphanumeric_sort_key(s: Column): Column =
+    GraftBridge.column(AlphanumericSortKey(GraftBridge.expression(s)))
 }

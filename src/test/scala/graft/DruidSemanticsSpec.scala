@@ -231,6 +231,38 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(rows.head.getAs[String]("event_type") == "click")
   }
 
+  test("alphanumeric ordering compares embedded numbers numerically") {
+    val df = Seq(
+      (ts("2024-03-01T01:00:00Z"), "file10"), (ts("2024-03-01T01:00:00Z"), "file2"),
+      (ts("2024-03-01T01:00:00Z"), "file1"), (ts("2024-03-01T01:00:00Z"), "x9y"),
+      (ts("2024-03-01T01:00:00Z"), "x10y"), (ts("2024-03-01T01:00:00Z"), "abc"),
+    ).toDF("__time", "d")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"groupBy","dataSource":"t",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+        |"granularity":"all","dimensions":["d"],
+        |"aggregations":[{"type":"count","name":"cnt"}],
+        |"limitSpec":{"type":"default","columns":[
+        |  {"dimension":"d","direction":"ascending","dimensionOrder":"alphanumeric"}]}}""".stripMargin)
+      .collect().map(_.getAs[String]("d")).toSeq
+    assert(rows == Seq("abc", "file1", "file2", "file10", "x9y", "x10y"))
+  }
+
+  test("multiple intervals: OR-ed predicate + spine covers both, gaps not filled") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z",
+        |             "2024-03-03T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    // day 2 lies BETWEEN the intervals → not zero-filled, not returned
+    assert(rows.map(_.getAs[Timestamp]("__time").toInstant.toString).toSeq ==
+      Seq("2024-03-01T00:00:00Z", "2024-03-03T00:00:00Z"))
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq == Seq(2L, 1L))
+  }
+
   // --- error contract (reference query/query-module-overview.md:60-87) -----
 
   test("unknown queryType surfaces the documented error JSON shape") {
