@@ -144,27 +144,50 @@ object Similarity {
       .drop("__rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs within one table: all pairs with
-    * cosine >= threshold, found via LSH candidates (corpus-side only). */
+  /** Embedding-cosine near-duplicate pairs within one table: pairs with
+    * cosine >= threshold, found via LSH candidates.
+    *
+    * Scale shape: the candidate join carries only (id, packed 64-bit
+    * signature) — 24 bytes/pair, never the vectors. Candidates are
+    * prefiltered by signature bit-agreement (each agreeing hyperplane bit
+    * estimates cos(π·(1 − agree/n)); a 2σ margin keeps ~98% recall), and
+    * only the surviving pairs re-join the vectors for the exact cosine. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 8, rowsPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
     val nBits = bands * rowsPerBand
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    require(nBits <= 64, "cosineNearDupPairs packs the signature into one long")
+
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshSignature(col(vecCol), seed, nBits, dim).as("__sig"))
-      .select(col("id"), col("vec"),
-        posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
-          .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    // cosine is computed map-side per candidate (recomputed for multi-band
-    // collisions) and the pair-dedup shuffle moves only (id, id, cosine) —
-    // measured 4× faster than deduplicating first, which would shuffle the
-    // vectors themselves
-    l.join(r, Seq("band", "bucket"))
+      // pack bit array into a long (acc*2+bit): shuffle-friendly + bit_count
+      .withColumn("__sigbits",
+        aggregate(col("__sig"), lit(0L), (acc, b) => acc * 2 + b))
+
+    val banded = sigs.select(col("id"), col("__sigbits"),
+      posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
+        .as(Seq("band", "bucket")))
+
+    // agreement cut: bits agree w.p. 1-θ/π; keep pairs within 2σ of the
+    // threshold's expected agreement
+    val minAgree = math.max(0,
+      math.floor(nBits * (1.0 - math.acos(threshold) / math.Pi)
+        - 2.0 * math.sqrt(nBits * 0.25)).toInt)
+
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("__sigbits").as("bits_a"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("__sigbits").as("bits_b"))
+    val survivors = l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .where(lit(nBits) - bit_count(col("bits_a").bitwiseXOR(col("bits_b"))) >= minAgree)
+      .select("id_a", "id_b").distinct()
+
+    // exact cosine only for survivors: two joins to fetch vectors
+    val va = sigs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = sigs.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    survivors.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .groupBy("id_a", "id_b").agg(first("cosine").as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }
