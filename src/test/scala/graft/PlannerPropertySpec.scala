@@ -80,7 +80,54 @@ class PlannerPropertySpec extends SparkTestBase {
   } yield Query.Timeseries(DataSource.Table("ev"), Seq(interval), g, f, aggs,
     Seq.empty, desc)
 
+  private val genDimSpec: Gen[DimensionSpec] = Gen.oneOf(
+    Gen.const(DimensionSpec.Default("event_type", "event_type")),
+    Gen.const(DimensionSpec.Default("uid", "uid")),
+    Gen.const(DimensionSpec.Extraction("event_type", "prefix",
+      ExtractionFn.Substring(0, Some(2)))),
+    Gen.const(DimensionSpec.Extraction("event_type", "up", ExtractionFn.Upper)),
+  )
+
+  private val genGroupBy: Gen[Query.GroupBy] = for {
+    f <- Gen.option(genFilter(2))
+    dims <- Gen.nonEmptyListOf(genDimSpec).map(_.distinctBy(_.outputName).take(2))
+    aggs <- Gen.nonEmptyListOf(genAgg).map(_.distinctBy(_.name).take(2))
+    g <- genGranularity
+    limit <- Gen.option(Gen.chooseNum(1, 20))
+  } yield Query.GroupBy(DataSource.Table("ev"), Seq(interval), g, dims, f, aggs,
+    Seq.empty, None,
+    Some(LimitSpec(dims.map(d => OrderByColumnSpec(d.outputName, "ascending",
+      "lexicographic")), limit)))
+
+  private val genTopN: Gen[Query.TopN] = for {
+    f <- Gen.option(genFilter(1))
+    dim <- genDimSpec
+    k <- Gen.chooseNum(1, 5)
+    g <- Gen.oneOf(Granularity.All, Granularity.Simple("day"))
+    inverted <- Gen.oneOf(true, false)
+  } yield Query.TopN(DataSource.Table("ev"), Seq(interval), g, dim, k,
+    if (inverted) TopNMetricSpec.Inverted(TopNMetricSpec.Numeric("cnt"))
+    else TopNMetricSpec.Numeric("cnt"),
+    f, Seq(Aggregator.Count("cnt")), Seq.empty)
+
   // -- properties -----------------------------------------------------------
+
+  test("planner is total: random groupBy queries plan and execute") {
+    forAllSampled(genGroupBy, cases = 20) { q =>
+      val df = QueryPlanner.plan(spark, q, catalog)
+      val rows = df.collect()
+      q.limitSpec.flatMap(_.limit).foreach(l => assert(rows.length <= l))
+      q.dimensions.foreach(d => assert(df.columns.contains(d.outputName)))
+    }
+  }
+
+  test("planner is total: random topN queries respect the threshold per bucket") {
+    forAllSampled(genTopN, cases = 20) { q =>
+      val rows = QueryPlanner.plan(spark, q, catalog).collect()
+      val perBucket = rows.groupBy(_.getAs[Timestamp]("__time")).values
+      perBucket.foreach(b => assert(b.length <= q.threshold))
+    }
+  }
 
   test("planner is total: random timeseries queries plan and execute") {
     forAllSampled(genTimeseries) { q =>
