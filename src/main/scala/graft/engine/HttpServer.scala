@@ -1,0 +1,86 @@
+package graft.engine
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer => JdkHttpServer}
+import graft.ingest.TaskService
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** Minimal HTTP layer over the engine — the reference's query-service REST
+  * surface (reference `query/query-module-overview.md:3-6,55-59`;
+  * `arch/indexing-service/indexing-service-submit-task.md:10`):
+  *
+  *   POST   /druid/v2            JSON query → Druid-shaped JSON results
+  *   DELETE /druid/v2/{queryId}  cancel a running query
+  *   POST   /druid/indexer/v1/task   submit an ingestion task
+  *   GET    /druid/indexer/v1/task/{id}/status
+  *
+  * Built on the JDK's HttpServer (zero extra dependencies); errors surface
+  * as HTTP 500 + the documented `{error, errorMessage, errorClass, host}`
+  * body.
+  */
+class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 0) {
+
+  private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  /** actual bound port (useful with port=0) */
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  server.createContext("/druid/v2", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+          case ("POST", "/druid/v2") | ("POST", "/druid/v2/") =>
+            respond(ex, 200, engine.executeJson(readBody(ex)))
+          case ("DELETE", path) if path.startsWith("/druid/v2/") =>
+            val queryId = path.stripPrefix("/druid/v2/")
+            engine.cancel(queryId)
+            respond(ex, 202, s"""{"cancelled":"$queryId"}""")
+          case _ => respond(ex, 405, """{"error":"unsupported method"}""")
+        }
+      } catch {
+        case e: Engine.QueryError => respond(ex, 500, e.toJson)
+        case e: Exception => respond(ex, 500, Engine.QueryError.unknown(e).toJson)
+      }
+  })
+
+  server.createContext("/druid/indexer/v1/task", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val svc = tasks.getOrElse(
+          throw new IllegalStateException("no TaskService configured"))
+        (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+          case ("POST", "/druid/indexer/v1/task") =>
+            val id = svc.submit(readBody(ex))
+            respond(ex, 200, s"""{"task":"$id"}""")
+          case ("GET", path) if path.endsWith("/status") =>
+            val id = path.stripPrefix("/druid/indexer/v1/task/").stripSuffix("/status")
+            svc.status(id) match {
+              case Some(st) =>
+                respond(ex, 200,
+                  s"""{"task":"${st.id}","status":{"id":"${st.id}","status":"${st.state}"}}""")
+              case None => respond(ex, 404, s"""{"error":"unknown task '$id'"}""")
+            }
+          case _ => respond(ex, 405, """{"error":"unsupported method"}""")
+        }
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("already exists") =>
+          respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+        case e: Exception => respond(ex, 500, Engine.QueryError.unknown(e).toJson)
+      }
+  })
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+}

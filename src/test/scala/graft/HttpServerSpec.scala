@@ -1,0 +1,78 @@
+package graft
+
+import graft.engine.{Engine, HttpServer}
+import graft.ingest.TaskService
+import graft.sources.MapCatalog
+import graft.store.SegmentStore
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** REST surface: POST /druid/v2 (query), DELETE /druid/v2/{id} (cancel),
+  * POST /druid/indexer/v1/task (+status) — reference
+  * `query/query-module-overview.md:3-6,55-59`. */
+class HttpServerSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+
+  private lazy val events = Seq(
+    (ts("2024-03-01T01:00:00Z"), "click", 10.0),
+    (ts("2024-03-02T02:00:00Z"), "view", 20.0),
+  ).toDF("__time", "event_type", "value")
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /druid/v2 runs a query; errors return the documented shape") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val ok = post(s"$base/druid/v2",
+        """{"queryType":"timeseries","dataSource":"ev",
+          |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      assert(ok.statusCode() == 200)
+      assert(ok.body().contains("\"cnt\":1"))
+
+      val bad = post(s"$base/druid/v2", """{"queryType":"nope","dataSource":"ev"}""")
+      assert(bad.statusCode() == 500)
+      assert(bad.body().contains("\"errorMessage\"") && bad.body().contains("\"host\""))
+
+      val cancel = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/some-query-id")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cancel.statusCode() == 202)
+    } finally srv.stop()
+  }
+
+  test("task endpoint: submit + status; duplicate rejected with 400") {
+    val store = new SegmentStore(Files.createTempDirectory("graft-http").toString)
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val srv = new HttpServer(engine, Some(new TaskService(spark, store)))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val ok = post(s"$base/druid/indexer/v1/task", """{"type":"noop","id":"http1"}""")
+      assert(ok.statusCode() == 200 && ok.body().contains("http1"))
+
+      val st = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/indexer/v1/task/http1/status")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(st.statusCode() == 200 && st.body().contains("SUCCESS"))
+
+      val dup = post(s"$base/druid/indexer/v1/task", """{"type":"noop","id":"http1"}""")
+      assert(dup.statusCode() == 400 && dup.body().contains("already exists"))
+    } finally srv.stop()
+  }
+}
