@@ -614,6 +614,27 @@ object SparkEntry {
           |  {"dimension":"nation","direction":"ascending"},
           |  {"dimension":"c_mktsegment","direction":"ascending"}]}}""".stripMargin)
         .withColumn("acct", round(col("acct"), 2))),
+    "q49_scrub_split" -> ((s, dir) => {
+      // PII scrubbing + deterministic md5-based train/val/test assignment
+      import graft.ext.TextAnalysis._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val salted = concat(col("text"),
+        lit(" contact bob@example.com or https://x.co/a b"))
+      docs.select(col("doc_id"),
+        splitLabel(col("doc_id"), 90, 5).as("split"),
+        length(scrubPii(salted)).cast("long").as("scrub_len"))
+        .orderBy("doc_id")
+    }),
+    "q50_chunking" -> ((s, dir) => {
+      // overlapping token-window chunking (64-token chunks, 16 overlap)
+      import graft.ext.TextAnalysis._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val chunks = chunkTokens(col("text"), 64, 16)
+      docs.select(col("doc_id"),
+        size(chunks).cast("long").as("n_chunks"),
+        md5(element_at(chunks, 1)).as("first_chunk_md5"))
+        .orderBy("doc_id")
+    }),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -907,6 +928,28 @@ object SparkEntry {
         |  count(*) AS cnt, round(sum(c_acctbal), 2) AS acct
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, c_mktsegment""".stripMargin,
+    "q49_scrub_split" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT) < 90 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT) < 95 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  CAST(length(regexp_replace(regexp_replace(
+        |    text || ' contact bob@example.com or https://x.co/a b',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g')) AS BIGINT) AS scrub_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q50_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN len(toks) <= 64 THEN [array_to_string(toks, ' ')]
+        |  ELSE list_transform(generate_series(1, len(toks) - 16, 48),
+        |    s -> array_to_string(toks[s:s+63], ' ')) END AS chunks
+        |  FROM t)
+        |SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+        |  md5(chunks[1]) AS first_chunk_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q46_sql_custom_fn" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3) AS cosine

@@ -70,4 +70,43 @@ object TextAnalysis {
     * join key than md5 at scale. */
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  // -------------------------------------------------------------------------
+  // pipeline hygiene: scrubbing, chunking, splitting
+  // -------------------------------------------------------------------------
+
+  /** Scrub emails and URLs (the standard pre-training hygiene pass). */
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "https?://[^\\s]+", "<URL>")
+  }
+
+  /** Split a document into overlapping token-window chunks (context-window
+    * packing). Returns array<string>; explode for one row per chunk. */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val t = split(trim(text), "\\s+")
+    val step = chunkSize - overlap
+    when(size(t) <= chunkSize, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        // starts: 1, 1+step, 1+2*step, ... while start <= len-overlap
+        sequence(lit(1), size(t) - overlap, lit(step)),
+        s => concat_ws(" ", slice(t, s, lit(chunkSize)))))
+  }
+
+  /** Deterministic train/val/test assignment: md5-based so ANY engine
+    * reproduces the same split (percentile = first 8 md5 hex digits of the
+    * id, mod 100). */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 8), 16, 10)
+      .cast(LongType) % 100
+
+  /** "train" | "val" | "test" per the (trainPct, valPct) cut points. */
+  def splitLabel(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val b = splitBucket(id)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 }
