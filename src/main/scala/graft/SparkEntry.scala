@@ -635,6 +635,14 @@ object SparkEntry {
         md5(element_at(chunks, 1)).as("first_chunk_md5"))
         .orderBy("doc_id")
     }),
+    "q51_topn_multivalue" -> ((s, dir) =>
+      // topN over a multi-value dim: rows count once per value, then rank
+      engine(s, dir).plan(
+        """{"queryType":"topN","dataSource":"events_mv",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-20T00:00:00Z"],
+          |"granularity":"all","dimension":"tags","threshold":4,
+          |"metric":"cnt",
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -928,6 +936,11 @@ object SparkEntry {
         |  count(*) AS cnt, round(sum(c_acctbal), 2) AS acct
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, c_mktsegment""".stripMargin,
+    "q51_topn_multivalue" ->
+      """SELECT TIMESTAMP '2024-01-01' AS __time, u.t AS tags, count(*) AS cnt
+        |FROM events, unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS u(t)
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-20'
+        |GROUP BY 2 ORDER BY cnt DESC, tags LIMIT 4""".stripMargin,
     "q49_scrub_split" ->
       """SELECT doc_id,
         |  CASE

@@ -108,9 +108,14 @@ class SegmentStore(val root: String) {
 
   /** Ingest `df` (must carry `__time`) into day-chunked segments, optionally
     * rolled up to `queryGranularity` over `dims` with `metricAggs`.
-    * Overwrites any existing version of the touched chunks. */
+    * Overwrites any existing version of the touched chunks.
+    *
+    * `bloomFilterDims`: high-cardinality dimensions to write Parquet bloom
+    * filters for — the storage-side stand-in for Druid's per-column bitmap
+    * indexes on selective filters (SURVEY §1.1). */
   def write(df: DataFrame, ds: String,
-      rollup: Option[(Granularity, Seq[String], Seq[Aggregator])] = None): Unit = {
+      rollup: Option[(Granularity, Seq[String], Seq[Aggregator])] = None,
+      bloomFilterDims: Seq[String] = Seq.empty): Unit = {
 
     val prepared = rollup match {
       case Some((qGran, dims, metricAggs)) =>
@@ -137,7 +142,10 @@ class SegmentStore(val root: String) {
         val v = cur + 1
         val dir = Paths.get(root, ds, s"dt=$c", s"v$v").toString
         val part = withChunk.where(col("dt") === c).drop("dt")
-        part.write.mode(SaveMode.Overwrite).parquet(dir)
+        val writer = bloomFilterDims.foldLeft(part.write.mode(SaveMode.Overwrite)) {
+          (w, d) => w.option(s"parquet.bloom.filter.enabled#$d", "true")
+        }
+        writer.parquet(dir)
         val rows = org.apache.spark.sql.SparkSession.active.read.parquet(dir).count()
         SegmentInfo(c, v, dir, rows,
           rollup.map(_ => "__rollup_count"))
