@@ -89,6 +89,13 @@ class Engine(spark: SparkSession, catalog: Catalog) {
 
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
+    // context `priority` → scheduler pool (Druid query prioritization,
+    // reference `query/query-module-overview.md:55`); takes effect when the
+    // session runs the FAIR scheduler, harmless otherwise
+    query.context.get("priority").foreach { p =>
+      val pool = if (p.toIntOption.exists(_ > 0)) "graft_high" else "graft_low"
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+    }
     try {
       val run = () => {
         val df = QueryPlanner.plan(spark, query, catalog)
@@ -138,6 +145,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           throw QueryError("Query cancelled", s"query $queryId cancelled", e.getClass.getName)
         else throw QueryError.unknown(e)
     } finally {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       spark.sparkContext.clearJobGroup()
     }
   }

@@ -42,7 +42,18 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
       try {
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
           case ("POST", "/druid/v2") | ("POST", "/druid/v2/") =>
-            respond(ex, 200, engine.executeJson(readBody(ex)))
+            // etag / If-None-Match (reference query/query-internal-procedure.md:43-47)
+            val body = readBody(ex)
+            val tag = engine.etag(body, graft.model.QueryJson.parseQuery(body))
+            val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+            if (ifNoneMatch.contains(tag)) {
+              ex.getResponseHeaders.add("ETag", tag)
+              ex.sendResponseHeaders(304, -1)
+              ex.close()
+            } else {
+              ex.getResponseHeaders.add("ETag", tag)
+              respond(ex, 200, engine.executeJson(body))
+            }
           case ("DELETE", path) if path.startsWith("/druid/v2/") =>
             val queryId = path.stripPrefix("/druid/v2/")
             engine.cancel(queryId)

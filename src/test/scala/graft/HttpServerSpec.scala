@@ -53,6 +53,17 @@ class HttpServerSpec extends SparkTestBase {
         URI.create(s"$base/druid/v2/some-query-id")).DELETE().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(cancel.statusCode() == 202)
+
+      // etag round-trip: repeat with If-None-Match → 304
+      val q = """{"queryType":"timeBoundary","dataSource":"ev"}"""
+      val first = post(s"$base/druid/v2", q)
+      val tag = first.headers().firstValue("ETag").orElse("")
+      assert(tag.nonEmpty)
+      val second = client.send(HttpRequest.newBuilder(URI.create(s"$base/druid/v2"))
+        .header("If-None-Match", tag)
+        .POST(HttpRequest.BodyPublishers.ofString(q)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(second.statusCode() == 304)
     } finally srv.stop()
   }
 
