@@ -66,6 +66,51 @@ class EngineSpec extends SparkTestBase {
     assert(e.error == "Resource limit exceeded")
   }
 
+  test("engine is safe under concurrent queries (8 parallel executeJson)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    val futs = (1 to 8).map { i =>
+      Future(engine.executeJson(
+        s"""{"queryType":"timeseries","dataSource":"ev",
+           |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+           |"granularity":"day","context":{"queryId":"conc-$i","useCache":"false"},
+           |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin))
+    }
+    val results = futs.map(f => Await.result(f, 120.seconds))
+    assert(results.toSet.size == 1) // all identical
+    assert(results.head.contains("\"cnt\":2"))
+  }
+
+  test("queries behave identically over a many-file partitioned source") {
+    // same rows written as 16 parquet files — results must not depend on
+    // file layout (partial agg / merge correctness)
+    val dir = java.nio.file.Files.createTempDirectory("graft-manyfiles").toString
+    val big = (0 until 5000).map { i =>
+      (ts(f"2024-05-${1 + i % 3}%02dT${i % 24}%02d:00:00Z"),
+        Seq("a", "b", "c")(i % 3), i.toDouble)
+    }
+    import spark.implicits._
+    big.toDF("__time", "event_type", "value").repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    val engine = new Engine(spark, new MapCatalog(
+      Map("ev16" -> spark.read.parquet(dir))))
+    val q =
+      """{"queryType":"groupBy","dataSource":"ev16",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"day","dimensions":["event_type"],
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}],
+        |"limitSpec":{"type":"default","columns":[
+        |  {"dimension":"event_type","direction":"ascending"}]}}""".stripMargin
+    val fromFiles = engine.plan(q).collect().map(_.toString).sorted
+    val inMem = new Engine(spark, new MapCatalog(
+      Map("ev16" -> big.toDF("__time", "event_type", "value"))))
+      .plan(q).collect().map(_.toString).sorted
+    assert(fromFiles.sameElements(inMem))
+  }
+
   test("timeout context → 'Query timeout' error") {
     // a plan that cannot finish in 1ms: big crossJoin aggregation
     val big = spark.range(4000000).toDF("id").withColumn("__time", org.apache.spark.sql.functions.lit(ts("2024-05-01T00:00:00Z")))
