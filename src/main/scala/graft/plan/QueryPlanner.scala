@@ -236,8 +236,9 @@ object QueryPlanner {
       val isArray = baseDim.exists(d =>
         schema.fields.exists(f => f.name == d && f.dataType.isInstanceOf[ArrayType]))
       if (isArray) {
-        val d = baseDim.get
-        val tmp = s"__mv_$d"
+        // temp column keyed by OUTPUT name: two specs over the same array
+        // dim (e.g. different listFiltered prunes) must explode separately
+        val tmp = s"__mv_${spec.outputName}"
         if (!cur.columns.contains(tmp)) {
           // ListFiltered/RegexFiltered prune the value list BEFORE explode
           val pruned = Compilers.dimensionCol(stripOutput(spec), schema)

@@ -119,6 +119,40 @@ class DruidSemanticsSpec extends SparkTestBase {
       Seq(("a", 1L), ("b", 2L), ("c", 1L)))
   }
 
+  test("two differently-filtered specs over the same multi-value dim explode independently") {
+    val rows = engine.plan(
+      """{"queryType":"groupBy","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"dimensions":[
+        |  {"type":"listFiltered","delegate":{"type":"default","dimension":"tags","outputName":"ab_tag"},
+        |   "values":["a","b"],"isWhitelist":true},
+        |  {"type":"listFiltered","delegate":{"type":"default","dimension":"tags","outputName":"c_tag"},
+        |   "values":["c"],"isWhitelist":true}],
+        |"aggregations":[{"type":"count","name":"cnt"}],
+        |"limitSpec":{"type":"default","columns":[
+        |  {"dimension":"ab_tag","direction":"ascending"},
+        |  {"dimension":"c_tag","direction":"ascending"}]}}""".stripMargin)
+      .collect()
+    // row1 tags=[a,b] → ab_tag ∈ {a,b}, c_tag null; row3 tags=[c] → ab null, c_tag=c
+    val got = rows.map(r => (r.getAs[String]("ab_tag"), r.getAs[String]("c_tag"),
+      r.getAs[Long]("cnt"))).toSet
+    assert(got.contains(("a", null, 1L)) && got.contains(("b", null, 2L)))
+    assert(got.contains((null, "c", 1L)))
+    assert(!got.exists(t => t._1 != null && t._2 != null)) // never cross-joined values
+  }
+
+  test("empty IN filter matches nothing") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"in","dimension":"event_type","values":[]},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("cnt") == 0L)
+  }
+
   // --- NOT-filter null semantics -------------------------------------------
 
   test("not filter keeps rows where inner filter is null-valued") {
