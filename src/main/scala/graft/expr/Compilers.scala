@@ -318,6 +318,15 @@ object Compilers {
       case _ => v
     }
 
+  /** Scalar predicate over a dimension: for multi-value (array) dims with
+    * an extraction fn, the extraction applies PER VALUE and the row matches
+    * if ANY transformed value matches (Druid semantics, SURVEY §7.4). */
+  private def perValuePred(dim: String, exOpt: Option[ExtractionFn],
+      schema: StructType)(pred: Column => Column): Column =
+    if (isMultiValue(schema, dim) && exOpt.isDefined)
+      exists(col(dim), x => pred(extractionCol(exOpt.get, x)))
+    else pred(dimCol(dim, exOpt, schema))
+
   /** Compile a filter against a source schema. Multi-value (array) dims use
     * Druid's "matches any value" semantics (SURVEY §7.4). */
   def filterCol(f: Filter, schema: StructType): Column = {
@@ -334,6 +343,8 @@ object Compilers {
             if (isMultiValue(schema, dim) && exOpt.isEmpty)
               array_contains(col(dim), typedLitFor(schema, dim, v).cast(
                 fieldType(schema, dim).get.asInstanceOf[ArrayType].elementType))
+            else if (isMultiValue(schema, dim))
+              perValuePred(dim, exOpt, schema)(_ === lit(v))
             else if (exOpt.isEmpty) c === typedLitFor(schema, dim, v)
             else c === lit(v)
         }
@@ -367,7 +378,6 @@ object Compilers {
         val upPred = up.map(v => if (upS) c < mk(v) else c <= mk(v))
         Seq(loPred, upPred).flatten.reduceOption(_ && _).getOrElse(lit(true))
       case Like(dim, pattern, escape, exOpt) =>
-        val c = dimCol(dim, exOpt, schema).cast(StringType)
         // Column.like has no escape-char overload; normalize a custom escape
         // char to the default backslash in the pattern instead.
         val normalized = escape match {
@@ -375,11 +385,11 @@ object Compilers {
             pattern.replace("\\", "\\\\").replace(e.head.toString, "\\")
           case _ => pattern
         }
-        c.like(normalized)
+        perValuePred(dim, exOpt, schema)(_.cast(StringType).like(normalized))
       case Regex(dim, pattern, exOpt) =>
-        dimCol(dim, exOpt, schema).cast(StringType).rlike(pattern)
+        perValuePred(dim, exOpt, schema)(_.cast(StringType).rlike(pattern))
       case Search(dim, q, exOpt) =>
-        searchMatch(q, dimCol(dim, exOpt, schema).cast(StringType))
+        perValuePred(dim, exOpt, schema)(c => searchMatch(q, c.cast(StringType)))
       case IntervalF(dim, ivs, exOpt) =>
         intervalPredicate(ivs, dimCol(dim, exOpt, schema))
       case ColumnComparison(dims) =>

@@ -142,6 +142,19 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(!got.exists(t => t._1 != null && t._2 != null)) // never cross-joined values
   }
 
+  test("filter extraction over a multi-value dim applies per value (any-match)") {
+    // upper('b') == 'B' only matches rows whose tags contain 'b'
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"selector","dimension":"tags","value":"B",
+        |  "extractionFn":{"type":"upper"}},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("cnt") == 2L)
+  }
+
   test("empty IN filter matches nothing") {
     val rows = engine.plan(
       """{"queryType":"timeseries","dataSource":"ev",
