@@ -171,6 +171,15 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   /** `DELETE /druid/v2/{id}` equivalent. */
   def cancel(queryId: String): Unit = spark.sparkContext.cancelJobGroup(queryId)
 
+  /** SQL surface (SURVEY §2.1 Q10 — Druid SQL ≈ Catalyst): registers the
+    * named datasources as temp views plus the engine's native functions,
+    * then runs the statement. */
+  def executeSql(sql: String, datasources: Seq[String]): DataFrame = {
+    datasources.foreach(n => catalog.table(spark, n).createOrReplaceTempView(n))
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    spark.sql(sql)
+  }
+
   private def isCancellation(e: Throwable): Boolean = {
     var c: Throwable = e
     while (c != null) {

@@ -111,6 +111,17 @@ class EngineSpec extends SparkTestBase {
     assert(fromFiles.sameElements(inMem))
   }
 
+  test("executeSql runs SQL over catalog datasources with native functions") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    val rows = engine.executeSql(
+      """SELECT event_type, count(*) AS cnt,
+        |  simhash64(array(event_type)) AS sig
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+      Seq("ev")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("click", "view"))
+    assert(rows.forall(r => r.getLong(2) != 0L))
+  }
+
   test("timeout context → 'Query timeout' error") {
     // a plan that cannot finish in 1ms: big crossJoin aggregation
     val big = spark.range(4000000).toDF("id").withColumn("__time", org.apache.spark.sql.functions.lit(ts("2024-05-01T00:00:00Z")))
