@@ -265,6 +265,37 @@ class IngestSpec extends SparkTestBase {
     assert(r.getAs[Timestamp]("maxTime") == ts("2024-06-01T12:00:00Z"))
   }
 
+  test("sessionization: gap-based sessions close via event-time timeout state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val stream = mem.toDF().toDF("entity", "__time", "value")
+
+    val out = graft.streaming.Sessionize.sessions(stream, "entity", "value",
+      gapMinutes = 30, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+
+    // u1: two events 10 min apart (one session), then a 2h gap, then one more
+    mem.addData(
+      ("u1", ts("2024-06-01T10:00:00Z"), 1.0),
+      ("u1", ts("2024-06-01T10:10:00Z"), 2.0))
+    q.processAllAvailable()
+    mem.addData(("u1", ts("2024-06-01T12:30:00Z"), 5.0)) // watermark passes 10:40
+    q.processAllAvailable()
+    mem.addData(("u2", ts("2024-06-01T15:00:00Z"), 9.0)) // push watermark further
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.sql("SELECT * FROM sessions_out").collect()
+    val first = sessions.find(r => r.getAs[String]("entity") == "u1" &&
+      r.getAs[Timestamp]("session_start") == ts("2024-06-01T10:00:00Z"))
+    assert(first.isDefined, s"got: ${sessions.mkString(";")}")
+    assert(first.get.getAs[Long]("n_events") == 2L)
+    assert(first.get.getAs[Double]("sum_value") == 3.0)
+    assert(first.get.getAs[Timestamp]("session_end") == ts("2024-06-01T10:10:00Z"))
+  }
+
   test("streaming windowed rollup drops late rows beyond the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
