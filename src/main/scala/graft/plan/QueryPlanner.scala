@@ -346,6 +346,17 @@ object QueryPlanner {
 
   private def planSegmentMetadata(spark: SparkSession, q: Query.SegmentMetadata,
       catalog: Catalog): DataFrame = {
+    // merge=false over a segment-timeline datasource → one row per segment
+    // (Druid's per-segment analysis; reference query/query-module-overview.md:29-30)
+    q.dataSource match {
+      case DataSource.Table(name) if !q.merge =>
+        val infos = catalog.segmentInfos(name)
+        if (infos.nonEmpty) {
+          import spark.implicits._
+          return infos.toDF("segment_id", "version", "rows")
+        }
+      case _ =>
+    }
     val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = if (q.intervals.nonEmpty) filtered(src, q.intervals, None) else src
     val wantCardinality = q.analysisTypes.isEmpty || q.analysisTypes.contains("cardinality")

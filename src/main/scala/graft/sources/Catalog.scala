@@ -24,6 +24,11 @@ trait Catalog {
     * (SURVEY §7.3). */
   def rollupCountColumn(name: String): Option[String] = None
 
+  /** Per-segment metadata (chunk id, version, row count) when the
+    * datasource is backed by a segment timeline — powers segmentMetadata
+    * with merge=false. Default: unknown. */
+  def segmentInfos(name: String): Seq[(String, Int, Long)] = Seq.empty
+
   /** Registered lookup table: (key, value)-schema DataFrame, broadcast-
     * joined by the planner for registeredLookup dimension specs. */
   def lookupTable(spark: SparkSession, name: String): Option[DataFrame] = None

@@ -320,6 +320,10 @@ class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
   override def rollupCountColumn(name: String): Option[String] =
     store.readManifest(name).rollupCountCol
 
+  override def segmentInfos(name: String): Seq[(String, Int, Long)] =
+    store.readManifest(name).segments.sortBy(_.chunk)
+      .map(s => (s.chunk, s.version, s.rowCount))
+
   override def versionToken(name: String): String =
     store.readManifest(name).segments.sortBy(_.chunk)
       .map(s => s"${s.chunk}:v${s.version}:${s.rowCount}").mkString(",")

@@ -203,6 +203,17 @@ class IngestSpec extends SparkTestBase {
     } finally Files.deleteIfExists(lockFile)
   }
 
+  test("segmentMetadata merge=false lists one row per manifest segment") {
+    val store = freshStore()
+    store.write(raw, "ev")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val rows = engine.plan(
+      """{"queryType":"segmentMetadata","dataSource":"ev","merge":false}""")
+      .collect()
+    assert(rows.map(r => (r.getAs[String]("segment_id"), r.getAs[Long]("rows"))).toSeq ==
+      Seq(("2024-05-01", 3L), ("2024-05-02", 1L)))
+  }
+
   test("compaction policy rewrites old chunks; retention kills them") {
     import graft.ingest.Compactor
     val store = freshStore()
