@@ -643,6 +643,19 @@ object SparkEntry {
           |"granularity":"all","dimension":"tags","threshold":4,
           |"metric":"cnt",
           |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)),
+    "q52_scan_throughput" -> ((s, dir) =>
+      // headline raw-scan throughput: full-table aggregate, no filters
+      roundCols(engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"lineitem",
+          |"intervals":["1990-01-01T00:00:00Z/2005-01-01T00:00:00Z"],
+          |"granularity":"all",
+          |"aggregations":[
+          |  {"type":"count","name":"cnt"},
+          |  {"type":"doubleSum","name":"sum_price","fieldName":"l_extendedprice"},
+          |  {"type":"doubleSum","name":"sum_qty","fieldName":"l_quantity"},
+          |  {"type":"doubleMax","name":"max_price","fieldName":"l_extendedprice"},
+          |  {"type":"longMin","name":"min_ok","fieldName":"l_orderkey"}]}""".stripMargin),
+        Seq("sum_price", "sum_qty", "max_price"), scale = 1)),
     "q28_cosine_neardup" -> ((s, dir) => {
       // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
@@ -936,6 +949,13 @@ object SparkEntry {
         |  count(*) AS cnt, round(sum(c_acctbal), 2) AS acct
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, c_mktsegment""".stripMargin,
+    "q52_scan_throughput" ->
+      """SELECT TIMESTAMP '1990-01-01' AS __time, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 1) AS sum_price,
+        |  round(sum(l_quantity), 1) AS sum_qty,
+        |  round(max(l_extendedprice), 1) AS max_price,
+        |  CAST(min(l_orderkey) AS BIGINT) AS min_ok
+        |FROM lineitem""".stripMargin,
     "q51_topn_multivalue" ->
       """SELECT TIMESTAMP '2024-01-01' AS __time, u.t AS tags, count(*) AS cnt
         |FROM events, unnest([event_type, 'u' || CAST(user_id % 10 AS VARCHAR)]) AS u(t)

@@ -93,9 +93,10 @@ class TaskService(spark: SparkSession, store: SegmentStore) {
         case "csv"     => spark.read.option("header", "true").csv(t.inputPath)
         case f         => throw new IllegalArgumentException(s"unknown input format '$f'")
       }
-      val withTime =
-        if (t.timestampColumn == "__time") raw
-        else raw.withColumn("__time", col(t.timestampColumn).cast("timestamp"))
+      // always coerce to TimestampType — text formats (csv/json) deliver
+      // the time column as string even when it is already named __time
+      val withTime = raw.withColumn("__time",
+        col(t.timestampColumn).cast("timestamp"))
       // flattenSpec: project nested JSON fields into flat dimension columns
       val flattened = t.flatten.foldLeft(withTime) { case (d, (out, src, path)) =>
         d.withColumn(out, get_json_object(col(src), path))

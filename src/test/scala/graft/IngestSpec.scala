@@ -89,6 +89,27 @@ class IngestSpec extends SparkTestBase {
     assert(store.read(spark, "ev").count() == 4)
   }
 
+  test("index task ingests JSON and CSV input formats") {
+    val store = freshStore()
+    val svc = new TaskService(spark, store)
+    val jsonIn = Files.createTempDirectory("graft-json").toString
+    raw.withColumn("__time", col("__time").cast("string"))
+      .write.mode("overwrite").json(jsonIn)
+    svc.submit(
+      s"""{"type":"index","id":"j1","dataSource":"ev_json","inputPath":"$jsonIn",
+         |"inputFormat":"json","timestampColumn":"__time"}""".stripMargin)
+    assert(store.read(spark, "ev_json").count() == 4)
+
+    val csvIn = Files.createTempDirectory("graft-csv").toString
+    raw.write.mode("overwrite").option("header", "true").csv(csvIn)
+    svc.submit(
+      s"""{"type":"index","id":"c1","dataSource":"ev_csv","inputPath":"$csvIn",
+         |"inputFormat":"csv","timestampColumn":"__time"}""".stripMargin)
+    assert(store.read(spark, "ev_csv").count() == 4)
+    assert(store.read(spark, "ev_csv").schema("__time").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("index task flattenSpec projects nested JSON into dimensions") {
     val store = freshStore()
     val svc = new TaskService(spark, store)
