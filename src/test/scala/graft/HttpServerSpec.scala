@@ -67,6 +67,35 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("full stack: ingest over HTTP, query the new segments over HTTP") {
+    import graft.store.SegmentCatalog
+    val store = new SegmentStore(Files.createTempDirectory("graft-e2e").toString)
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val srv = new HttpServer(engine, Some(new TaskService(spark, store)))
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val input = Files.createTempDirectory("graft-e2e-in").toString
+      events.write.mode("overwrite").parquet(input)
+
+      // 1. ingest through the task endpoint
+      val sub = post(s"$base/druid/indexer/v1/task",
+        s"""{"type":"index","id":"e2e","dataSource":"ev_http",
+           |"inputPath":"$input","inputFormat":"parquet",
+           |"timestampColumn":"__time"}""".stripMargin)
+      assert(sub.statusCode() == 200)
+
+      // 2. query the freshly ingested datasource through the query endpoint
+      val res = post(s"$base/druid/v2",
+        """{"queryType":"timeseries","dataSource":"ev_http",
+          |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+      assert(res.statusCode() == 200)
+      assert(res.body().contains("\"sv\":10.0") && res.body().contains("\"sv\":20.0"))
+    } finally srv.stop()
+  }
+
   test("task endpoint: submit + status; duplicate rejected with 400") {
     val store = new SegmentStore(Files.createTempDirectory("graft-http").toString)
     val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
