@@ -312,7 +312,7 @@ object ResultEncoder {
           val e = events.addArray()
           cols.indices.foreach(i => addValue(e, row.get(i)))
         }
-      case _: Query.Select =>
+      case sel: Query.Select =>
         val o = root.addObject()
         val r = o.putObject("result")
         val events = r.putArray("events")
@@ -322,7 +322,11 @@ object ResultEncoder {
           row.schema.fieldNames.foreach(f => putValue(e, f, row.getAs[Any](f)))
           n += 1
         }
-        r.putObject("pagingIdentifiers").put("offset", n)
+        // cursor semantics: next offset = offset this page started at + rows
+        val startOffset =
+          if (sel.pagingSpec.pagingIdentifiers.isEmpty) 0
+          else sel.pagingSpec.pagingIdentifiers.values.max
+        r.putObject("pagingIdentifiers").put("offset", startOffset + n)
       case _: Query.SegmentMetadata =>
         df.toLocalIterator().forEachRemaining { row =>
           val o = root.addObject()

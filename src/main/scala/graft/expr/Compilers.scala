@@ -43,7 +43,8 @@ object Compilers {
     case Granularity.Simple(u) => Some(simpleTrunc(u, t))
     case Granularity.Duration(ms, origin) =>
       val o = origin.map(_.toEpochMilli).getOrElse(0L)
-      Some(timestamp_millis(((unix_millis(t) - o).cast(LongType) / ms)
+      // floor (not truncate-toward-zero) so pre-origin timestamps bucket left
+      Some(timestamp_millis(floor((unix_millis(t) - o).cast(DoubleType) / ms)
         .cast(LongType).*(ms).+(o)))
     case Granularity.Period(p, tz, origin) => Some(periodTrunc(p, tz, origin, t))
   }
@@ -82,7 +83,8 @@ object Compilers {
         // general fixed-length period (e.g. PT6H, P2D): duration bucketing
         val ms = periodMillis(period)
         val o = origin.map(_.toEpochMilli).getOrElse(0L)
-        timestamp_millis(((unix_millis(t) - o) / ms).cast(LongType) * ms + o)
+        timestamp_millis(floor((unix_millis(t) - o).cast(DoubleType) / ms)
+          .cast(LongType) * ms + o)
     }
   }
 

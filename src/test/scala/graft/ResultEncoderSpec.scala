@@ -73,7 +73,7 @@ class ResultEncoderSpec extends SparkTestBase {
     assert(o.get("events").size() == 3)
   }
 
-  test("select result: events + pagingIdentifiers") {
+  test("select result: events + cumulative paging cursor") {
     val json = engine.executeJson(
       """{"queryType":"select","dataSource":"ev",
         |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
@@ -83,6 +83,16 @@ class ResultEncoderSpec extends SparkTestBase {
     val r = root.get(0).get("result")
     assert(r.get("events").size() == 2)
     assert(r.get("pagingIdentifiers").get("offset").asInt() == 2)
+
+    // page 2: cursor continues from the returned offset
+    val json2 = engine.executeJson(
+      """{"queryType":"select","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"pagingSpec":{"pagingIdentifiers":{"offset":2},"threshold":2}}""".stripMargin)
+    val r2 = mapper.readTree(json2).get(0).get("result")
+    assert(r2.get("events").size() == 1) // only the 3rd row remains
+    assert(r2.get("pagingIdentifiers").get("offset").asInt() == 3)
   }
 
   test("timeBoundary result: {result:{minTime, maxTime}}") {
