@@ -643,6 +643,37 @@ object SparkEntry {
           |"granularity":"all","dimension":"tags","threshold":4,
           |"metric":"cnt",
           |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)),
+    "q53_sql_tpch3" -> ((s, dir) => {
+      // TPC-H Q3 shape: shipping priority (3-way join, top revenue)
+      registerTpch(s, dir)
+      s.sql(
+        """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+          |  o_orderdate
+          |FROM customer JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < timestamp'1997-03-15 00:00:00'
+          |  AND l_shipdate > timestamp'1997-03-15 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+    }),
+    "q54_sql_tpch5" -> ((s, dir) => {
+      // TPC-H Q5 shape: local-supplier volume (6-way join incl. region)
+      registerTpch(s, dir)
+      s.sql(
+        """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+          |FROM customer
+          |JOIN orders   ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation   ON s_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= timestamp'1996-01-01 00:00:00'
+          |  AND o_orderdate < timestamp'1998-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
     "q52_scan_throughput" -> ((s, dir) =>
       // headline raw-scan throughput: full-table aggregate, no filters
       roundCols(engine(s, dir).plan(
@@ -949,6 +980,29 @@ object SparkEntry {
         |  count(*) AS cnt, round(sum(c_acctbal), 2) AS acct
         |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY nation, c_mktsegment""".stripMargin,
+    "q53_sql_tpch3" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+        |  o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-03-15'
+        |  AND l_shipdate > TIMESTAMP '1997-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q54_sql_tpch5" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q52_scan_throughput" ->
       """SELECT TIMESTAMP '1990-01-01' AS __time, count(*) AS cnt,
         |  round(sum(l_extendedprice), 1) AS sum_price,
