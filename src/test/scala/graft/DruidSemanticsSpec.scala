@@ -267,6 +267,23 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(rows.head.getAs[String]("event_type") == "click") // 30 < 40
   }
 
+  test("topN can rank by a post-aggregator metric") {
+    val rows = engine.plan(
+      """{"queryType":"topN","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all","dimension":"event_type","threshold":1,
+        |"metric":"avg_val",
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}],
+        |"postAggregations":[{"type":"arithmetic","name":"avg_val","fn":"/","fields":[
+        |  {"type":"fieldAccess","fieldName":"sv"},
+        |  {"type":"fieldAccess","fieldName":"cnt"}]}]}""".stripMargin)
+      .collect()
+    // avg: view=40.0, click=15.0 → view wins
+    assert(rows.head.getAs[String]("event_type") == "view")
+    assert(rows.head.getAs[Double]("avg_val") == 40.0)
+  }
+
   test("topN lexicographic metric ranks by dimension value") {
     val rows = engine.plan(
       """{"queryType":"topN","dataSource":"ev",
