@@ -67,6 +67,37 @@ class ParquetDirCatalog(dir: String,
         }
     })
 
+  /** Interval-routed read for the nanos-timestamp tables: the predicate is
+    * applied to the RAW int64 nanos column before conversion, so it pushes
+    * into the Parquet scan (row-group min/max pruning) — the converted
+    * `__time` expression above it never can. */
+  override def table(spark: SparkSession, name: String,
+      intervals: Seq[graft.model.Interval]): DataFrame = {
+    def nanos(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000000L + i.getNano
+    val base = table(spark, name)
+    val tc = timeColumns.get(if (name == "events_mv") "events" else name)
+    if (intervals.isEmpty || tc.isEmpty) base
+    else {
+      val raw = TableLoader.loadRaw(spark, dir,
+        if (name == "events_mv") "events" else name)
+      raw.schema.fields.find(_.name == tc.get).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.LongType) =>
+          // nanos-as-long source: pushable predicate on the raw column
+          val pred = intervals.map(iv =>
+            col(tc.get) >= nanos(iv.start) && col(tc.get) < nanos(iv.end))
+            .reduce(_ || _)
+          val routed = TableLoader.convertNanos(raw.where(pred))
+            .withColumn("__time", col(tc.get))
+          if (name == "events_mv")
+            routed.withColumn("tags", array(col("event_type"),
+              concat(lit("u"), (col("user_id") % 10).cast("string"))))
+          else routed
+        case _ => base // native timestamps already push down
+      }
+    }
+  }
+
   /** Built-in fixture lookups: nation/region key→name (FIXTURES.md). */
   override def lookupTable(spark: SparkSession, name: String): Option[DataFrame] =
     name match {

@@ -17,15 +17,22 @@ object TableLoader {
   /** Columns that may arrive as nano-long and must become TimestampType. */
   private val nanoTimeColumns: Set[String] = Set("ts")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    convertNanos(loadRaw(spark, dir, name))
+
+  /** Raw read: nanos time columns stay int64 (for pushable predicates). */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Druid is lenient where ANSI SQL throws (bad casts, overflow); match it.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Convert any known nanos-long time column to a µs timestamp. */
+  def convertNanos(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (d, f) =>
       if (nanoTimeColumns.contains(f.name) && f.dataType == LongType)
         d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
       else d
     }
-  }
 }

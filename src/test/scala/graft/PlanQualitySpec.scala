@@ -34,6 +34,17 @@ class PlanQualitySpec extends SparkTestBase {
       "selector filter not pushed")
   }
 
+  test("nanos-timestamp source: interval predicate pushes on the raw column") {
+    val df = engine.plan(
+      """{"queryType":"timeseries","dataSource":"events",
+        |"intervals":["2024-01-05T00:00:00Z/2024-01-10T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    val plan = physicalPlan(df)
+    assert(plan.contains("GreaterThanOrEqual(ts") || plan.contains("gte(ts"),
+      s"raw nanos lower bound not pushed:\n${plan.take(1500)}")
+  }
+
   test("column pruning: scan reads only referenced columns") {
     val df = engine.plan(
       """{"queryType":"timeseries","dataSource":"lineitem",
