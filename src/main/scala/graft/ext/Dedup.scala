@@ -87,13 +87,14 @@ object Dedup {
     val r = banded.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sig").as("sig_b"))
 
+    // threshold BEFORE the pair-dedup shuffle: only matching pairs move
     l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
       .groupBy("id_a", "id_b")                      // same pair from many bands
       .agg(first("est_jaccard").as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
   }
 
   /** Connected-component-free dedup decision: drop any doc that pairs with a
@@ -151,10 +152,11 @@ object Dedup {
         .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // hamming filter BEFORE the pair-dedup shuffle
     l.join(r, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
   }
 }
