@@ -155,6 +155,21 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("cnt") == 2L)
   }
 
+  test("regexFiltered dimension spec keeps only matching multi-values") {
+    val rows = engine.plan(
+      """{"queryType":"groupBy","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"dimensions":[{"type":"regexFiltered",
+        |  "delegate":{"type":"default","dimension":"tags","outputName":"ab"},
+        |  "pattern":"^[ab]$"}],
+        |"aggregations":[{"type":"count","name":"cnt"}],
+        |"limitSpec":{"type":"default","columns":[{"dimension":"ab","direction":"ascending"}]}}""".stripMargin)
+      .collect().map(r => (r.getAs[String]("ab"), r.getAs[Long]("cnt"))).toSeq
+    // c-only row survives as null group; a and b keep their counts
+    assert(rows == Seq((null, 1L), ("a", 1L), ("b", 2L)))
+  }
+
   test("empty IN filter matches nothing") {
     val rows = engine.plan(
       """{"queryType":"timeseries","dataSource":"ev",

@@ -52,6 +52,40 @@ class HllSketchSpec extends SparkTestBase {
     assert(math.abs(merged - 3000).toDouble / 3000 < 0.05, s"est=$merged")
   }
 
+  test("streaming windowed rollup can build HLL sketches; query merges them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.nio.file.Files
+    def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
+    implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val stream = mem.toDF().toDF("__time", "event_type", "user_id")
+    val store = new SegmentStore(Files.createTempDirectory("graft-hll-stream").toString)
+    val ckpt = Files.createTempDirectory("graft-hll-ckpt").toString
+
+    val q = graft.streaming.RealtimeIngest.windowedRollup(stream, store, "live_hll",
+      granularity = "1 hour", watermark = "10 minutes", dims = Seq("event_type"),
+      aggExprs = Seq(
+        graft.functions.HllFunctions.hll_sketch_build(
+          org.apache.spark.sql.functions.col("user_id")).as("uu_sketch"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt")),
+      checkpointDir = ckpt)
+    // window closes when watermark passes: emit 10:00 window via later event
+    mem.addData((0 until 300).map(i =>
+      (ts(f"2024-08-01T10:${i % 60}%02d:00Z"), "click", (i % 120).toLong)): _*)
+    q.processAllAvailable()
+    mem.addData((ts("2024-08-01T12:00:00Z"), "click", 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val stored = store.read(spark, "live_hll")
+    assert(stored.schema("uu_sketch").dataType == org.apache.spark.sql.types.BinaryType)
+    val est = stored.select(HllFunctions.hll_sketch_estimate(
+      HllFunctions.hll_sketch_merge(stored("uu_sketch"))).as("est"))
+      .collect().head.getAs[Long]("est")
+    assert(math.abs(est - 120).toDouble / 120 < 0.06, s"est=$est")
+  }
+
   test("rollup segment with hyperUnique sketch: query merges stored sketches") {
     def ts(s: String): Timestamp = Timestamp.from(java.time.Instant.parse(s))
     val raw = (0 until 2000).map { i =>
