@@ -230,7 +230,7 @@ object SparkEntry {
 
     val segmentMetadata: String =
       """{"queryType":"segmentMetadata","dataSource":"events",
-         |"analysisTypes":["cardinality"]}""".stripMargin
+         |"analysisTypes":["exactCardinality"]}""".stripMargin
 
     val search: String =
       """{"queryType":"search","dataSource":"events",

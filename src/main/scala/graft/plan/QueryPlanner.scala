@@ -359,22 +359,50 @@ object QueryPlanner {
     }
     val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = if (q.intervals.nonEmpty) filtered(src, q.intervals, None) else src
-    val wantCardinality = q.analysisTypes.isEmpty || q.analysisTypes.contains("cardinality")
-    val fields = src.schema.fields.toSeq
-    val aggCols: Seq[Column] =
-      count(lit(1)).as("__rows") +:
-      fields.filterNot(_.name == TimeColumn).map { f =>
-        if (wantCardinality) countDistinct(col(f.name)).as(s"card_${f.name}")
-        else lit(null).cast(LongType).as(s"card_${f.name}")
+    val wantCardinality = q.analysisTypes.isEmpty || q.analysisTypes.contains("cardinality") ||
+      q.analysisTypes.contains("exactCardinality")
+    // Exact distinct counts are opt-in: N exact countDistinct in one agg
+    // triggers Catalyst's Expand (one row copy per column) — on a wide
+    // 100-TB table that is a metadata query costing more than real queries.
+    // Default is approx_count_distinct (HLL++, one pass, no Expand);
+    // `analysisTypes:["exactCardinality"]` gets exact counts via a single
+    // scan of (column, value) pairs — still no Expand, two shuffles.
+    val exact = q.analysisTypes.contains("exactCardinality")
+    val nonTime = src.schema.fields.toSeq.filterNot(_.name == TimeColumn)
+
+    if (exact) {
+      val pairs = base
+        .select(explode(array(nonTime.map(f =>
+          struct(lit(f.name).as("column"),
+            col(f.name).cast(StringType).as("value"))): _*)).as("p"))
+        .select(col("p.column").as("column"), col("p.value").as("value"))
+      val cards = pairs.where(col("value").isNotNull).distinct()
+        .groupBy("column").agg(count(lit(1)).as("cardinality"))
+      // spine guarantees a row per column even when it is all-null
+      val spine = base.agg(count(lit(1)).as("rows"))
+        .select(col("rows"), explode(array(nonTime.map(f =>
+          struct(lit(f.name).as("column"),
+            lit(f.dataType.simpleString).as("type"))): _*)).as("c"))
+        .select(col("c.column").as("column"), col("c.type").as("type"), col("rows"))
+      spine.join(cards, Seq("column"), "left")
+        .select(col("column"), col("type"),
+          coalesce(col("cardinality"), lit(0L)).as("cardinality"), col("rows"))
+    } else {
+      val aggCols: Seq[Column] =
+        count(lit(1)).as("__rows") +:
+        nonTime.map { f =>
+          if (wantCardinality) approx_count_distinct(col(f.name)).as(s"card_${f.name}")
+          else lit(null).cast(LongType).as(s"card_${f.name}")
+        }
+      val one = base.agg(aggCols.head, aggCols.tail: _*)
+      // one row per column: (column, type, cardinality, rows)
+      val stacked = nonTime.map { f =>
+        struct(lit(f.name).as("column"), lit(f.dataType.simpleString).as("type"),
+          col(s"card_${f.name}").as("cardinality"), col("__rows").as("rows"))
       }
-    val one = base.agg(aggCols.head, aggCols.tail: _*)
-    // one row per column: (column, type, cardinality, rows)
-    val stacked = fields.filterNot(_.name == TimeColumn).map { f =>
-      struct(lit(f.name).as("column"), lit(f.dataType.simpleString).as("type"),
-        col(s"card_${f.name}").as("cardinality"), col("__rows").as("rows"))
+      one.select(explode(array(stacked: _*)).as("c"))
+        .select(col("c.column"), col("c.type"), col("c.cardinality"), col("c.rows"))
     }
-    one.select(explode(array(stacked: _*)).as("c"))
-      .select(col("c.column"), col("c.type"), col("c.cardinality"), col("c.rows"))
   }
 
   // -- dataSourceMetadata ---------------------------------------------------
@@ -399,28 +427,32 @@ object QueryPlanner {
     // per-granularity-bucket results when granularity != all
     val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
 
-    val perDim = dims.map { d =>
+    // Single scan for all searched dimensions: explode (dimension, values)
+    // structs, then one grouped count — N separate scans + unionAll would
+    // read the source once per dimension (and by default every string
+    // column is searched).
+    val dimStructs = dims.map { d =>
       val isArray = src.schema.fields.exists(f =>
         f.name == d && f.dataType.isInstanceOf[ArrayType])
-      val valueCol = if (isArray) explode(col(d)) else col(d)
-      val projected = bucketOpt match {
-        case Some(b) => base.select(b.as(TimeColumn), valueCol.cast(StringType).as("value"))
-        case None    => base.select(valueCol.cast(StringType).as("value"))
-      }
-      val grouped = bucketOpt match {
-        case Some(_) => projected.where(Compilers.searchMatch(q.query, col("value")))
-          .groupBy(col(TimeColumn), col("value"))
-        case None => projected.where(Compilers.searchMatch(q.query, col("value")))
-          .groupBy(col("value"))
-      }
-      val counted = grouped.agg(count(lit(1)).as("count"))
-      bucketOpt match {
-        case Some(_) => counted.select(col(TimeColumn), lit(d).as("dimension"),
-          col("value"), col("count"))
-        case None => counted.select(lit(d).as("dimension"), col("value"), col("count"))
-      }
+      val values =
+        if (isArray) col(d).cast(ArrayType(StringType))
+        else array(col(d).cast(StringType))
+      struct(lit(d).as("dimension"), values.as("values"))
     }
-    val unioned = perDim.reduce(_ unionAll _)
+    val keyCols = bucketOpt.map(_.as(TimeColumn)).toSeq
+    val exploded = base
+      .select(keyCols :+ explode(array(dimStructs: _*)).as("dv"): _*)
+      .select((bucketOpt.map(_ => col(TimeColumn)).toSeq :+
+        col("dv.dimension").as("dimension")) :+ explode(col("dv.values")).as("value"): _*)
+      .where(Compilers.searchMatch(q.query, col("value")))
+    val groupKeys = bucketOpt.map(_ => col(TimeColumn)).toSeq ++
+      Seq(col("dimension"), col("value"))
+    val counted = exploded.groupBy(groupKeys: _*).agg(count(lit(1)).as("count"))
+    val unioned = bucketOpt match {
+      case Some(_) => counted.select(col(TimeColumn), col("dimension"),
+        col("value"), col("count"))
+      case None => counted.select(col("dimension"), col("value"), col("count"))
+    }
     val bucketPrefix = bucketOpt.map(_ => col(TimeColumn).asc).toSeq
     val sorted = q.sort match {
       case "count" => unioned.orderBy(bucketPrefix ++ Seq(col("count").desc,

@@ -80,6 +80,27 @@ class SegmentStore(val root: String) {
       StandardCopyOption.REPLACE_EXISTING) // atomic flip = segment visibility
   }
 
+  // Chunk locks allow two tasks on DIFFERENT chunks to run concurrently (by
+  // design), but every task rewrites the WHOLE manifest — so the manifest
+  // read-modify-write itself must be atomic per datasource or the last
+  // writer silently drops the other task's segments. All mutations go
+  // through `updateManifest`, and overshadowed version dirs are deleted only
+  // after confirming the flipped manifest no longer references them.
+  private val manifestLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def updateManifest(ds: String)(update: Manifest => Manifest): Manifest =
+    manifestLocks.computeIfAbsent(ds, _ => new Object).synchronized {
+      val next = update(readManifest(ds))
+      writeManifest(next)
+      next
+    }
+
+  private def deleteUnreferenced(next: Manifest, candidates: Seq[String]): Unit = {
+    val live = next.segments.map(_.path).toSet
+    candidates.filterNot(live.contains).foreach(p => deleteDir(Paths.get(p)))
+  }
+
   // -- interval locks (TaskLockbox equivalent) ------------------------------
 
   final case class TaskConflictException(msg: String) extends RuntimeException(msg)
@@ -134,9 +155,10 @@ class SegmentStore(val root: String) {
 
     val withChunk = prepared.withColumn("dt", date_format(col("__time"), "yyyy-MM-dd"))
     val chunks = withChunk.select("dt").distinct().collect().map(_.getString(0)).sorted
-    val manifest = readManifest(ds)
 
     withChunkLocks(ds, chunks.toSeq) {
+      // read under the chunk locks: versions of OUR chunks can no longer move
+      val manifest = readManifest(ds)
       val byChunk = chunks.map { c =>
         val cur = manifest.segments.filter(_.chunk == c).map(_.version).maxOption.getOrElse(0)
         val v = cur + 1
@@ -150,10 +172,11 @@ class SegmentStore(val root: String) {
         SegmentInfo(c, v, dir, rows,
           rollup.map(_ => "__rollup_count"))
       }
-      val untouched = manifest.segments.filterNot(s => chunks.contains(s.chunk))
-      val old = manifest.segments.filter(s => chunks.contains(s.chunk))
-      writeManifest(Manifest(ds, untouched ++ byChunk))
-      old.foreach(s => deleteDir(Paths.get(s.path))) // overshadowed versions
+      val oldPaths = manifest.segments.filter(s => chunks.contains(s.chunk)).map(_.path)
+      val next = updateManifest(ds) { cur =>
+        Manifest(ds, cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ byChunk)
+      }
+      deleteUnreferenced(next, oldPaths) // overshadowed versions
     }
   }
 
@@ -163,8 +186,8 @@ class SegmentStore(val root: String) {
   def appendBatch(df: DataFrame, ds: String): Unit = {
     val withChunk = df.withColumn("dt", date_format(col("__time"), "yyyy-MM-dd"))
     val chunks = withChunk.select("dt").distinct().collect().map(_.getString(0)).sorted
-    val manifest = readManifest(ds)
     withChunkLocks(ds, chunks.toSeq) {
+      val manifest = readManifest(ds)
       val updated = chunks.map { c =>
         val existing = manifest.segments.find(_.chunk == c)
         val v = existing.map(_.version).getOrElse(1)
@@ -174,8 +197,9 @@ class SegmentStore(val root: String) {
         val rows = org.apache.spark.sql.SparkSession.active.read.parquet(dir).count()
         SegmentInfo(c, v, dir, rows, existing.flatMap(_.rollupCountCol))
       }
-      val untouched = manifest.segments.filterNot(s => chunks.contains(s.chunk))
-      writeManifest(Manifest(ds, untouched ++ updated))
+      updateManifest(ds) { cur =>
+        Manifest(ds, cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ updated)
+      }
     }
   }
 
@@ -184,30 +208,29 @@ class SegmentStore(val root: String) {
   /** `append` task: merge a chunk's many small files into `targetFiles`
     * (compaction — the streaming handoff path). */
   def compactChunk(spark: SparkSession, ds: String, chunk: String,
-      targetFiles: Int = 1): Unit = {
-    val manifest = readManifest(ds)
-    val seg = manifest.segments.find(_.chunk == chunk)
-      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+      targetFiles: Int = 1): Unit =
     withChunkLocks(ds, Seq(chunk)) {
+      val seg = readManifest(ds).segments.find(_.chunk == chunk)
+        .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
       val v = seg.version + 1
       val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
       spark.read.parquet(seg.path).coalesce(targetFiles)
         .write.mode(SaveMode.Overwrite).parquet(dir)
       val rows = spark.read.parquet(dir).count()
-      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
-        SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol)))
-      deleteDir(Paths.get(seg.path))
+      val next = updateManifest(ds) { cur =>
+        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+          SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
+      }
+      deleteUnreferenced(next, Seq(seg.path))
     }
-  }
 
   /** `merge` task: re-run rollup aggregation across a chunk's rows (merges
     * shards that were rolled up separately). */
   def mergeChunk(spark: SparkSession, ds: String, chunk: String,
-      dims: Seq[String], metricAggs: Seq[Aggregator]): Unit = {
-    val manifest = readManifest(ds)
-    val seg = manifest.segments.find(_.chunk == chunk)
-      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+      dims: Seq[String], metricAggs: Seq[Aggregator]): Unit =
     withChunkLocks(ds, Seq(chunk)) {
+      val seg = readManifest(ds).segments.find(_.chunk == chunk)
+        .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
       val df = spark.read.parquet(seg.path)
       val countCol = seg.rollupCountCol.getOrElse("__rollup_count")
       val aggs = metricAggs.map(a => Compilers.aggCol(a, df.schema)) :+
@@ -218,55 +241,58 @@ class SegmentStore(val root: String) {
       val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
       merged.write.mode(SaveMode.Overwrite).parquet(dir)
       val rows = spark.read.parquet(dir).count()
-      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
-        SegmentInfo(chunk, v, dir, rows, Some(countCol))))
-      deleteDir(Paths.get(seg.path))
+      val next = updateManifest(ds) { cur =>
+        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+          SegmentInfo(chunk, v, dir, rows, Some(countCol)))
+      }
+      deleteUnreferenced(next, Seq(seg.path))
     }
-  }
 
   /** `kill` task: permanently delete a chunk's segment + metadata. */
-  def killChunk(ds: String, chunk: String): Unit = {
-    val manifest = readManifest(ds)
-    val (dead, keep) = manifest.segments.partition(_.chunk == chunk)
+  def killChunk(ds: String, chunk: String): Unit =
     withChunkLocks(ds, Seq(chunk)) {
-      writeManifest(Manifest(ds, keep))
-      dead.foreach(s => deleteDir(Paths.get(s.path)))
+      var dead: Seq[SegmentInfo] = Seq.empty
+      val next = updateManifest(ds) { cur =>
+        val (d, keep) = cur.segments.partition(_.chunk == chunk)
+        dead = d
+        Manifest(ds, keep)
+      }
+      deleteUnreferenced(next, dead.map(_.path))
     }
-  }
 
   /** `move`/`archive`/`restore` tasks: relocate segment files to another
     * storage root and repoint the manifest. */
-  def moveChunk(ds: String, chunk: String, newRoot: String): Unit = {
-    val manifest = readManifest(ds)
-    val seg = manifest.segments.find(_.chunk == chunk)
-      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+  def moveChunk(ds: String, chunk: String, newRoot: String): Unit =
     withChunkLocks(ds, Seq(chunk)) {
+      val seg = readManifest(ds).segments.find(_.chunk == chunk)
+        .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
       val dest = Paths.get(newRoot, ds, s"dt=$chunk", s"v${seg.version}")
       Files.createDirectories(dest.getParent)
       Files.move(Paths.get(seg.path), dest, StandardCopyOption.ATOMIC_MOVE)
-      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
-        seg.copy(path = dest.toString)))
+      updateManifest(ds) { cur =>
+        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+          seg.copy(path = dest.toString))
+      }
     }
-  }
 
   /** `convert_segment` task: rewrite a chunk with new writer options
     * (e.g. codec). */
   def convertChunk(spark: SparkSession, ds: String, chunk: String,
-      options: Map[String, String]): Unit = {
-    val manifest = readManifest(ds)
-    val seg = manifest.segments.find(_.chunk == chunk)
-      .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
+      options: Map[String, String]): Unit =
     withChunkLocks(ds, Seq(chunk)) {
+      val seg = readManifest(ds).segments.find(_.chunk == chunk)
+        .getOrElse(throw new IllegalArgumentException(s"no segment for chunk $chunk"))
       val v = seg.version + 1
       val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
       spark.read.parquet(seg.path).write.mode(SaveMode.Overwrite)
         .options(options).parquet(dir)
       val rows = spark.read.parquet(dir).count()
-      writeManifest(Manifest(ds, manifest.segments.filterNot(_.chunk == chunk) :+
-        SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol)))
-      deleteDir(Paths.get(seg.path))
+      val next = updateManifest(ds) { cur =>
+        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+          SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
+      }
+      deleteUnreferenced(next, Seq(seg.path))
     }
-  }
 
   // -- read -----------------------------------------------------------------
 

@@ -194,6 +194,29 @@ class IngestSpec extends SparkTestBase {
     assert(none.count() == 0 && none.columns.contains("__time"))
   }
 
+  test("concurrent ingest into DIFFERENT chunks keeps both (manifest race)") {
+    // chunk locks permit this concurrency by design; the manifest
+    // read-modify-write must still be atomic or the last writer drops the
+    // other task's segments and the survivor references deleted paths
+    val store = freshStore()
+    val df1 = Seq((ts("2024-06-01T01:00:00Z"), "a", 1.0))
+      .toDF("__time", "event_type", "value")
+    val df2 = Seq((ts("2024-06-02T01:00:00Z"), "b", 2.0))
+      .toDF("__time", "event_type", "value")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(store.write(df1, "race"))
+    val f2 = Future(store.write(df2, "race"))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    val m = store.readManifest("race")
+    assert(m.segments.map(_.chunk).sorted == Seq("2024-06-01", "2024-06-02"))
+    // every advertised path actually exists on disk (no dangling deletes)
+    m.segments.foreach(s => assert(Files.exists(java.nio.file.Paths.get(s.path)),
+      s"manifest references deleted path ${s.path}"))
+    assert(spark.read.parquet(m.segments.map(_.path): _*).count() == 2)
+  }
+
   test("duplicate task id is rejected (submit-task.md:45-48)") {
     val store = freshStore()
     val svc = new TaskService(spark, store)

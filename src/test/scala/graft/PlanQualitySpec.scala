@@ -91,6 +91,36 @@ class PlanQualitySpec extends SparkTestBase {
       "lookup should broadcast, not shuffle")
   }
 
+  test("segmentMetadata default cardinality is approximate: no Expand in plan") {
+    val df = engine.plan(
+      """{"queryType":"segmentMetadata","dataSource":"events",
+        |"analysisTypes":["cardinality"]}""".stripMargin)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Expand"),
+      "default segmentMetadata must use approx_count_distinct (no Expand)")
+    assert(plan.contains("approx_count_distinct"), "expected HLL++ cardinality")
+  }
+
+  test("segmentMetadata exactCardinality also avoids Expand (pair-explode scan)") {
+    val df = engine.plan(
+      """{"queryType":"segmentMetadata","dataSource":"events",
+        |"analysisTypes":["exactCardinality"]}""".stripMargin)
+    assert(!physicalPlan(df).contains("Expand"),
+      "exact cardinality should stack (column,value) pairs, not Expand")
+  }
+
+  test("search over 3 dimensions scans the source once") {
+    val df = engine.plan(
+      """{"queryType":"search","dataSource":"events",
+        |"intervals":["2024-01-01T00:00:00Z/2024-01-20T00:00:00Z"],
+        |"searchDimensions":["event_type","props","event_id"],
+        |"query":{"type":"insensitive_contains","value":"c"},
+        |"sort":"lexicographic","limit":10}""".stripMargin)
+    // one "Location:" detail line per distinct scan node in formatted explain
+    val scans = physicalPlan(df).linesIterator.count(_.contains("Location:"))
+    assert(scans == 1, s"search should read the source once, saw $scans scans")
+  }
+
   test("whole-stage codegen covers the filter+agg pipeline") {
     val df = engine.plan(
       """{"queryType":"timeseries","dataSource":"lineitem",
