@@ -54,11 +54,17 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     case DataSource.QueryD(q0) => datasourceNames(q0.dataSource)
   }
 
-  /** Cache key / HTTP etag for a query against current segment versions. */
+  /** Cache key / HTTP etag for a query against current segment versions.
+    * SHA-256 (truncated to 128 bits) — a 32-bit hashCode pair collides at
+    * birthday scale ~2^16 cached queries and would serve a WRONG result. */
   def etag(json: String, query: Query): String = {
     val versions = datasourceNames(query.dataSource)
       .map(n => s"$n=${catalog.versionToken(n)}").mkString(";")
-    Integer.toHexString(json.hashCode) + "-" + Integer.toHexString(versions.hashCode)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte) // unambiguous separator
+    md.update(versions.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(16).map(b => f"$b%02x").mkString
   }
 
   /** Execute a JSON query; returns the result as a single JSON string in the
@@ -100,14 +106,10 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       val run = () => {
         val df = QueryPlanner.plan(spark, query, catalog)
         // groupBy resource cap → the documented "Resource limit exceeded"
-        // error (reference `query/query-module-overview.md:86`)
-        query.context.get("maxResults").flatMap(_.toIntOption).foreach { mx =>
-          if (query.isInstanceOf[Query.GroupBy] && df.limit(mx + 1).count() > mx)
-            throw QueryError("Resource limit exceeded",
-              s"groupBy produced more than maxResults=$mx rows",
-              "ResourceLimitExceededException")
-        }
-        ResultEncoder.encode(query, df)
+        // error (reference `query/query-module-overview.md:86`). Enforced
+        // inside the encode iteration — one execution, no probe job.
+        val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
+        ResultEncoder.encode(query, df, maxResults)
       }
       val result = timeoutMs match {
         case None => run()
@@ -147,6 +149,49 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     } finally {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
       spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** Streaming variant of executeJson: the result arrives as JSON chunks
+    * while the DataFrame executes partition-at-a-time — a large scan/select
+    * never materializes on the driver (reference scan's no-materialization
+    * property, `query/query-internal-procedure.md:152-189`). Cache population
+    * is skipped (the result is never held whole); a prior cached result IS
+    * served. Errors raised mid-stream propagate from the iterator. */
+  def executeJsonStream(json: String): Iterator[String] = {
+    val query =
+      try QueryJson.parseQuery(json)
+      catch { case NonFatal(e) => throw QueryError.unknown(e) }
+    val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
+    val useCache = query.context.get("useCache").forall(_.toBoolean)
+    val cacheKey = etag(json, query)
+    if (useCache) {
+      val hit = resultCache.get(cacheKey)
+      if (hit != null) {
+        record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
+          success = true, cached = true, bytes = hit.length.toLong))
+        return Iterator.single(hit)
+      }
+    }
+    spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
+      interruptOnCancel = true)
+    val df = QueryPlanner.plan(spark, query, catalog)
+    val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
+    val t0 = System.nanoTime()
+    val inner = ResultEncoder.encodeStream(query, df, maxResults)
+    new Iterator[String] {
+      private var bytes = 0L
+      def hasNext: Boolean = {
+        val more = inner.hasNext
+        if (!more && bytes >= 0L) {
+          record(QueryMetric(queryId, query.getClass.getSimpleName,
+            (System.nanoTime() - t0) / 1000000L,
+            success = true, cached = false, bytes = bytes))
+          bytes = -1L // record once
+        }
+        more
+      }
+      def next(): String = { val s = inner.next(); bytes += s.length; s }
     }
   }
 
@@ -214,7 +259,13 @@ object Engine {
 
 /** Per-query-type Druid JSON result shapes (reference
   * `query/query-timeseries.md:60-72` for timeseries; others per the Druid
-  * v0.12.1 API the reference's overview links to). */
+  * v0.12.1 API surface the overview links to).
+  *
+  * STREAMING: results are written through a Jackson `JsonGenerator` and
+  * handed out as string chunks while `toLocalIterator` advances — the driver
+  * never holds the full document (or the full row set). A 1M-row scan uses
+  * O(chunk) driver memory, matching scan's documented no-materialization
+  * property (reference `query/query-internal-procedure.md:152-189`). */
 object ResultEncoder {
 
   private val mapper = new ObjectMapper()
@@ -226,113 +277,235 @@ object ResultEncoder {
     case other => String.valueOf(other)
   }
 
-  private def putValue(o: ObjectNode, k: String, v: Any): Unit = v match {
-    case null                  => o.putNull(k)
-    case b: Boolean            => o.put(k, b)
-    case i: Int                => o.put(k, i)
-    case l: Long               => o.put(k, l)
-    case f: Float              => o.put(k, f)
-    case d: Double             => o.put(k, d)
-    case d: java.math.BigDecimal => o.put(k, d)
-    case t: java.sql.Timestamp => o.put(k, tsString(t))
-    case s: Seq[_]             =>
-      val a = o.putArray(k); s.foreach(e => addValue(a, e))
-    case other                 => o.put(k, String.valueOf(other))
+  import com.fasterxml.jackson.core.JsonGenerator
+
+  private def writeVal(g: JsonGenerator, v: Any): Unit = v match {
+    case null                    => g.writeNull()
+    case b: Boolean              => g.writeBoolean(b)
+    case i: Int                  => g.writeNumber(i)
+    case l: Long                 => g.writeNumber(l)
+    case f: Float                => g.writeNumber(f)
+    case d: Double               => g.writeNumber(d)
+    case d: java.math.BigDecimal => g.writeNumber(d)
+    case t: java.sql.Timestamp   => g.writeString(tsString(t))
+    case s: Seq[_]               =>
+      g.writeStartArray(); s.foreach(writeVal(g, _)); g.writeEndArray()
+    case other                   => g.writeString(String.valueOf(other))
   }
 
-  private def addValue(a: ArrayNode, v: Any): Unit = v match {
-    case null                  => a.addNull()
-    case b: Boolean            => a.add(b)
-    case i: Int                => a.add(i)
-    case l: Long               => a.add(l)
-    case f: Float              => a.add(f)
-    case d: Double             => a.add(d)
-    case t: java.sql.Timestamp => a.add(tsString(t))
-    case s: Seq[_]             => val sub = a.addArray(); s.foreach(e => addValue(sub, e))
-    case other                 => a.add(String.valueOf(other))
+  private def writeField(g: JsonGenerator, k: String, v: Any): Unit = {
+    g.writeFieldName(k); writeVal(g, v)
   }
 
-  def encode(q: Query, df: DataFrame): String = {
-    val root = mapper.createArrayNode()
-    q match {
-      case _: Query.Timeseries =>
-        df.toLocalIterator().forEachRemaining { row =>
-          val o = root.addObject()
-          o.put("timestamp", tsString(row.getAs[Any]("__time")))
-          val r = o.putObject("result")
-          row.schema.fieldNames.filterNot(_ == "__time")
-            .foreach(f => putValue(r, f, row.getAs[Any](f)))
-        }
-      case _: Query.GroupBy =>
-        df.toLocalIterator().forEachRemaining { row =>
-          val o = root.addObject()
-          o.put("version", "v1")
-          if (row.schema.fieldNames.contains("__time"))
-            o.put("timestamp", tsString(row.getAs[Any]("__time")))
-          val ev = o.putObject("event")
-          row.schema.fieldNames.filterNot(_ == "__time")
-            .foreach(f => putValue(ev, f, row.getAs[Any](f)))
-        }
-      case _: Query.TopN =>
-        // rows arrive ordered by (__time, rank) — group into per-bucket arrays
-        var curTs: String = null
-        var curArr: ArrayNode = null
-        df.toLocalIterator().forEachRemaining { row =>
-          val ts = tsString(row.getAs[Any]("__time"))
-          if (ts != curTs) {
-            val o = root.addObject()
-            o.put("timestamp", ts)
-            curArr = o.putArray("result")
-            curTs = ts
+  /** Growable char sink the chunk iterator drains between rows. */
+  private final class ChunkBuffer extends java.io.Writer {
+    private val sb = new java.lang.StringBuilder(1 << 16)
+    override def write(cbuf: Array[Char], off: Int, len: Int): Unit =
+      sb.append(cbuf, off, len)
+    override def flush(): Unit = ()
+    override def close(): Unit = ()
+    def size: Int = sb.length
+    def drain(): String = { val s = sb.toString; sb.setLength(0); s }
+  }
+
+  /** Buffered encode — drains the stream. Semantics identical to the
+    * streaming path (single execution, including the maxResults cap). */
+  def encode(q: Query, df: DataFrame, maxResults: Option[Int] = None): String =
+    encodeStream(q, df, maxResults).mkString
+
+  /** Stream the result JSON as chunks of ~64K chars. Rows are pulled from
+    * `df.toLocalIterator()` (partition-at-a-time execution); `maxResults`
+    * (groupBy resource cap) is enforced on the SAME iteration — no separate
+    * probe job. */
+  def encodeStream(q: Query, df: DataFrame, maxResults: Option[Int] = None,
+      chunkChars: Int = 1 << 16): Iterator[String] = {
+    val buf = new ChunkBuffer
+    val gen = mapper.getFactory.createGenerator(buf)
+    val rawRows = df.toLocalIterator()
+    val rows: java.util.Iterator[Row] = maxResults match {
+      case Some(mx) if q.isInstanceOf[Query.GroupBy] =>
+        new java.util.Iterator[Row] {
+          private var n = 0
+          def hasNext: Boolean = rawRows.hasNext
+          def next(): Row = {
+            n += 1
+            if (n > mx)
+              throw Engine.QueryError("Resource limit exceeded",
+                s"groupBy produced more than maxResults=$mx rows",
+                "ResourceLimitExceededException")
+            rawRows.next()
           }
-          val e = curArr.addObject()
-          row.schema.fieldNames.filterNot(_ == "__time")
-            .foreach(f => putValue(e, f, row.getAs[Any](f)))
         }
-      case _: Query.SearchQ =>
-        val o = root.addObject()
-        val arr = o.putArray("result")
-        df.toLocalIterator().forEachRemaining { row =>
-          val e = arr.addObject()
-          row.schema.fieldNames.foreach(f => putValue(e, f, row.getAs[Any](f)))
-        }
-      case _: Query.TimeBoundary | _: Query.DataSourceMetadata =>
-        df.toLocalIterator().forEachRemaining { row =>
-          val o = root.addObject()
-          val r = o.putObject("result")
-          row.schema.fieldNames.foreach(f => putValue(r, f, row.getAs[Any](f)))
-        }
-      case _: Query.Scan =>
-        val cols = df.schema.fieldNames
-        val o = root.addObject()
-        val colArr = o.putArray("columns")
-        cols.foreach(colArr.add)
-        val events = o.putArray("events")
-        df.toLocalIterator().forEachRemaining { row =>
-          val e = events.addArray()
-          cols.indices.foreach(i => addValue(e, row.get(i)))
-        }
-      case sel: Query.Select =>
-        val o = root.addObject()
-        val r = o.putObject("result")
-        val events = r.putArray("events")
-        var n = 0
-        df.toLocalIterator().forEachRemaining { row =>
-          val e = events.addObject()
-          row.schema.fieldNames.foreach(f => putValue(e, f, row.getAs[Any](f)))
-          n += 1
-        }
-        // cursor semantics: next offset = offset this page started at + rows
-        val startOffset =
-          if (sel.pagingSpec.pagingIdentifiers.isEmpty) 0
-          else sel.pagingSpec.pagingIdentifiers.values.max
-        r.putObject("pagingIdentifiers").put("offset", startOffset + n)
-      case _: Query.SegmentMetadata =>
-        df.toLocalIterator().forEachRemaining { row =>
-          val o = root.addObject()
-          row.schema.fieldNames.foreach(f => putValue(o, f, row.getAs[Any](f)))
-        }
+      case _ => rawRows
     }
-    mapper.writeValueAsString(root)
+    val fieldNames = df.schema.fieldNames
+
+    // Per-type (prologue, per-row, epilogue) against the shared generator.
+    val (prologue, writeRow, epilogue): (() => Unit, Row => Unit, () => Unit) =
+      q match {
+        case _: Query.Timeseries =>
+          (() => gen.writeStartArray(),
+            (row: Row) => {
+              gen.writeStartObject()
+              writeField(gen, "timestamp", tsString(row.getAs[Any]("__time")))
+              gen.writeFieldName("result"); gen.writeStartObject()
+              fieldNames.filterNot(_ == "__time")
+                .foreach(f => writeField(gen, f, row.getAs[Any](f)))
+              gen.writeEndObject(); gen.writeEndObject()
+            },
+            () => gen.writeEndArray())
+
+        case _: Query.GroupBy =>
+          (() => gen.writeStartArray(),
+            (row: Row) => {
+              gen.writeStartObject()
+              writeField(gen, "version", "v1")
+              if (fieldNames.contains("__time"))
+                writeField(gen, "timestamp", tsString(row.getAs[Any]("__time")))
+              gen.writeFieldName("event"); gen.writeStartObject()
+              fieldNames.filterNot(_ == "__time")
+                .foreach(f => writeField(gen, f, row.getAs[Any](f)))
+              gen.writeEndObject(); gen.writeEndObject()
+            },
+            () => gen.writeEndArray())
+
+        case _: Query.TopN =>
+          // rows arrive ordered by (__time, rank) — group into per-bucket arrays
+          var curTs: String = null
+          (() => gen.writeStartArray(),
+            (row: Row) => {
+              val ts = tsString(row.getAs[Any]("__time"))
+              if (ts != curTs) {
+                if (curTs != null) { gen.writeEndArray(); gen.writeEndObject() }
+                gen.writeStartObject()
+                writeField(gen, "timestamp", ts)
+                gen.writeFieldName("result"); gen.writeStartArray()
+                curTs = ts
+              }
+              gen.writeStartObject()
+              fieldNames.filterNot(_ == "__time")
+                .foreach(f => writeField(gen, f, row.getAs[Any](f)))
+              gen.writeEndObject()
+            },
+            () => {
+              if (curTs != null) { gen.writeEndArray(); gen.writeEndObject() }
+              gen.writeEndArray()
+            })
+
+        case _: Query.SearchQ =>
+          (() => {
+            gen.writeStartArray(); gen.writeStartObject()
+            gen.writeFieldName("result"); gen.writeStartArray()
+          },
+            (row: Row) => {
+              gen.writeStartObject()
+              fieldNames.foreach(f => writeField(gen, f, row.getAs[Any](f)))
+              gen.writeEndObject()
+            },
+            () => { gen.writeEndArray(); gen.writeEndObject(); gen.writeEndArray() })
+
+        case _: Query.TimeBoundary | _: Query.DataSourceMetadata =>
+          (() => gen.writeStartArray(),
+            (row: Row) => {
+              gen.writeStartObject()
+              gen.writeFieldName("result"); gen.writeStartObject()
+              fieldNames.foreach(f => writeField(gen, f, row.getAs[Any](f)))
+              gen.writeEndObject(); gen.writeEndObject()
+            },
+            () => gen.writeEndArray())
+
+        case _: Query.Scan =>
+          (() => {
+            gen.writeStartArray(); gen.writeStartObject()
+            gen.writeFieldName("columns"); gen.writeStartArray()
+            fieldNames.foreach(gen.writeString)
+            gen.writeEndArray()
+            gen.writeFieldName("events"); gen.writeStartArray()
+          },
+            (row: Row) => {
+              gen.writeStartArray()
+              fieldNames.indices.foreach(i => writeVal(gen, row.get(i)))
+              gen.writeEndArray()
+            },
+            () => { gen.writeEndArray(); gen.writeEndObject(); gen.writeEndArray() })
+
+        case sel: Query.Select =>
+          // keyset cursor state: rows seen, last __time, #rows at exactly it
+          var n = 0
+          var lastTsMicros = Long.MinValue
+          var countAtLastTs = 0
+          (() => {
+            gen.writeStartArray(); gen.writeStartObject()
+            gen.writeFieldName("result"); gen.writeStartObject()
+            gen.writeFieldName("events"); gen.writeStartArray()
+          },
+            (row: Row) => {
+              gen.writeStartObject()
+              fieldNames.foreach(f => writeField(gen, f, row.getAs[Any](f)))
+              gen.writeEndObject()
+              n += 1
+              row.getAs[Any]("__time") match {
+                case t: java.sql.Timestamp =>
+                  val i = t.toInstant
+                  val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+                  if (us == lastTsMicros) countAtLastTs += 1
+                  else { lastTsMicros = us; countAtLastTs = 1 }
+                case _ =>
+              }
+            },
+            () => {
+              gen.writeEndArray()
+              val incoming = sel.pagingSpec.pagingIdentifiers
+              val legacyOffset =
+                incoming.nonEmpty && incoming.keys.forall(!_.startsWith("t:"))
+              gen.writeFieldName("pagingIdentifiers"); gen.writeStartObject()
+              if (legacyOffset) {
+                // legacy global-offset clients keep cumulative offset semantics
+                gen.writeFieldName("offset"); gen.writeNumber(incoming.values.max + n)
+              } else if (n == 0) {
+                // exhausted: echo the incoming cursor unchanged (clients
+                // detect the end by an empty events array)
+                incoming.foreach { case (k, v) =>
+                  gen.writeFieldName(k); gen.writeNumber(v)
+                }
+              } else {
+                // keyset cursor (`t:<epochMicros> -> k`): rows consumed at the
+                // page's last timestamp, carried over when the page continues
+                // inside the same timestamp
+                val key = s"t:$lastTsMicros"
+                gen.writeFieldName(key)
+                gen.writeNumber(incoming.getOrElse(key, 0) + countAtLastTs)
+              }
+              gen.writeEndObject()
+              gen.writeEndObject(); gen.writeEndObject(); gen.writeEndArray()
+            })
+
+        case _: Query.SegmentMetadata =>
+          (() => gen.writeStartArray(),
+            (row: Row) => {
+              gen.writeStartObject()
+              fieldNames.foreach(f => writeField(gen, f, row.getAs[Any](f)))
+              gen.writeEndObject()
+            },
+            () => gen.writeEndArray())
+      }
+
+    new Iterator[String] {
+      private var started = false
+      private var exhausted = false
+      def hasNext: Boolean = !exhausted
+      def next(): String = {
+        if (exhausted) throw new NoSuchElementException("stream exhausted")
+        if (!started) { prologue(); started = true }
+        while (buf.size < chunkChars && rows.hasNext) {
+          writeRow(rows.next()); gen.flush()
+        }
+        if (!rows.hasNext) {
+          epilogue(); gen.close()
+          exhausted = true
+        }
+        buf.drain()
+      }
+    }
   }
 }

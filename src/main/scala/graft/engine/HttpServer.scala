@@ -34,6 +34,17 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
     try os.write(bytes) finally os.close()
   }
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Build a JSON object body via Jackson — never by string interpolation:
+    * queryIds / task ids / exception messages may contain quotes and would
+    * otherwise yield malformed JSON. */
+  private def jsonObj(fields: (String, String)*): String = {
+    val o = mapper.createObjectNode()
+    fields.foreach { case (k, v) => o.put(k, v) }
+    mapper.writeValueAsString(o)
+  }
+
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
@@ -44,12 +55,23 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
           case ("POST", "/druid/v2") | ("POST", "/druid/v2/") =>
             // etag / If-None-Match (reference query/query-internal-procedure.md:43-47)
             val body = readBody(ex)
-            val tag = engine.etag(body, graft.model.QueryJson.parseQuery(body))
+            val query = graft.model.QueryJson.parseQuery(body)
+            val tag = engine.etag(body, query)
             val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
             if (ifNoneMatch.contains(tag)) {
               ex.getResponseHeaders.add("ETag", tag)
               ex.sendResponseHeaders(304, -1)
               ex.close()
+            } else if (query.context.get("stream").exists(_.toBoolean)) {
+              // chunked transfer: result chunks flushed as the query executes
+              // partition-at-a-time — a big scan never sits in server memory
+              ex.getResponseHeaders.add("ETag", tag)
+              ex.getResponseHeaders.add("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
+              val os = ex.getResponseBody
+              try engine.executeJsonStream(body)
+                .foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
+              finally os.close()
             } else {
               ex.getResponseHeaders.add("ETag", tag)
               respond(ex, 200, engine.executeJson(body))
@@ -57,7 +79,7 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
           case ("DELETE", path) if path.startsWith("/druid/v2/") =>
             val queryId = path.stripPrefix("/druid/v2/")
             engine.cancel(queryId)
-            respond(ex, 202, s"""{"cancelled":"$queryId"}""")
+            respond(ex, 202, jsonObj("cancelled" -> queryId))
           case _ => respond(ex, 405, """{"error":"unsupported method"}""")
         }
       } catch {
@@ -74,20 +96,23 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
           case ("POST", "/druid/indexer/v1/task") =>
             val id = svc.submit(readBody(ex))
-            respond(ex, 200, s"""{"task":"$id"}""")
+            respond(ex, 200, jsonObj("task" -> id))
           case ("GET", path) if path.endsWith("/status") =>
             val id = path.stripPrefix("/druid/indexer/v1/task/").stripSuffix("/status")
             svc.status(id) match {
               case Some(st) =>
-                respond(ex, 200,
-                  s"""{"task":"${st.id}","status":{"id":"${st.id}","status":"${st.state}"}}""")
-              case None => respond(ex, 404, s"""{"error":"unknown task '$id'"}""")
+                val o = mapper.createObjectNode()
+                o.put("task", st.id)
+                val s = o.putObject("status")
+                s.put("id", st.id); s.put("status", st.state)
+                respond(ex, 200, mapper.writeValueAsString(o))
+              case None => respond(ex, 404, jsonObj("error" -> s"unknown task '$id'"))
             }
           case _ => respond(ex, 405, """{"error":"unsupported method"}""")
         }
       } catch {
         case e: IllegalStateException if e.getMessage.contains("already exists") =>
-          respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+          respond(ex, 400, jsonObj("error" -> e.getMessage))
         case e: Exception => respond(ex, 500, Engine.QueryError.unknown(e).toJson)
       }
   })

@@ -320,13 +320,15 @@ object Compilers {
       case _ => v
     }
 
-  /** Scalar predicate over a dimension: for multi-value (array) dims with
-    * an extraction fn, the extraction applies PER VALUE and the row matches
-    * if ANY transformed value matches (Druid semantics, SURVEY §7.4). */
+  /** Scalar predicate over a dimension: on multi-value (array) dims the
+    * predicate — and any extraction fn — applies PER VALUE and the row
+    * matches if ANY value matches (Druid semantics, SURVEY §7.4). A
+    * stringified-array comparison is never correct here: extraction on
+    * "[a, b]" diverges from extraction on each value. */
   private def perValuePred(dim: String, exOpt: Option[ExtractionFn],
       schema: StructType)(pred: Column => Column): Column =
-    if (isMultiValue(schema, dim) && exOpt.isDefined)
-      exists(col(dim), x => pred(extractionCol(exOpt.get, x)))
+    if (isMultiValue(schema, dim))
+      exists(col(dim), x => pred(exOpt.map(extractionCol(_, x)).getOrElse(x)))
     else pred(dimCol(dim, exOpt, schema))
 
   /** Compile a filter against a source schema. Multi-value (array) dims use
@@ -354,31 +356,54 @@ object Compilers {
         if (isMultiValue(schema, dim) && exOpt.isEmpty) {
           val et = fieldType(schema, dim).get.asInstanceOf[ArrayType].elementType
           arrays_overlap(col(dim), array(vs.map(v => lit(v).cast(et)): _*))
+        } else if (isMultiValue(schema, dim)) {
+          // extraction per value, match-any (NOT extraction of the
+          // stringified array)
+          perValuePred(dim, exOpt, schema)(_.isin(vs: _*))
         } else {
           val c = dimCol(dim, exOpt, schema)
           if (exOpt.isEmpty) c.isin(vs.map(v => nativeValue(schema, dim, v)): _*)
           else c.isin(vs: _*)
         }
       case Bound(dim, lo, up, loS, upS, ordering, exOpt) =>
-        val base = dimCol(dim, exOpt, schema)
-        val (c, mk): (Column, String => Column) = ordering match {
-          case "numeric" =>
-            fieldType(schema, dim) match {
-              case Some(t: NumericType) if exOpt.isEmpty =>
-                (base, (s: String) => lit(s).cast(t))
-              case _ => (base.cast(DoubleType), (s: String) => lit(s).cast(DoubleType))
-            }
-          case "strlen" => (length(base.cast(StringType)).cast(LongType),
-            (s: String) => lit(s.length.toLong))
-          case _ => // lexicographic (and alphanumeric approximated as such)
-            fieldType(schema, dim) match {
-              case Some(_: StringType) if exOpt.isEmpty => (base, (s: String) => lit(s))
-              case _ => (base.cast(StringType), (s: String) => lit(s))
-            }
+        def rangePred(c: Column, mk: String => Column): Column = {
+          val loPred = lo.map(v => if (loS) c > mk(v) else c >= mk(v))
+          val upPred = up.map(v => if (upS) c < mk(v) else c <= mk(v))
+          Seq(loPred, upPred).flatten.reduceOption(_ && _).getOrElse(lit(true))
         }
-        val loPred = lo.map(v => if (loS) c > mk(v) else c >= mk(v))
-        val upPred = up.map(v => if (upS) c < mk(v) else c <= mk(v))
-        Seq(loPred, upPred).flatten.reduceOption(_ && _).getOrElse(lit(true))
+        if (isMultiValue(schema, dim)) {
+          // per-value bound with match-any semantics (extracted values are
+          // strings; numeric ordering compares their double casts)
+          perValuePred(dim, exOpt, schema) { x =>
+            ordering match {
+              case "numeric" =>
+                rangePred(x.cast(DoubleType), s => lit(s).cast(DoubleType))
+              case "strlen" =>
+                rangePred(length(x.cast(StringType)).cast(LongType),
+                  s => lit(s.length.toLong))
+              case _ =>
+                rangePred(x.cast(StringType), s => lit(s))
+            }
+          }
+        } else {
+          val base = dimCol(dim, exOpt, schema)
+          val (c, mk): (Column, String => Column) = ordering match {
+            case "numeric" =>
+              fieldType(schema, dim) match {
+                case Some(t: NumericType) if exOpt.isEmpty =>
+                  (base, (s: String) => lit(s).cast(t))
+                case _ => (base.cast(DoubleType), (s: String) => lit(s).cast(DoubleType))
+              }
+            case "strlen" => (length(base.cast(StringType)).cast(LongType),
+              (s: String) => lit(s.length.toLong))
+            case _ => // lexicographic (and alphanumeric approximated as such)
+              fieldType(schema, dim) match {
+                case Some(_: StringType) if exOpt.isEmpty => (base, (s: String) => lit(s))
+                case _ => (base.cast(StringType), (s: String) => lit(s))
+              }
+          }
+          rangePred(c, mk)
+        }
       case Like(dim, pattern, escape, exOpt) =>
         // Column.like has no escape-char overload; normalize a custom escape
         // char to the default backslash in the pattern instead.

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   *  - exact:   shuffle on content hash, one aggregation.
   *  - minhash: per-doc signature (map-side, no shuffle) → explode bands
   *             (×B rows) → shuffle on (band, bucket) → within-bucket join.
-  *             At 100 TB the band join is the only shuffle, keyed by band
-  *             hash (uniform), and bucket sizes are bounded by banding.
+  *             At 100 TB only signatures cross the shuffle, keyed by band
+  *             hash, and per-bucket pair blowup is bounded by the skew cap
+  *             (`cappedBucketPairs`): oversize buckets star-link to a
+  *             representative instead of emitting m²/2 pairs.
   *  - simhash: per-doc 64-bit signature, band-grouped for candidate pairs.
   */
 object Dedup {
@@ -46,6 +48,52 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   // -------------------------------------------------------------------------
+  // LSH bucket-skew cap (shared by MinHash / SimHash / cosine near-dup)
+  // -------------------------------------------------------------------------
+
+  /** Self-join banded signatures on (band, bucket) with a per-bucket skew cap.
+    *
+    * A pathological bucket of m rows (boilerplate dups, zero vectors —
+    * guaranteed in web-scale text) would emit m²/2 candidate pairs in ONE
+    * task; nothing in banding bounds m. Buckets over `bucketCap` therefore
+    * emit a STAR instead: every member pairs with the bucket's smallest id
+    * (the representative) — O(m) pairs, still one per member. The exact
+    * similarity verification downstream applies unchanged, so false
+    * positives cannot survive; the documented loss is member↔member pairs of
+    * an oversize bucket where neither end matches the representative — at
+    * bucket sizes that trip the cap the members are near-identical by
+    * construction, so for the drop-the-duplicate decision the star is
+    * equivalent.
+    *
+    * Input must carry (band, bucket, `idCol`, `payloadCol`); output is
+    * (id_a, id_b, payload_a, payload_b) with id_a < id_b, duplicated across
+    * bands (caller dedups after its similarity filter, as before).
+    */
+  private[ext] def cappedBucketPairs(banded: DataFrame, idCol: String,
+      payloadCol: String, bucketCap: Int): DataFrame = {
+    // per-bucket size + representative; Catalyst reuses the banded exchange
+    // across the three consumers (stats, small side, star side)
+    val stats = banded.groupBy("band", "bucket").agg(
+      count(lit(1)).as("__n"),
+      min(col(idCol)).as("__rep_id"),
+      min_by(col(payloadCol), col(idCol)).as("__rep_payload"))
+    val flagged = banded.join(stats, Seq("band", "bucket"))
+    val small = flagged.where(col("__n") <= bucketCap)
+    val l = small.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col(payloadCol).as("payload_a"))
+    val r = small.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col(payloadCol).as("payload_b"))
+    val smallPairs = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("payload_a"), col("payload_b"))
+    val starPairs = flagged.where(col("__n") > bucketCap)
+      .where(col(idCol) =!= col("__rep_id"))
+      .select(col("__rep_id").as("id_a"), col(idCol).as("id_b"),
+        col("__rep_payload").as("payload_a"), col(payloadCol).as("payload_b"))
+    smallPairs.unionByName(starPairs)
+  }
+
+  // -------------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------------
 
@@ -70,7 +118,7 @@ object Dedup {
     */
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, bucketCap: Int = 256): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
@@ -82,16 +130,11 @@ object Dedup {
       posexplode(graft.functions.TextHashFunctions.band_keys(col("sig"), bands))
         .as(Seq("band", "bucket")))
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-
-    // threshold BEFORE the pair-dedup shuffle: only matching pairs move
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    // skew-capped candidate pairs; threshold BEFORE the pair-dedup shuffle:
+    // only matching pairs move
+    cappedBucketPairs(banded, "id", "sig", bucketCap)
       .select(col("id_a"), col("id_b"),
-        minhashJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        minhashJaccard(col("payload_a"), col("payload_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .groupBy("id_a", "id_b")                      // same pair from many bands
       .agg(first("est_jaccard").as("est_jaccard"))
@@ -101,8 +144,9 @@ object Dedup {
     * smaller-id near-duplicate. Returns the surviving ids. */
   def minhashSurvivors(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
-    val dups = minhashDupPairs(df, textCol, idCol, numHashes, bands, shingleN, threshold)
+      threshold: Double = 0.7, bucketCap: Int = 256): DataFrame = {
+    val dups = minhashDupPairs(df, textCol, idCol, numHashes, bands, shingleN,
+        threshold, bucketCap)
       .select(col("id_b").as("drop_id")).distinct()
     df.join(dups, df(idCol) === dups("drop_id"), "left_anti")
   }
@@ -141,21 +185,25 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: candidates share one of 4 16-bit bands, then
-    * verified by Hamming distance <= maxHamming. */
+  /** SimHash near-dup pairs: candidates share one of `bands` equal-width
+    * bit-bands of the 64-bit signature, then verified by Hamming distance
+    * <= maxHamming. Pigeonhole: banding is LOSSLESS for pairs with
+    * hamming <= bands - 1 (some band must be untouched), so choose
+    * bands > maxHamming when exact capture at the threshold matters. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = 256, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sig"), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    // hamming filter BEFORE the pair-dedup shuffle
-    l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
+    // skew-capped candidates; hamming filter BEFORE the pair-dedup shuffle
+    cappedBucketPairs(banded, "id", "sig", bucketCap)
+      .select(col("id_a"), col("id_b"),
+        hamming(col("payload_a"), col("payload_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
   }

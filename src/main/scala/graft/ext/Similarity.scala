@@ -107,10 +107,18 @@ object Similarity {
     val init: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nClusters)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    // one Lloyd iteration over a bounded sample: at 100 TB a full-corpus
-    // refinement pass is a corpus×dim posexplode shuffle for an INDEX BUILD;
-    // centroid quality from a 100k-vector sample is statistically identical.
-    val sample = corpus.select(col(vecCol)).limit(maxSample)
+    // one Lloyd iteration over a bounded UNIFORM sample: at 100 TB a
+    // full-corpus refinement pass is a corpus×dim posexplode shuffle for an
+    // INDEX BUILD. limit() would take the first partitions only — on time-
+    // or key-clustered data the refinement would see one region and skew
+    // the centroids — so draw a seeded uniform fraction instead (cheap
+    // columnar count to size it), with limit() as the exact-size backstop.
+    val n = corpus.count()
+    val sample =
+      if (n <= maxSample) corpus.select(col(vecCol))
+      else corpus.select(col(vecCol))
+        .sample(withReplacement = false, math.min(1.0, maxSample * 1.2 / n), seed = 42L)
+        .limit(maxSample)
     val assigned = sample.select(
       element_at(graft.functions.VectorFunctions.nearest_centroids(
         col(vecCol), init, 1), 1).as("cluster"),
@@ -157,7 +165,7 @@ object Similarity {
     * only the surviving pairs re-join the vectors for the exact cosine. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 8, rowsPerBand: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, bucketCap: Int = 256): DataFrame = {
     val nBits = bands * rowsPerBand
     require(nBits <= 64, "cosineNearDupPairs packs the signature into one long")
 
@@ -177,13 +185,12 @@ object Similarity {
       math.floor(nBits * (1.0 - math.acos(threshold) / math.Pi)
         - 2.0 * math.sqrt(nBits * 0.25)).toInt)
 
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("__sigbits").as("bits_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("__sigbits").as("bits_b"))
-    val survivors = l.join(r, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .where(lit(nBits) - bit_count(col("bits_a").bitwiseXOR(col("bits_b"))) >= minAgree)
+    // skew-capped candidates (Dedup.cappedBucketPairs): oversize buckets —
+    // e.g. zero/constant vectors — star-link to a representative instead of
+    // emitting m²/2 pairs in one task
+    val survivors = Dedup.cappedBucketPairs(banded, "id", "__sigbits", bucketCap)
+      .where(lit(nBits) - bit_count(
+        col("payload_a").bitwiseXOR(col("payload_b"))) >= minAgree)
       .select("id_a", "id_b").distinct()
 
     // exact cosine only for survivors: two joins to fetch vectors

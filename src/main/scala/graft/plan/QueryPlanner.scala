@@ -122,7 +122,8 @@ object QueryPlanner {
       case Some(bucket) =>
         val agged = base.groupBy(bucket.as(TimeColumn)).agg(aggs.head, aggs.tail: _*)
         if (skipEmpty) agged
-        else zeroFill(spark, agged, q.intervals, q.granularity, q.aggregations)
+        else zeroFill(spark, agged, q.intervals, q.granularity, q.aggregations,
+          coverageOf(q.dataSource, catalog))
       case None => // granularity 'all': one bucket stamped with the interval start
         val start = q.intervals.headOption.map(_.start).getOrElse(Instant.EPOCH)
         base.agg(aggs.head, aggs.tail: _*)
@@ -133,13 +134,33 @@ object QueryPlanner {
     projected.orderBy(if (q.descending) col(TimeColumn).desc else col(TimeColumn).asc)
   }
 
+  /** Segment-timeline coverage of a datasource, when known (None = no
+    * timeline, e.g. plain parquet dirs → full zero-fill). */
+  private def coverageOf(ds: DataSource, catalog: Catalog): Option[Seq[Interval]] =
+    ds match {
+      case DataSource.Table(n) => catalog.chunkCoverage(n)
+      case DataSource.Union(ns) =>
+        val covs = ns.map(catalog.chunkCoverage)
+        if (covs.nonEmpty && covs.forall(_.isDefined)) Some(covs.flatMap(_.get))
+        else None
+      case _ => None
+    }
+
   /** Left-join the aggregate against a generated bucket spine so empty
     * buckets inside the interval appear zero-filled (reference
     * `query/query-timeseries.md:74-95`). Sums/counts fill with 0; min/max/
-    * first/last stay null. */
+    * first/last stay null. Buckets in ranges with NO segments are skipped
+    * entirely, not zero-filled (`query/query-timeseries.md:93`): the spine
+    * is intersected with the datasource's segment-timeline coverage. */
   private def zeroFill(spark: SparkSession, agged: DataFrame, intervals: Seq[Interval],
-      g: Granularity, aggs: Seq[Aggregator]): DataFrame = {
-    val buckets = spineBuckets(intervals, g)
+      g: Granularity, aggs: Seq[Aggregator],
+      coverage: Option[Seq[Interval]] = None): DataFrame = {
+    val all = spineBuckets(intervals, g)
+    val buckets = coverage match {
+      case Some(ivs) => all.filter(b => ivs.exists(iv =>
+        b.isBefore(iv.end) && Compilers.nextBucket(g, b).isAfter(iv.start)))
+      case None => all
+    }
     if (buckets.isEmpty || buckets.size > MaxSpineBuckets) return agged
     val rows = buckets.map(i => Row(Timestamp.from(i))).asJava
     val spine = spark.createDataFrame(rows,
@@ -360,21 +381,27 @@ object QueryPlanner {
     val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = if (q.intervals.nonEmpty) filtered(src, q.intervals, None) else src
     val wantCardinality = q.analysisTypes.isEmpty || q.analysisTypes.contains("cardinality") ||
-      q.analysisTypes.contains("exactCardinality")
-    // Exact distinct counts are opt-in: N exact countDistinct in one agg
-    // triggers Catalyst's Expand (one row copy per column) — on a wide
-    // 100-TB table that is a metadata query costing more than real queries.
-    // Default is approx_count_distinct (HLL++, one pass, no Expand);
-    // `analysisTypes:["exactCardinality"]` gets exact counts via a single
-    // scan of (column, value) pairs — still no Expand, two shuffles.
-    val exact = q.analysisTypes.contains("exactCardinality")
+      q.analysisTypes.contains("exactCardinality") || q.analysisTypes.contains("approxCardinality")
+    // Druid's segmentMetadata `cardinality` is EXACT (dictionary
+    // cardinality), so exact is the default — computed via a single scan of
+    // (column, value) pairs, no Catalyst Expand, two signature-light
+    // shuffles. `analysisTypes:["approxCardinality"]` opts into the cheaper
+    // one-pass HLL++ estimate (no Expand either) for wide 100-TB tables;
+    // the estimate is clearly requested, never silently substituted.
+    val exact = !q.analysisTypes.contains("approxCardinality")
     val nonTime = src.schema.fields.toSeq.filterNot(_.name == TimeColumn)
 
-    if (exact) {
+    if (exact && wantCardinality) {
+      // complex types go through to_json: a plain string cast renders
+      // ["a, b"] and ["a","b"] identically and would undercount
+      def valueOf(f: StructField): Column = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType => to_json(col(f.name))
+        case _ => col(f.name).cast(StringType)
+      }
       val pairs = base
         .select(explode(array(nonTime.map(f =>
           struct(lit(f.name).as("column"),
-            col(f.name).cast(StringType).as("value"))): _*)).as("p"))
+            valueOf(f).as("value"))): _*)).as("p"))
         .select(col("p.column").as("column"), col("p.value").as("value"))
       val cards = pairs.where(col("value").isNotNull).distinct()
         .groupBy("column").agg(count(lit(1)).as("cardinality"))
@@ -469,10 +496,43 @@ object QueryPlanner {
 
   // -- select (paged raw rows; reference `query/query-module-overview.md:36`)
 
+  /** Keyset cursor key prefix in pagingIdentifiers: `t:<epochMicros> -> k`
+    * means "k rows at exactly that __time have been consumed". Mirrors
+    * Druid's `{segmentId: offset}` shape (identifier names a position in
+    * time, value is an offset within it) without requiring segment ids. */
+  private val CursorKeyPrefix = "t:"
+
+  /** Parse a keyset cursor out of pagingIdentifiers, if present. */
+  def selectCursor(pagingIdentifiers: Map[String, Int]): Option[(Long, Int)] =
+    pagingIdentifiers.collectFirst {
+      case (k, v) if k.startsWith(CursorKeyPrefix) =>
+        (k.stripPrefix(CursorKeyPrefix).toLong, v)
+    }
+
   private def planSelect(spark: SparkSession, q: Query.Select, catalog: Catalog)
       : DataFrame = {
-    val src = source(spark, q.dataSource, catalog, q.intervals)
-    val base = filtered(src, q.intervals, q.filter)
+    // Keyset paging: the cursor timestamp NARROWS the query intervals, so the
+    // bound reaches the parquet scan as a pushed range predicate (row-group
+    // min/max pruning via the catalog's raw-column interval routing). Page
+    // cost is then O(remaining data), not O(pages-read × full sort) — the
+    // offset skips only the rows already consumed at exactly the cursor
+    // timestamp (bounded by rows-per-timestamp, not by pages read).
+    val cursor = selectCursor(q.pagingSpec.pagingIdentifiers)
+    val intervals = cursor match {
+      case Some((us, _)) =>
+        val t = Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+        if (!q.descending)
+          q.intervals.collect { case iv if iv.end.isAfter(t) =>
+            Interval(if (iv.start.isAfter(t)) iv.start else t, iv.end) }
+        else {
+          val endEx = t.plusNanos(1000L) // [start, t] inclusive of the cursor µs
+          q.intervals.collect { case iv if iv.start.isBefore(endEx) =>
+            Interval(iv.start, if (iv.end.isBefore(endEx)) iv.end else endEx) }
+        }
+      case None => q.intervals
+    }
+    val src = source(spark, q.dataSource, catalog, intervals)
+    val base = filtered(src, intervals, q.filter)
     val cols: Seq[String] =
       if (q.dimensions.isEmpty && q.metrics.isEmpty)
         src.columns.toSeq
@@ -482,10 +542,14 @@ object QueryPlanner {
     // (stable cursors need deterministic ordering, SURVEY §7.3.6).
     val timeOrder = if (q.descending) col(TimeColumn).desc else col(TimeColumn).asc
     val tiebreaks = cols.filterNot(_ == TimeColumn).map(col(_).asc)
-    val offset = if (q.pagingSpec.pagingIdentifiers.isEmpty) 0
-      else q.pagingSpec.pagingIdentifiers.values.max
+    // Legacy `{"offset": n}` identifiers keep the global-offset behavior.
+    val skip = cursor.map(_._2).getOrElse(
+      if (q.pagingSpec.pagingIdentifiers.isEmpty) 0
+      else q.pagingSpec.pagingIdentifiers.values.max)
+    // orderBy + offset + limit fuses into TakeOrderedAndProject (per-partition
+    // top-(skip+threshold), driver merge) — no global sort exchange.
     projected.orderBy(timeOrder +: tiebreaks: _*)
-      .offset(offset)
+      .offset(skip)
       .limit(q.pagingSpec.threshold)
   }
 

@@ -29,6 +29,13 @@ trait Catalog {
     * with merge=false. Default: unknown. */
   def segmentInfos(name: String): Seq[(String, Int, Long)] = Seq.empty
 
+  /** Time ranges covered by at least one segment, when the datasource is
+    * backed by a segment timeline. Timeseries zero-fill applies ONLY inside
+    * covered ranges — intervals with no segments yield no buckets at all
+    * (reference `query/query-timeseries.md:93`: missing segments are
+    * skipped, not zero-filled). Default: unknown → full zero-fill. */
+  def chunkCoverage(name: String): Option[Seq[graft.model.Interval]] = None
+
   /** Registered lookup table: (key, value)-schema DataFrame, broadcast-
     * joined by the planner for registeredLookup dimension specs. */
   def lookupTable(spark: SparkSession, name: String): Option[DataFrame] = None

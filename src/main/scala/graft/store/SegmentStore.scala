@@ -91,9 +91,25 @@ class SegmentStore(val root: String) {
 
   private def updateManifest(ds: String)(update: Manifest => Manifest): Manifest =
     manifestLocks.computeIfAbsent(ds, _ => new Object).synchronized {
-      val next = update(readManifest(ds))
-      writeManifest(next)
-      next
+      // Cross-PROCESS atomicity: an OS file lock on a per-datasource lock
+      // file (chunk locks are filesystem-based, so two stores in separate
+      // JVMs may write different chunks of one datasource concurrently —
+      // the JVM monitor above only serializes threads in this process, and
+      // must stay because FileLock throws OverlappingFileLockException for
+      // same-JVM contention instead of blocking).
+      val lockFile = manifestPath(ds).resolveSibling("manifest.lock")
+      Files.createDirectories(lockFile.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks until any other process releases
+        try {
+          val next = update(readManifest(ds))
+          writeManifest(next)
+          next
+        } finally lock.release()
+      } finally ch.close()
     }
 
   private def deleteUnreferenced(next: Manifest, candidates: Seq[String]): Unit = {
@@ -349,6 +365,14 @@ class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
   override def segmentInfos(name: String): Seq[(String, Int, Long)] =
     store.readManifest(name).segments.sortBy(_.chunk)
       .map(s => (s.chunk, s.version, s.rowCount))
+
+  override def chunkCoverage(name: String): Option[Seq[graft.model.Interval]] =
+    Some(store.readManifest(name).segments.map(_.chunk).distinct.sorted.map { d =>
+      val start = java.time.LocalDate.parse(d)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      graft.model.Interval(start,
+        start.plus(1, java.time.temporal.ChronoUnit.DAYS))
+    })
 
   override def versionToken(name: String): String =
     store.readManifest(name).segments.sortBy(_.chunk)

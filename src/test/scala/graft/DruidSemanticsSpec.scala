@@ -155,6 +155,69 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("cnt") == 2L)
   }
 
+  test("aggregator null semantics over zero matching rows (COVERAGE.md deviations)") {
+    // documented contract: longSum → 0; doubleSum/min/max → null (modern
+    // Druid SQL-compatible mode), NOT the v0.12 0.0 / ±Infinity sentinels
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"selector","dimension":"event_type","value":"no-such-value"},
+        |"aggregations":[
+        |  {"type":"longSum","name":"ls","fieldName":"value"},
+        |  {"type":"doubleSum","name":"ds","fieldName":"value"},
+        |  {"type":"doubleMin","name":"dmin","fieldName":"value"},
+        |  {"type":"doubleMax","name":"dmax","fieldName":"value"}]}""".stripMargin)
+      .collect()
+    val r = rows.head
+    assert(r.getAs[Long]("ls") == 0L)
+    assert(r.isNullAt(r.fieldIndex("ds")))
+    assert(r.isNullAt(r.fieldIndex("dmin")))
+    assert(r.isNullAt(r.fieldIndex("dmax")))
+  }
+
+  test("in filter extraction over a multi-value dim applies per value (any-match)") {
+    // upper ∈ {B, Z}: only rows whose tags contain 'b' — extraction of the
+    // stringified array ("[a, b]" → "[A, B]") would match nothing
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"in","dimension":"tags","values":["B","Z"],
+        |  "extractionFn":{"type":"upper"}},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("cnt") == 2L)
+  }
+
+  test("bound filter over a multi-value dim applies per value (any-match)") {
+    // lexicographic tags >= "c": only the [c] row; the stringified array
+    // "[a, b]" would compare as one string and corrupt the result
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"bound","dimension":"tags","lower":"c",
+        |  "ordering":"lexicographic"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("cnt") == 1L)
+
+    // strlen bound with an extraction: substring(0,1) → every value length 1
+    // → bound lower "xx" (length 2) matches nothing per-value, while the
+    // stringified array ("[a, b]", length 6) would match everything
+    val rows2 = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all","context":{"skipEmptyBuckets":"true"},
+        |"filter":{"type":"bound","dimension":"tags","lower":"xx",
+        |  "ordering":"strlen",
+        |  "extractionFn":{"type":"substring","index":0,"length":1}},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows2.isEmpty || rows2.head.getAs[Long]("cnt") == 0L)
+  }
+
   test("regexFiltered dimension spec keeps only matching multi-values") {
     val rows = engine.plan(
       """{"queryType":"groupBy","dataSource":"ev",

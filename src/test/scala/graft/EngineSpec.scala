@@ -66,6 +66,36 @@ class EngineSpec extends SparkTestBase {
     assert(e.error == "Resource limit exceeded")
   }
 
+  test("maxResults is enforced during encode — single SQL execution, no probe") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    @volatile var starts = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            starts += 1
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      engine.executeJson(
+        """{"queryType":"groupBy","dataSource":"ev",
+          |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+          |"granularity":"all","dimensions":["event_type"],
+          |"context":{"maxResults":"100","useCache":"false"},
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      // drain the async listener bus
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && starts != last) {
+        last = starts; Thread.sleep(300)
+      }
+      assert(starts == 1,
+        s"expected exactly one SQL execution (cap enforced in-stream), saw $starts")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("engine is safe under concurrent queries (8 parallel executeJson)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -123,9 +153,9 @@ class EngineSpec extends SparkTestBase {
   }
 
   test("timeout context → 'Query timeout' error") {
-    // a plan that cannot finish in 1ms: big crossJoin aggregation
-    val big = spark.range(4000000).toDF("id").withColumn("__time", org.apache.spark.sql.functions.lit(ts("2024-05-01T00:00:00Z")))
-    val engine = new Engine(spark, new MapCatalog(Map("big" -> big.crossJoin(big.select(org.apache.spark.sql.functions.col("id").as("id2"))))))
+    // a plan that cannot finish in 50ms but dies promptly when cancelled
+    val engine = new Engine(spark, new MapCatalog(
+      Map("big" -> SparkTestBase.interruptiblySlowDF(spark, ts("2024-05-01T00:00:00Z")))))
     val e = intercept[Engine.QueryError](engine.executeJson(
       """{"queryType":"timeseries","dataSource":"big",
         |"intervals":["2024-05-01T00:00:00Z/2024-05-02T00:00:00Z"],

@@ -40,6 +40,34 @@ class ExtSpec extends SparkTestBase {
     assert(survivors.count() == docs.count() - pairs.map(_.getAs[Long]("id_b")).distinct.length)
   }
 
+  test("bucket skew cap: 10k identical docs dedup without an m² task") {
+    // 10k copies of one doc → every band bucket holds all 10k rows; without
+    // the cap that is 16 bands × 50M pairs in single tasks. With the cap the
+    // oversize buckets star-link to the min id: O(m) pairs, seconds not hours.
+    val clones = spark.range(0, 10000).toDF("doc_id")
+      .withColumn("text", lit("the same boilerplate sentence repeated in every document of this corpus"))
+    val pairs = Dedup.minhashDupPairs(clones, "text", "doc_id",
+      numHashes = 64, bands = 16, shingleN = 3, threshold = 0.7, bucketCap = 64)
+    // star topology: every doc pairs with the representative (id 0)
+    assert(pairs.count() == 9999L)
+    val survivors = Dedup.minhashSurvivors(clones, "text", "doc_id",
+      threshold = 0.7, bucketCap = 64)
+    assert(survivors.count() == 1L)
+
+    val sPairs = Dedup.simhashDupPairs(clones, "text", "doc_id",
+      maxHamming = 3, bucketCap = 64)
+    assert(sPairs.count() == 9999L)
+  }
+
+  test("bucket skew cap: constant embeddings near-dup without pair blowup") {
+    val vec = (0 until 16).map(_ => 0.5f).toArray
+    val clones = spark.range(0, 5000).toDF("id")
+      .withColumn("emb", typedLit(vec))
+    val pairs = Similarity.cosineNearDupPairs(clones, "id", "emb",
+      dim = 16, threshold = 0.9, bucketCap = 64)
+    assert(pairs.count() == 4999L) // star against the representative
+  }
+
   test("simhash hamming: identical docs → distance 0") {
     val d = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "completely different words entirely here now"))

@@ -67,6 +67,50 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("JSON bodies are escaped: quote-containing ids cannot corrupt responses") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val evil = java.net.URLEncoder.encode("""id"with"quotes""", "UTF-8")
+      val cancel = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/$evil")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cancel.statusCode() == 202)
+      // body must parse as JSON despite the embedded quotes
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(cancel.body())
+      assert(node.get("cancelled").asText().contains("\"with\""))
+      // etag is a 128-bit hex digest, not a 32-bit hashCode pair
+      val q = """{"queryType":"timeBoundary","dataSource":"ev"}"""
+      val tag = post(s"$base/druid/v2", q).headers().firstValue("ETag").orElse("")
+      assert(tag.matches("[0-9a-f]{32}"), s"etag '$tag' is not a 128-bit digest")
+    } finally srv.stop()
+  }
+
+  test("context.stream=true → chunked transfer with the same body") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val q =
+        """{"queryType":"scan","dataSource":"ev",
+          |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+          |"columns":["__time","event_type"],"order":"ascending",
+          |"context":{"stream":"true"}}""".stripMargin
+      val resp = post(s"$base/druid/v2", q)
+      assert(resp.statusCode() == 200)
+      assert(resp.headers().firstValue("Transfer-encoding").orElse("")
+        .contains("chunked"))
+      // body identical to the buffered path (minus the stream flag's etag)
+      val buffered = post(s"$base/druid/v2", q.replace("\"stream\":\"true\"",
+        "\"stream\":\"false\""))
+      assert(resp.body() == buffered.body())
+    } finally srv.stop()
+  }
+
   test("full stack: ingest over HTTP, query the new segments over HTTP") {
     import graft.store.SegmentCatalog
     val store = new SegmentStore(Files.createTempDirectory("graft-e2e").toString)

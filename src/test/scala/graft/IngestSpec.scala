@@ -57,6 +57,43 @@ class IngestSpec extends SparkTestBase {
       Seq((3L, 35.0), (1L, 7.0)))
   }
 
+  test("zero-fill skips segment gaps: missing chunks yield NO buckets (query-timeseries.md:93)") {
+    val store = freshStore()
+    val svc = new TaskService(spark, store)
+    // data on May 1 and May 4 only → chunks exist only for those days
+    val gapped = Seq(
+      (ts("2024-05-01T01:00:00Z"), "click", 10.0),
+      (ts("2024-05-04T02:00:00Z"), "view", 7.0),
+    ).toDF("__time", "event_type", "value")
+    val input = Files.createTempDirectory("graft-gap-in").toString
+    gapped.write.mode("overwrite").parquet(input)
+    svc.submit(
+      s"""{"type":"index","id":"tg","dataSource":"evg","inputPath":"$input",
+         |"inputFormat":"parquet","timestampColumn":"__time"}""".stripMargin)
+
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"evg",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-06T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    // May 2/3/5 have no segments → absent; NOT zero-filled rows
+    assert(rows.map(_.getAs[Timestamp]("__time")).toSeq ==
+      Seq(ts("2024-05-01T00:00:00Z"), ts("2024-05-04T00:00:00Z")))
+
+    // a killed chunk opens a gap the same way
+    svc.submit("""{"type":"kill","id":"tk","dataSource":"evg","chunk":"2024-05-04"}""")
+    val after = engine.plan(
+      """{"queryType":"timeseries","dataSource":"evg",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-06T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(after.map(_.getAs[Timestamp]("__time")).toSeq ==
+      Seq(ts("2024-05-01T00:00:00Z")))
+  }
+
   test("rollup index pre-aggregates and count is rewritten to sum") {
     val store = freshStore()
     store.write(raw, "ev_rollup", rollup = Some((Granularity.Simple("hour"),

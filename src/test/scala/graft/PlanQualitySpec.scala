@@ -91,22 +91,24 @@ class PlanQualitySpec extends SparkTestBase {
       "lookup should broadcast, not shuffle")
   }
 
-  test("segmentMetadata default cardinality is approximate: no Expand in plan") {
+  test("segmentMetadata default cardinality is EXACT (Druid semantics), no Expand") {
     val df = engine.plan(
       """{"queryType":"segmentMetadata","dataSource":"events",
         |"analysisTypes":["cardinality"]}""".stripMargin)
     val plan = physicalPlan(df)
     assert(!plan.contains("Expand"),
-      "default segmentMetadata must use approx_count_distinct (no Expand)")
-    assert(plan.contains("approx_count_distinct"), "expected HLL++ cardinality")
+      "exact cardinality must stack (column,value) pairs, not Expand")
+    assert(!plan.contains("approx_count_distinct"),
+      "default cardinality must be exact, not an HLL++ estimate")
   }
 
-  test("segmentMetadata exactCardinality also avoids Expand (pair-explode scan)") {
+  test("segmentMetadata approxCardinality opts into HLL++ (one pass, no Expand)") {
     val df = engine.plan(
       """{"queryType":"segmentMetadata","dataSource":"events",
-        |"analysisTypes":["exactCardinality"]}""".stripMargin)
-    assert(!physicalPlan(df).contains("Expand"),
-      "exact cardinality should stack (column,value) pairs, not Expand")
+        |"analysisTypes":["approxCardinality"]}""".stripMargin)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Expand"), "approx path must not Expand")
+    assert(plan.contains("approx_count_distinct"), "expected HLL++ cardinality")
   }
 
   test("search over 3 dimensions scans the source once") {
@@ -119,6 +121,26 @@ class PlanQualitySpec extends SparkTestBase {
     // one "Location:" detail line per distinct scan node in formatted explain
     val scans = physicalPlan(df).linesIterator.count(_.contains("Location:"))
     assert(scans == 1, s"search should read the source once, saw $scans scans")
+  }
+
+  test("select page-2 keyset cursor: time bound pushed to scan, no global sort") {
+    val us = java.time.Instant.parse("2024-01-05T00:00:00Z").getEpochSecond * 1000000L
+    val df = engine.plan(
+      s"""{"queryType":"select","dataSource":"events",
+        |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+        |"dimensions":["event_type"],"metrics":["event_id"],
+        |"pagingSpec":{"pagingIdentifiers":{"t:$us":3},"threshold":25}}""".stripMargin)
+    val plan = physicalPlan(df)
+    // cursor lower bound must reach the parquet scan on the raw nanos column
+    // (row-group min/max pruning — pages get CHEAPER as the cursor advances)
+    assert(plan.contains("GreaterThanOrEqual(ts"),
+      s"cursor time bound not pushed to scan:\n${plan.take(2000)}")
+    // page = per-partition top-(k+threshold) merged on the driver, not a
+    // global Sort exchange + Offset over the whole filtered source
+    assert(plan.contains("TakeOrderedAndProject"),
+      "select page should be TakeOrderedAndProject, not global sort+offset")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "select paging must not range-shuffle the datasource")
   }
 
   test("whole-stage codegen covers the filter+agg pipeline") {

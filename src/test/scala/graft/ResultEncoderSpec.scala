@@ -73,7 +73,7 @@ class ResultEncoderSpec extends SparkTestBase {
     assert(o.get("events").size() == 3)
   }
 
-  test("select result: events + cumulative paging cursor") {
+  test("select result: events + keyset paging cursor") {
     val json = engine.executeJson(
       """{"queryType":"select","dataSource":"ev",
         |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
@@ -82,17 +82,104 @@ class ResultEncoderSpec extends SparkTestBase {
     val root = mapper.readTree(json)
     val r = root.get(0).get("result")
     assert(r.get("events").size() == 2)
-    assert(r.get("pagingIdentifiers").get("offset").asInt() == 2)
+    // cursor = last row's __time (2024-03-01T02:00Z as epoch-µs) → 1 row consumed there
+    val us2 = java.time.Instant.parse("2024-03-01T02:00:00Z").getEpochSecond * 1000000L
+    assert(r.get("pagingIdentifiers").get(s"t:$us2").asInt() == 1)
 
-    // page 2: cursor continues from the returned offset
+    // page 2: cursor passed back verbatim → only the 3rd row remains
     val json2 = engine.executeJson(
+      s"""{"queryType":"select","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"pagingSpec":{"pagingIdentifiers":{"t:$us2":1},"threshold":2}}""".stripMargin)
+    val r2 = mapper.readTree(json2).get(0).get("result")
+    assert(r2.get("events").size() == 1)
+    assert(r2.get("events").get(0).get("value").asDouble() == 40.0)
+    val us3 = java.time.Instant.parse("2024-03-02T03:00:00Z").getEpochSecond * 1000000L
+    assert(r2.get("pagingIdentifiers").get(s"t:$us3").asInt() == 1)
+
+    // page 3: exhausted → empty events, cursor echoed unchanged
+    val json3 = engine.executeJson(
+      s"""{"queryType":"select","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"pagingSpec":{"pagingIdentifiers":{"t:$us3":1},"threshold":2}}""".stripMargin)
+    val r3 = mapper.readTree(json3).get(0).get("result")
+    assert(r3.get("events").size() == 0)
+    assert(r3.get("pagingIdentifiers").get(s"t:$us3").asInt() == 1)
+  }
+
+  test("select: legacy {offset:n} identifiers keep cumulative-offset semantics") {
+    val json = engine.executeJson(
       """{"queryType":"select","dataSource":"ev",
         |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
         |"dimensions":["event_type"],"metrics":["value"],
         |"pagingSpec":{"pagingIdentifiers":{"offset":2},"threshold":2}}""".stripMargin)
+    val r = mapper.readTree(json).get(0).get("result")
+    assert(r.get("events").size() == 1)
+    assert(r.get("pagingIdentifiers").get("offset").asInt() == 3)
+  }
+
+  test("select: descending keyset cursor pages toward older rows") {
+    val json = engine.executeJson(
+      """{"queryType":"select","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"descending":true,
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"pagingSpec":{"pagingIdentifiers":{},"threshold":2}}""".stripMargin)
+    val r = mapper.readTree(json).get(0).get("result")
+    assert(r.get("events").size() == 2)
+    assert(r.get("events").get(0).get("value").asDouble() == 40.0)
+    // last row of the desc page is the 02:00Z one
+    val us2 = java.time.Instant.parse("2024-03-01T02:00:00Z").getEpochSecond * 1000000L
+    val json2 = engine.executeJson(
+      s"""{"queryType":"select","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"descending":true,
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"pagingSpec":{"pagingIdentifiers":{"t:$us2":1},"threshold":2}}""".stripMargin)
     val r2 = mapper.readTree(json2).get(0).get("result")
-    assert(r2.get("events").size() == 1) // only the 3rd row remains
-    assert(r2.get("pagingIdentifiers").get("offset").asInt() == 3)
+    assert(r2.get("events").size() == 1)
+    assert(r2.get("events").get(0).get("value").asDouble() == 10.0)
+  }
+
+  test("encodeStream is lazy: first chunks arrive before later partitions compute") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("__time", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val t0 = ts("2024-03-01T01:00:00Z")
+    // partitions 2..3 explode if ever computed — a streaming encoder reading
+    // partition-at-a-time never touches them for the first chunks
+    val rdd = spark.sparkContext.parallelize(0 until 40000, 4).mapPartitionsWithIndex {
+      (i, it) =>
+        if (i >= 2) throw new RuntimeException("late partition computed eagerly")
+        it.map(n => org.apache.spark.sql.Row(t0, s"e$n", n.toDouble))
+    }
+    val df = spark.createDataFrame(rdd, schema)
+    val e2 = new Engine(spark, new MapCatalog(Map("big" -> df)))
+    val qJson =
+      """{"queryType":"scan","dataSource":"big",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+        |"order":"none"}""".stripMargin
+    val q = graft.model.QueryJson.parseQuery(qJson)
+    val it = graft.engine.ResultEncoder.encodeStream(
+      q, e2.plan(q), None, chunkChars = 2048)
+    val first = it.next()
+    assert(first.nonEmpty && first.startsWith("""[{"columns":"""))
+    assert(it.hasNext) // more chunks pending, stream not drained
+  }
+
+  test("encode (drained stream) matches the documented shapes byte-for-byte") {
+    // same query through executeJson (drained stream) parses to the v0.12
+    // timeseries shape with compact separators — guards the generator path
+    val json = engine.executeJson(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    assert(json.startsWith("""[{"timestamp":"2024-03-01T00:00:00Z","result":{"cnt":2}}"""))
+    assert(!json.contains(" ")) // compact, no pretty-printing drift
   }
 
   test("timeBoundary result: {result:{minTime, maxTime}}") {
@@ -104,10 +191,8 @@ class ResultEncoderSpec extends SparkTestBase {
   }
 
   test("cancellation: cancel(queryId) aborts a running query") {
-    val big = spark.range(3000000).toDF("id")
-      .withColumn("__time", org.apache.spark.sql.functions.lit(ts("2024-03-01T00:00:00Z")))
     val e2 = new Engine(spark, new MapCatalog(
-      Map("big" -> big.crossJoin(big.select(org.apache.spark.sql.functions.col("id").as("id2"))))))
+      Map("big" -> SparkTestBase.interruptiblySlowDF(spark, ts("2024-03-01T00:00:00Z")))))
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
