@@ -230,7 +230,7 @@ object SparkEntry {
 
     val segmentMetadata: String =
       """{"queryType":"segmentMetadata","dataSource":"events",
-         |"analysisTypes":["exactCardinality"]}""".stripMargin
+         |"analysisTypes":["cardinality"]}""".stripMargin
 
     val search: String =
       """{"queryType":"search","dataSource":"events",
@@ -342,16 +342,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q22_minhash_dups" -> ((s, dir) => {
-      // MinHash LSH near-dup pairs (not SQL-expressible → rows-only check)
+      // MinHash LSH candidates (permissive est threshold) → EXACT n-gram
+      // Jaccard verification. Output = exact pairs ≥ 0.5, so the DuckDB
+      // oracle (brute-force exact Jaccard) hash-checks the whole pipeline;
+      // a hash match also certifies LSH recall = 1.0 at this SF (candidate
+      // est-threshold 0.35 leaves a wide margin below the 0.5 verify bar).
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
-        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.5)
-        .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      val cand = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.35)
+      val sh = docs.select(col("doc_id"),
+        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("__j"))
+        .where(col("__j") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "q23_simhash_dups" -> ((s, dir) => {
+      // SimHash candidates: 16 bands × 4 bits → pigeonhole-lossless for
+      // hamming ≤ 15 (measured max hamming of jaccard≥0.9 pairs here: 12)
+      // → EXACT Jaccard verification at 0.9. Oracle = brute-force exact
+      // Jaccard ≥ 0.9; a hash match certifies the {j ≥ 0.9} ⊆ {h ≤ 15}
+      // containment AND the banding capture end-to-end.
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id", maxHamming = 3)
+      val cand = graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id",
+        maxHamming = 15, bands = 16)
+      val sh = docs.select(col("doc_id"),
+        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("__j"))
+        .where(col("__j") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "q24_ngram_jaccard" -> ((s, dir) => {
@@ -382,13 +411,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q27_multimodal_decode" -> ((s, dir) => {
-      // binary-column decode plumbing (stubbed codec; deterministic)
+      // binary-column decode plumbing (stubbed codec; deterministic closed
+      // form — the DuckDB oracle recomputes the whole stub independently)
       val media = graft.ext.Multimodal.syntheticMedia(s, 200)
       val decoded = graft.ext.Multimodal.decode(media, "media_id", "content", 8)
       graft.ext.Multimodal.sampleFrames(decoded, 4)
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("n_frames"), size(col("sampled_frames")).as("n_sampled"),
-          round(element_at(col("feature"), 1), 4).as("f0"))
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
         .orderBy("media_id")
     }),
     "q29_rollup_query" -> ((s, dir) => {
@@ -407,8 +437,11 @@ object SparkEntry {
         Seq("sum_val"))
     }),
     "q30_hll_cardinality" -> ((s, dir) => {
-      // hyperUnique + cardinality (approximate — rows-only check)
-      engine(s, dir).plan(
+      // hyperUnique + cardinality, BANDED against exact distinct counts: the
+      // query outputs the exact counts plus booleans asserting the sketch
+      // estimates land within ±5% — the DuckDB oracle recomputes the exact
+      // counts and expects the bands to hold (estimates are deterministic).
+      val est = engine(s, dir).plan(
         """{"queryType":"timeseries","dataSource":"events",
           |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
           |"granularity":"week",
@@ -416,6 +449,20 @@ object SparkEntry {
           |  {"type":"hyperUnique","name":"uniq_users","fieldName":"user_id"},
           |  {"type":"cardinality","name":"combo_card",
           |   "fields":["event_type","user_id"],"byRow":true}]}""".stripMargin)
+      val ev = graft.sources.TableLoader.load(s, dir, "events")
+        .where(col("ts") >= lit(java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))) &&
+          col("ts") < lit(java.sql.Timestamp.from(java.time.Instant.parse("2024-02-01T00:00:00Z"))))
+      val exact = ev.groupBy(date_trunc("week", col("ts")).as("__time"))
+        .agg(countDistinct(col("user_id")).as("exact_uniq"),
+          countDistinct(col("event_type"), col("user_id")).as("exact_combo"))
+      est.join(exact, Seq("__time"))
+        .select(col("__time"), col("exact_uniq"),
+          (abs(col("uniq_users") - col("exact_uniq")) <=
+            greatest(col("exact_uniq") * 0.05, lit(2.0))).as("uniq_ok"),
+          col("exact_combo"),
+          (abs(col("combo_card") - col("exact_combo")) <=
+            greatest(col("exact_combo") * 0.05, lit(2.0))).as("combo_ok"))
+        .orderBy("__time")
     }),
     "q31_period_tz" -> ((s, dir) =>
       // P1D buckets on Asia/Shanghai local midnights (UTC+8, no DST)
@@ -588,12 +635,18 @@ object SparkEntry {
           |ORDER BY id_a, id_b""".stripMargin)
     }),
     "q47_ivf_ann" -> ((s, dir) => {
-      // IVF-indexed ANN (k-means-lite centroids + probe; rows-only check)
+      // IVF-indexed ANN. The DuckDB oracle is the brute-force exact top-k:
+      // a hash match certifies the probed clusters contained every true
+      // neighbor at this SF (IVF recall = 1.0 here by construction).
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
       val qs = emb.where(col("vec_id") < 5)
+      // nProbe=7/8: the fixture embeddings are uniform random (no cluster
+      // structure), so exact top-k recall inherently needs most clusters —
+      // the clustered-data case where few probes suffice is gated in
+      // ExtSpec ("IVF ANN: high recall on clustered vectors").
       graft.ext.Similarity.ivfTopK(qs, "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 3)
-        .withColumn("cosine", round(col("cosine"), 4))
+        emb, "vec_id", "embedding", k = 5, nClusters = 8, nProbe = 7)
+        .withColumn("cosine", round(col("cosine"), 3))
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),
     "q48_registered_lookup" -> ((s, dir) =>
@@ -674,6 +727,20 @@ object SparkEntry {
           |GROUP BY n_name
           |ORDER BY revenue DESC, n_name""".stripMargin)
     }),
+    "q55_mv_filter_extraction" -> ((s, dir) =>
+      // In + Bound filters with an extractionFn over a MULTI-VALUE dim:
+      // extraction applies per value with match-any semantics (the
+      // stringified-array pitfall the oracle would catch)
+      engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"events_mv",
+          |"intervals":["2024-01-01T00:00:00Z/2024-01-15T00:00:00Z"],
+          |"granularity":"day","context":{"skipEmptyBuckets":"true"},
+          |"filter":{"type":"or","fields":[
+          |  {"type":"in","dimension":"tags","values":["CLICK","U3"],
+          |   "extractionFn":{"type":"upper"}},
+          |  {"type":"bound","dimension":"tags","lower":"view",
+          |   "ordering":"lexicographic"}]},
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)),
     "q52_scan_throughput" -> ((s, dir) =>
       // headline raw-scan throughput: full-table aggregate, no filters
       roundCols(engine(s, dir).plan(
@@ -688,11 +755,13 @@ object SparkEntry {
           |  {"type":"longMin","name":"min_ok","fieldName":"l_orderkey"}]}""".stripMargin),
         Seq("sum_price", "sum_qty", "max_price"), scale = 1)),
     "q28_cosine_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup pairs via hyperplane LSH (rows-only)
+      // embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
+      // The DuckDB oracle is the brute-force exact pair set ≥ threshold: a
+      // hash match certifies LSH candidate recall = 1.0 at this SF.
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
       graft.ext.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
         dim = 64, threshold = 0.45, bands = 16, rowsPerBand = 4)
-        .withColumn("cosine", round(col("cosine"), 4))
+        .withColumn("cosine", round(col("cosine"), 3))
         .orderBy("id_a", "id_b")
     }),
   )
@@ -878,12 +947,102 @@ object SparkEntry {
         |  round(CAST(length(text) AS DOUBLE) /
         |    len(string_split_regex(trim(text), '\s+')), 3) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q22/q23: brute-force EXACT word-3-gram Jaccard over all pairs — the
+    // independent ground truth the LSH+verify pipelines must reproduce
+    "q22_minhash_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1),
+        |             j -> array_to_string(t[j:j+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q23_simhash_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1),
+        |             j -> array_to_string(t[j:j+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q27: independent recomputation of the CLOSED-FORM stub codec
+    // (Multimodal.decodeStub): bytes(i,j) = ((i*31 + j*7) % 251) as int8;
+    // h = seed-1 31-fold int32 wrap; f0 = seed-7 fold scaled via float
+    "q27_multimodal_decode" ->
+      """WITH raw AS (
+        |  SELECT i::BIGINT AS media_id,
+        |    list_transform(range(0, 32 + i % 64),
+        |      j -> CASE WHEN (i*31 + j*7) % 251 < 128 THEN (i*31 + j*7) % 251
+        |                ELSE (i*31 + j*7) % 251 - 256 END) AS bs
+        |  FROM range(0, 200) t(i)),
+        |h AS (
+        |  SELECT media_id,
+        |    list_reduce(list_prepend(1::BIGINT, bs),
+        |      (x, b) -> ((x * 31 + b) % 4294967296 + 4294967296 + 2147483648)
+        |                % 4294967296 - 2147483648) AS hc,
+        |    list_reduce(list_prepend(7::BIGINT, bs),
+        |      (x, b) -> ((x * 31 + b) % 4294967296 + 4294967296 + 2147483648)
+        |                % 4294967296 - 2147483648) AS f0i
+        |  FROM raw)
+        |SELECT media_id,
+        |  CASE hc & 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'webp' ELSE 'gif' END AS format,
+        |  CAST(64 + (hc & 2147483647) % 1024 AS INT) AS width,
+        |  CAST(64 + ((hc & 2147483647) // 7) % 1024 AS INT) AS height,
+        |  CAST(1 + ((hc & 2147483647) // 13) % 32 AS INT) AS n_frames,
+        |  CAST(((1 + ((hc & 2147483647) // 13) % 32) - 1) // 4 + 1 AS INT) AS n_sampled,
+        |  round(CAST(CAST(f0i / 2147483647.0 AS FLOAT) AS DOUBLE), 4) AS f0
+        |FROM h ORDER BY media_id""".stripMargin,
+    // q28: brute-force exact cosine pair set the LSH+verify must reproduce
+    "q28_cosine_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+        |    AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
     "q29_rollup_query" ->
       """SELECT date_trunc('day', ts) AS __time, count(*) AS cnt,
         |  round(sum(value), 3) AS sum_val
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q30: exact distinct counts; the banded booleans must come out true
+    "q30_hll_cardinality" ->
+      """SELECT date_trunc('week', ts) AS __time,
+        |  count(DISTINCT user_id) AS exact_uniq, true AS uniq_ok,
+        |  count(DISTINCT (event_type, user_id)) AS exact_combo, true AS combo_ok
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q47: brute-force exact top-k (same ground truth as q25) — IVF with
+    // these probe settings must achieve recall 1.0 at this SF
+    "q47_ivf_ann" ->
+      """WITH qs AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |  round(CAST(list_cosine_similarity(qv, embedding) AS DOUBLE), 3) AS cosine
+        |FROM embeddings, qs
+        |WHERE vec_id <> query_id
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY list_cosine_similarity(qv, embedding) DESC, vec_id) <= 5
+        |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin,
     "q31_period_tz" ->
       """SELECT TIMESTAMP '1970-01-01 00:00:00' +
         |  (((CAST(epoch(ts) AS BIGINT) + 28800) // 86400) * 86400 - 28800) * INTERVAL 1 SECOND AS __time,
@@ -1003,6 +1162,15 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q55_mv_filter_extraction" ->
+      """SELECT date_trunc('day', ts) AS __time, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |  AND (upper(event_type) IN ('CLICK', 'U3')
+        |    OR upper('u' || CAST(user_id % 10 AS VARCHAR)) IN ('CLICK', 'U3')
+        |    OR event_type >= 'view'
+        |    OR ('u' || CAST(user_id % 10 AS VARCHAR)) >= 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_scan_throughput" ->
       """SELECT TIMESTAMP '1990-01-01' AS __time, count(*) AS cnt,
         |  round(sum(l_extendedprice), 1) AS sum_price,

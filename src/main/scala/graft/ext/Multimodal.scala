@@ -28,24 +28,33 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType), nullable = true)))
 
   /** STUB decode: deterministic fake metadata + feature vector from raw
-    * bytes. Replace with a real codec for production. */
+    * bytes. Replace with a real codec for production.
+    *
+    * The fake has a CLOSED-FORM spec so an independent engine (the DuckDB
+    * oracle) can recompute it: h = Java `Arrays.hashCode(bytes)` (seed-1
+    * 31-fold, int32 wrap); all divisions run on the nonnegative
+    * `h & 0x7fffffff` so / and % have one well-defined semantics everywhere;
+    * feature(i) is the same 31-fold with seed 7+i, scaled to [-1, 1). */
   private def decodeStub(id: Long, bytes: Array[Byte], featureDim: Int)
       : Row = {
     if (bytes == null || bytes.isEmpty) {
       Row(id, null, null, null, null, null)
     } else {
-      // deterministic pseudo-properties derived from content
-      val h = java.util.Arrays.hashCode(bytes)
+      def fold31(seed: Int): Int = {
+        var x = seed; var j = 0
+        while (j < bytes.length) { x = 31 * x + bytes(j); j += 1 }
+        x
+      }
+      val h = fold31(1) // == java.util.Arrays.hashCode(bytes)
+      val hu = h & 0x7fffffffL
       val fmt = (h & 3) match {
         case 0 => "png"; case 1 => "jpeg"; case 2 => "webp"; case _ => "gif"
       }
-      val w = 64 + (math.abs(h) % 1024)
-      val ht = 64 + (math.abs(h / 7) % 1024)
-      val frames = 1 + math.abs(h / 13) % 32
+      val w = (64L + hu % 1024L).toInt
+      val ht = (64L + (hu / 7L) % 1024L).toInt
+      val frames = (1L + (hu / 13L) % 32L).toInt
       val feat = Array.tabulate(featureDim) { i =>
-        // stable per-(content, i) float in [-1, 1)
-        val x = scala.util.hashing.MurmurHash3.bytesHash(bytes, i)
-        (x.toDouble / Int.MaxValue).toFloat
+        (fold31(7 + i).toDouble / Int.MaxValue).toFloat
       }
       Row(id, fmt, w, ht, frames, feat.toSeq)
     }
