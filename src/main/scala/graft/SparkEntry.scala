@@ -365,15 +365,25 @@ object SparkEntry {
     "q23_simhash_dups" -> ((s, dir) => {
       // SimHash candidates: 16 bands × 4 bits → pigeonhole-lossless for
       // hamming ≤ 15 (measured max hamming of jaccard≥0.9 pairs here: 12)
-      // → EXACT Jaccard verification at 0.9. Oracle = brute-force exact
-      // Jaccard ≥ 0.9; a hash match certifies the {j ≥ 0.9} ⊆ {h ≤ 15}
-      // containment AND the banding capture end-to-end.
+      // → cheap MinHash-estimate prefilter (est ≥ 0.75, 4σ below the 0.9
+      // bar with 64 hashes — keeps every true pair, prunes the hamming
+      // band's template-similarity noise) → EXACT Jaccard verification at
+      // 0.9. Oracle = brute-force exact Jaccard ≥ 0.9; a hash match
+      // certifies the {j ≥ 0.9} ⊆ {h ≤ 15} containment AND the banding
+      // capture end-to-end.
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val cand = graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id",
         maxHamming = 15, bands = 16)
+      val msig = docs.select(col("doc_id"),
+        graft.ext.Dedup.minhashSignature(col("text"), 64, 3).as("ms"))
+      val prefiltered = cand
+        .join(msig.select(col("doc_id").as("id_a"), col("ms").as("ms_a")), "id_a")
+        .join(msig.select(col("doc_id").as("id_b"), col("ms").as("ms_b")), "id_b")
+        .where(graft.ext.Dedup.minhashJaccard(col("ms_a"), col("ms_b")) >= 0.75)
+        .select("id_a", "id_b")
       val sh = docs.select(col("doc_id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
-      cand
+      prefiltered
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),

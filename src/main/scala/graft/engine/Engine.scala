@@ -95,6 +95,11 @@ class Engine(spark: SparkSession, catalog: Catalog) {
 
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
+    // Job TAG as well: group cancellation does not reliably reach AQE's
+    // stage-materialization jobs (observed: tasks kept running after
+    // cancelJobGroup); tags propagate through SQLExecution to those jobs
+    // and cancelJobsWithTag interrupts them.
+    spark.sparkContext.addJobTag(Engine.jobTag(queryId))
     // context `priority` → scheduler pool (Druid query prioritization,
     // reference `query/query-module-overview.md:55`); takes effect when the
     // session runs the FAIR scheduler, harmless otherwise
@@ -121,7 +126,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           try fut.get(ms, TimeUnit.MILLISECONDS)
           catch {
             case _: TimeoutException =>
-              spark.sparkContext.cancelJobGroup(queryId)
+              cancel(queryId)
               throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
                 "QueryTimeoutException")
           } finally ex.shutdownNow()
@@ -148,6 +153,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         else throw QueryError.unknown(e)
     } finally {
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
       spark.sparkContext.clearJobGroup()
     }
   }
@@ -175,6 +181,9 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     }
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
+    // tag applies to jobs the CONSUMER's iteration submits (same thread or
+    // one created after this point); cleared once the stream is drained
+    spark.sparkContext.addJobTag(Engine.jobTag(queryId))
     val df = QueryPlanner.plan(spark, query, catalog)
     val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
     val t0 = System.nanoTime()
@@ -188,6 +197,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
             (System.nanoTime() - t0) / 1000000L,
             success = true, cached = false, bytes = bytes))
           bytes = -1L // record once
+          spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
         }
         more
       }
@@ -213,8 +223,12 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     metricsRing.iterator().asScala.toSeq
   }
 
-  /** `DELETE /druid/v2/{id}` equivalent. */
-  def cancel(queryId: String): Unit = spark.sparkContext.cancelJobGroup(queryId)
+  /** `DELETE /druid/v2/{id}` equivalent. Cancels by tag (reaches AQE
+    * stage-materialization jobs) and by group (direct jobs). */
+  def cancel(queryId: String): Unit = {
+    spark.sparkContext.cancelJobsWithTag(Engine.jobTag(queryId))
+    spark.sparkContext.cancelJobGroup(queryId)
+  }
 
   /** SQL surface (SURVEY §2.1 Q10 — Druid SQL ≈ Catalyst): registers the
     * named datasources as temp views plus the engine's native functions,
@@ -236,6 +250,9 @@ class Engine(spark: SparkSession, catalog: Catalog) {
 }
 
 object Engine {
+
+  /** Spark job tag for a queryId (tags may not contain commas). */
+  def jobTag(queryId: String): String = "graft-query-" + queryId.replace(",", "_")
 
   /** Error contract (reference `query/query-module-overview.md:60-87`):
     * `{error, errorMessage, errorClass, host}` with the five documented codes. */

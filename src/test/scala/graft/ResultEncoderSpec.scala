@@ -211,5 +211,14 @@ class ResultEncoderSpec extends SparkTestBase {
       case Right(other) => fail(s"unexpected: $other")
       case Left(_) => fail("query completed despite cancellation")
     }
+    // the cancel must actually TERMINATE the running tasks (job-tag
+    // cancellation reaches AQE stage jobs): the slow source would need
+    // ~30s/task to drain naturally, so an empty scheduler within 10s
+    // proves the interrupt landed
+    val deadline = System.currentTimeMillis() + 10000
+    def active = spark.sparkContext.statusTracker.getActiveJobIds()
+    while (System.currentTimeMillis() < deadline && active.nonEmpty)
+      Thread.sleep(200)
+    assert(active.isEmpty, "cancelled query's tasks must terminate, not linger")
   }
 }
