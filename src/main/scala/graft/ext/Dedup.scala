@@ -103,10 +103,11 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column =
     graft.functions.TextHashFunctions.minhash_signature(tokens(text), numHashes, shingleN)
 
-  /** Estimated Jaccard from two minhash signatures. */
+  /** Estimated Jaccard from two minhash signatures — native one-pass
+    * expression (the HOF formulation is interpreted per element and runs
+    * once per banded candidate pair). */
   def minhashJaccard(sigA: Column, sigB: Column): Column =
-    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x).cast(DoubleType) / size(sigA)
+    graft.functions.TextHashFunctions.minhash_jaccard(sigA, sigB)
 
   /** Near-duplicate pairs via MinHash LSH banding.
     *

@@ -149,6 +149,46 @@ case class SignatureBandKeys(child: Expression, bands: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Estimated Jaccard from two equal-length long-array MinHash signatures:
+  * fraction of matching slots. The `zip_with`+`aggregate` HOF formulation
+  * is interpreted per ELEMENT with boxed lambdas and allocates an
+  * intermediate array — and it runs once per banded candidate PAIR, the
+  * LSH join's hot path. This is one primitive pass. */
+case class MinHashJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<long> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val total = x.numElements() // HOF semantics: divide by size(sigA)
+    if (total == 0) 0.0
+    else {
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (x.getLong(i) == y.getLong(i)) m += 1
+        i += 1
+      }
+      m.toDouble / total
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Sort key realizing Druid's alphanumeric comparator: embedded digit runs
   * compare numerically ("file2" < "file10"), everything else byte-wise.
   * Digit runs are rewritten to (0-padded-length-prefix + digits) so plain
@@ -203,6 +243,10 @@ object TextHashFunctions {
 
   def band_keys(signature: Column, bands: Int): Column =
     GraftBridge.column(SignatureBandKeys(GraftBridge.expression(signature), bands))
+
+  def minhash_jaccard(sigA: Column, sigB: Column): Column =
+    GraftBridge.column(MinHashJaccard(
+      GraftBridge.expression(sigA), GraftBridge.expression(sigB)))
 
   def alphanumeric_sort_key(s: Column): Column =
     GraftBridge.column(AlphanumericSortKey(GraftBridge.expression(s)))
