@@ -143,6 +143,24 @@ class PlanQualitySpec extends SparkTestBase {
       "select paging must not range-shuffle the datasource")
   }
 
+  test("near-dup pipelines join on (band,bucket) — never a cartesian product") {
+    Seq("q22_minhash_dups", "q23_simhash_dups", "q28_cosine_neardup").foreach { q =>
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must pair via LSH buckets, not an all-pairs cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not fall back to a nested-loop join")
+    }
+  }
+
+  test("brute-force ANN broadcasts the query side (one corpus scan, no shuffle)") {
+    val plan = physicalPlan(SparkEntry.queries("q25_ann_cosine")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "queries must broadcast against the corpus scan")
+    assert(!plan.contains("Exchange hashpartitioning(neighbor_id"),
+      "corpus must not shuffle for the scoring pass")
+  }
+
   test("whole-stage codegen covers the filter+agg pipeline") {
     val df = engine.plan(
       """{"queryType":"timeseries","dataSource":"lineitem",
