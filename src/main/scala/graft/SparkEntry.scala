@@ -363,24 +363,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q23_simhash_dups" -> ((s, dir) => {
-      // SimHash candidates: 16 bands × 4 bits → pigeonhole-lossless for
-      // hamming ≤ 15 (measured max hamming of jaccard≥0.9 pairs here: 12)
-      // → cheap MinHash-estimate prefilter (est ≥ 0.75, 4σ below the 0.9
-      // bar with 64 hashes — keeps every true pair, prunes the hamming
-      // band's template-similarity noise) → EXACT Jaccard verification at
-      // 0.9. Oracle = brute-force exact Jaccard ≥ 0.9; a hash match
-      // certifies the {j ≥ 0.9} ⊆ {h ≤ 15} containment AND the banding
-      // capture end-to-end.
+      // SimHash candidates (16×4-bit bands, hamming ≤ 15) UNION
+      // minhash-banded candidates, then EXACT Jaccard verification at 0.9.
+      // Why the union: on short docs (~50 tokens) a 64-bit simhash has
+      // enough variance that true j≥0.9 pairs reach hamming > 15 (measured
+      // at sf0.1: 123 of 249 true pairs), and no banding can recover what
+      // the hamming cap excludes — simhash alone CANNOT guarantee capture
+      // at this doc length. The minhash side pushes capture probability to
+      // 1-4e-8 per true pair (0.9⁴-per-band across 16 bands), making the
+      // oracle containment hold at every SF; the simhash path stays
+      // exercised end-to-end (its hamming semantics are gated in ExtSpec).
+      // A cheap minhash-estimate prefilter (est ≥ 0.75, 4σ under the bar)
+      // prunes the simhash band's template-similarity noise before the
+      // exact string-shingle verify. Oracle = brute-force exact Jaccard.
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val cand = graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id",
+      val candSim = graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id",
         maxHamming = 15, bands = 16)
       val msig = docs.select(col("doc_id"),
         graft.ext.Dedup.minhashSignature(col("text"), 64, 3).as("ms"))
-      val prefiltered = cand
+      val candMin = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.75)
+      val prefiltered = candSim
         .join(msig.select(col("doc_id").as("id_a"), col("ms").as("ms_a")), "id_a")
         .join(msig.select(col("doc_id").as("id_b"), col("ms").as("ms_b")), "id_b")
         .where(graft.ext.Dedup.minhashJaccard(col("ms_a"), col("ms_b")) >= 0.75)
         .select("id_a", "id_b")
+        .union(candMin.select("id_a", "id_b"))
+        .distinct()
       val sh = docs.select(col("doc_id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
       prefiltered
@@ -751,6 +760,23 @@ object SparkEntry {
           |  {"type":"bound","dimension":"tags","lower":"view",
           |   "ordering":"lexicographic"}]},
           |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)),
+    "q56_sql_time_fns" -> ((s, dir) => {
+      // the reference system's SQL time functions (TIME_FLOOR/SHIFT/
+      // EXTRACT/FORMAT/PARSE/CEIL, MILLIS_TO_TIMESTAMP/TIMESTAMP_TO_MILLIS)
+      // registered by GraftFunctionRegistry — reference SQL runs unchanged
+      registerTpch(s, dir)
+      s.sql(
+        """SELECT time_floor(ts, 'PT6H') AS bucket,
+          |  count(*) AS cnt,
+          |  min(time_extract(ts, 'HOUR')) AS min_hr,
+          |  min(time_format(time_shift(ts, 'P1M', 1), 'yyyy-MM')) AS next_month,
+          |  min(time_format(time_ceil(ts, 'P1D'), 'yyyy-MM-dd')) AS next_day,
+          |  min(timestamp_to_millis(ts)) AS min_ms
+          |FROM events
+          |WHERE ts >= time_parse('2024-01-01T00:00:00')
+          |  AND ts < millis_to_timestamp(1705276800000)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     "q52_scan_throughput" -> ((s, dir) =>
       // headline raw-scan throughput: full-table aggregate, no filters
       roundCols(engine(s, dir).plan(
@@ -1180,6 +1206,16 @@ object SparkEntry {
         |    OR upper('u' || CAST(user_id % 10 AS VARCHAR)) IN ('CLICK', 'U3')
         |    OR event_type >= 'view'
         |    OR ('u' || CAST(user_id % 10 AS VARCHAR)) >= 'view')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q56_sql_time_fns" ->
+      """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket, count(*) AS cnt,
+        |  CAST(min(hour(ts)) AS BIGINT) AS min_hr,
+        |  min(strftime(ts + INTERVAL 1 MONTH, '%Y-%m')) AS next_month,
+        |  min(strftime(CASE WHEN date_trunc('day', ts) = ts THEN ts
+        |    ELSE date_trunc('day', ts) + INTERVAL 1 DAY END, '%Y-%m-%d')) AS next_day,
+        |  CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ms
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_scan_throughput" ->
       """SELECT TIMESTAMP '1990-01-01' AS __time, count(*) AS cnt,

@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Registers the engine's native expressions as SQL functions so the SQL
   * surface (SURVEY §2.1 Q10) can use them alongside built-ins:
@@ -10,6 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
   *   SELECT hll_sketch_estimate(hll_sketch_merge(sk)) FROM rollup_table
   * }}}
+  *
+  * Also registers the reference system's SQL time functions (TIME_FLOOR /
+  * TIME_SHIFT / TIME_EXTRACT / TIME_PARSE / TIME_FORMAT /
+  * MILLIS_TO_TIMESTAMP / TIMESTAMP_TO_MILLIS) so reference SQL queries run
+  * unchanged; each compiles to the same Column expressions the native
+  * query planner uses (period truncation incl. tz + origin).
   */
 object GraftFunctionRegistry {
 
@@ -18,6 +26,56 @@ object GraftFunctionRegistry {
     case Literal(v: Long, _) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case Literal(null, _) => null
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def col(e: Expression): Column = GraftBridge.column(e)
+  private def ex(c: Column): Expression = GraftBridge.analyzableExpression(c)
+
+  /** TIME_SHIFT semantics: ts + step × period, calendar-aware for month/
+    * year periods (wall-clock arithmetic in `tz`), fixed millis otherwise. */
+  private def timeShift(ts: Column, period: String, step: Int, tz: String): Column = {
+    val monthsP = "P(\\d+)M".r
+    val yearsP = "P(\\d+)Y".r
+    val months = period match {
+      case monthsP(n) => Some(n.toInt)
+      case yearsP(n)  => Some(n.toInt * 12)
+      case _          => None
+    }
+    months match {
+      case Some(m) =>
+        val iv = make_interval(lit(0), lit(m * step), lit(0), lit(0), lit(0), lit(0), lit(0))
+        if (tz == "UTC") ts + iv
+        else to_utc_timestamp(from_utc_timestamp(ts, tz) + iv, tz)
+      case None =>
+        val ms = graft.expr.Compilers.periodMillis(period)
+        timestamp_millis(unix_millis(ts) + lit(step.toLong * ms))
+    }
+  }
+
+  private def timeExtract(ts: Column, unit: String, tz: String): Column = {
+    val local = if (tz == "UTC") ts else from_utc_timestamp(ts, tz)
+    unit.toUpperCase match {
+      case "EPOCH"   => floor(unix_millis(ts) / 1000).cast("long")
+      case "MILLIS"  => unix_millis(ts)
+      case "SECOND"  => second(local).cast("long")
+      case "MINUTE"  => minute(local).cast("long")
+      case "HOUR"    => hour(local).cast("long")
+      case "DAY"     => dayofmonth(local).cast("long")
+      case "DOW"     => dayofweek(local).cast("long")
+      case "DOY"     => dayofyear(local).cast("long")
+      case "WEEK"    => weekofyear(local).cast("long")
+      case "MONTH"   => month(local).cast("long")
+      case "QUARTER" => quarter(local).cast("long")
+      case "YEAR"    => year(local).cast("long")
+      case u => throw new IllegalArgumentException(s"unsupported TIME_EXTRACT unit '$u'")
+    }
   }
 
   def registerAll(spark: SparkSession): Unit = {
@@ -39,5 +97,54 @@ object GraftFunctionRegistry {
       es => HllSketchAgg(es.head, mergeSketches = true), "built-in")
     reg.createOrReplaceTempFunction("hll_sketch_estimate",
       es => HllSketchEstimate(es.head), "built-in")
+
+    // --- reference-system SQL time functions -----------------------------
+    reg.createOrReplaceTempFunction("time_floor", es => {
+      val period = strArg(es(1), "period")
+      val origin = if (es.length > 2) Option(strArg(es(2), "origin"))
+        .map(java.time.Instant.parse) else None
+      val tz = if (es.length > 3) Option(strArg(es(3), "timezone")) else None
+      ex(graft.expr.Compilers.periodTrunc(period, tz, origin, col(es(0))))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("time_ceil", es => {
+      val period = strArg(es(1), "period")
+      val origin = if (es.length > 2) Option(strArg(es(2), "origin"))
+        .map(java.time.Instant.parse) else None
+      val tz = if (es.length > 3) Option(strArg(es(3), "timezone")) else None
+      val t = col(es(0))
+      val floored = graft.expr.Compilers.periodTrunc(period, tz, origin, t)
+      ex(when(floored === t, t)
+        .otherwise(timeShift(floored, period, 1, tz.getOrElse("UTC"))))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("time_shift", es => {
+      val period = strArg(es(1), "period")
+      val step = intArg(es(2), "step")
+      val tz = if (es.length > 3) strArg(es(3), "timezone") else "UTC"
+      ex(timeShift(col(es(0)), period, step, tz))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("time_extract", es => {
+      val unit = strArg(es(1), "unit")
+      val tz = if (es.length > 2) strArg(es(2), "timezone") else "UTC"
+      ex(timeExtract(col(es(0)), unit, tz))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("time_parse", es => {
+      val fmt = if (es.length > 1) Option(strArg(es(1), "pattern")) else None
+      ex(fmt match {
+        case Some(p) => to_timestamp(col(es(0)).cast("string"), p)
+        case None    => to_timestamp(col(es(0)).cast("string"))
+      })
+    }, "built-in")
+    reg.createOrReplaceTempFunction("time_format", es => {
+      val fmt = if (es.length > 1) Option(strArg(es(1), "pattern"))
+        .getOrElse("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+        else "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+      val tz = if (es.length > 2) strArg(es(2), "timezone") else "UTC"
+      val local = if (tz == "UTC") col(es(0)) else from_utc_timestamp(col(es(0)), tz)
+      ex(date_format(local, fmt))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("millis_to_timestamp",
+      es => ex(timestamp_millis(col(es(0)).cast("long"))), "built-in")
+    reg.createOrReplaceTempFunction("timestamp_to_millis",
+      es => ex(unix_millis(col(es(0)))), "built-in")
   }
 }

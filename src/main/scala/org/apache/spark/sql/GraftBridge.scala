@@ -13,4 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Full ColumnNode → Expression conversion (UnresolvedFunction nodes
+    * become analyzable catalyst UnresolvedFunctions). `expression` above
+    * wraps the node opaquely, which is fine inside a DataFrame plan but
+    * NOT for expressions returned from a FunctionRegistry builder — the
+    * analyzer must be able to recurse into them. */
+  def analyzableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
