@@ -76,6 +76,18 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               ex.getResponseHeaders.add("ETag", tag)
               respond(ex, 200, engine.executeJson(body))
             }
+          case ("GET", "/druid/v2/metrics") =>
+            // query metrics ring (Druid's query/time family, reference
+            // `query/query-internal-procedure.md:152-189`): queryId, type,
+            // wall millis, success, cache hit, result bytes — newest last
+            val arr = mapper.createArrayNode()
+            engine.metrics.foreach { m =>
+              val o = arr.addObject()
+              o.put("queryId", m.queryId); o.put("queryType", m.queryType)
+              o.put("millis", m.millis); o.put("success", m.success)
+              o.put("cached", m.cached); o.put("bytes", m.bytes)
+            }
+            respond(ex, 200, mapper.writeValueAsString(arr))
           case ("DELETE", path) if path.startsWith("/druid/v2/") =>
             val queryId = path.stripPrefix("/druid/v2/")
             engine.cancel(queryId)

@@ -86,6 +86,18 @@ class HttpServerSpec extends SparkTestBase {
       val q = """{"queryType":"timeBoundary","dataSource":"ev"}"""
       val tag = post(s"$base/druid/v2", q).headers().firstValue("ETag").orElse("")
       assert(tag.matches("[0-9a-f]{32}"), s"etag '$tag' is not a 128-bit digest")
+
+      // metrics endpoint reports the query just run
+      val metrics = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(metrics.statusCode() == 200)
+      val marr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(metrics.body())
+      assert(marr.isArray && marr.size() > 0)
+      val last = marr.get(marr.size() - 1)
+      assert(last.get("queryType").asText() == "TimeBoundary")
+      assert(last.get("success").asBoolean())
     } finally srv.stop()
   }
 
