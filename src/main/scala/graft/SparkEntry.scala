@@ -347,7 +347,10 @@ object SparkEntry {
       // oracle (brute-force exact Jaccard) hash-checks the whole pipeline;
       // a hash match also certifies LSH recall = 1.0 at this SF (candidate
       // est-threshold 0.35 leaves a wide margin below the 0.5 verify bar).
+      // single-file fixture reads as ONE partition; spread the per-doc
+      // hashing across cores (at real scale the scan is already split)
       val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
       val cand = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
         numHashes = 64, bands = 16, shingleN = 3, threshold = 0.35)
       val sh = docs.select(col("doc_id"),
@@ -377,6 +380,7 @@ object SparkEntry {
       // prunes the simhash band's template-similarity noise before the
       // exact string-shingle verify. Oracle = brute-force exact Jaccard.
       val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
       val candSim = graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id",
         maxHamming = 15, bands = 16)
       val msig = docs.select(col("doc_id"),
