@@ -798,9 +798,15 @@ object SparkEntry {
       // embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
       // The DuckDB oracle is the brute-force exact pair set ≥ threshold: a
       // hash match certifies LSH candidate recall = 1.0 at this SF.
+      // 32 bands × 2 bits: at threshold 0.45 (65% per-bit agreement) a
+      // 4-bit band captures a borderline pair with p≈0.96 — one miss
+      // surfaced at sf0.001 — while 2-bit bands push capture to 1-2e-8.
+      // The denser buckets this creates are the small-corpus exactness
+      // trade; at 100-TB corpora use longer signatures with wider bands.
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
       graft.ext.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-        dim = 64, threshold = 0.45, bands = 16, rowsPerBand = 4)
+        dim = 64, threshold = 0.45, bands = 32, rowsPerBand = 2,
+        bucketCap = 4096)
         .withColumn("cosine", round(col("cosine"), 3))
         .orderBy("id_a", "id_b")
     }),

@@ -179,11 +179,12 @@ object Similarity {
       posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
         .as(Seq("band", "bucket")))
 
-    // agreement cut: bits agree w.p. 1-θ/π; keep pairs within 2σ of the
-    // threshold's expected agreement
+    // agreement cut: bits agree w.p. 1-θ/π; keep pairs within 3σ of the
+    // threshold's expected agreement (2σ let ~2% of exactly-at-threshold
+    // pairs slip; the exact re-rank makes extra candidates cheap)
     val minAgree = math.max(0,
       math.floor(nBits * (1.0 - math.acos(threshold) / math.Pi)
-        - 2.0 * math.sqrt(nBits * 0.25)).toInt)
+        - 3.0 * math.sqrt(nBits * 0.25)).toInt)
 
     // skew-capped candidates (Dedup.cappedBucketPairs): oversize buckets —
     // e.g. zero/constant vectors — star-link to a representative instead of
