@@ -781,6 +781,13 @@ object SparkEntry {
           |  AND ts < millis_to_timestamp(1705276800000)
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+    "q57_sql_lookup" -> ((s, dir) =>
+      // reference SQL LOOKUP(expr, 'name') over the catalog's registered
+      // lookup tables (same tables the registeredLookup dim spec joins)
+      engine(s, dir).executeSql(
+        """SELECT lookup(CAST(c_nationkey AS STRING), 'nation_name') AS nation,
+          |  count(*) AS cnt
+          |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin, Seq("customer"))),
     "q52_scan_throughput" -> ((s, dir) =>
       // headline raw-scan throughput: full-table aggregate, no filters
       roundCols(engine(s, dir).plan(
@@ -1226,6 +1233,10 @@ object SparkEntry {
         |  CAST(min(epoch_ms(ts)) AS BIGINT) AS min_ms
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q57_sql_lookup" ->
+      """SELECT n_name AS nation, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_scan_throughput" ->
       """SELECT TIMESTAMP '1990-01-01' AS __time, count(*) AS cnt,

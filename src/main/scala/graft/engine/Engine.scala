@@ -236,6 +236,12 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   def executeSql(sql: String, datasources: Seq[String]): DataFrame = {
     datasources.foreach(n => catalog.table(spark, n).createOrReplaceTempView(n))
     graft.functions.GraftFunctionRegistry.registerAll(spark)
+    // LOOKUP('key', 'name') over the catalog's registered lookups
+    val lkps = catalog.lookupNames.flatMap(n =>
+      catalog.lookupTable(spark, n).map(df =>
+        n -> df.collect().map(r => r.getString(0) -> r.getString(1)).toMap)).toMap
+    if (lkps.nonEmpty)
+      graft.functions.GraftFunctionRegistry.registerLookups(spark, lkps)
     spark.sql(sql)
   }
 

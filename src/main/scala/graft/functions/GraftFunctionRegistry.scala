@@ -147,4 +147,20 @@ object GraftFunctionRegistry {
     reg.createOrReplaceTempFunction("timestamp_to_millis",
       es => ex(unix_millis(col(es(0)))), "built-in")
   }
+
+  /** Reference SQL `LOOKUP(expr, 'name')` over the catalog's registered
+    * lookup tables, collected to in-memory maps — lookup tables are small
+    * by contract (the planner's registeredLookup dimension spec broadcast-
+    * joins the same tables); missing keys yield null. */
+  def registerLookups(spark: SparkSession,
+      lookups: Map[String, Map[String, String]]): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("lookup", es => {
+      val name = strArg(es(1), "lookup name")
+      val m = lookups.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown lookup '$name'"))
+      GraftBridge.analyzableExpression(
+        element_at(typedLit(m), col(es(0)).cast("string")))
+    }, "built-in")
+  }
 }

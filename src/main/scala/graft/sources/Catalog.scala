@@ -40,6 +40,9 @@ trait Catalog {
     * joined by the planner for registeredLookup dimension specs. */
   def lookupTable(spark: SparkSession, name: String): Option[DataFrame] = None
 
+  /** Names of the registered lookups (for the SQL LOOKUP function). */
+  def lookupNames: Seq[String] = Seq.empty
+
   /** Version token of a datasource's current state — result-cache entries
     * are keyed on it so any segment change invalidates them (the etag
     * basis, reference `query/query-internal-procedure.md:43-47`). */
@@ -104,6 +107,8 @@ class ParquetDirCatalog(dir: String,
       }
     }
   }
+
+  override def lookupNames: Seq[String] = Seq("nation_name", "region_name")
 
   /** Built-in fixture lookups: nation/region key→name (FIXTURES.md). */
   override def lookupTable(spark: SparkSession, name: String): Option[DataFrame] =
