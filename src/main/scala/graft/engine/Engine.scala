@@ -98,7 +98,10 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     // Job TAG as well: group cancellation does not reliably reach AQE's
     // stage-materialization jobs (observed: tasks kept running after
     // cancelJobGroup); tags propagate through SQLExecution to those jobs
-    // and cancelJobsWithTag interrupts them.
+    // and cancelJobsWithTag interrupts them. Stale tags from an abandoned
+    // streaming iterator on this thread are cleared first — otherwise a
+    // cancel of the OLD queryId would kill this query.
+    spark.sparkContext.clearJobTags()
     spark.sparkContext.addJobTag(Engine.jobTag(queryId))
     // context `priority` → scheduler pool (Druid query prioritization,
     // reference `query/query-module-overview.md:55`); takes effect when the
@@ -182,7 +185,9 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
     // tag applies to jobs the CONSUMER's iteration submits (same thread or
-    // one created after this point); cleared once the stream is drained
+    // one created after this point); cleared once the stream is drained —
+    // stale tags from a previously abandoned stream are dropped first
+    spark.sparkContext.clearJobTags()
     spark.sparkContext.addJobTag(Engine.jobTag(queryId))
     val df = QueryPlanner.plan(spark, query, catalog)
     val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)

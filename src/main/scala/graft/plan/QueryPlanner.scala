@@ -531,8 +531,12 @@ object QueryPlanner {
         }
       case None => q.intervals
     }
+    // a cursor at/past the end of every interval leaves nothing to read —
+    // empty intervals must NOT fall through to an unrouted full-table scan
+    val exhausted = cursor.isDefined && intervals.isEmpty && q.intervals.nonEmpty
     val src = source(spark, q.dataSource, catalog, intervals)
-    val base = filtered(src, intervals, q.filter)
+    val base0 = filtered(src, intervals, q.filter)
+    val base = if (exhausted) base0.where(lit(false)) else base0
     val cols: Seq[String] =
       if (q.dimensions.isEmpty && q.metrics.isEmpty)
         src.columns.toSeq
