@@ -342,17 +342,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q22_minhash_dups" -> ((s, dir) => {
-      // MinHash LSH candidates (permissive est threshold) → EXACT n-gram
-      // Jaccard verification. Output = exact pairs ≥ 0.5, so the DuckDB
-      // oracle (brute-force exact Jaccard) hash-checks the whole pipeline;
-      // a hash match also certifies LSH recall = 1.0 at this SF (candidate
-      // est-threshold 0.35 leaves a wide margin below the 0.5 verify bar).
+      // MinHash LSH candidates → EXACT n-gram Jaccard verification. Output
+      // = exact pairs ≥ 0.5, so the DuckDB oracle (brute-force exact
+      // Jaccard) hash-checks the whole pipeline. Banding must capture
+      // every pair at the 0.5 verify bar: with 16×4-row bands a j=0.5 pair
+      // collides with only p≈0.64, so 32×2-row bands are used here —
+      // capture ≥ 1-1e-4 at j=0.5 and ~1 above it (the est-threshold 0.35
+      // then prunes candidates 4σ below the bar).
       // single-file fixture reads as ONE partition; spread the per-doc
       // hashing across cores (at real scale the scan is already split)
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
       val cand = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
-        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.35)
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.35)
       val sh = docs.select(col("doc_id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
       cand

@@ -132,6 +132,14 @@ class Engine(spark: SparkSession, catalog: Catalog) {
               cancel(queryId)
               throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
                 "QueryTimeoutException")
+            case e: java.util.concurrent.ExecutionException =>
+              // unwrap: a QueryError raised inside the future (e.g. the
+              // maxResults cap) must keep its documented error code
+              throw e.getCause match {
+                case qe: QueryError => qe
+                case c if c != null => c
+                case _ => e
+              }
           } finally ex.shutdownNow()
       }
       if (populateCache) resultCache.put(cacheKey, result)
@@ -189,10 +197,22 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     // stale tags from a previously abandoned stream are dropped first
     spark.sparkContext.clearJobTags()
     spark.sparkContext.addJobTag(Engine.jobTag(queryId))
-    val df = QueryPlanner.plan(spark, query, catalog)
-    val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
     val t0 = System.nanoTime()
-    val inner = ResultEncoder.encodeStream(query, df, maxResults)
+    // plan-time failures keep the documented QueryError contract and land
+    // in the metrics ring (context `timeout` is NOT honored on the
+    // streaming path — the work happens during consumer iteration)
+    val inner =
+      try {
+        val df = QueryPlanner.plan(spark, query, catalog)
+        val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
+        ResultEncoder.encodeStream(query, df, maxResults)
+      } catch {
+        case qe: QueryError => recordFailure(queryId, query, t0); throw qe
+        case NonFatal(e) =>
+          recordFailure(queryId, query, t0)
+          spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+          throw QueryError.unknown(e)
+      }
     new Iterator[String] {
       private var bytes = 0L
       def hasNext: Boolean = {
@@ -206,9 +226,21 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         }
         more
       }
-      def next(): String = { val s = inner.next(); bytes += s.length; s }
+      def next(): String =
+        try { val s = inner.next(); bytes += s.length; s }
+        catch {
+          case NonFatal(e) =>
+            if (bytes >= 0L) { recordFailure(queryId, query, t0); bytes = -1L }
+            spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+            throw e
+        }
     }
   }
+
+  private def recordFailure(queryId: String, query: Query, t0: Long): Unit =
+    record(QueryMetric(queryId, query.getClass.getSimpleName,
+      (System.nanoTime() - t0) / 1000000L,
+      success = false, cached = false, bytes = 0L))
 
   /** Per-query metrics ring (Druid's query/time + bytes emission,
     * reference `query/query-internal-procedure.md:152-189`). */
@@ -238,15 +270,27 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   /** SQL surface (SURVEY §2.1 Q10 — Druid SQL ≈ Catalyst): registers the
     * named datasources as temp views plus the engine's native functions,
     * then runs the statement. */
+  // LOOKUP maps memoized per (name, datasource version) — collecting every
+  // lookup table on every SQL call would put a driver materialization on
+  // the query hot path
+  private val lookupCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Map[String, String]]
+
   def executeSql(sql: String, datasources: Seq[String]): DataFrame = {
     datasources.foreach(n => catalog.table(spark, n).createOrReplaceTempView(n))
     graft.functions.GraftFunctionRegistry.registerAll(spark)
-    // LOOKUP('key', 'name') over the catalog's registered lookups
-    val lkps = catalog.lookupNames.flatMap(n =>
-      catalog.lookupTable(spark, n).map(df =>
-        n -> df.collect().map(r => r.getString(0) -> r.getString(1)).toMap)).toMap
-    if (lkps.nonEmpty)
-      graft.functions.GraftFunctionRegistry.registerLookups(spark, lkps)
+    // LOOKUP('key', 'name') over the catalog's registered lookups — only
+    // built when the statement can actually reference them
+    if (catalog.lookupNames.nonEmpty && sql.toLowerCase.contains("lookup")) {
+      val lkps = catalog.lookupNames.flatMap { n =>
+        val key = (n, catalog.versionToken(n))
+        catalog.lookupTable(spark, n).map(df =>
+          n -> lookupCache.getOrElseUpdate(key,
+            df.collect().map(r => r.getString(0) -> r.getString(1)).toMap))
+      }.toMap
+      if (lkps.nonEmpty)
+        graft.functions.GraftFunctionRegistry.registerLookups(spark, lkps)
+    }
     spark.sql(sql)
   }
 
@@ -484,8 +528,8 @@ object ResultEncoder {
             () => {
               gen.writeEndArray()
               val incoming = sel.pagingSpec.pagingIdentifiers
-              val legacyOffset =
-                incoming.nonEmpty && incoming.keys.forall(!_.startsWith("t:"))
+              val legacyOffset = incoming.nonEmpty &&
+                incoming.keys.forall(!_.startsWith(QueryPlanner.CursorKeyPrefix))
               gen.writeFieldName("pagingIdentifiers"); gen.writeStartObject()
               if (legacyOffset) {
                 // legacy global-offset clients keep cumulative offset semantics
@@ -500,7 +544,7 @@ object ResultEncoder {
                 // keyset cursor (`t:<epochMicros> -> k`): rows consumed at the
                 // page's last timestamp, carried over when the page continues
                 // inside the same timestamp
-                val key = s"t:$lastTsMicros"
+                val key = QueryPlanner.cursorKey(lastTsMicros)
                 gen.writeFieldName(key)
                 gen.writeNumber(incoming.getOrElse(key, 0) + countAtLastTs)
               }

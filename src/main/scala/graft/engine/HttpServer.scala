@@ -23,6 +23,19 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
 
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  // concurrent handlers: without an executor everything runs on the single
+  // dispatcher thread, so a long streaming response would block every other
+  // request — including DELETE /druid/v2/{id}, making HTTP cancellation of
+  // an in-flight query impossible
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }))
+
   /** actual bound port (useful with port=0) */
   def boundPort: Int = server.getAddress.getPort
 
@@ -64,13 +77,17 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               ex.close()
             } else if (query.context.get("stream").exists(_.toBoolean)) {
               // chunked transfer: result chunks flushed as the query executes
-              // partition-at-a-time — a big scan never sits in server memory
+              // partition-at-a-time — a big scan never sits in server memory.
+              // The stream (and its plan) is created BEFORE committing the
+              // 200, so plan-time failures keep the 5-code error contract; a
+              // mid-stream failure after chunks have been flushed can only
+              // truncate the body (inherent to chunked encoding).
+              val stream = engine.executeJsonStream(body)
               ex.getResponseHeaders.add("ETag", tag)
               ex.getResponseHeaders.add("Content-Type", "application/json")
               ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
               val os = ex.getResponseBody
-              try engine.executeJsonStream(body)
-                .foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
+              try stream.foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
               finally os.close()
             } else {
               ex.getResponseHeaders.add("ETag", tag)

@@ -54,8 +54,10 @@ object GraftFunctionRegistry {
         if (tz == "UTC") ts + iv
         else to_utc_timestamp(from_utc_timestamp(ts, tz) + iv, tz)
       case None =>
+        // interval addition preserves sub-millisecond precision (µs
+        // timestamps); a unix_millis round-trip would truncate it
         val ms = graft.expr.Compilers.periodMillis(period)
-        timestamp_millis(unix_millis(ts) + lit(step.toLong * ms))
+        ts + expr(s"INTERVAL '${step.toLong * ms}' MILLISECOND")
     }
   }
 

@@ -499,8 +499,13 @@ object QueryPlanner {
   /** Keyset cursor key prefix in pagingIdentifiers: `t:<epochMicros> -> k`
     * means "k rows at exactly that __time have been consumed". Mirrors
     * Druid's `{segmentId: offset}` shape (identifier names a position in
-    * time, value is an offset within it) without requiring segment ids. */
-  private val CursorKeyPrefix = "t:"
+    * time, value is an offset within it) without requiring segment ids.
+    * Shared with ResultEncoder — planner and encoder must speak the SAME
+    * cursor protocol. */
+  val CursorKeyPrefix = "t:"
+
+  /** Cursor key for a page ending at the given __time (epoch micros). */
+  def cursorKey(epochMicros: Long): String = CursorKeyPrefix + epochMicros
 
   /** Parse a keyset cursor out of pagingIdentifiers, if present. */
   def selectCursor(pagingIdentifiers: Map[String, Int]): Option[(Long, Int)] =

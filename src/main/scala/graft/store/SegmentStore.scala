@@ -86,11 +86,15 @@ class SegmentStore(val root: String) {
   // writer silently drops the other task's segments. All mutations go
   // through `updateManifest`, and overshadowed version dirs are deleted only
   // after confirming the flipped manifest no longer references them.
-  private val manifestLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // The monitor map is JVM-GLOBAL keyed by manifest path: two SegmentStore
+  // instances over the same root in one JVM must share a monitor, because
+  // FileChannel locks THROW (OverlappingFileLockException) on same-JVM
+  // contention instead of blocking.
+  private def manifestLocks = SegmentStore.manifestLocks
 
   private def updateManifest(ds: String)(update: Manifest => Manifest): Manifest =
-    manifestLocks.computeIfAbsent(ds, _ => new Object).synchronized {
+    manifestLocks.computeIfAbsent(
+      manifestPath(ds).toAbsolutePath.normalize.toString, _ => new Object).synchronized {
       // Cross-PROCESS atomicity: an OS file lock on a per-datasource lock
       // file (chunk locks are filesystem-based, so two stores in separate
       // JVMs may write different chunks of one datasource concurrently —
@@ -348,6 +352,13 @@ class SegmentStore(val root: String) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
         try Files.deleteIfExists(f) catch { case NonFatal(_) => })
     }
+}
+
+object SegmentStore {
+  /** JVM-global manifest monitors keyed by absolute manifest path (see
+    * updateManifest — must be shared across SegmentStore instances). */
+  private val manifestLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
 
 /** Catalog over a SegmentStore: resolves datasources from manifests and
