@@ -294,6 +294,20 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     spark.sql(sql)
   }
 
+  /** SQL over HTTP (`POST /druid/v2/sql`): runs the statement against the
+    * named datasources (or every bare identifier that resolves as one) and
+    * returns the rows as a JSON array of objects — the reference's SQL
+    * result shape. */
+  def executeSqlJson(sql: String, datasources: Seq[String]): String = {
+    val names =
+      if (datasources.nonEmpty) datasources
+      else // best-effort: register any bare identifier that resolves
+        "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql).toSeq.distinct.filter { n =>
+          try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
+        }
+    ResultEncoder.encodeRows(executeSql(sql, names))
+  }
+
   private def isCancellation(e: Throwable): Boolean = {
     var c: Throwable = e
     while (c != null) {
@@ -384,6 +398,22 @@ object ResultEncoder {
     * streaming path (single execution, including the maxResults cap). */
   def encode(q: Query, df: DataFrame, maxResults: Option[Int] = None): String =
     encodeStream(q, df, maxResults).mkString
+
+  /** Plain rows → JSON array of objects (the SQL endpoint's result shape). */
+  def encodeRows(df: DataFrame): String = {
+    val buf = new ChunkBuffer
+    val gen = mapper.getFactory.createGenerator(buf)
+    val fieldNames = df.schema.fieldNames
+    gen.writeStartArray()
+    df.toLocalIterator().forEachRemaining { row =>
+      gen.writeStartObject()
+      fieldNames.foreach(f => writeField(gen, f, row.getAs[Any](f)))
+      gen.writeEndObject()
+    }
+    gen.writeEndArray()
+    gen.close()
+    buf.drain()
+  }
 
   /** Stream the result JSON as chunks of ~64K chars. Rows are pulled from
     * `df.toLocalIterator()` (partition-at-a-time execution); `maxResults`

@@ -65,6 +65,16 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
     override def handle(ex: HttpExchange): Unit =
       try {
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+          case ("POST", "/druid/v2/sql") | ("POST", "/druid/v2/sql/") =>
+            // reference SQL endpoint: {"query": "...", "datasources": [...]}
+            // → JSON array of row objects
+            val node = mapper.readTree(readBody(ex))
+            val sql = Option(node.get("query")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException("missing 'query' field"))
+            val dss = Option(node.get("datasources")).map { arr =>
+              (0 until arr.size()).map(arr.get(_).asText())
+            }.getOrElse(Seq.empty)
+            respond(ex, 200, engine.executeSqlJson(sql, dss))
           case ("POST", "/druid/v2") | ("POST", "/druid/v2/") =>
             // etag / If-None-Match (reference query/query-internal-procedure.md:43-47)
             val body = readBody(ex)

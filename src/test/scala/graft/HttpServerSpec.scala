@@ -101,6 +101,22 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("POST /druid/v2/sql runs SQL and returns row objects") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val resp = post(s"$base/druid/v2/sql",
+        """{"query":"SELECT event_type, count(*) AS cnt FROM ev GROUP BY 1 ORDER BY 1"}""")
+      assert(resp.statusCode() == 200)
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      assert(arr.isArray && arr.size() == 2)
+      assert(arr.get(0).get("event_type").asText() == "click")
+      assert(arr.get(0).get("cnt").asLong() == 1L)
+    } finally srv.stop()
+  }
+
   test("context.stream=true → chunked transfer with the same body") {
     val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
     val srv = new HttpServer(engine)
