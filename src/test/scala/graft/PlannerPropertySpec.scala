@@ -173,6 +173,59 @@ class PlannerPropertySpec extends SparkTestBase {
     assert(topRows.sameElements(gbRows))
   }
 
+  test("law: keyset paging reconstructs the full sorted dataset exactly") {
+    // heavy timestamp duplication stresses the within-timestamp offset:
+    // 500 rows over only 40 distinct timestamps, random page sizes
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val dup = (0 until 500).map { i =>
+      (ts(f"2024-04-${1 + i % 5}%02dT${i % 8}%02d:00:00Z"),
+        s"e${i % 7}", (i % 11).toDouble)
+    }.toDF("__time", "event_type", "value")
+    val engine = new Engine(spark, new MapCatalog(Map("pg" -> dup)))
+
+    forAllSampled(Gen.zip(Gen.choose(1, 97), Gen.oneOf(false, true)), cases = 6) {
+      case (pageSize, desc) =>
+        var ids = "{}"
+        val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+        var pages = 0
+        var done = false
+        while (!done && pages < 600) {
+          val json = engine.executeJson(
+            s"""{"queryType":"select","dataSource":"pg",
+              |"intervals":["2024-04-01T00:00:00Z/2024-04-11T00:00:00Z"],
+              |"descending":$desc,
+              |"dimensions":["event_type"],"metrics":["value"],
+              |"context":{"useCache":"false"},
+              |"pagingSpec":{"pagingIdentifiers":$ids,"threshold":$pageSize}}""".stripMargin)
+          val r = mapper.readTree(json).get(0).get("result")
+          val events = r.get("events")
+          if (events.size() == 0) done = true
+          else {
+            (0 until events.size()).foreach { i =>
+              val e = events.get(i)
+              seen += ((e.get("__time").asText(), e.get("event_type").asText(),
+                e.get("value").asDouble()))
+            }
+            ids = mapper.writeValueAsString(r.get("pagingIdentifiers"))
+            pages += 1
+          }
+        }
+        assert(seen.size == 500, s"pageSize=$pageSize desc=$desc got ${seen.size} rows")
+        // concatenated pages must be in the requested time order...
+        val tsSeq = seen.map(_._1).toSeq
+        assert(tsSeq == (if (desc) tsSeq.sorted.reverse else tsSeq.sorted),
+          s"page concatenation out of time order (desc=$desc)")
+        // ...and form EXACTLY the source multiset (no loss, no duplicates)
+        val expected = dup.collect().map(r =>
+          (r.getAs[Timestamp]("__time").toInstant.toString,
+            r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSeq
+        assert(seen.toSeq.groupBy(identity).view.mapValues(_.size).toMap ==
+          expected.groupBy(identity).view.mapValues(_.size).toMap,
+          s"pageSize=$pageSize desc=$desc multiset mismatch")
+    }
+  }
+
   test("law: union datasource == doubled aggregates") {
     val single = Query.Timeseries(DataSource.Table("ev"), Seq(interval),
       Granularity.Simple("day"), None,
