@@ -254,6 +254,31 @@ class IngestSpec extends SparkTestBase {
     assert(spark.read.parquet(m.segments.map(_.path): _*).count() == 2)
   }
 
+  test("concurrent ingest from TWO store instances over one root (shared monitor)") {
+    // per-instance monitors would both be passed and the second
+    // FileChannel.lock() would throw OverlappingFileLockException (JDK file
+    // locks don't block on same-JVM contention) — the monitor map must be
+    // JVM-global keyed by manifest path
+    val root = Files.createTempDirectory("graft-2stores").toString
+    val storeA = new SegmentStore(root)
+    val storeB = new SegmentStore(root)
+    val df1 = Seq((ts("2024-06-01T01:00:00Z"), "a", 1.0))
+      .toDF("__time", "event_type", "value")
+    val df2 = Seq((ts("2024-06-02T01:00:00Z"), "b", 2.0))
+      .toDF("__time", "event_type", "value")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { i =>
+      val f1 = Future(storeA.write(df1, s"race2-$i"))
+      val f2 = Future(storeB.write(df2, s"race2-$i"))
+      Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+      val m = storeA.readManifest(s"race2-$i")
+      assert(m.segments.map(_.chunk).sorted == Seq("2024-06-01", "2024-06-02"))
+      m.segments.foreach(s => assert(Files.exists(java.nio.file.Paths.get(s.path))))
+    }
+  }
+
   test("duplicate task id is rejected (submit-task.md:45-48)") {
     val store = freshStore()
     val svc = new TaskService(spark, store)
