@@ -207,7 +207,10 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
         ResultEncoder.encodeStream(query, df, maxResults)
       } catch {
-        case qe: QueryError => recordFailure(queryId, query, t0); throw qe
+        case qe: QueryError =>
+          recordFailure(queryId, query, t0)
+          spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+          throw qe
         case NonFatal(e) =>
           recordFailure(queryId, query, t0)
           spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
@@ -277,6 +280,11 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     scala.collection.concurrent.TrieMap.empty[(String, String), Map[String, String]]
 
   def executeSql(sql: String, datasources: Seq[String]): DataFrame = {
+    // drop any job group/tag left on this (possibly pooled) thread by an
+    // abandoned streaming query — otherwise a DELETE of that old queryId
+    // would cancel THIS statement's jobs
+    spark.sparkContext.clearJobTags()
+    spark.sparkContext.clearJobGroup()
     datasources.foreach(n => catalog.table(spark, n).createOrReplaceTempView(n))
     graft.functions.GraftFunctionRegistry.registerAll(spark)
     // LOOKUP('key', 'name') over the catalog's registered lookups — only
@@ -301,10 +309,15 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   def executeSqlJson(sql: String, datasources: Seq[String]): String = {
     val names =
       if (datasources.nonEmpty) datasources
-      else // best-effort: register any bare identifier that resolves
-        "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql).toSeq.distinct.filter { n =>
+      else {
+        // best-effort: probe only identifiers in table position (after
+        // FROM/JOIN) — probing every bare word would repeat failed catalog
+        // I/O for aliases/functions/keywords on each request
+        val tablePos = "(?i)\\b(?:from|join)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+        tablePos.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct.filter { n =>
           try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
         }
+      }
     ResultEncoder.encodeRows(executeSql(sql, names))
   }
 
@@ -399,7 +412,9 @@ object ResultEncoder {
   def encode(q: Query, df: DataFrame, maxResults: Option[Int] = None): String =
     encodeStream(q, df, maxResults).mkString
 
-  /** Plain rows → JSON array of objects (the SQL endpoint's result shape). */
+  /** Plain rows → JSON array of objects (the SQL endpoint's result shape).
+    * Values resolved BY INDEX — by-name lookup silently collapses duplicate
+    * output column names (SELECT a, b AS a). */
   def encodeRows(df: DataFrame): String = {
     val buf = new ChunkBuffer
     val gen = mapper.getFactory.createGenerator(buf)
@@ -407,7 +422,7 @@ object ResultEncoder {
     gen.writeStartArray()
     df.toLocalIterator().forEachRemaining { row =>
       gen.writeStartObject()
-      fieldNames.foreach(f => writeField(gen, f, row.getAs[Any](f)))
+      fieldNames.indices.foreach(i => writeField(gen, fieldNames(i), row.get(i)))
       gen.writeEndObject()
     }
     gen.writeEndArray()

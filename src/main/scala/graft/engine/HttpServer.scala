@@ -26,8 +26,10 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
   // concurrent handlers: without an executor everything runs on the single
   // dispatcher thread, so a long streaming response would block every other
   // request — including DELETE /druid/v2/{id}, making HTTP cancellation of
-  // an in-flight query impossible
-  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+  // an in-flight query impossible. BOUNDED pool: an unbounded one would let
+  // a burst of slow streams spawn a thread (and a driver-side result
+  // consumer) per request with no backpressure.
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
     new java.util.concurrent.ThreadFactory {
       private val n = new java.util.concurrent.atomic.AtomicInteger()
       def newThread(r: Runnable): Thread = {
@@ -123,6 +125,11 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
         }
       } catch {
         case e: Engine.QueryError => respond(ex, 500, e.toJson)
+        case e @ (_: IllegalArgumentException |
+                  _: com.fasterxml.jackson.core.JacksonException) =>
+          // malformed request body / missing fields: client error, not 500
+          respond(ex, 400, jsonObj("error" -> "Bad request",
+            "errorMessage" -> String.valueOf(e.getMessage)))
         case e: Exception => respond(ex, 500, Engine.QueryError.unknown(e).toJson)
       }
   })

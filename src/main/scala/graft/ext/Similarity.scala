@@ -161,8 +161,9 @@ object Similarity {
     * Scale shape: the candidate join carries only (id, packed 64-bit
     * signature) — 24 bytes/pair, never the vectors. Candidates are
     * prefiltered by signature bit-agreement (each agreeing hyperplane bit
-    * estimates cos(π·(1 − agree/n)); a 2σ margin keeps ~98% recall), and
-    * only the surviving pairs re-join the vectors for the exact cosine. */
+    * estimates cos(π·(1 − agree/n)); the 3σ margin keeps ≳99.8% of
+    * at-threshold pairs), and only the surviving pairs re-join the vectors
+    * for the exact cosine. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 8, rowsPerBand: Int = 8,
       seed: Long = 42L, bucketCap: Int = 256): DataFrame = {

@@ -131,10 +131,13 @@ object GraftFunctionRegistry {
     }, "built-in")
     reg.createOrReplaceTempFunction("time_parse", es => {
       val fmt = if (es.length > 1) Option(strArg(es(1), "pattern")) else None
-      ex(fmt match {
+      val parsed = fmt match {
         case Some(p) => to_timestamp(col(es(0)).cast("string"), p)
         case None    => to_timestamp(col(es(0)).cast("string"))
-      })
+      }
+      // 3rd arg: zone-less strings are wall-clock in THAT zone, not UTC
+      val tz = if (es.length > 2) strArg(es(2), "timezone") else "UTC"
+      ex(if (tz == "UTC") parsed else to_utc_timestamp(parsed, tz))
     }, "built-in")
     reg.createOrReplaceTempFunction("time_format", es => {
       val fmt = if (es.length > 1) Option(strArg(es(1), "pattern"))

@@ -523,22 +523,30 @@ object QueryPlanner {
     // offset skips only the rows already consumed at exactly the cursor
     // timestamp (bounded by rows-per-timestamp, not by pages read).
     val cursor = selectCursor(q.pagingSpec.pagingIdentifiers)
+    // a query with NO intervals still needs the cursor bound applied, or
+    // every page would restart from the beginning and never terminate —
+    // synthesize a wide interval around the cursor (bounds chosen to stay
+    // inside the raw-nanos routing's Long range)
+    val baseIntervals =
+      if (q.intervals.nonEmpty || cursor.isEmpty) q.intervals
+      else Seq(Interval(Instant.parse("1900-01-01T00:00:00Z"),
+        Instant.parse("2200-01-01T00:00:00Z")))
     val intervals = cursor match {
       case Some((us, _)) =>
         val t = Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
         if (!q.descending)
-          q.intervals.collect { case iv if iv.end.isAfter(t) =>
+          baseIntervals.collect { case iv if iv.end.isAfter(t) =>
             Interval(if (iv.start.isAfter(t)) iv.start else t, iv.end) }
         else {
           val endEx = t.plusNanos(1000L) // [start, t] inclusive of the cursor µs
-          q.intervals.collect { case iv if iv.start.isBefore(endEx) =>
+          baseIntervals.collect { case iv if iv.start.isBefore(endEx) =>
             Interval(iv.start, if (iv.end.isBefore(endEx)) iv.end else endEx) }
         }
       case None => q.intervals
     }
     // a cursor at/past the end of every interval leaves nothing to read —
     // empty intervals must NOT fall through to an unrouted full-table scan
-    val exhausted = cursor.isDefined && intervals.isEmpty && q.intervals.nonEmpty
+    val exhausted = cursor.isDefined && intervals.isEmpty
     val src = source(spark, q.dataSource, catalog, intervals)
     val base0 = filtered(src, intervals, q.filter)
     val base = if (exhausted) base0.where(lit(false)) else base0

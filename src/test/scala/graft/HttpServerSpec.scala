@@ -114,6 +114,11 @@ class HttpServerSpec extends SparkTestBase {
       assert(arr.isArray && arr.size() == 2)
       assert(arr.get(0).get("event_type").asText() == "click")
       assert(arr.get(0).get("cnt").asLong() == 1L)
+
+      // client mistakes are 400s, not "Unknown exception" 500s
+      val bad = post(s"$base/druid/v2/sql", "{}")
+      assert(bad.statusCode() == 400)
+      assert(bad.body().contains("missing 'query'"))
     } finally srv.stop()
   }
 
