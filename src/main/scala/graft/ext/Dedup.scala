@@ -71,13 +71,19 @@ object Dedup {
     */
   private[ext] def cappedBucketPairs(banded: DataFrame, idCol: String,
       payloadCol: String, bucketCap: Int): DataFrame = {
-    // per-bucket size + representative; Catalyst reuses the banded exchange
-    // across the three consumers (stats, small side, star side)
-    val stats = banded.groupBy("band", "bucket").agg(
-      count(lit(1)).as("__n"),
-      min(col(idCol)).as("__rep_id"),
-      min_by(col(payloadCol), col(idCol)).as("__rep_payload"))
-    val flagged = banded.join(stats, Seq("band", "bucket"))
+    import org.apache.spark.sql.expressions.Window
+    // per-bucket size + representative via WINDOW functions, not a separate
+    // groupBy+join branch: the signature computation inside `banded` is the
+    // expensive map pass at scale, and the window keeps it behind ONE
+    // exchange that Catalyst reuses for both sides of the self-join below
+    // (the aggregate branch would re-evaluate it).
+    val byBucket = Window.partitionBy("band", "bucket")
+    val ordered = Window.partitionBy("band", "bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val flagged = banded
+      .withColumn("__n", count(lit(1)).over(byBucket))
+      .withColumn("__rep_id", min(col(idCol)).over(byBucket))
+      .withColumn("__rep_payload", first(col(payloadCol)).over(ordered))
     val small = flagged.where(col("__n") <= bucketCap)
     val l = small.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col(payloadCol).as("payload_a"))
