@@ -17,6 +17,9 @@ import org.apache.spark.sql.types._
   *             hash, and per-bucket pair blowup is bounded by the skew cap
   *             (`cappedBucketPairs`): oversize buckets star-link to a
   *             representative instead of emitting m²/2 pairs.
+  *             Self-join caveat: pre-materialize (persist/checkpoint) the
+  *             input or signature frame at real corpus sizes so the two
+  *             join sides don't re-scan the corpus.
   *  - simhash: per-doc 64-bit signature, band-grouped for candidate pairs.
   */
 object Dedup {
@@ -72,11 +75,14 @@ object Dedup {
   private[ext] def cappedBucketPairs(banded: DataFrame, idCol: String,
       payloadCol: String, bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-bucket size + representative via WINDOW functions, not a separate
-    // groupBy+join branch: the signature computation inside `banded` is the
-    // expensive map pass at scale, and the window keeps it behind ONE
-    // exchange that Catalyst reuses for both sides of the self-join below
-    // (the aggregate branch would re-evaluate it).
+    // Per-bucket size + representative via WINDOW functions, not a separate
+    // groupBy+join branch — one fewer shuffle and one fewer evaluation of
+    // `banded`. NOTE: like any Spark self-join, the two join sides below
+    // can still re-evaluate the banded input when exchange reuse does not
+    // fire (verified: it often doesn't across differing projections); at
+    // real corpus sizes pre-materialize the signatures (persist /
+    // checkpoint the input or the signature frame) before calling the
+    // pair operators — signatures are tiny relative to the corpus.
     val byBucket = Window.partitionBy("band", "bucket")
     val ordered = Window.partitionBy("band", "bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
