@@ -34,30 +34,36 @@ object Bench {
       }
     }
 
-    // n≥3 passes, report per-query MEDIANS: a single run per round cannot
-    // distinguish environment noise from a real regression (the round-2
-    // bench read 1.24× slower than round 1 on untouched queries — medians
-    // make round-over-round deltas interpretable).
+    // n≥3 passes per query, QUERY-MAJOR (q's passes run back-to-back) with a
+    // GC + settle barrier between queries: the round-3 pass-major loop let
+    // heavy neighbors inflate untouched queries ~2-4× (GC debt + lingering
+    // shuffle cleanup landed on whoever ran next), so medians of 3 equally
+    // contaminated passes were still contaminated. Reported: median (primary,
+    // robust to a one-off stall) AND min (floor — immune to leftover-GC
+    // inflation); per-pass values go to stderr so drift is visible in logs.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val samples: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
-      names.map { name =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = names.map { n =>
-      n -> median(samples.map(_.toMap.apply(n)))
+    val results: Seq[(String, (Double, Double))] = names.map { name =>
+      System.gc(); Thread.sleep(200) // drain the previous query's debt
+      val ts = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(f"[bench] $name passes=${ts.map(t => f"$t%.3f").mkString(",")}")
+      name -> (median(ts), ts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val totalMin = results.map(_._2._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

@@ -775,6 +775,7 @@ object SparkEntry {
         """SELECT time_floor(ts, 'PT6H') AS bucket,
           |  count(*) AS cnt,
           |  min(time_extract(ts, 'HOUR')) AS min_hr,
+          |  min(time_extract(ts, 'DOW')) AS min_dow,
           |  min(time_format(time_shift(ts, 'P1M', 1), 'yyyy-MM')) AS next_month,
           |  min(time_format(time_ceil(ts, 'P1D'), 'yyyy-MM-dd')) AS next_day,
           |  min(timestamp_to_millis(ts)) AS min_ms
@@ -1229,6 +1230,7 @@ object SparkEntry {
     "q56_sql_time_fns" ->
       """SELECT time_bucket(INTERVAL 6 HOUR, ts) AS bucket, count(*) AS cnt,
         |  CAST(min(hour(ts)) AS BIGINT) AS min_hr,
+        |  CAST(min(isodow(ts)) AS BIGINT) AS min_dow,
         |  min(strftime(ts + INTERVAL 1 MONTH, '%Y-%m')) AS next_month,
         |  min(strftime(CASE WHEN date_trunc('day', ts) = ts THEN ts
         |    ELSE date_trunc('day', ts) + INTERVAL 1 DAY END, '%Y-%m-%d')) AS next_day,

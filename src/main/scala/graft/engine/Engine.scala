@@ -263,6 +263,16 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     metricsRing.iterator().asScala.toSeq
   }
 
+  /** Drop any job group/tag left on the CALLING thread — for pooled callers
+    * (HTTP workers) after a streaming response ends abnormally: a client
+    * disconnect throws outside the iterator, skipping its removeJobTag, and
+    * the stale tag would mark the thread's next submission cancellable under
+    * the dead query's id. */
+  def clearThreadJobState(): Unit = {
+    spark.sparkContext.clearJobTags()
+    spark.sparkContext.clearJobGroup()
+  }
+
   /** `DELETE /druid/v2/{id}` equivalent. Cancels by tag (reaches AQE
     * stage-materialization jobs) and by group (direct jobs). */
   def cancel(queryId: String): Unit = {
@@ -292,9 +302,16 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     if (catalog.lookupNames.nonEmpty && sql.toLowerCase.contains("lookup")) {
       val lkps = catalog.lookupNames.flatMap { n =>
         val key = (n, catalog.versionToken(n))
-        catalog.lookupTable(spark, n).map(df =>
-          n -> lookupCache.getOrElseUpdate(key,
-            df.collect().map(r => r.getString(0) -> r.getString(1)).toMap))
+        catalog.lookupTable(spark, n).map { df =>
+          val m = lookupCache.getOrElseUpdate(key,
+            df.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+          // superseded versions of this lookup can never be served again —
+          // without eviction every ingest-driven version change would retain
+          // its collected Map on the driver forever
+          lookupCache.keySet.foreach(k =>
+            if (k._1 == n && k._2 != key._2) lookupCache.remove(k))
+          n -> m
+        }
       }.toMap
       if (lkps.nonEmpty)
         graft.functions.GraftFunctionRegistry.registerLookups(spark, lkps)

@@ -29,14 +29,25 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
   // an in-flight query impossible. BOUNDED pool: an unbounded one would let
   // a burst of slow streams spawn a thread (and a driver-side result
   // consumer) per request with no backpressure.
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16,
-    new java.util.concurrent.ThreadFactory {
-      private val n = new java.util.concurrent.atomic.AtomicInteger()
-      def newThread(r: Runnable): Thread = {
-        val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
-        t.setDaemon(true); t
-      }
-    }))
+  private def namedPool(size: Int, prefix: String) =
+    java.util.concurrent.Executors.newFixedThreadPool(size,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
+  server.setExecutor(namedPool(16, "graft-http"))
+
+  // streaming responses are capped BELOW the pool size: the JDK server has
+  // one executor for every context, so 16 concurrent long-running streams
+  // would occupy all worker threads and the DELETE that cancels them (or a
+  // metrics probe) would queue behind the very requests it needs to act
+  // on. Streams past the cap get an immediate 503 rather than silently
+  // joining that queue.
+  private val streamPermits = new java.util.concurrent.Semaphore(12)
 
   /** actual bound port (useful with port=0) */
   def boundPort: Int = server.getAddress.getPort
@@ -94,13 +105,26 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               // 200, so plan-time failures keep the 5-code error contract; a
               // mid-stream failure after chunks have been flushed can only
               // truncate the body (inherent to chunked encoding).
-              val stream = engine.executeJsonStream(body)
-              ex.getResponseHeaders.add("ETag", tag)
-              ex.getResponseHeaders.add("Content-Type", "application/json")
-              ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
-              val os = ex.getResponseBody
-              try stream.foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
-              finally os.close()
+              if (!streamPermits.tryAcquire())
+                respond(ex, 503, jsonObj("error" -> "Query capacity exceeded",
+                  "errorMessage" -> "too many concurrent streaming queries",
+                  "errorClass" -> "QueryCapacityExceededException"))
+              else try {
+                val stream = engine.executeJsonStream(body)
+                ex.getResponseHeaders.add("ETag", tag)
+                ex.getResponseHeaders.add("Content-Type", "application/json")
+                ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
+                val os = ex.getResponseBody
+                // a client disconnect throws from os.write — OUTSIDE the
+                // iterator's next() — so the stream's own removeJobTag never
+                // runs; clear tags here so this pooled thread cannot leak
+                // the query tag into whatever request it serves next
+                try stream.foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
+                finally {
+                  try os.close()
+                  finally engine.clearThreadJobState()
+                }
+              } finally streamPermits.release()
             } else {
               ex.getResponseHeaders.add("ETag", tag)
               respond(ex, 200, engine.executeJson(body))

@@ -70,7 +70,9 @@ object GraftFunctionRegistry {
       case "MINUTE"  => minute(local).cast("long")
       case "HOUR"    => hour(local).cast("long")
       case "DAY"     => dayofmonth(local).cast("long")
-      case "DOW"     => dayofweek(local).cast("long")
+      // Druid TIME_EXTRACT follows Joda dayOfWeek: ISO Monday=1..Sunday=7.
+      // Spark's dayofweek is 1=Sunday..7=Saturday — shift accordingly.
+      case "DOW"     => (((dayofweek(local) + 5) % 7) + 1).cast("long")
       case "DOY"     => dayofyear(local).cast("long")
       case "WEEK"    => weekofyear(local).cast("long")
       case "MONTH"   => month(local).cast("long")

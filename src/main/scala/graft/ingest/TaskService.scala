@@ -72,6 +72,12 @@ class TaskService(spark: SparkSession, store: SegmentStore) {
     val task = parseTask(taskJson)
     if (statuses.putIfAbsent(task.id, TaskStatus(task.id, "RUNNING")) != null)
       throw new IllegalStateException(s"Task[${task.id}] already exists")
+    // this thread may be an HTTP pool thread that previously served a
+    // streaming query abandoned mid-stream (os.write throws OUTSIDE the
+    // iterator, so the stream's removeJobTag never ran) — without clearing,
+    // this task's jobs would carry the stale query tag and a later
+    // DELETE /druid/v2/{oldQueryId} would cancel the ingestion
+    spark.sparkContext.clearJobTags()
     spark.sparkContext.setJobGroup(task.id, s"graft task ${task.id}",
       interruptOnCancel = true)
     try {
