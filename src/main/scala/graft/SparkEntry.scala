@@ -355,8 +355,10 @@ object SparkEntry {
         .repartition(s.sparkContext.defaultParallelism)
       val cand = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
         numHashes = 64, bands = 32, shingleN = 3, threshold = 0.35)
+      // shingle sets materialized once — both verify-join sides read cache
       val sh = docs.select(col("doc_id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
       cand
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -368,36 +370,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q23_simhash_dups" -> ((s, dir) => {
-      // SimHash candidates (16×4-bit bands, hamming ≤ 15) UNION
-      // minhash-banded candidates, then EXACT Jaccard verification at 0.9.
-      // Why the union: on short docs (~50 tokens) a 64-bit simhash has
-      // enough variance that true j≥0.9 pairs reach hamming > 15 (measured
-      // at sf0.1: 123 of 249 true pairs), and no banding can recover what
-      // the hamming cap excludes — simhash alone CANNOT guarantee capture
-      // at this doc length. The minhash side pushes capture probability to
-      // 1-4e-8 per true pair (0.9⁴-per-band across 16 bands), making the
-      // oracle containment hold at every SF; the simhash path stays
-      // exercised end-to-end (its hamming semantics are gated in ExtSpec).
-      // A cheap minhash-estimate prefilter (est ≥ 0.75, 4σ under the bar)
-      // prunes the simhash band's template-similarity noise before the
-      // exact string-shingle verify. Oracle = brute-force exact Jaccard.
+      // SimHash candidates at a SCALE-SANE config (hamming ≤ 3, 4 bands ×
+      // 16 bits → 65k bucket values/band; pigeonhole lossless for h≤3)
+      // UNION minhash-banded candidates, then EXACT Jaccard verify at 0.9.
+      // Division of labor: on short docs (~50 tokens) a 64-bit simhash
+      // CANNOT guarantee capture at j≥0.9 (measured sf0.1: 123 of 249 true
+      // pairs exceed any usable hamming cap), so the capture guarantee
+      // comes from the minhash side (miss ≈ 4e-8 per true pair); simhash
+      // contributes its real-world fast path — boilerplate/near-identical
+      // dups at tiny hamming — at a banding that stays thin at any corpus
+      // size. Round 3 instead ran simhash at h≤15 with 16×4-bit bands (16
+      // bucket values/band — the densest banding in the repo) purely to
+      // exercise it; that benched plan was near-all-pairs at fixture scale.
+      // Oracle = brute-force exact Jaccard (DuckDB recomputes the shingle
+      // sets and the full pair join independently).
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
       val candSim = graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id",
-        maxHamming = 15, bands = 16)
-      val msig = docs.select(col("doc_id"),
-        graft.ext.Dedup.minhashSignature(col("text"), 64, 3).as("ms"))
+        maxHamming = 3, bands = 4)
       val candMin = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
         numHashes = 64, bands = 16, shingleN = 3, threshold = 0.75)
-      val prefiltered = candSim
-        .join(msig.select(col("doc_id").as("id_a"), col("ms").as("ms_a")), "id_a")
-        .join(msig.select(col("doc_id").as("id_b"), col("ms").as("ms_b")), "id_b")
-        .where(graft.ext.Dedup.minhashJaccard(col("ms_a"), col("ms_b")) >= 0.75)
-        .select("id_a", "id_b")
+      val prefiltered = candSim.select("id_a", "id_b")
         .union(candMin.select("id_a", "id_b"))
         .distinct()
+      // shingle sets materialized once — both verify-join sides read cache
       val sh = docs.select(col("doc_id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
       prefiltered
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -805,18 +804,40 @@ object SparkEntry {
           |  {"type":"longMin","name":"min_ok","fieldName":"l_orderkey"}]}""".stripMargin),
         Seq("sum_price", "sum_qty", "max_price"), scale = 1)),
     "q28_cosine_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup pairs via hyperplane LSH + exact verify.
-      // The DuckDB oracle is the brute-force exact pair set ≥ threshold: a
-      // hash match certifies LSH candidate recall = 1.0 at this SF.
-      // 32 bands × 2 bits: at threshold 0.45 (65% per-bit agreement) a
-      // 4-bit band captures a borderline pair with p≈0.96 — one miss
-      // surfaced at sf0.001 — while 2-bit bands push capture to 1-2e-8.
-      // The denser buckets this creates are the small-corpus exactness
-      // trade; at 100-TB corpora use longer signatures with wider bands.
+      // Embedding-cosine near-dup via hyperplane LSH + exact verify, at a
+      // TRUE near-dup threshold (0.9) with the config you would run at
+      // 100 TB: 128-bit signatures, 16 bands × 8 bits (256-value bucket
+      // keyspace/band → thin buckets), default bucketCap. The fixture has
+      // no natural near-dups (max pairwise cosine 0.60 at sf0.1), so the
+      // pair set is made non-trivial by PLANTING perturbed copies of every
+      // 4th vector — a deterministic closed-form perturbation the DuckDB
+      // oracle recomputes independently (same trick as q27's stub codec):
+      //   v'[j] = float(v[j] + ((vec_id*31 + j) % 7 - 3) * 0.01)
+      // which lands planted pairs at cosine ≥0.9868 (measured, all SFs; the
+      // next pair DOWN is at 0.60 — a dead zone around the threshold).
+      // Capture/band = p^8, p = 1−acos(0.9868)/π ≈ 0.948 → worst-pair miss
+      // = (1−0.651)^16 ≈ 5e-8.
+      // Round 3 instead ran threshold 0.45 with 32×2-bit bands — dense
+      // buckets ≈ near-all-pairs at fixture scale; on random data at a
+      // barely-above-noise threshold NO banding is both recall-1 and
+      // sub-quadratic, so the honest scale fix is testing the threshold
+      // regime the operator is actually for (COVERAGE.md deviations).
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
-      graft.ext.Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-        dim = 64, threshold = 0.45, bands = 32, rowsPerBand = 2,
-        bucketCap = 4096)
+        .select(col("vec_id"), col("embedding"))
+      // two-step select: Spark 4's lateral column alias resolution would
+      // otherwise bind `vec_id` INSIDE the lambda to the +1000000 alias
+      // (shifting every delta); DuckDB's oracle subquery guards the same way
+      val planted = emb.where(col("vec_id") % 4 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x.cast("double") +
+              (((col("vec_id") * 31 + j) % 7) - 3) * 0.01).cast("float"))
+            .as("emb2"))
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          col("emb2").as("embedding"))
+      val all = emb.unionByName(planted)
+      graft.ext.Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
+        dim = 64, threshold = 0.9, bands = 16, rowsPerBand = 8)
         .withColumn("cosine", round(col("cosine"), 3))
         .orderBy("id_a", "id_b")
     }),
@@ -1065,13 +1086,29 @@ object SparkEntry {
         |  CAST(((1 + ((hc & 2147483647) // 13) % 32) - 1) // 4 + 1 AS INT) AS n_sampled,
         |  round(CAST(CAST(f0i / 2147483647.0 AS FLOAT) AS DOUBLE), 4) AS f0
         |FROM h ORDER BY media_id""".stripMargin,
-    // q28: brute-force exact cosine pair set the LSH+verify must reproduce
+    // q28: brute-force exact cosine pair set (corpus + independently
+    // recomputed planted perturbations) the LSH+verify must reproduce.
+    // DuckDB list_transform's index is 1-based (j-1 matches Spark's 0-based
+    // transform); 0.02::DOUBLE forces double math (a DECIMAL literal would
+    // round-trip to a different double than Spark's -3 * 0.02); the inner
+    // subquery keeps `vec_id` inside the lambda bound to the BASE column,
+    // not the +1000000 alias.
     "q28_cosine_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, emb2 AS embedding FROM (
+        |    SELECT vec_id,
+        |      list_transform(embedding, (x, j) ->
+        |        CAST(CAST(x AS DOUBLE)
+        |          + ((vec_id*31 + (j-1)) % 7 - 3) * 0.01::DOUBLE AS FLOAT)) AS emb2
+        |    FROM embeddings WHERE vec_id % 4 = 0)),
+        |all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
         |    AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.45
+        |FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "q29_rollup_query" ->
       """SELECT date_trunc('day', ts) AS __time, count(*) AS cnt,

@@ -6,9 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Large-scale deduplication operators (driver mandate, SURVEY §2.11/§7.1-8).
   *
-  * All operators are pure DataFrame transforms built from codegen'd
-  * `functions._` expressions — no UDFs — so they whole-stage-compile and
-  * scale by shuffle on content keys:
+  * All operators are pure DataFrame transforms — built-in `functions._`
+  * plus the native single-pass hash expressions in `graft.functions`
+  * (interpreted `CodegenFallback` bodies with primitive loops; no Scala
+  * UDFs, no boxed lambdas) — and scale by shuffle on content keys:
   *
   *  - exact:   shuffle on content hash, one aggregation.
   *  - minhash: per-doc signature (map-side, no shuffle) → explode bands
@@ -17,12 +18,25 @@ import org.apache.spark.sql.types._
   *             hash, and per-bucket pair blowup is bounded by the skew cap
   *             (`cappedBucketPairs`): oversize buckets star-link to a
   *             representative instead of emitting m²/2 pairs.
-  *             Self-join caveat: pre-materialize (persist/checkpoint) the
-  *             input or signature frame at real corpus sizes so the two
-  *             join sides don't re-scan the corpus.
   *  - simhash: per-doc 64-bit signature, band-grouped for candidate pairs.
+  *
+  * The pair operators materialize their signature frame internally
+  * (`materialize`) before the banded self-join — signatures are tiny
+  * relative to the corpus, and without it each join side (plus the skew-cap
+  * window passes) would re-read AND re-hash the full corpus.
   */
 object Dedup {
+
+  /** Materialize a signature frame once so downstream self-joins read
+    * cached blocks instead of re-deriving it from the corpus. Local
+    * checkpoint: eager (one job now), lineage-truncating, and the blocks
+    * are freed by Spark's ContextCleaner when the frame is GC'd — unlike
+    * `persist()`, nothing accumulates on a long-lived server. Tradeoff:
+    * localCheckpoint sacrifices recompute-on-executor-loss; losing an
+    * executor mid-query fails the query (re-run), which is the right trade
+    * for a frame this small on the query path. */
+  private[ext] def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
 
   // -------------------------------------------------------------------------
   // shingling
@@ -68,7 +82,11 @@ object Dedup {
     * construction, so for the drop-the-duplicate decision the star is
     * equivalent.
     *
-    * Input must carry (band, bucket, `idCol`, `payloadCol`); output is
+    * Input must carry (band, bucket, `idCol`, `payloadCol`) and should
+    * derive from a `materialize`d signature frame (every caller in this
+    * package does): the self-join sides and window passes below re-evaluate
+    * `banded`, and with a checkpointed source that re-evaluation is a
+    * cached-block re-explode, not a corpus re-scan. Output is
     * (id_a, id_b, payload_a, payload_b) with id_a < id_b, duplicated across
     * bands (caller dedups after its similarity filter, as before).
     */
@@ -76,13 +94,7 @@ object Dedup {
       payloadCol: String, bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Per-bucket size + representative via WINDOW functions, not a separate
-    // groupBy+join branch — one fewer shuffle and one fewer evaluation of
-    // `banded`. NOTE: like any Spark self-join, the two join sides below
-    // can still re-evaluate the banded input when exchange reuse does not
-    // fire (verified: it often doesn't across differing projections); at
-    // real corpus sizes pre-materialize the signatures (persist /
-    // checkpoint the input or the signature frame) before calling the
-    // pair operators — signatures are tiny relative to the corpus.
+    // groupBy+join branch — one fewer shuffle.
     val byBucket = Window.partitionBy("band", "bucket")
     val ordered = Window.partitionBy("band", "bucket").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -135,8 +147,9 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    // one corpus scan + hash pass, reused by both self-join sides
+    val sigs = materialize(df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleN).as("sig")))
 
     // one row per (doc, band): bucket key = native band hash of the slice
     val banded = sigs.select(col("id"), col("sig"),
@@ -202,13 +215,22 @@ object Dedup {
     * bit-bands of the 64-bit signature, then verified by Hamming distance
     * <= maxHamming. Pigeonhole: banding is LOSSLESS for pairs with
     * hamming <= bands - 1 (some band must be untouched), so choose
-    * bands > maxHamming when exact capture at the threshold matters. */
+    * bands > maxHamming when exact capture at the threshold matters —
+    * BUT the guarantee only holds while every (band, bucket) group stays
+    * under `bucketCap`: the skew-cap star fallback drops member↔member
+    * pairs of oversize buckets. Each band's bucket keyspace is
+    * 2^(64/bands) values, so corpora beyond ~bucketCap · 2^(64/bands) docs
+    * trip the cap on random data alone. With bands=16 that is ~4k docs
+    * (16 bucket values/band); prefer few wide bands (bands=4 → 65k values)
+    * and a low maxHamming, or raise bucketCap knowingly. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bucketCap: Int = 256, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // one corpus scan + hash pass, reused by both self-join sides
+    val sigs = materialize(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sig"), b * width).bitwiseAND(mask)): _*))

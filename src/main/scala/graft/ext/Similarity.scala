@@ -158,23 +158,33 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs within one table: pairs with
     * cosine >= threshold, found via LSH candidates.
     *
-    * Scale shape: the candidate join carries only (id, packed 64-bit
-    * signature) — 24 bytes/pair, never the vectors. Candidates are
-    * prefiltered by signature bit-agreement (each agreeing hyperplane bit
-    * estimates cos(π·(1 − agree/n)); the 3σ margin keeps ≳99.8% of
-    * at-threshold pairs), and only the surviving pairs re-join the vectors
-    * for the exact cosine. */
+    * Scale shape: the signature frame (id, vec, packed signature) is
+    * materialized ONCE (corpus read + hashed a single time; both self-join
+    * sides and the vector re-join read cached blocks). The candidate join
+    * carries only (id, packed signature longs) — ≤32 bytes/pair, never the
+    * vectors. Candidates are prefiltered by signature bit-agreement (each
+    * agreeing hyperplane bit estimates cos(π·(1 − agree/n)); the 3σ margin
+    * keeps ≳99.8% of at-threshold pairs), and only the surviving pairs
+    * re-join the vectors for the exact cosine.
+    *
+    * Defaults (128-bit signature, 16 bands × 8 bits) suit true near-dup
+    * thresholds (≥0.9): a 256-value bucket keyspace per band keeps buckets
+    * thin, and capture of a cos-0.99 pair is 1−7e-9 per corpus pass. For
+    * LOW thresholds (≤0.7 — pairs barely above random) no banding is both
+    * recall-1 and sub-quadratic on unstructured data; narrow the bands
+    * (more bands × fewer rows) knowingly if you need that regime. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bands: Int = 8, rowsPerBand: Int = 8,
+      dim: Int, threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
       seed: Long = 42L, bucketCap: Int = 256): DataFrame = {
     val nBits = bands * rowsPerBand
-    require(nBits <= 64, "cosineNearDupPairs packs the signature into one long")
 
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshSignature(col(vecCol), seed, nBits, dim).as("__sig"))
-      // pack bit array into a long (acc*2+bit): shuffle-friendly + bit_count
-      .withColumn("__sigbits",
-        aggregate(col("__sig"), lit(0L), (acc, b) => acc * 2 + b))
+    // one corpus scan + hash pass; bit array for banding, packed longs for
+    // the shuffle payload + popcount agreement
+    val sigs = Dedup.materialize(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+          lshSignature(col(vecCol), seed, nBits, dim).as("__sig"))
+        .withColumn("__sigbits",
+          graft.functions.VectorFunctions.pack_bits(col("__sig"))))
 
     val banded = sigs.select(col("id"), col("__sigbits"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
@@ -191,11 +201,11 @@ object Similarity {
     // e.g. zero/constant vectors — star-link to a representative instead of
     // emitting m²/2 pairs in one task
     val survivors = Dedup.cappedBucketPairs(banded, "id", "__sigbits", bucketCap)
-      .where(lit(nBits) - bit_count(
-        col("payload_a").bitwiseXOR(col("payload_b"))) >= minAgree)
+      .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
+        col("payload_a"), col("payload_b")) >= minAgree)
       .select("id_a", "id_b").distinct()
 
-    // exact cosine only for survivors: two joins to fetch vectors
+    // exact cosine only for survivors: two joins to fetch vectors (cached)
     val va = sigs.select(col("id").as("id_a"), col("vec").as("vec_a"))
     val vb = sigs.select(col("id").as("id_b"), col("vec").as("vec_b"))
     survivors.join(va, "id_a").join(vb, "id_b")

@@ -188,6 +188,98 @@ case class HyperplaneSignBits(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Pack a 0/1 int-array (e.g. `HyperplaneSignBits` output) into
+  * `ceil(n/64)` longs — bit i lands in word i/64 at position i%64. Lets
+  * signatures longer than 64 bits travel the candidate shuffle as two
+  * longs (16 bytes) instead of an int array, and makes the agreement
+  * prefilter a pair of XOR+popcounts. */
+case class PackBits(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && a.getInt(i) != 0) words(i / 64) |= 1L << (i & 63)
+      i += 1
+    }
+    ArrayData.toArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val words = ctx.freshName("words")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $words = new long[($n + 63) / 64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && $a.getInt($i) != 0) {
+         |    $words[$i / 64] |= 1L << ($i & 63);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($words);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hamming distance between two packed bit signatures (`array<long>`,
+  * compared over the common prefix): sum of per-word XOR popcounts. */
+case class LongArrayHamming(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<long> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var h = 0; var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $h = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $h += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Top-`probe` nearest centroids of a vector against a baked-in centroid
   * matrix (by dot product against L2-normalized centroids ≈ cosine order).
   * Returns the centroid indices, most-similar first — the IVF assignment /
@@ -244,6 +336,13 @@ object VectorFunctions {
 
   def hyperplane_bits(v: Column, planes: Array[Array[Double]]): Column =
     GraftBridge.column(HyperplaneSignBits(GraftBridge.expression(v), planes))
+
+  def pack_bits(bits: Column): Column =
+    GraftBridge.column(PackBits(GraftBridge.expression(bits)))
+
+  def long_array_hamming(a: Column, b: Column): Column =
+    GraftBridge.column(LongArrayHamming(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def nearest_centroids(v: Column, centroids: Array[Array[Double]], probe: Int): Column =
     GraftBridge.column(NearestCentroids(GraftBridge.expression(v), centroids, probe))

@@ -68,6 +68,31 @@ class ExtSpec extends SparkTestBase {
     assert(pairs.count() == 4999L) // star against the representative
   }
 
+  test("q28 banding stays under the skew cap at sf0.1 (no star fallback on real data)") {
+    // the q28 entry's exact oracle relies on banding capture; the star
+    // fallback would silently drop member↔member pairs, so the bench-scale
+    // corpus (embeddings + planted perturbed copies) must keep every
+    // (band, bucket) group under the default bucketCap with the 16×8-bit
+    // config — this is the assertion that the benched plan IS the scale plan
+    val emb01 = graft.sources.TableLoader.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select($"vec_id", $"embedding")
+    val planted = emb01.where($"vec_id" % 4 === 0)
+      .select($"vec_id",
+        transform($"embedding", (x, j) =>
+          (x.cast("double") + ((($"vec_id" * 31 + j) % 7) - 3) * 0.01).cast("float"))
+          .as("emb2"))
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"emb2".as("embedding"))
+    val all = emb01.unionByName(planted)
+    val banded = all.select(
+      posexplode(graft.functions.TextHashFunctions.band_keys(
+        Similarity.lshSignature($"embedding", 42L, 128, 64), 16))
+        .as(Seq("band", "bucket")))
+    val maxBucket = banded.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxBucket <= 256,
+      s"largest (band,bucket) group is $maxBucket > bucketCap=256 — star fallback would fire")
+  }
+
   test("simhash hamming: identical docs → distance 0") {
     val d = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
       (3L, "completely different words entirely here now"))

@@ -153,6 +153,22 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("near-dup pipelines materialize signatures: no parquet re-scan in the final plan") {
+    // the pair operators localCheckpoint their signature frame (and the
+    // entries their shingle frame), so the corpus parquet is read once per
+    // hash pass AT CONSTRUCTION and the final self-join/verify plan runs
+    // entirely over cached blocks — without this, both join sides plus the
+    // skew-cap window passes would re-read AND re-hash the corpus
+    Seq("q22_minhash_dups", "q23_simhash_dups", "q28_cosine_neardup").foreach { q =>
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, dir))
+      val fileScans = plan.linesIterator.count(_.contains("Location:"))
+      assert(fileScans == 0,
+        s"$q final plan re-scans the corpus ($fileScans file scans) instead of cached signatures")
+      assert(plan.contains("ExistingRDD"),
+        s"$q should read checkpointed signature/shingle frames")
+    }
+  }
+
   test("brute-force ANN broadcasts the query side (one corpus scan, no shuffle)") {
     val plan = physicalPlan(SparkEntry.queries("q25_ann_cosine")(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
