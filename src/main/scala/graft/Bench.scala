@@ -8,6 +8,20 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass at sf0.001 runs every query once so JIT/codegen/parquet-
   * footer costs don't land on whichever sf-target query happens to run
   * first; the measured pass then reflects steady-state engine performance.
+  *
+  * Measurement runs TWO sweeps of n passes each:
+  *  - query-major (one query's passes back-to-back, GC+settle barrier
+  *    between queries): immune to heavy-neighbor contamination — a query
+  *    never pays a neighbor's GC debt;
+  *  - pass-major (the whole query set per pass): immune to a single
+  *    contended wall-clock window — a transient CPU thief poisons at most
+  *    one pass of each query instead of ALL passes of one query (which is
+  *    how BENCH_r04 reported q22 at 25s when its clean time is ~1.6s).
+  * The reported min is over BOTH sweeps; the median is over all successful
+  * passes. Per-pass arrays are emitted IN the JSON line (nulls = failed
+  * pass) so a contended window is visible in the file, not just stderr.
+  * Failed passes never contribute a timing: a query that throws instantly
+  * must not masquerade as a speedup — it lands in `errors` instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,36 +48,70 @@ object Bench {
       }
     }
 
-    // n≥3 passes per query, QUERY-MAJOR (q's passes run back-to-back) with a
-    // GC + settle barrier between queries: the round-3 pass-major loop let
-    // heavy neighbors inflate untouched queries ~2-4× (GC debt + lingering
-    // shuffle cleanup landed on whoever ran next), so medians of 3 equally
-    // contaminated passes were still contaminated. Reported: median (primary,
-    // robust to a one-off stall) AND min (floor — immune to leftover-GC
-    // inflation); per-pass values go to stderr so drift is visible in logs.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+
+    // (seconds, succeeded) — a throwing query records its pass as failed;
+    // its wall time never enters median/min/total
+    def runOne(name: String): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def settle(): Unit = { System.gc(); Thread.sleep(200) }
+
+    val acc = names.map(n => n -> scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Boolean)]).toMap
+
+    // sweep 1: query-major with a GC+settle barrier between queries
+    names.foreach { n =>
+      settle()
+      (1 to passes).foreach(_ => acc(n) += runOne(n))
+    }
+    // sweep 2: pass-major, GC barrier between whole passes
+    (1 to passes).foreach { _ =>
+      settle()
+      names.foreach(n => acc(n) += runOne(n))
+    }
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results: Seq[(String, (Double, Double))] = names.map { name =>
-      System.gc(); Thread.sleep(200) // drain the previous query's debt
-      val ts = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      System.err.println(f"[bench] $name passes=${ts.map(t => f"$t%.3f").mkString(",")}")
-      name -> (median(ts), ts.min)
+    def fmt(d: Double): String = f"$d%.4f"
+
+    names.foreach { n =>
+      System.err.println(s"[bench] $n passes=" + acc(n).map {
+        case (t, true) => f"$t%.3f"
+        case (t, false) => f"FAIL($t%.3f)"
+      }.mkString(","))
     }
-    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val totalMin = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"value_min":$totalMin,"queries_min":$qsMin,"sf":"$sfDir","passes":$passes}""")
+
+    val stats = names.map { n =>
+      val good = acc(n).collect { case (t, true) => t }.toSeq
+      n -> (if (good.isEmpty) None else Some((median(good), good.min)))
+    }
+    val qs = stats.map { case (k, st) =>
+      "\"" + k + "\":" + st.map(s => fmt(s._1)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val qsMin = stats.map { case (k, st) =>
+      "\"" + k + "\":" + st.map(s => fmt(s._2)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val perPass = names.map { n =>
+      "\"" + n + "\":[" + acc(n).map {
+        case (t, true) => fmt(t)
+        case (_, false) => "null"
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val errors = names.map(n => n -> acc(n).count(!_._2)).filter(_._2 > 0)
+    val errorsJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, c) => "\"" + k + "\":" + c }
+        .mkString("{", ",", "}")
+    val total = stats.flatMap(_._2.map(_._1)).sum
+    val totalMin = stats.flatMap(_._2.map(_._2)).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"query-major+pass-major"$errorsJson}""")
     spark.stop()
   }
 }

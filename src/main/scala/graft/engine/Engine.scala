@@ -48,6 +48,30 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           size() > 128
       })
 
+  // cache observability (reference metric families, `TOC.md:50-58`): a cache
+  // whose hit rate cannot be observed cannot be sized — counters are the
+  // first thing an operator asks for. Incremented on the query path only
+  // when the cache is actually consulted (useCache=false touches neither).
+  private val resultCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val resultCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  private val lookupCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val lookupCacheMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Cache hit/miss counters, surfaced at `GET /druid/v2/metrics`. */
+  def cacheStats: Map[String, Long] = Map(
+    "resultCacheHits" -> resultCacheHits.get,
+    "resultCacheMisses" -> resultCacheMisses.get,
+    "resultCacheEntries" -> resultCache.size().toLong,
+    "lookupCacheHits" -> lookupCacheHits.get,
+    "lookupCacheMisses" -> lookupCacheMisses.get)
+
+  private def cacheLookup(key: String): Option[String] = {
+    val hit = Option(resultCache.get(key))
+    if (hit.isDefined) resultCacheHits.incrementAndGet()
+    else resultCacheMisses.incrementAndGet()
+    hit
+  }
+
   private def datasourceNames(ds: DataSource): Seq[String] = ds match {
     case DataSource.Table(n)   => Seq(n)
     case DataSource.Union(ns)  => ns
@@ -83,8 +107,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     val populateCache = query.context.get("populateCache").forall(_.toBoolean)
     val cacheKey = etag(json, query)
     if (useCache) {
-      val hit = resultCache.get(cacheKey)
-      if (hit != null) {
+      cacheLookup(cacheKey).foreach { hit =>
         record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
           success = true, cached = true, bytes = hit.length.toLong))
         return hit
@@ -180,14 +203,16 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       try QueryJson.parseQuery(json)
       catch { case NonFatal(e) => throw QueryError.unknown(e) }
     val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
+    val timeoutMs = query.context.get("timeout").flatMap(_.toLongOption)
     val useCache = query.context.get("useCache").forall(_.toBoolean)
     val cacheKey = etag(json, query)
     if (useCache) {
-      val hit = resultCache.get(cacheKey)
-      if (hit != null) {
-        record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
-          success = true, cached = true, bytes = hit.length.toLong))
-        return Iterator.single(hit)
+      cacheLookup(cacheKey) match {
+        case Some(hit) =>
+          record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
+            success = true, cached = true, bytes = hit.length.toLong))
+          return Iterator.single(hit)
+        case None =>
       }
     }
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
@@ -199,8 +224,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     spark.sparkContext.addJobTag(Engine.jobTag(queryId))
     val t0 = System.nanoTime()
     // plan-time failures keep the documented QueryError contract and land
-    // in the metrics ring (context `timeout` is NOT honored on the
-    // streaming path — the work happens during consumer iteration)
+    // in the metrics ring
     val inner =
       try {
         val df = QueryPlanner.plan(spark, query, catalog)
@@ -216,27 +240,61 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
           throw QueryError.unknown(e)
       }
+    // context `timeout` holds on the streaming path too (reference timeout
+    // contract, `query/query-module-overview.md:83-86`): a deadline check per
+    // chunk handles the fast case, and a scheduled cancel-by-tag at the
+    // deadline breaks a chunk computation that is BLOCKED inside a Spark job
+    // (a per-next() check alone never runs while the call is stuck) — the
+    // resulting cancellation exception is translated to the documented
+    // QueryTimeoutException below.
+    val deadline = timeoutMs.map(ms => t0 + ms * 1000000L)
+    val watchdog = timeoutMs.map(ms => Engine.timeoutScheduler.schedule(
+      new Runnable { def run(): Unit = cancel(queryId) },
+      ms, TimeUnit.MILLISECONDS))
     new Iterator[String] {
       private var bytes = 0L
+      private def finishedOk(): Unit = {
+        record(QueryMetric(queryId, query.getClass.getSimpleName,
+          (System.nanoTime() - t0) / 1000000L,
+          success = true, cached = false, bytes = bytes))
+        bytes = -1L // record once
+        watchdog.foreach(_.cancel(false))
+        spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+      }
+      private def finishedBad(): Unit = {
+        if (bytes >= 0L) { recordFailure(queryId, query, t0); bytes = -1L }
+        watchdog.foreach(_.cancel(false))
+        spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+      }
+      private def timedOut(ms: Long): Nothing = {
+        cancel(queryId) // stop whatever the drained-so-far plan still runs
+        finishedBad()
+        throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
+          "QueryTimeoutException")
+      }
+      private def checkDeadline(): Unit =
+        deadline.foreach(d =>
+          if (System.nanoTime() > d) timedOut(timeoutMs.get))
       def hasNext: Boolean = {
-        val more = inner.hasNext
-        if (!more && bytes >= 0L) {
-          record(QueryMetric(queryId, query.getClass.getSimpleName,
-            (System.nanoTime() - t0) / 1000000L,
-            success = true, cached = false, bytes = bytes))
-          bytes = -1L // record once
-          spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
-        }
+        checkDeadline()
+        val more =
+          try inner.hasNext
+          catch { case NonFatal(e) => onStreamError(e) }
+        if (!more && bytes >= 0L) finishedOk()
         more
       }
-      def next(): String =
+      def next(): String = {
+        checkDeadline()
         try { val s = inner.next(); bytes += s.length; s }
-        catch {
-          case NonFatal(e) =>
-            if (bytes >= 0L) { recordFailure(queryId, query, t0); bytes = -1L }
-            spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
-            throw e
-        }
+        catch { case NonFatal(e) => onStreamError(e) }
+      }
+      private def onStreamError(e: Throwable): Nothing = {
+        // the watchdog's cancel surfaces as a cancellation exception from
+        // the blocked Spark job — past the deadline that IS the timeout
+        if (deadline.exists(System.nanoTime() > _)) timedOut(timeoutMs.get)
+        finishedBad()
+        throw e
+      }
     }
   }
 
@@ -283,11 +341,13 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   /** SQL surface (SURVEY §2.1 Q10 — Druid SQL ≈ Catalyst): registers the
     * named datasources as temp views plus the engine's native functions,
     * then runs the statement. */
-  // LOOKUP maps memoized per (name, datasource version) — collecting every
+  // LOOKUP maps memoized per name, holding (version, map) — collecting every
   // lookup table on every SQL call would put a driver materialization on
-  // the query hot path
+  // the query hot path. Name-keyed single-entry-per-name: a version change
+  // REPLACES the entry, so superseded maps drop in O(1) with no
+  // scan-and-remove pass over the key set.
   private val lookupCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Map[String, String]]
+    scala.collection.concurrent.TrieMap.empty[String, (String, Map[String, String])]
 
   def executeSql(sql: String, datasources: Seq[String]): DataFrame = {
     // drop any job group/tag left on this (possibly pooled) thread by an
@@ -301,15 +361,18 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     // built when the statement can actually reference them
     if (catalog.lookupNames.nonEmpty && sql.toLowerCase.contains("lookup")) {
       val lkps = catalog.lookupNames.flatMap { n =>
-        val key = (n, catalog.versionToken(n))
+        val version = catalog.versionToken(n)
         catalog.lookupTable(spark, n).map { df =>
-          val m = lookupCache.getOrElseUpdate(key,
-            df.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
-          // superseded versions of this lookup can never be served again —
-          // without eviction every ingest-driven version change would retain
-          // its collected Map on the driver forever
-          lookupCache.keySet.foreach(k =>
-            if (k._1 == n && k._2 != key._2) lookupCache.remove(k))
+          val m = lookupCache.get(n) match {
+            case Some((v, cached)) if v == version =>
+              lookupCacheHits.incrementAndGet(); cached
+            case _ =>
+              lookupCacheMisses.incrementAndGet()
+              val fresh = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+              // put replaces any superseded version — single entry per name
+              lookupCache.put(n, (version, fresh))
+              fresh
+          }
           n -> m
         }
       }.toMap
@@ -322,8 +385,16 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   /** SQL over HTTP (`POST /druid/v2/sql`): runs the statement against the
     * named datasources (or every bare identifier that resolves as one) and
     * returns the rows as a JSON array of objects — the reference's SQL
-    * result shape. */
-  def executeSqlJson(sql: String, datasources: Seq[String]): String = {
+    * result shape. Buffered convenience over `executeSqlJsonStream`. */
+  def executeSqlJson(sql: String, datasources: Seq[String]): String =
+    executeSqlJsonStream(sql, datasources).mkString
+
+  /** Streaming variant: result chunks arrive while the statement executes
+    * partition-at-a-time — a big `SELECT *` through SQL never materializes
+    * on the driver (same O(chunk) contract as the native query path,
+    * reference `query/query-internal-procedure.md:152-189`). Completion and
+    * failure land in the metrics ring once the stream is drained. */
+  def executeSqlJsonStream(sql: String, datasources: Seq[String]): Iterator[String] = {
     val names =
       if (datasources.nonEmpty) datasources
       else {
@@ -335,7 +406,28 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
         }
       }
-    ResultEncoder.encodeRows(executeSql(sql, names))
+    val queryId = "sql-" + UUID.randomUUID().toString
+    val t0 = System.nanoTime()
+    val inner = ResultEncoder.encodeRowsStream(executeSql(sql, names))
+    new Iterator[String] {
+      private var bytes = 0L
+      private def done(success: Boolean): Unit = {
+        record(QueryMetric(queryId, "Sql",
+          (System.nanoTime() - t0) / 1000000L,
+          success = success, cached = false, bytes = math.max(bytes, 0L)))
+        bytes = -1L // record once
+      }
+      def hasNext: Boolean = {
+        val more =
+          try inner.hasNext
+          catch { case NonFatal(e) => if (bytes >= 0L) done(false); throw e }
+        if (!more && bytes >= 0L) done(true)
+        more
+      }
+      def next(): String =
+        try { val s = inner.next(); bytes += s.length; s }
+        catch { case NonFatal(e) => if (bytes >= 0L) done(false); throw e }
+    }
   }
 
   private def isCancellation(e: Throwable): Boolean = {
@@ -352,6 +444,20 @@ object Engine {
 
   /** Spark job tag for a queryId (tags may not contain commas). */
   def jobTag(queryId: String): String = "graft-query-" + queryId.replace(",", "_")
+
+  /** Shared daemon scheduler for streaming-path timeout watchdogs — one
+    * thread for the whole JVM; each armed timeout is a no-op cancel if the
+    * stream drains first. */
+  private[engine] lazy val timeoutScheduler = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-timeout-watchdog"); t.setDaemon(true); t
+        }
+      })
+    ex.setRemoveOnCancelPolicy(true) // drained streams must not pile up tasks
+    ex
+  }
 
   /** Error contract (reference `query/query-module-overview.md:60-87`):
     * `{error, errorMessage, errorClass, host}` with the five documented codes. */
@@ -430,21 +536,41 @@ object ResultEncoder {
     encodeStream(q, df, maxResults).mkString
 
   /** Plain rows → JSON array of objects (the SQL endpoint's result shape).
-    * Values resolved BY INDEX — by-name lookup silently collapses duplicate
-    * output column names (SELECT a, b AS a). */
-  def encodeRows(df: DataFrame): String = {
+    * Buffered convenience over `encodeRowsStream` — tests and callers that
+    * genuinely want the whole document. */
+  def encodeRows(df: DataFrame): String = encodeRowsStream(df).mkString
+
+  /** Streaming variant of `encodeRows`: rows pulled partition-at-a-time via
+    * `toLocalIterator`, handed out as ~64K-char chunks — a large `SELECT *`
+    * through the SQL endpoint uses O(chunk) driver memory, same as the
+    * native query path. Values resolved BY INDEX — by-name lookup silently
+    * collapses duplicate output column names (SELECT a, b AS a). */
+  def encodeRowsStream(df: DataFrame, chunkChars: Int = 1 << 16): Iterator[String] = {
     val buf = new ChunkBuffer
     val gen = mapper.getFactory.createGenerator(buf)
     val fieldNames = df.schema.fieldNames
-    gen.writeStartArray()
-    df.toLocalIterator().forEachRemaining { row =>
-      gen.writeStartObject()
-      fieldNames.indices.foreach(i => writeField(gen, fieldNames(i), row.get(i)))
-      gen.writeEndObject()
+    val rows = df.toLocalIterator()
+    new Iterator[String] {
+      private var started = false
+      private var exhausted = false
+      def hasNext: Boolean = !exhausted
+      def next(): String = {
+        if (exhausted) throw new NoSuchElementException("stream exhausted")
+        if (!started) { gen.writeStartArray(); started = true }
+        while (buf.size < chunkChars && rows.hasNext) {
+          val row = rows.next()
+          gen.writeStartObject()
+          fieldNames.indices.foreach(i => writeField(gen, fieldNames(i), row.get(i)))
+          gen.writeEndObject()
+          gen.flush()
+        }
+        if (!rows.hasNext) {
+          gen.writeEndArray(); gen.close()
+          exhausted = true
+        }
+        buf.drain()
+      }
     }
-    gen.writeEndArray()
-    gen.close()
-    buf.drain()
   }
 
   /** Stream the result JSON as chunks of ~64K chars. Rows are pulled from

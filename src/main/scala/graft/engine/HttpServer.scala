@@ -19,7 +19,8 @@ import java.nio.charset.StandardCharsets
   * as HTTP 500 + the documented `{error, errorMessage, errorClass, host}`
   * body.
   */
-class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 0) {
+class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 0,
+    streamCap: Int = 12) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -45,9 +46,16 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
   // one executor for every context, so 16 concurrent long-running streams
   // would occupy all worker threads and the DELETE that cancels them (or a
   // metrics probe) would queue behind the very requests it needs to act
-  // on. Streams past the cap get an immediate 503 rather than silently
-  // joining that queue.
-  private val streamPermits = new java.util.concurrent.Semaphore(12)
+  // on. Streams past the cap get an immediate 429 (upstream Druid's status
+  // for QueryCapacityExceededException — a documented deviation from the
+  // reference's five-500s error table, which predates per-code statuses)
+  // rather than silently joining that queue.
+  private val streamPermits = new java.util.concurrent.Semaphore(streamCap)
+
+  private def capacityExceeded(ex: HttpExchange): Unit =
+    respond(ex, 429, jsonObj("error" -> "Query capacity exceeded",
+      "errorMessage" -> "too many concurrent streaming queries",
+      "errorClass" -> "QueryCapacityExceededException"))
 
   /** actual bound port (useful with port=0) */
   def boundPort: Int = server.getAddress.getPort
@@ -80,14 +88,30 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
           case ("POST", "/druid/v2/sql") | ("POST", "/druid/v2/sql/") =>
             // reference SQL endpoint: {"query": "...", "datasources": [...]}
-            // → JSON array of row objects
+            // → JSON array of row objects, ALWAYS chunked: the rows stream
+            // off toLocalIterator while the statement executes, so a big
+            // SELECT * is O(chunk) on the driver — the buffered path was the
+            // last remaining place a result had to fit in driver memory.
+            // Planning (and SQL analysis errors) happen BEFORE the 200 is
+            // committed, so bad statements keep their error status.
             val node = mapper.readTree(readBody(ex))
             val sql = Option(node.get("query")).map(_.asText()).getOrElse(
               throw new IllegalArgumentException("missing 'query' field"))
             val dss = Option(node.get("datasources")).map { arr =>
               (0 until arr.size()).map(arr.get(_).asText())
             }.getOrElse(Seq.empty)
-            respond(ex, 200, engine.executeSqlJson(sql, dss))
+            if (!streamPermits.tryAcquire()) capacityExceeded(ex)
+            else try {
+              val stream = engine.executeSqlJsonStream(sql, dss)
+              ex.getResponseHeaders.add("Content-Type", "application/json")
+              ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
+              val os = ex.getResponseBody
+              try stream.foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
+              finally {
+                try os.close()
+                finally engine.clearThreadJobState()
+              }
+            } finally streamPermits.release()
           case ("POST", "/druid/v2") | ("POST", "/druid/v2/") =>
             // etag / If-None-Match (reference query/query-internal-procedure.md:43-47)
             val body = readBody(ex)
@@ -105,10 +129,7 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               // 200, so plan-time failures keep the 5-code error contract; a
               // mid-stream failure after chunks have been flushed can only
               // truncate the body (inherent to chunked encoding).
-              if (!streamPermits.tryAcquire())
-                respond(ex, 503, jsonObj("error" -> "Query capacity exceeded",
-                  "errorMessage" -> "too many concurrent streaming queries",
-                  "errorClass" -> "QueryCapacityExceededException"))
+              if (!streamPermits.tryAcquire()) capacityExceeded(ex)
               else try {
                 val stream = engine.executeJsonStream(body)
                 ex.getResponseHeaders.add("ETag", tag)
@@ -130,17 +151,29 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               respond(ex, 200, engine.executeJson(body))
             }
           case ("GET", "/druid/v2/metrics") =>
-            // query metrics ring (Druid's query/time family, reference
-            // `query/query-internal-procedure.md:152-189`): queryId, type,
-            // wall millis, success, cache hit, result bytes — newest last
-            val arr = mapper.createArrayNode()
+            // metric families (reference `TOC.md:50-58`): the query ring
+            // (query/time family — queryId, type, wall millis, success,
+            // cache hit, result bytes; newest last), cache hit/miss
+            // counters, and per-task ingest metrics (rows/bytes/duration)
+            val root = mapper.createObjectNode()
+            val arr = root.putArray("queries")
             engine.metrics.foreach { m =>
               val o = arr.addObject()
               o.put("queryId", m.queryId); o.put("queryType", m.queryType)
               o.put("millis", m.millis); o.put("success", m.success)
               o.put("cached", m.cached); o.put("bytes", m.bytes)
             }
-            respond(ex, 200, mapper.writeValueAsString(arr))
+            val cache = root.putObject("cache")
+            engine.cacheStats.toSeq.sortBy(_._1).foreach { case (k, v) => cache.put(k, v) }
+            val tarr = root.putArray("tasks")
+            tasks.toSeq.flatMap(_.statusList).sortBy(_.id).foreach { st =>
+              val o = tarr.addObject()
+              o.put("id", st.id); o.put("status", st.state)
+              st.rows.foreach(o.put("rows", _))
+              st.bytes.foreach(o.put("bytes", _))
+              o.put("durationMs", st.durationMs)
+            }
+            respond(ex, 200, mapper.writeValueAsString(root))
           case ("DELETE", path) if path.startsWith("/druid/v2/") =>
             val queryId = path.stripPrefix("/druid/v2/")
             engine.cancel(queryId)

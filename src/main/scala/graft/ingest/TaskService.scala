@@ -80,15 +80,56 @@ class TaskService(spark: SparkSession, store: SegmentStore) {
     spark.sparkContext.clearJobTags()
     spark.sparkContext.setJobGroup(task.id, s"graft task ${task.id}",
       interruptOnCancel = true)
+    val t0 = System.nanoTime()
+    def elapsedMs: Long = (System.nanoTime() - t0) / 1000000L
     try {
       run(task)
-      statuses.put(task.id, TaskStatus(task.id, "SUCCESS"))
+      val (rows, bytes) = harvest(task)
+      statuses.put(task.id, TaskStatus(task.id, "SUCCESS", None,
+        rows, bytes, elapsedMs))
     } catch {
       case NonFatal(e) =>
-        statuses.put(task.id, TaskStatus(task.id, "FAILED", Option(e.getMessage)))
+        statuses.put(task.id, TaskStatus(task.id, "FAILED", Option(e.getMessage),
+          durationMs = elapsedMs))
         throw e
     } finally spark.sparkContext.clearJobGroup()
     task.id
+  }
+
+  /** Post-task ingest metrics (reference metric families, `TOC.md:50-58`):
+    * live rows from the manifest the task just flipped (row counts are
+    * already recorded there — no extra Spark job), bytes from the segment
+    * files on disk. Datasource-wide totals: every task type rewrites whole
+    * chunks, so "rows/bytes now live" is the number an operator sizes by. */
+  private def harvest(task: Task): (Option[Long], Option[Long]) = {
+    val ds = task match {
+      case t: Task.Index => Some(t.dataSource)
+      case t: Task.Append => Some(t.dataSource)
+      case t: Task.Merge => Some(t.dataSource)
+      case t: Task.Kill => Some(t.dataSource)
+      case t: Task.Move => Some(t.dataSource)
+      case t: Task.Archive => Some(t.dataSource)
+      case t: Task.Restore => Some(t.dataSource)
+      case t: Task.ConvertSegment => Some(t.dataSource)
+      case _: Task.Noop => None
+    }
+    ds match {
+      case None => (None, None)
+      case Some(d) =>
+        val segs = store.readManifest(d).segments
+        val bytes = segs.map { s =>
+          val p = java.nio.file.Paths.get(s.path)
+          if (!java.nio.file.Files.exists(p)) 0L
+          else {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+            finally walk.close()
+          }
+        }.sum
+        (Some(segs.map(_.rowCount).sum), Some(bytes))
+    }
   }
 
   private def run(task: Task): Unit = task match {
@@ -172,5 +213,9 @@ class TaskService(spark: SparkSession, store: SegmentStore) {
 }
 
 object TaskService {
-  final case class TaskStatus(id: String, state: String, error: Option[String] = None)
+  /** Terminal task record incl. ingest metrics: `rows`/`bytes` = what the
+    * datasource holds after the task (None while running / for noop),
+    * `durationMs` = task wall time. */
+  final case class TaskStatus(id: String, state: String, error: Option[String] = None,
+      rows: Option[Long] = None, bytes: Option[Long] = None, durationMs: Long = 0L)
 }

@@ -163,4 +163,67 @@ class EngineSpec extends SparkTestBase {
         |"aggregations":[{"type":"longSum","name":"s","fieldName":"id"}]}""".stripMargin))
     assert(e.error == "Query timeout")
   }
+
+  test("timeout holds on the STREAMING path too (query-module-overview.md:83-86)") {
+    val engine = new Engine(spark, new MapCatalog(
+      Map("big" -> SparkTestBase.interruptiblySlowDF(spark, ts("2024-05-01T00:00:00Z")))))
+    // consuming the stream blocks inside the first Spark job — only the
+    // scheduled cancel-by-tag can break it; the surfaced error must still
+    // be the documented QueryTimeoutException, not a bare cancellation
+    val e = intercept[Engine.QueryError] {
+      engine.executeJsonStream(
+        """{"queryType":"timeseries","dataSource":"big",
+          |"intervals":["2024-05-01T00:00:00Z/2024-05-02T00:00:00Z"],
+          |"granularity":"all","context":{"timeout":"100","queryId":"stream-to"},
+          |"aggregations":[{"type":"longSum","name":"s","fieldName":"id"}]}""".stripMargin)
+        .foreach(_ => ())
+    }
+    assert(e.error == "Query timeout")
+    assert(e.errorClass == "QueryTimeoutException")
+    // the breached query's tasks must actually terminate, not linger
+    val deadline = System.currentTimeMillis() + 10000
+    def active = spark.sparkContext.statusTracker.getActiveJobIds()
+    while (System.currentTimeMillis() < deadline && active.nonEmpty)
+      Thread.sleep(200)
+    assert(active.isEmpty, "timed-out query's tasks must terminate")
+  }
+
+  test("abandoned stream's stale tag is cleared by the next task submission") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    // abandon a streaming query on THIS thread without consuming it — its
+    // removeJobTag never runs, so the tag lingers on the thread
+    engine.executeJsonStream(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+        |"granularity":"day","context":{"queryId":"dead-stream","useCache":"false"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    assert(spark.sparkContext.getJobTags()
+      .contains(Engine.jobTag("dead-stream")), "precondition: tag lingers")
+    // a task submitted on the same (pooled) thread must NOT inherit the
+    // dead query's tag — a DELETE of "dead-stream" would cancel the ingest
+    val store = new graft.store.SegmentStore(
+      Files.createTempDirectory("graft-staletag").toString)
+    new graft.ingest.TaskService(spark, store)
+      .submit("""{"type":"noop","id":"after-dead-stream"}""")
+    assert(!spark.sparkContext.getJobTags().contains(Engine.jobTag("dead-stream")),
+      "task submission must clear the abandoned stream's tag")
+    // same guarantee on the engine's explicit clear used by HTTP workers
+    engine.executeJsonStream(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+        |"granularity":"day","context":{"queryId":"dead-2","useCache":"false"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+    engine.clearThreadJobState()
+    assert(!spark.sparkContext.getJobTags().contains(Engine.jobTag("dead-2")))
+  }
+
+  test("cache stats: hits/misses move when the result cache serves a query") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    val before = engine.cacheStats
+    engine.executeJson(tsQuery) // miss + populate
+    engine.executeJson(tsQuery) // hit
+    val after = engine.cacheStats
+    assert(after("resultCacheMisses") > before("resultCacheMisses"))
+    assert(after("resultCacheHits") > before("resultCacheHits"))
+  }
 }

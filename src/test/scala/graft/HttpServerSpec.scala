@@ -92,12 +92,14 @@ class HttpServerSpec extends SparkTestBase {
         URI.create(s"$base/druid/v2/metrics")).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(metrics.statusCode() == 200)
-      val marr = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mroot = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(metrics.body())
+      val marr = mroot.get("queries")
       assert(marr.isArray && marr.size() > 0)
       val last = marr.get(marr.size() - 1)
       assert(last.get("queryType").asText() == "TimeBoundary")
       assert(last.get("success").asBoolean())
+      assert(mroot.get("cache").has("resultCacheHits"))
     } finally srv.stop()
   }
 
@@ -110,6 +112,10 @@ class HttpServerSpec extends SparkTestBase {
       val resp = post(s"$base/druid/v2/sql",
         """{"query":"SELECT event_type, count(*) AS cnt FROM ev GROUP BY 1 ORDER BY 1"}""")
       assert(resp.statusCode() == 200)
+      // SQL results stream as chunked transfer — a big SELECT * never
+      // buffers whole on the driver or in server memory
+      assert(resp.headers().firstValue("Transfer-encoding").orElse("")
+        .contains("chunked"))
       val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
       assert(arr.isArray && arr.size() == 2)
       assert(arr.get(0).get("event_type").asText() == "click")
@@ -144,6 +150,27 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("streaming past the cap → 429 QueryCapacityExceededException") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val srv = new HttpServer(engine, streamCap = 0) // saturated from the start
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val stream = post(s"$base/druid/v2",
+        """{"queryType":"scan","dataSource":"ev",
+          |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+          |"context":{"stream":"true"}}""".stripMargin)
+      assert(stream.statusCode() == 429)
+      assert(stream.body().contains("QueryCapacityExceededException"))
+      val sql = post(s"$base/druid/v2/sql", """{"query":"SELECT 1 AS one"}""")
+      assert(sql.statusCode() == 429)
+      // the buffered query path is NOT capped by stream permits
+      val buffered = post(s"$base/druid/v2",
+        """{"queryType":"timeBoundary","dataSource":"ev"}""")
+      assert(buffered.statusCode() == 200)
+    } finally srv.stop()
+  }
+
   test("full stack: ingest over HTTP, query the new segments over HTTP") {
     import graft.store.SegmentCatalog
     val store = new SegmentStore(Files.createTempDirectory("graft-e2e").toString)
@@ -170,6 +197,28 @@ class HttpServerSpec extends SparkTestBase {
           |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
       assert(res.statusCode() == 200)
       assert(res.body().contains("\"sv\":10.0") && res.body().contains("\"sv\":20.0"))
+
+      // 3. observability: the metrics endpoint reports the ingest task's
+      // rows/bytes/duration and a result-cache hit after a re-query
+      val res2 = post(s"$base/druid/v2",
+        """{"queryType":"timeseries","dataSource":"ev_http",
+          |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+      assert(res2.statusCode() == 200)
+      val metrics = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val mroot = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(metrics.body())
+      assert(mroot.get("cache").get("resultCacheHits").asLong() >= 1L,
+        "identical re-query must land as a result-cache hit")
+      val taskNodes = (0 until mroot.get("tasks").size()).map(mroot.get("tasks").get)
+      val e2eTask = taskNodes.find(_.get("id").asText() == "e2e")
+        .getOrElse(fail("ingest task missing from metrics"))
+      assert(e2eTask.get("rows").asLong() == 2L)
+      assert(e2eTask.get("bytes").asLong() > 0L)
+      assert(e2eTask.has("durationMs"))
     } finally srv.stop()
   }
 

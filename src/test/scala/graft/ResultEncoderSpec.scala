@@ -170,6 +170,25 @@ class ResultEncoderSpec extends SparkTestBase {
     assert(it.hasNext) // more chunks pending, stream not drained
   }
 
+  test("encodeRowsStream (SQL rows) is lazy: first chunks precede later partitions") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    // partitions 2..3 explode if ever computed — the SQL-result encoder must
+    // read partition-at-a-time like the native path (the buffered encodeRows
+    // of rounds 1-4 drained ALL partitions before emitting a byte)
+    val rdd = spark.sparkContext.parallelize(0 until 40000, 4).mapPartitionsWithIndex {
+      (i, it) =>
+        if (i >= 2) throw new RuntimeException("late partition computed eagerly")
+        it.map(n => org.apache.spark.sql.Row(n.toLong, s"row$n"))
+    }
+    val df = spark.createDataFrame(rdd, schema)
+    val it = graft.engine.ResultEncoder.encodeRowsStream(df, chunkChars = 2048)
+    val first = it.next()
+    assert(first.nonEmpty && first.startsWith("""[{"id":0,"name":"row0"}"""))
+    assert(it.hasNext) // more chunks pending, stream not drained
+  }
+
   test("encode (drained stream) matches the documented shapes byte-for-byte") {
     // same query through executeJson (drained stream) parses to the v0.12
     // timeseries shape with compact separators — guards the generator path
