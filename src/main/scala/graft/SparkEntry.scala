@@ -379,27 +379,30 @@ object SparkEntry {
       // comes from the minhash side (miss ≈ 4e-8 per true pair); simhash
       // contributes its real-world fast path — boilerplate/near-identical
       // dups at tiny hamming — at a banding that stays thin at any corpus
-      // size. Round 3 instead ran simhash at h≤15 with 16×4-bit bands (16
-      // bucket values/band — the densest banding in the repo) purely to
-      // exercise it; that benched plan was near-all-pairs at fixture scale.
+      // size. ONE corpus scan: minhash signature, simhash signature and the
+      // verify shingle sets are computed in a single materialized frame; the
+      // two banding branches and both verify-join sides all read its cached
+      // blocks (round 4 ran three separate scan+repartition+hash passes).
       // Oracle = brute-force exact Jaccard (DuckDB recomputes the shingle
       // sets and the full pair join independently).
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      val candSim = graft.ext.Dedup.simhashDupPairs(docs, "text", "doc_id",
+      val frame = docs.select(col("doc_id").as("id"),
+        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+          .as("msig"),
+        graft.ext.Dedup.simhash(col("text")).as("ssig"),
+        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
+      val candSim = graft.ext.Dedup.simhashDupPairsFromSigs(frame, "id", "ssig",
         maxHamming = 3, bands = 4)
-      val candMin = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
-        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.75)
+      val candMin = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "msig",
+        bands = 16, threshold = 0.75)
       val prefiltered = candSim.select("id_a", "id_b")
         .union(candMin.select("id_a", "id_b"))
         .distinct()
-      // shingle sets materialized once — both verify-join sides read cache
-      val sh = docs.select(col("doc_id"),
-        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint(true)
       prefiltered
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b")))).as("__j"))
@@ -822,26 +825,34 @@ object SparkEntry {
       // barely-above-noise threshold NO banding is both recall-1 and
       // sub-quadratic, so the honest scale fix is testing the threshold
       // regime the operator is actually for (COVERAGE.md deviations).
-      val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      // two-step select: Spark 4's lateral column alias resolution would
-      // otherwise bind `vec_id` INSIDE the lambda to the +1000000 alias
-      // (shifting every delta); DuckDB's oracle subquery guards the same way
-      val planted = emb.where(col("vec_id") % 4 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), (x, j) =>
-            (x.cast("double") +
-              (((col("vec_id") * 31 + j) % 7) - 3) * 0.01).cast("float"))
-            .as("emb2"))
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          col("emb2").as("embedding"))
-      val all = emb.unionByName(planted)
-      graft.ext.Similarity.cosineNearDupPairs(all, "vec_id", "embedding",
-        dim = 64, threshold = 0.9, bands = 16, rowsPerBand = 8)
+      graft.ext.Similarity.cosineNearDupPairs(
+        q28PlantedUnion(s, dir), "vec_id", "embedding",
+        dim = 64, threshold = 0.9)
         .withColumn("cosine", round(col("cosine"), 3))
         .orderBy("id_a", "id_b")
     }),
   )
+
+  /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
+    * 4th vector (`v'[j] = float(v[j] + ((vec_id*31 + j) % 7 - 3) * 0.01)`,
+    * planted ids offset by 1e6). Shared with ExtSpec's skew-cap gate so the
+    * gate asserts the exact corpus + banding the benched entry runs. */
+  def q28PlantedUnion(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // two-step select: Spark 4's lateral column alias resolution would
+    // otherwise bind `vec_id` INSIDE the lambda to the +1000000 alias
+    // (shifting every delta); DuckDB's oracle subquery guards the same way
+    val planted = emb.where(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x.cast("double") +
+            (((col("vec_id") * 31 + j) % 7) - 3) * 0.01).cast("float"))
+          .as("emb2"))
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("emb2").as("embedding"))
+    emb.unionByName(planted)
+  }
 
   // --- DuckDB oracle SQL ----------------------------------------------------
 
@@ -1089,8 +1100,8 @@ object SparkEntry {
     // q28: brute-force exact cosine pair set (corpus + independently
     // recomputed planted perturbations) the LSH+verify must reproduce.
     // DuckDB list_transform's index is 1-based (j-1 matches Spark's 0-based
-    // transform); 0.02::DOUBLE forces double math (a DECIMAL literal would
-    // round-trip to a different double than Spark's -3 * 0.02); the inner
+    // transform); 0.01::DOUBLE forces double math (a DECIMAL literal would
+    // round-trip to a different double than Spark's -3 * 0.01); the inner
     // subquery keeps `vec_id` inside the lambda bound to the BASE column,
     // not the +1000000 alias.
     "q28_cosine_neardup" ->

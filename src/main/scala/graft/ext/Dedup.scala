@@ -28,15 +28,29 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Materialize a signature frame once so downstream self-joins read
-    * cached blocks instead of re-deriving it from the corpus. Local
-    * checkpoint: eager (one job now), lineage-truncating, and the blocks
-    * are freed by Spark's ContextCleaner when the frame is GC'd — unlike
-    * `persist()`, nothing accumulates on a long-lived server. Tradeoff:
-    * localCheckpoint sacrifices recompute-on-executor-loss; losing an
-    * executor mid-query fails the query (re-run), which is the right trade
-    * for a frame this small on the query path. */
+    * cached blocks instead of re-deriving it from the corpus.
+    *
+    * Two modes via `spark.graft.materialize.storage`:
+    *  - `localCheckpoint` (default): eager (one job now), lineage-
+    *    truncating, and the blocks are freed by Spark's ContextCleaner when
+    *    the frame is GC'd — unlike `persist()`, nothing accumulates on a
+    *    long-lived server. Tradeoff: localCheckpoint sacrifices
+    *    recompute-on-executor-loss; losing an executor mid-query fails the
+    *    query (re-run), which is the right trade for a frame this small on
+    *    a query path with stable executors.
+    *  - `persist`: MEMORY_AND_DISK with lineage kept, eagerly populated —
+    *    on PREEMPTIBLE clusters a lost executor's blocks recompute instead
+    *    of failing the query. Tradeoff: entries stay registered with the
+    *    cache manager until unpersisted/GC'd, so a long-lived server should
+    *    clear them (`spark.catalog.clearCache()`) between pipelines. */
   private[ext] def materialize(df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+    df.sparkSession.conf.getOption("spark.graft.materialize.storage") match {
+      case Some("persist") =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager, like localCheckpoint: populate before the self-join fans out
+        p
+      case _ => df.localCheckpoint(true)
+    }
 
   // -------------------------------------------------------------------------
   // shingling
@@ -150,10 +164,20 @@ object Dedup {
     // one corpus scan + hash pass, reused by both self-join sides
     val sigs = materialize(df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleN).as("sig")))
+    minhashDupPairsFromSigs(sigs, "id", "sig", bands, threshold, bucketCap)
+  }
 
+  /** Banding + verify over a pre-MATERIALIZED minhash signature frame.
+    * Pipelines that run several hash families off one corpus scan (e.g.
+    * simhash ∪ minhash candidates) compute all signatures in one
+    * materialized select and feed each family here — the corpus is read and
+    * hashed once instead of once per family. The caller owns
+    * materialization; passing a lazy frame re-derives it per join side. */
+  def minhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, threshold: Double, bucketCap: Int = 256): DataFrame = {
     // one row per (doc, band): bucket key = native band hash of the slice
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(graft.functions.TextHashFunctions.band_keys(col("sig"), bands))
+    val banded = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
+      posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
         .as(Seq("band", "bucket")))
 
     // skew-capped candidate pairs; threshold BEFORE the pair-dedup shuffle:
@@ -225,15 +249,22 @@ object Dedup {
     * and a low maxHamming, or raise bucketCap knowingly. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bucketCap: Int = 256, bands: Int = 4): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     // one corpus scan + hash pass, reused by both self-join sides
     val sigs = materialize(
       df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
-    val banded = sigs.select(col("id"), col("sig"),
+    simhashDupPairsFromSigs(sigs, "id", "sig", maxHamming, bucketCap, bands)
+  }
+
+  /** Banding + Hamming verify over a pre-MATERIALIZED simhash frame — see
+    * `minhashDupPairsFromSigs` for when to use the FromSigs form. */
+  def simhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, bucketCap: Int = 256, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("sig"), b * width).bitwiseAND(mask)): _*))
+        shiftright(col(sigCol), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "bucket")))
     // skew-capped candidates; hamming filter BEFORE the pair-dedup shuffle
     cappedBucketPairs(banded, "id", "sig", bucketCap)

@@ -19,6 +19,14 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** `cosineNearDupPairs` defaults, exposed so gates (ExtSpec's skew-cap
+    * test) assert against the SAME configuration the operator actually
+    * runs — a default change re-points the test automatically. */
+  val NearDupBands = 16
+  val NearDupRowsPerBand = 8
+  val NearDupSeed = 42L
+  val NearDupBucketCap = 256
+
   /** Cosine similarity of two float-array columns (0 when either norm=0).
     * Backed by the native codegen'd expression (graft.functions). */
   def cosine(a: Column, b: Column): Column =
@@ -94,35 +102,72 @@ object Similarity {
       .drop("__rank")
   }
 
+  /** Parquet-footer row count for a plan that is a pure (projected) file
+    * scan: sums row-group counts from the file footers on the driver — NO
+    * Spark job, no corpus pass. None when the plan reshapes rows (filter /
+    * join / agg) or isn't a single parquet relation, in which case the
+    * caller falls back to `count()`. At 100 TB this is the difference
+    * between reading ~KBs of footer metadata and scanning every row once
+    * just to size a sample. */
+  private[graft] def parquetFooterRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan: LogicalPlan = df.queryExecution.optimizedPlan
+    val rowPreserving = plan.collect { case p => p }.forall {
+      case _: Project | _: LogicalRelation => true
+      case _ => false
+    }
+    val relations = plan.collect { case lr: LogicalRelation => lr }
+    if (!rowPreserving || relations.size != 1) None
+    else {
+      val files = df.inputFiles
+      if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) None
+      else {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        try Some(files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum)
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
   /** IVF (inverted-file) index: deterministic k-means-lite centroids —
-    * seeded by the first `nClusters` corpus vectors, refined by one Lloyd
-    * iteration — collected to the driver (nClusters × dim doubles, tiny)
-    * and baked into a native assignment expression.
+    * seeded by the first `nClusters` sample vectors (by id), refined by one
+    * Lloyd iteration over the sample — collected to the driver
+    * (nClusters × dim doubles, tiny) and baked into a native assignment
+    * expression.
     *
-    * At 100 TB: centroid build reads a bounded sample; assignment is one
-    * map-side pass; search touches only `nProbe`/`nClusters` of the corpus
-    * via a cluster-keyed join. */
+    * At 100 TB the whole build is ONE bounded sample scan: the sample is
+    * sized from parquet footer row counts (driver-side metadata, no
+    * counting job) and materialized once; seeds AND the Lloyd refinement
+    * read its cached blocks. limit() alone would take the first partitions
+    * only — on time- or key-clustered data the refinement would see one
+    * region and skew the centroids — so a seeded uniform fraction is drawn,
+    * with limit() as the exact-size backstop. Search then touches only
+    * `nProbe`/`nClusters` of the corpus via a cluster-keyed join. */
   def buildIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, maxSample: Int = 100000): Array[Array[Double]] = {
-    val init: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(nClusters)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    // one Lloyd iteration over a bounded UNIFORM sample: at 100 TB a
-    // full-corpus refinement pass is a corpus×dim posexplode shuffle for an
-    // INDEX BUILD. limit() would take the first partitions only — on time-
-    // or key-clustered data the refinement would see one region and skew
-    // the centroids — so draw a seeded uniform fraction instead (cheap
-    // columnar count to size it), with limit() as the exact-size backstop.
-    val n = corpus.count()
-    val sample =
-      if (n <= maxSample) corpus.select(col(vecCol))
-      else corpus.select(col(vecCol))
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+    val n = parquetFooterRowCount(corpus).getOrElse(corpus.count())
+    val sample = Dedup.materialize(
+      if (n <= maxSample) base
+      else base
         .sample(withReplacement = false, math.min(1.0, maxSample * 1.2 / n), seed = 42L)
-        .limit(maxSample)
+        .limit(maxSample))
+    // seeds from the materialized sample (tiny sort), not a full-corpus
+    // orderBy — for corpora under maxSample this is the same first-k-by-id
+    // seeding as a corpus sort, so results are unchanged at test scale
+    val init: Array[Array[Double]] = sample.orderBy(col("__id")).limit(nClusters)
+      .select(col("__vec")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val assigned = sample.select(
       element_at(graft.functions.VectorFunctions.nearest_centroids(
-        col(vecCol), init, 1), 1).as("cluster"),
-      posexplode(col(vecCol)).as(Seq("pos", "x")))
+        col("__vec"), init, 1), 1).as("cluster"),
+      posexplode(col("__vec")).as(Seq("pos", "x")))
     val means = assigned.groupBy("cluster", "pos").agg(avg("x").as("m"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     val out = init.map(_.clone())
@@ -174,8 +219,9 @@ object Similarity {
     * recall-1 and sub-quadratic on unstructured data; narrow the bands
     * (more bands × fewer rows) knowingly if you need that regime. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
-      seed: Long = 42L, bucketCap: Int = 256): DataFrame = {
+      dim: Int, threshold: Double,
+      bands: Int = NearDupBands, rowsPerBand: Int = NearDupRowsPerBand,
+      seed: Long = NearDupSeed, bucketCap: Int = NearDupBucketCap): DataFrame = {
     val nBits = bands * rowsPerBand
 
     // one corpus scan + hash pass; bit array for banding, packed longs for

@@ -71,26 +71,60 @@ class ExtSpec extends SparkTestBase {
   test("q28 banding stays under the skew cap at sf0.1 (no star fallback on real data)") {
     // the q28 entry's exact oracle relies on banding capture; the star
     // fallback would silently drop member↔member pairs, so the bench-scale
-    // corpus (embeddings + planted perturbed copies) must keep every
-    // (band, bucket) group under the default bucketCap with the 16×8-bit
-    // config — this is the assertion that the benched plan IS the scale plan
-    val emb01 = graft.sources.TableLoader.load(spark, "/root/testdata/sf0.1", "embeddings")
-      .select($"vec_id", $"embedding")
-    val planted = emb01.where($"vec_id" % 4 === 0)
-      .select($"vec_id",
-        transform($"embedding", (x, j) =>
-          (x.cast("double") + ((($"vec_id" * 31 + j) % 7) - 3) * 0.01).cast("float"))
-          .as("emb2"))
-      .select(($"vec_id" + 1000000L).as("vec_id"), $"emb2".as("embedding"))
-    val all = emb01.unionByName(planted)
+    // corpus must keep every (band, bucket) group under the operator's
+    // default bucketCap at its default banding — this is the assertion that
+    // the benched plan IS the scale plan. Corpus and config come from the
+    // SAME places the entry uses (SparkEntry.q28PlantedUnion + the
+    // Similarity.NearDup* defaults), so a config change re-points this gate.
+    val all = SparkEntry.q28PlantedUnion(spark, "/root/testdata/sf0.1")
+    val nBits = Similarity.NearDupBands * Similarity.NearDupRowsPerBand
     val banded = all.select(
       posexplode(graft.functions.TextHashFunctions.band_keys(
-        Similarity.lshSignature($"embedding", 42L, 128, 64), 16))
+        Similarity.lshSignature($"embedding", Similarity.NearDupSeed, nBits, 64),
+        Similarity.NearDupBands))
         .as(Seq("band", "bucket")))
     val maxBucket = banded.groupBy("band", "bucket").count()
       .agg(max("count")).head().getLong(0)
-    assert(maxBucket <= 256,
-      s"largest (band,bucket) group is $maxBucket > bucketCap=256 — star fallback would fire")
+    assert(maxBucket <= Similarity.NearDupBucketCap,
+      s"largest (band,bucket) group is $maxBucket > bucketCap=" +
+        s"${Similarity.NearDupBucketCap} — star fallback would fire")
+  }
+
+  test("materialize modes agree: persist(MEMORY_AND_DISK) matches localCheckpoint") {
+    // cluster-safe mode for preemptible executors: same pair set, and the
+    // persisted frame keeps its lineage (recompute instead of query failure)
+    val defaultPairs = Dedup.minhashDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.materialize.storage", "persist")
+    try {
+      val persistedPairs = Dedup.minhashDupPairs(docs, "text", "doc_id", threshold = 0.5)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(persistedPairs == defaultPairs)
+    } finally {
+      spark.conf.unset("spark.graft.materialize.storage")
+      spark.catalog.clearCache() // documented cleanup for the persist mode
+    }
+  }
+
+  test("IVF sample sizing reads parquet footers — no Spark job, no corpus scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-footers").toString
+    spark.range(0, 12345).toDF("id").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select($"id") // projected scan: fast path
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Similarity.parquetFooterRowCount(df).contains(12345L))
+      // drain the async listener bus before asserting
+      Thread.sleep(1000)
+      assert(jobs == 0, s"footer row count must not run a Spark job (ran $jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // row-reshaping plans refuse the fast path (a filtered count from
+    // footers would be WRONG, not just stale)
+    assert(Similarity.parquetFooterRowCount(df.where($"id" < 10)).isEmpty)
   }
 
   test("simhash hamming: identical docs → distance 0") {
