@@ -393,13 +393,12 @@ object SparkEntry {
         graft.ext.Dedup.simhash(col("text")).as("ssig"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
-      val candSim = graft.ext.Dedup.simhashDupPairsFromSigs(frame, "id", "ssig",
-        maxHamming = 3, bands = 4)
-      val candMin = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "msig",
-        bands = 16, threshold = 0.75)
-      val prefiltered = candSim.select("id_a", "id_b")
-        .union(candMin.select("id_a", "id_b"))
-        .distinct()
+      // both families band in ONE pass (simhash bands 16-19 after the 16
+      // minhash bands): one skew-capped self-join instead of two, candidate
+      // capture a superset of the separate-pipelines union
+      val prefiltered = graft.ext.Dedup.multiFamilyDupCandidates(frame,
+        "id", "msig", "ssig", mBands = 16, estThreshold = 0.75, maxHamming = 3,
+        sBands = 4)
       prefiltered
         .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

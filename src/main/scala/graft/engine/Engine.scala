@@ -140,7 +140,8 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         // error (reference `query/query-module-overview.md:86`). Enforced
         // inside the encode iteration — one execution, no probe job.
         val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
-        ResultEncoder.encode(query, df, maxResults)
+        ResultEncoder.encode(query, df, maxResults,
+          segmentIdFor = segmentPagingMapper(query))
       }
       val result = timeoutMs match {
         case None => run()
@@ -229,7 +230,8 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       try {
         val df = QueryPlanner.plan(spark, query, catalog)
         val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
-        ResultEncoder.encodeStream(query, df, maxResults)
+        ResultEncoder.encodeStream(query, df, maxResults,
+          segmentIdFor = segmentPagingMapper(query))
       } catch {
         case qe: QueryError =>
           recordFailure(queryId, query, t0)
@@ -296,6 +298,32 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         throw e
       }
     }
+  }
+
+  /** Per-segment pagingIdentifiers shim (reference
+    * `query/query-module-overview.md:36`): for a select on a SegmentStore-
+    * backed table, when the client sent Druid-shaped segment identifiers or
+    * asked via context `pagingFormat=segment`, map day-chunk timestamps to
+    * Druid segment ids so the encoder emits `{segmentId: offset}`. */
+  private def segmentPagingMapper(query: Query): Option[Long => String] = query match {
+    case sel: Query.Select =>
+      val wants = sel.pagingSpec.pagingIdentifiers.keys
+        .exists(QueryPlanner.SegmentPaging.isSegmentKey) ||
+        sel.context.get("pagingFormat").contains("segment")
+      if (!wants) None
+      else sel.dataSource match {
+        case DataSource.Table(n) =>
+          val versionByChunk = catalog.segmentInfos(n)
+            .map(i => i._1 -> i._2).toMap
+          if (versionByChunk.isEmpty) None
+          else Some { (dayMicros: Long) =>
+            val chunk = QueryPlanner.SegmentPaging.chunkOf(dayMicros)
+            QueryPlanner.SegmentPaging.segmentId(
+              n, chunk, versionByChunk.getOrElse(chunk, 1))
+          }
+        case _ => None
+      }
+    case _ => None
   }
 
   private def recordFailure(queryId: String, query: Query, t0: Long): Unit =
@@ -532,8 +560,9 @@ object ResultEncoder {
 
   /** Buffered encode — drains the stream. Semantics identical to the
     * streaming path (single execution, including the maxResults cap). */
-  def encode(q: Query, df: DataFrame, maxResults: Option[Int] = None): String =
-    encodeStream(q, df, maxResults).mkString
+  def encode(q: Query, df: DataFrame, maxResults: Option[Int] = None,
+      segmentIdFor: Option[Long => String] = None): String =
+    encodeStream(q, df, maxResults, segmentIdFor = segmentIdFor).mkString
 
   /** Plain rows → JSON array of objects (the SQL endpoint's result shape).
     * Buffered convenience over `encodeRowsStream` — tests and callers that
@@ -576,9 +605,12 @@ object ResultEncoder {
   /** Stream the result JSON as chunks of ~64K chars. Rows are pulled from
     * `df.toLocalIterator()` (partition-at-a-time execution); `maxResults`
     * (groupBy resource cap) is enforced on the SAME iteration — no separate
-    * probe job. */
+    * probe job. `segmentIdFor` (select only): when set, pagingIdentifiers
+    * are emitted in Druid's per-segment `{segmentId: offset}` shape — the
+    * function maps a row's epoch-micros __time to its segment id. */
   def encodeStream(q: Query, df: DataFrame, maxResults: Option[Int] = None,
-      chunkChars: Int = 1 << 16): Iterator[String] = {
+      chunkChars: Int = 1 << 16,
+      segmentIdFor: Option[Long => String] = None): Iterator[String] = {
     val buf = new ChunkBuffer
     val gen = mapper.getFactory.createGenerator(buf)
     val rawRows = df.toLocalIterator()
@@ -690,10 +722,12 @@ object ResultEncoder {
             () => { gen.writeEndArray(); gen.writeEndObject(); gen.writeEndArray() })
 
         case sel: Query.Select =>
-          // keyset cursor state: rows seen, last __time, #rows at exactly it
+          // keyset cursor state: rows seen, last __time, #rows at exactly it;
+          // plus per-day-chunk row counts for the segment-id compat shape
           var n = 0
           var lastTsMicros = Long.MinValue
           var countAtLastTs = 0
+          val perChunk = scala.collection.mutable.LinkedHashMap.empty[String, Int]
           (() => {
             gen.writeStartArray(); gen.writeStartObject()
             gen.writeFieldName("result"); gen.writeStartObject()
@@ -710,6 +744,10 @@ object ResultEncoder {
                   val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
                   if (us == lastTsMicros) countAtLastTs += 1
                   else { lastTsMicros = us; countAtLastTs = 1 }
+                  if (segmentIdFor.isDefined) {
+                    val c = QueryPlanner.SegmentPaging.chunkOf(us)
+                    perChunk.update(c, perChunk.getOrElse(c, 0) + 1)
+                  }
                 case _ =>
               }
             },
@@ -717,7 +755,9 @@ object ResultEncoder {
               gen.writeEndArray()
               val incoming = sel.pagingSpec.pagingIdentifiers
               val legacyOffset = incoming.nonEmpty &&
-                incoming.keys.forall(!_.startsWith(QueryPlanner.CursorKeyPrefix))
+                incoming.keys.forall(k =>
+                  !k.startsWith(QueryPlanner.CursorKeyPrefix) &&
+                    !QueryPlanner.SegmentPaging.isSegmentKey(k))
               gen.writeFieldName("pagingIdentifiers"); gen.writeStartObject()
               if (legacyOffset) {
                 // legacy global-offset clients keep cumulative offset semantics
@@ -728,13 +768,26 @@ object ResultEncoder {
                 incoming.foreach { case (k, v) =>
                   gen.writeFieldName(k); gen.writeNumber(v)
                 }
-              } else {
-                // keyset cursor (`t:<epochMicros> -> k`): rows consumed at the
-                // page's last timestamp, carried over when the page continues
-                // inside the same timestamp
-                val key = QueryPlanner.cursorKey(lastTsMicros)
-                gen.writeFieldName(key)
-                gen.writeNumber(incoming.getOrElse(key, 0) + countAtLastTs)
+              } else segmentIdFor match {
+                case Some(idFor) =>
+                  // Druid-compat `{segmentId: offset}`: cumulative consumed
+                  // rows per touched segment — incoming offsets carry over
+                  // when a page continues inside the same segment
+                  perChunk.foreach { case (chunk, cnt) =>
+                    val dayUs = java.time.LocalDate.parse(chunk)
+                      .atStartOfDay(java.time.ZoneOffset.UTC)
+                      .toInstant.getEpochSecond * 1000000L
+                    val key = idFor(dayUs)
+                    gen.writeFieldName(key)
+                    gen.writeNumber(incoming.getOrElse(key, 0) + cnt)
+                  }
+                case None =>
+                  // keyset cursor (`t:<epochMicros> -> k`): rows consumed at
+                  // the page's last timestamp, carried over when the page
+                  // continues inside the same timestamp
+                  val key = QueryPlanner.cursorKey(lastTsMicros)
+                  gen.writeFieldName(key)
+                  gen.writeNumber(incoming.getOrElse(key, 0) + countAtLastTs)
               }
               gen.writeEndObject()
               gen.writeEndObject(); gen.writeEndObject(); gen.writeEndArray()

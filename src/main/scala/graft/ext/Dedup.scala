@@ -190,6 +190,45 @@ object Dedup {
       .agg(first("est_jaccard").as("est_jaccard"))
   }
 
+  /** Candidate pairs from BOTH hash families in ONE banding pass: minhash
+    * band keys and simhash bit-slices explode together (simhash bands
+    * indexed after the minhash ones, so the (band, bucket) keyspaces stay
+    * disjoint), a single skew-capped self-join yields every pair colliding
+    * in ANY band of either family, and the per-family prefilters apply as
+    * one OR, at HALF the shuffle/window stages of running the families
+    * separately and unioning.
+    *
+    * The hamming fast-path additionally requires the minhash estimate to
+    * clear `estFloor`: on short-doc corpora simhash at small hamming admits
+    * arbitrarily dissimilar pairs (measured sf0.1: all 26.4k h≤3 collisions
+    * had est<0.75 and NONE survived exact verify at 0.9 — pure verify
+    * load), while a true j≥0.9 pair fails est≥0.5 with probability ~1e-26
+    * (Binomial(64, 0.9) below 32/64). The floor costs nothing in capture
+    * and removes the quadratic-ish junk the loose family lets through.
+    * `sigs` must be pre-materialized (see `minhashDupPairsFromSigs`).
+    * Output: distinct (id_a, id_b), id_a < id_b. */
+  def multiFamilyDupCandidates(sigs: DataFrame, idCol: String,
+      msigCol: String, ssigCol: String,
+      mBands: Int, estThreshold: Double, maxHamming: Int,
+      sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5): DataFrame = {
+    require(64 % sBands == 0, "sBands must divide 64")
+    val width = 64 / sBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = sigs.select(col(idCol).as("id"),
+      struct(col(msigCol).as("m"), col(ssigCol).as("s")).as("sig"),
+      posexplode(concat(
+        graft.functions.TextHashFunctions.band_keys(col(msigCol), mBands),
+        array((0 until sBands).map(b =>
+          shiftright(col(ssigCol), b * width).bitwiseAND(mask)): _*)))
+        .as(Seq("band", "bucket")))
+    cappedBucketPairs(banded, "id", "sig", bucketCap)
+      .withColumn("__est", minhashJaccard(col("payload_a.m"), col("payload_b.m")))
+      .where(col("__est") >= estThreshold ||
+        (hamming(col("payload_a.s"), col("payload_b.s")) <= maxHamming &&
+          col("__est") >= estFloor))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Connected-component-free dedup decision: drop any doc that pairs with a
     * smaller-id near-duplicate. Returns the surviving ids. */
   def minhashSurvivors(df: DataFrame, textCol: String, idCol: String,

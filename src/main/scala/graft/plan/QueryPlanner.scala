@@ -514,6 +514,60 @@ object QueryPlanner {
         (k.stripPrefix(CursorKeyPrefix).toLong, v)
     }
 
+  /** Druid-client compat shim for per-segment `{segmentId: offset}` paging
+    * (reference `query/query-module-overview.md:36`): SegmentStore-backed
+    * datasources accept and emit Druid-shaped segment identifiers
+    * (`ds_<chunkStart>_<chunkEnd>_v<N>` over day chunks), translated to the
+    * keyset cursor internally — the cursor machinery already implements
+    * "skip k result rows from a time lower bound", which is exactly
+    * per-segment offset resumption when the bound is the segment start.
+    * Documented deviation: descending offsets are positive consumed-row
+    * counts (Druid 0.12 uses negative offsets for descending selects);
+    * negative values are accepted and read as their magnitude. */
+  object SegmentPaging {
+    private val IdRe =
+      """^(.+)_(\d{4}-\d{2}-\d{2})T00:00:00\.000Z_(\d{4}-\d{2}-\d{2})T00:00:00\.000Z_v(\d+)$""".r
+
+    def isSegmentKey(k: String): Boolean = IdRe.findFirstIn(k).isDefined
+
+    /** Druid-shaped id for a day chunk. */
+    def segmentId(ds: String, chunk: String, version: Int): String = {
+      val next = java.time.LocalDate.parse(chunk).plusDays(1)
+      s"${ds}_${chunk}T00:00:00.000Z_${next}T00:00:00.000Z_v$version"
+    }
+
+    /** Day-chunk string (yyyy-MM-dd, UTC) for an epoch-micros timestamp. */
+    def chunkOf(epochMicros: Long): String =
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(epochMicros, 1000000L), 0)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+    /** Translate segment-shaped identifiers to an internal (epochMicros,
+      * skip) cursor: resume from the direction-extreme segment (later
+      * segments for ascending, earlier for descending are not yet read),
+      * skipping its consumed rows. */
+    def parse(ids: Map[String, Int], descending: Boolean): Option[(Long, Int)] = {
+      val parsed = ids.toSeq.collect {
+        case (IdRe(_, start, end, _), off) =>
+          val startUs = java.time.LocalDate.parse(start)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+          val endUs = java.time.LocalDate.parse(end)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000L
+          (startUs, endUs, math.abs(off))
+      }
+      if (parsed.isEmpty) None
+      else if (!descending) {
+        val (startUs, _, off) = parsed.maxBy(_._1)
+        Some((startUs, off))
+      } else {
+        // descending pages move toward older rows: resume inside the
+        // EARLIEST segment seen, from its end (exclusive) downward
+        val (_, endUs, off) = parsed.minBy(_._1)
+        Some((endUs - 1L, off))
+      }
+    }
+  }
+
   private def planSelect(spark: SparkSession, q: Query.Select, catalog: Catalog)
       : DataFrame = {
     // Keyset paging: the cursor timestamp NARROWS the query intervals, so the
@@ -523,6 +577,7 @@ object QueryPlanner {
     // offset skips only the rows already consumed at exactly the cursor
     // timestamp (bounded by rows-per-timestamp, not by pages read).
     val cursor = selectCursor(q.pagingSpec.pagingIdentifiers)
+      .orElse(SegmentPaging.parse(q.pagingSpec.pagingIdentifiers, q.descending))
     // a query with NO intervals still needs the cursor bound applied, or
     // every page would restart from the beginning and never terminate —
     // synthesize a wide interval around the cursor (bounds chosen to stay

@@ -120,6 +120,53 @@ class ResultEncoderSpec extends SparkTestBase {
     assert(r.get("pagingIdentifiers").get("offset").asInt() == 3)
   }
 
+  test("select: Druid-compat {segmentId: offset} paging round-trips on a segment store") {
+    // compat shim (query-module-overview.md:36): SegmentStore-backed selects
+    // accept/emit Druid-shaped per-segment identifiers; keyset stays the
+    // default for everything else (prior tests)
+    val store = new graft.store.SegmentStore(
+      java.nio.file.Files.createTempDirectory("graft-segpage").toString)
+    store.write(events, "evseg")
+    val eng = new Engine(spark, new graft.store.SegmentCatalog(store))
+    val seg1 = "evseg_2024-03-01T00:00:00.000Z_2024-03-02T00:00:00.000Z_v1"
+    val seg2 = "evseg_2024-03-02T00:00:00.000Z_2024-03-03T00:00:00.000Z_v1"
+
+    // page 1: opt in via context → identifiers come back segment-shaped
+    val p1 = mapper.readTree(eng.executeJson(
+      """{"queryType":"select","dataSource":"evseg",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"context":{"pagingFormat":"segment","useCache":"false"},
+        |"pagingSpec":{"pagingIdentifiers":{},"threshold":2}}""".stripMargin))
+      .get(0).get("result")
+    assert(p1.get("events").size() == 2)
+    assert(p1.get("pagingIdentifiers").get(seg1).asInt() == 2)
+
+    // page 2: echo the identifiers verbatim (a Druid client's behavior —
+    // no context flag needed, the key shape itself selects the shim)
+    val p2 = mapper.readTree(eng.executeJson(
+      s"""{"queryType":"select","dataSource":"evseg",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"context":{"useCache":"false"},
+        |"pagingSpec":{"pagingIdentifiers":{"$seg1":2},"threshold":2}}""".stripMargin))
+      .get(0).get("result")
+    assert(p2.get("events").size() == 1)
+    assert(p2.get("events").get(0).get("value").asDouble() == 40.0)
+    assert(p2.get("pagingIdentifiers").get(seg2).asInt() == 1)
+
+    // page 3: exhausted → empty events, identifiers echoed unchanged
+    val p3 = mapper.readTree(eng.executeJson(
+      s"""{"queryType":"select","dataSource":"evseg",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"context":{"useCache":"false"},
+        |"pagingSpec":{"pagingIdentifiers":{"$seg2":1},"threshold":2}}""".stripMargin))
+      .get(0).get("result")
+    assert(p3.get("events").size() == 0)
+    assert(p3.get("pagingIdentifiers").get(seg2).asInt() == 1)
+  }
+
   test("select: descending keyset cursor pages toward older rows") {
     val json = engine.executeJson(
       """{"queryType":"select","dataSource":"ev",
