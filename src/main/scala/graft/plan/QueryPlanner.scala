@@ -299,8 +299,18 @@ object QueryPlanner {
 
   // -- topN (reference `query/query-module-overview.md:24,51-53`) -----------
   //
-  // Computed EXACTLY (groupBy + rank) — a documented superset of Druid's
-  // per-segment approximate topN (SURVEY §2.1 Q2).
+  // Computed EXACTLY (groupBy + rank) by default — a documented superset of
+  // Druid's per-segment approximate topN (SURVEY §2.1 Q2). Context
+  // `approxTopN=true` opts into Druid's native approximation: every input
+  // partition (the pseudo-segment) aggregates and ranks LOCALLY, keeps its
+  // top max(minTopNThreshold, threshold) entries (Druid's minTopNThreshold,
+  // default 1000), and only the survivors' partial aggregates merge — a
+  // dimension value outside some partition's local top loses that
+  // partition's contribution, so merged metrics can under-count and ranks
+  // near the cut can flip (the documented Druid trade for never shuffling
+  // the full dimension space at 100×-scale). Restricted to mergeable
+  // aggregators (count/sum/min/max — partials of first/last/sketches don't
+  // merge by re-aggregation); others fall back to exact.
 
   private def planTopN(spark: SparkSession, q: Query.TopN, catalog: Catalog): DataFrame = {
     val src = source(spark, q.dataSource, catalog, q.intervals)
@@ -315,7 +325,55 @@ object QueryPlanner {
     val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
     val groupCols = bucketOpt.map(_.as(TimeColumn)).toSeq ++ dimCols
 
-    val agged = base.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+    def isMergeable(a: Aggregator): Boolean = a match {
+      case _: Aggregator.Count | _: Aggregator.Sum |
+           _: Aggregator.Min | _: Aggregator.Max => true
+      case f: Aggregator.Filtered => isMergeable(f.aggregator)
+      case _ => false
+    }
+    val approx = q.context.get("approxTopN").exists(_.toBoolean) &&
+      q.aggregations.forall(isMergeable)
+
+    val agged =
+      if (!approx) base.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+      else {
+        val perSegLimit = math.max(q.threshold,
+          q.context.get("minTopNThreshold").flatMap(_.toIntOption).getOrElse(1000))
+        val partial = base.withColumn("__seg", spark_partition_id())
+          .groupBy(col("__seg") +: groupCols: _*).agg(aggs.head, aggs.tail: _*)
+        // local rank per (pseudo-segment, bucket) over the partial metric —
+        // post-aggs computed on partials for ranking only, like Druid's
+        // per-segment pass
+        val (k, desc) = topNOrder(q.metric, dimOut)
+        val oc = if (desc) k.desc else k.asc
+        val segParts = col("__seg") +: bucketOpt.map(_ => col(TimeColumn)).toSeq
+        val segW = Window.partitionBy(segParts: _*).orderBy(oc, col(dimOut).asc)
+        val kept = withPostAggs(partial, q.postAggregations)
+          .withColumn("__segrank", row_number().over(segW))
+          .where(col("__segrank") <= perSegLimit)
+        // merge ONLY the surviving partials: count→sum, sum→sum, min/max keep
+        val keptSchema = kept.schema
+        def mergeCol(a: Aggregator): Column = {
+          val n = a.name
+          val t = keptSchema(n).dataType
+          a match {
+            case _: Aggregator.Count => sum(col(n)).cast(t).as(n)
+            case _: Aggregator.Sum => sum(col(n)).cast(t).as(n)
+            case _: Aggregator.Min => min(col(n)).as(n)
+            case _: Aggregator.Max => max(col(n)).as(n)
+            case f: Aggregator.Filtered => f.aggregator match {
+              case _: Aggregator.Min => min(col(n)).as(n)
+              case _: Aggregator.Max => max(col(n)).as(n)
+              case _ => sum(col(n)).cast(t).as(n)
+            }
+            case other => throw new IllegalStateException(
+              s"non-mergeable aggregator ${other.name} in approx topN")
+          }
+        }
+        val mergeCols = q.aggregations.map(mergeCol)
+        val mergeKeys = bucketOpt.map(_ => col(TimeColumn)).toSeq :+ col(dimOut)
+        kept.groupBy(mergeKeys: _*).agg(mergeCols.head, mergeCols.tail: _*)
+      }
     val posted = withPostAggs(agged, q.postAggregations)
 
     val (orderKey, descending) = topNOrder(q.metric, dimOut)

@@ -417,6 +417,46 @@ class DruidSemanticsSpec extends SparkTestBase {
 
   // --- filtered aggregator -------------------------------------------------
 
+  test("approx topN golden: per-segment ranking diverges exactly like Druid's") {
+    // Druid's native topN ranks per segment and merges only local survivors
+    // (query-module-overview.md:52-53); this engine is EXACT by default and
+    // reproduces the approximation under context approxTopN=true. Fixture:
+    // 'b' is the true global top (10+10=20) but ranks #2 in BOTH pseudo-
+    // segments behind a local-only dim (12) — with minTopNThreshold forced
+    // to 1, each segment's local top-1 survives, 'b' loses every partial,
+    // and the approximate winner is 'a1' (12). The divergence IS the
+    // documented Druid behavior, not a bug; at the default
+    // minTopNThreshold=1000 the two modes agree on any realistic threshold.
+    val t0 = ts("2024-03-01T01:00:00Z")
+    val rows =
+      (Seq.fill(12)(("a1", 0)) ++ Seq.fill(10)(("b", 0))) ++   // partition 0
+        (Seq.fill(12)(("a2", 1)) ++ Seq.fill(10)(("b", 1)))    // partition 1
+    val rdd = spark.sparkContext.parallelize(rows, 2)
+      .mapPartitionsWithIndex { (pid, it) => it.filter(_._2 == pid).map(_._1) }
+      .map(d => Row(t0, d))
+    val df = spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__time",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.StringType))))
+    val eng = new Engine(spark, new MapCatalog(Map("seg2" -> df)))
+    def topn(ctx: String): Seq[(String, Long)] = eng.plan(
+      s"""{"queryType":"topN","dataSource":"seg2",
+         |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+         |"granularity":"all","dimension":"dim","threshold":1,"metric":"cnt",
+         |$ctx
+         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect().map(r => (r.getAs[String]("dim"), r.getAs[Long]("cnt"))).toSeq
+
+    // exact default: the globally correct answer
+    assert(topn("""""") == Seq(("b", 20L)))
+    // approximate mode at a forced tiny per-segment limit: Druid's answer
+    assert(topn(""""context":{"approxTopN":"true","minTopNThreshold":"1"},""")
+      == Seq(("a1", 12L)))
+    // approximate mode at the DEFAULT per-segment limit: agrees with exact
+    assert(topn(""""context":{"approxTopN":"true"},""") == Seq(("b", 20L)))
+  }
+
   test("filtered aggregator filters only its own input") {
     val rows = engine.plan(
       """{"queryType":"timeseries","dataSource":"ev",
