@@ -350,18 +350,22 @@ object SparkEntry {
       // capture ≥ 1-1e-4 at j=0.5 and ~1 above it (the est-threshold 0.35
       // then prunes candidates 4σ below the bar).
       // single-file fixture reads as ONE partition; spread the per-doc
-      // hashing across cores (at real scale the scan is already split)
+      // hashing across cores (at real scale the scan is already split).
+      // ONE corpus scan: the minhash signature and the verify shingle sets
+      // are computed in a single materialized frame (same shape as q23) —
+      // the banding pipeline and both verify-join sides read cached blocks
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      val cand = graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
-        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.35)
-      // shingle sets materialized once — both verify-join sides read cache
-      val sh = docs.select(col("doc_id"),
+      val frame = docs.select(col("doc_id").as("id"),
+        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+          .as("sig"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
+      val cand = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+        bands = 32, threshold = 0.35)
       cand
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b")))).as("__j"))

@@ -349,6 +349,15 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     metricsRing.iterator().asScala.toSeq
   }
 
+  /** Segment metric family (reference `TOC.md:50-58`): per enumerable
+    * datasource, (segment count, live rows) straight from the manifest
+    * timeline — no Spark job. Empty for catalogs without a timeline. */
+  def segmentStats: Seq[(String, Int, Long)] =
+    catalog.datasourceNames.map { n =>
+      val infos = catalog.segmentInfos(n)
+      (n, infos.size, infos.map(_._3).sum)
+    }
+
   /** Drop any job group/tag left on the CALLING thread — for pooled callers
     * (HTTP workers) after a streaming response ends abnormally: a client
     * disconnect throws outside the iterator, skipping its removeJobTag, and

@@ -165,6 +165,19 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
             }
             val cache = root.putObject("cache")
             engine.cacheStats.toSeq.sortBy(_._1).foreach { case (k, v) => cache.put(k, v) }
+            // segment family: per-datasource segment count + live rows from
+            // the manifest timeline (driver-side, no Spark job)
+            val darr = root.putArray("datasources")
+            engine.segmentStats.foreach { case (n, segs, rows) =>
+              val o = darr.addObject()
+              o.put("datasource", n); o.put("segments", segs); o.put("rows", rows)
+            }
+            // JVM family: the numbers an operator checks before anything else
+            val rt = Runtime.getRuntime
+            val jvm = root.putObject("jvm")
+            jvm.put("heapUsedBytes", rt.totalMemory() - rt.freeMemory())
+            jvm.put("heapMaxBytes", rt.maxMemory())
+            jvm.put("availableProcessors", rt.availableProcessors())
             val tarr = root.putArray("tasks")
             tasks.toSeq.flatMap(_.statusList).sortBy(_.id).foreach { st =>
               val o = tarr.addObject()

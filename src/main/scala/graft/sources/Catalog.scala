@@ -47,6 +47,11 @@ trait Catalog {
     * are keyed on it so any segment change invalidates them (the etag
     * basis, reference `query/query-internal-procedure.md:43-47`). */
   def versionToken(name: String): String = "static"
+
+  /** Known datasource names, when the catalog can enumerate them — powers
+    * the segment metric family at `GET /druid/v2/metrics`. Default: not
+    * enumerable. */
+  def datasourceNames: Seq[String] = Seq.empty
 }
 
 /** Catalog over a flat directory of `<name>.parquet` files (the driver's
@@ -127,6 +132,8 @@ class MapCatalog(tables: Map[String, DataFrame]) extends Catalog {
   def table(spark: SparkSession, name: String): DataFrame =
     tables.getOrElse(name,
       throw new IllegalArgumentException(s"unknown datasource '$name'"))
+
+  override def datasourceNames: Seq[String] = tables.keys.toSeq.sorted
 }
 
 object ParquetDirCatalog {

@@ -116,6 +116,29 @@ class SegmentStore(val root: String) {
       } finally ch.close()
     }
 
+  /** Row count of a just-written segment dir from the parquet footers —
+    * driver-side metadata reads, no Spark job. Each task type used to run a
+    * `read.parquet(dir).count()` job per chunk; on a many-chunk ingest that
+    * is a scheduler round-trip per chunk for a number the footers already
+    * hold. */
+  private def footerRows(dir: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val d = Paths.get(dir)
+    if (!Files.exists(d)) 0L
+    else {
+      val files = Files.list(d)
+      try files.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+      finally files.close()
+    }
+  }
+
   private def deleteUnreferenced(next: Manifest, candidates: Seq[String]): Unit = {
     val live = next.segments.map(_.path).toSet
     candidates.filterNot(live.contains).foreach(p => deleteDir(Paths.get(p)))
@@ -188,7 +211,7 @@ class SegmentStore(val root: String) {
           (w, d) => w.option(s"parquet.bloom.filter.enabled#$d", "true")
         }
         writer.parquet(dir)
-        val rows = org.apache.spark.sql.SparkSession.active.read.parquet(dir).count()
+        val rows = footerRows(dir)
         SegmentInfo(c, v, dir, rows,
           rollup.map(_ => "__rollup_count"))
       }
@@ -214,7 +237,7 @@ class SegmentStore(val root: String) {
         val dir = Paths.get(root, ds, s"dt=$c", s"v$v").toString
         withChunk.where(col("dt") === c).drop("dt")
           .write.mode(SaveMode.Append).parquet(dir)
-        val rows = org.apache.spark.sql.SparkSession.active.read.parquet(dir).count()
+        val rows = footerRows(dir)
         SegmentInfo(c, v, dir, rows, existing.flatMap(_.rollupCountCol))
       }
       updateManifest(ds) { cur =>
@@ -236,7 +259,7 @@ class SegmentStore(val root: String) {
       val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
       spark.read.parquet(seg.path).coalesce(targetFiles)
         .write.mode(SaveMode.Overwrite).parquet(dir)
-      val rows = spark.read.parquet(dir).count()
+      val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
         Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
           SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
@@ -260,7 +283,7 @@ class SegmentStore(val root: String) {
       val v = seg.version + 1
       val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
       merged.write.mode(SaveMode.Overwrite).parquet(dir)
-      val rows = spark.read.parquet(dir).count()
+      val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
         Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
           SegmentInfo(chunk, v, dir, rows, Some(countCol)))
@@ -306,7 +329,7 @@ class SegmentStore(val root: String) {
       val dir = Paths.get(root, ds, s"dt=$chunk", s"v$v").toString
       spark.read.parquet(seg.path).write.mode(SaveMode.Overwrite)
         .options(options).parquet(dir)
-      val rows = spark.read.parquet(dir).count()
+      val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
         Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
           SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
@@ -388,4 +411,16 @@ class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
   override def versionToken(name: String): String =
     store.readManifest(name).segments.sortBy(_.chunk)
       .map(s => s"${s.chunk}:v${s.version}:${s.rowCount}").mkString(",")
+
+  override def datasourceNames: Seq[String] = {
+    val root = java.nio.file.Paths.get(store.root)
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else {
+      val dirs = java.nio.file.Files.list(root)
+      try dirs.iterator().asScala
+        .filter(d => java.nio.file.Files.exists(d.resolve("manifest.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally dirs.close()
+    }
+  }
 }

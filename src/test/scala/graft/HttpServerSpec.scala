@@ -219,6 +219,14 @@ class HttpServerSpec extends SparkTestBase {
       assert(e2eTask.get("rows").asLong() == 2L)
       assert(e2eTask.get("bytes").asLong() > 0L)
       assert(e2eTask.has("durationMs"))
+      // segment family: the freshly ingested datasource's timeline
+      val dsNodes = (0 until mroot.get("datasources").size())
+        .map(mroot.get("datasources").get)
+      val evds = dsNodes.find(_.get("datasource").asText() == "ev_http")
+        .getOrElse(fail("datasource missing from segment metrics"))
+      assert(evds.get("segments").asInt() == 2) // two day chunks
+      assert(evds.get("rows").asLong() == 2L)
+      assert(mroot.get("jvm").get("heapMaxBytes").asLong() > 0L)
     } finally srv.stop()
   }
 
