@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import java.time.Instant
 import java.time.format.DateTimeFormatter
 import java.util.UUID
-import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import java.util.concurrent.TimeUnit
 import scala.util.control.NonFatal
 
 /** Engine façade — the Spark-native equivalent of Druid's single query
@@ -146,25 +146,34 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       val result = timeoutMs match {
         case None => run()
         case Some(ms) =>
-          val ex = Executors.newSingleThreadExecutor()
-          val fut = ex.submit(new java.util.concurrent.Callable[String] {
-            def call(): String = run()
-          })
-          try fut.get(ms, TimeUnit.MILLISECONDS)
-          catch {
-            case _: TimeoutException =>
-              cancel(queryId)
-              throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
-                "QueryTimeoutException")
-            case e: java.util.concurrent.ExecutionException =>
-              // unwrap: a QueryError raised inside the future (e.g. the
-              // maxResults cap) must keep its documented error code
-              throw e.getCause match {
-                case qe: QueryError => qe
-                case c if c != null => c
-                case _ => e
-              }
-          } finally ex.shutdownNow()
+          // same watchdog pattern as the streaming path: a scheduled
+          // cancel-by-tag breaks the Spark job at the deadline and the
+          // resulting cancellation surfaces here as the documented
+          // QueryTimeoutException — no per-query worker thread, and both
+          // paths share one timeout mechanism. FIXED-DELAY re-cancel, not
+          // one-shot: cancellation only reaches RUNNING jobs, so a job that
+          // starts after the deadline tick (planning still in progress)
+          // would otherwise run to natural completion.
+          val watchdog = Engine.timeoutScheduler.scheduleWithFixedDelay(
+            new Runnable { def run(): Unit = cancel(queryId) },
+            ms, math.max(ms / 4, 25L), TimeUnit.MILLISECONDS)
+          val deadline = t0 + ms * 1000000L
+          val r =
+            try run()
+            catch {
+              // a QueryError raised by the run itself (e.g. the maxResults
+              // cap) keeps its documented error code even near the deadline
+              case qe: QueryError => throw qe
+              case NonFatal(_) if System.nanoTime() > deadline =>
+                throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
+                  "QueryTimeoutException")
+            } finally watchdog.cancel(false)
+          // a result that arrives past the deadline is still a timeout —
+          // the client was promised an answer within `ms` (Druid contract)
+          if (System.nanoTime() > deadline)
+            throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
+              "QueryTimeoutException")
+          r
       }
       if (populateCache) resultCache.put(cacheKey, result)
       record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
@@ -249,10 +258,13 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     // (a per-next() check alone never runs while the call is stuck) — the
     // resulting cancellation exception is translated to the documented
     // QueryTimeoutException below.
+    // fixed-delay re-cancel, not one-shot: cancellation only reaches
+    // RUNNING jobs, and the consumer may submit the first job (and block)
+    // after the deadline tick — a later tick must still break it
     val deadline = timeoutMs.map(ms => t0 + ms * 1000000L)
-    val watchdog = timeoutMs.map(ms => Engine.timeoutScheduler.schedule(
+    val watchdog = timeoutMs.map(ms => Engine.timeoutScheduler.scheduleWithFixedDelay(
       new Runnable { def run(): Unit = cancel(queryId) },
-      ms, TimeUnit.MILLISECONDS))
+      ms, math.max(ms / 4, 25L), TimeUnit.MILLISECONDS))
     new Iterator[String] {
       private var bytes = 0L
       private def finishedOk(): Unit = {
