@@ -339,6 +339,31 @@ class SegmentStore(val root: String) {
 
   // -- read -----------------------------------------------------------------
 
+  // Resolved-plan LRU: `spark.read.parquet(paths)` eagerly LISTS every
+  // segment dir (InMemoryFileIndex) — re-listing per query is a broker-side
+  // cost that grows with CHUNK COUNT (~36k daily chunks at 100 TB), not
+  // with data read. Cache key = the live (path, rowCount) set, so any
+  // segment flip (new version dir) or in-place append (same dir, new row
+  // count) resolves to a different key and re-lists; entries hold logical
+  // plans + file indexes, never row data.
+  private val planCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size() > 64
+    })
+
+  private def readCached(spark: SparkSession, segs: Seq[SegmentInfo]): DataFrame = {
+    val key = System.identityHashCode(spark) + "|" +
+      segs.map(s => s"${s.path}@${s.rowCount}").sorted.mkString(",")
+    val hit = planCache.get(key)
+    if (hit != null) hit
+    else {
+      val df = spark.read.parquet(segs.map(_.path): _*)
+      planCache.put(key, df)
+      df
+    }
+  }
+
   /** Current view of a datasource: union of the live version of every
     * chunk. Interval pruning works through Parquet row-group stats on
     * `__time`; with many chunks the path list itself prunes (the manifest
@@ -346,8 +371,7 @@ class SegmentStore(val root: String) {
   def read(spark: SparkSession, ds: String): DataFrame = {
     val manifest = readManifest(ds)
     require(manifest.segments.nonEmpty, s"datasource '$ds' has no segments")
-    val paths = manifest.segments.map(_.path)
-    spark.read.parquet(paths: _*)
+    readCached(spark, manifest.segments)
   }
 
   /** Interval-routed read: only segments whose day-chunk overlaps one of
@@ -367,7 +391,7 @@ class SegmentStore(val root: String) {
         intervals.exists(iv => iv.start.isBefore(dayEnd) && dayStart.isBefore(iv.end))
       }
     if (live.isEmpty) read(spark, ds).limit(0) // keep the schema
-    else spark.read.parquet(live.map(_.path): _*)
+    else readCached(spark, live)
   }
 
   private def deleteDir(p: Path): Unit =
