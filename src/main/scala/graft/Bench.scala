@@ -79,7 +79,9 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    def fmt(d: Double): String = f"$d%.4f"
+    // Locale.ROOT, never the f-interpolator: a comma-decimal default locale
+    // (e.g. de_DE) would render 1.2345 as "1,2345" and corrupt the JSON line
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.4f", d)
 
     names.foreach { n =>
       System.err.println(s"[bench] $n passes=" + acc(n).map {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import java.time.Instant
 import java.time.format.DateTimeFormatter
 import java.util.UUID
-import java.util.concurrent.TimeUnit
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 import scala.util.control.NonFatal
 
 /** Engine façade — the Spark-native equivalent of Druid's single query
@@ -101,7 +101,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         case NonFatal(e) => throw QueryError.unknown(e)
       }
     val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
-    val timeoutMs = query.context.get("timeout").flatMap(t => t.toLongOption)
+    val timeoutMs = Engine.parseTimeout(query.context)
 
     val useCache = query.context.get("useCache").forall(_.toBoolean)
     val populateCache = query.context.get("populateCache").forall(_.toBoolean)
@@ -146,34 +146,39 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       val result = timeoutMs match {
         case None => run()
         case Some(ms) =>
-          // same watchdog pattern as the streaming path: a scheduled
-          // cancel-by-tag breaks the Spark job at the deadline and the
-          // resulting cancellation surfaces here as the documented
-          // QueryTimeoutException — no per-query worker thread, and both
-          // paths share one timeout mechanism. FIXED-DELAY re-cancel, not
-          // one-shot: cancellation only reaches RUNNING jobs, so a job that
-          // starts after the deadline tick (planning still in progress)
-          // would otherwise run to natural completion.
+          // Two mechanisms, both needed: a worker thread + fut.get(ms) so
+          // the CLIENT gets QueryTimeoutException at the deadline even when
+          // the Spark job ignores its kill flag (whole-stage-codegen loops
+          // never check TaskContext.isInterrupted — an in-thread wait would
+          // block for the job's natural runtime), and a FIXED-DELAY
+          // re-cancel watchdog so the job itself actually dies: a one-shot
+          // cancel fired while planning is still in progress reaches no
+          // RUNNING job, and the late-started job would run to completion.
           val watchdog = Engine.timeoutScheduler.scheduleWithFixedDelay(
             new Runnable { def run(): Unit = cancel(queryId) },
             ms, math.max(ms / 4, 25L), TimeUnit.MILLISECONDS)
-          val deadline = t0 + ms * 1000000L
-          val r =
-            try run()
-            catch {
-              // a QueryError raised by the run itself (e.g. the maxResults
-              // cap) keeps its documented error code even near the deadline
-              case qe: QueryError => throw qe
-              case NonFatal(_) if System.nanoTime() > deadline =>
-                throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
-                  "QueryTimeoutException")
-            } finally watchdog.cancel(false)
-          // a result that arrives past the deadline is still a timeout —
-          // the client was promised an answer within `ms` (Druid contract)
-          if (System.nanoTime() > deadline)
-            throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
-              "QueryTimeoutException")
-          r
+          val ex = Executors.newSingleThreadExecutor()
+          val fut = ex.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = run()
+          })
+          try fut.get(ms, TimeUnit.MILLISECONDS)
+          catch {
+            case _: TimeoutException =>
+              cancel(queryId) // final direct cancel before the watchdog stops
+              throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
+                "QueryTimeoutException")
+            case e: java.util.concurrent.ExecutionException =>
+              // unwrap: a QueryError raised inside the future (e.g. the
+              // maxResults cap) must keep its documented error code
+              throw e.getCause match {
+                case qe: QueryError => qe
+                case c if c != null => c
+                case _ => e
+              }
+          } finally {
+            watchdog.cancel(false)
+            ex.shutdownNow()
+          }
       }
       if (populateCache) resultCache.put(cacheKey, result)
       record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
@@ -213,7 +218,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       try QueryJson.parseQuery(json)
       catch { case NonFatal(e) => throw QueryError.unknown(e) }
     val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
-    val timeoutMs = query.context.get("timeout").flatMap(_.toLongOption)
+    val timeoutMs = Engine.parseTimeout(query.context)
     val useCache = query.context.get("useCache").forall(_.toBoolean)
     val cacheKey = etag(json, query)
     if (useCache) {
@@ -265,8 +270,19 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     val watchdog = timeoutMs.map(ms => Engine.timeoutScheduler.scheduleWithFixedDelay(
       new Runnable { def run(): Unit = cancel(queryId) },
       ms, math.max(ms / 4, 25L), TimeUnit.MILLISECONDS))
-    new Iterator[String] {
+    // AutoCloseable so an ABANDONED stream (client disconnect throws from
+    // the HTTP write, outside the iterator) can release its resources:
+    // without close(), the fixed-delay watchdog would keep firing
+    // cancel(queryId) for the life of the JVM — cancelling any future
+    // query that reuses the same queryId (fixed ids are common for
+    // dashboards) and accumulating immortal tasks on the scheduler.
+    new Iterator[String] with AutoCloseable {
       private var bytes = 0L
+      def close(): Unit =
+        if (bytes >= 0L) {
+          cancel(queryId) // stop the abandoned query's still-running jobs
+          finishedBad()
+        }
       private def finishedOk(): Unit = {
         record(QueryMetric(queryId, query.getClass.getSimpleName,
           (System.nanoTime() - t0) / 1000000L,
@@ -493,6 +509,15 @@ object Engine {
 
   /** Spark job tag for a queryId (tags may not contain commas). */
   def jobTag(queryId: String): String = "graft-query-" + queryId.replace(",", "_")
+
+  /** Context `timeout` millis, clamped to one year: clients send
+    * Long.MaxValue as a "no timeout" sentinel, and `t0 + ms * 1e6` would
+    * overflow into an instant spurious QueryTimeoutException. Non-positive
+    * values mean no timeout (upstream semantics). */
+  private[engine] def parseTimeout(context: Map[String, String]): Option[Long] =
+    context.get("timeout").flatMap(_.toLongOption)
+      .filter(_ > 0L)
+      .map(math.min(_, 365L * 24 * 3600 * 1000))
 
   /** Shared daemon scheduler for streaming-path timeout watchdogs — one
     * thread for the whole JVM; each armed timeout is a no-op cancel if the
@@ -749,6 +774,11 @@ object ResultEncoder {
           var lastTsMicros = Long.MinValue
           var countAtLastTs = 0
           val perChunk = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+          // rows arrive time-ordered, so the day changes a handful of times
+          // per page — memoize the (day index → chunk string) mapping to
+          // keep Instant/LocalDate allocation out of the per-row loop
+          var lastDayIdx = Long.MinValue
+          var lastChunk: String = null
           (() => {
             gen.writeStartArray(); gen.writeStartObject()
             gen.writeFieldName("result"); gen.writeStartObject()
@@ -766,8 +796,12 @@ object ResultEncoder {
                   if (us == lastTsMicros) countAtLastTs += 1
                   else { lastTsMicros = us; countAtLastTs = 1 }
                   if (segmentIdFor.isDefined) {
-                    val c = QueryPlanner.SegmentPaging.chunkOf(us)
-                    perChunk.update(c, perChunk.getOrElse(c, 0) + 1)
+                    val dayIdx = Math.floorDiv(us, 86400000000L)
+                    if (dayIdx != lastDayIdx) {
+                      lastDayIdx = dayIdx
+                      lastChunk = QueryPlanner.SegmentPaging.chunkOf(us)
+                    }
+                    perChunk.update(lastChunk, perChunk.getOrElse(lastChunk, 0) + 1)
                   }
                 case _ =>
               }

@@ -137,13 +137,21 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
                 ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
                 val os = ex.getResponseBody
                 // a client disconnect throws from os.write — OUTSIDE the
-                // iterator's next() — so the stream's own removeJobTag never
-                // runs; clear tags here so this pooled thread cannot leak
-                // the query tag into whatever request it serves next
+                // iterator's next() — so the stream's own cleanup never
+                // runs; close() cancels the abandoned query + its timeout
+                // watchdog, and clearThreadJobState drops the tag so this
+                // pooled thread cannot leak it into its next request
                 try stream.foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
                 finally {
                   try os.close()
-                  finally engine.clearThreadJobState()
+                  finally {
+                    stream match {
+                      case c: AutoCloseable =>
+                        try c.close() catch { case _: Exception => () }
+                      case _ =>
+                    }
+                    engine.clearThreadJobState()
+                  }
                 }
               } finally streamPermits.release()
             } else {

@@ -124,12 +124,7 @@ object Similarity {
       if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) None
       else {
         val conf = df.sparkSession.sessionState.newHadoopConf()
-        try Some(files.map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum)
+        try Some(graft.sources.ParquetFooters.totalRecords(files.toSeq, conf))
         catch { case scala.util.control.NonFatal(_) => None }
       }
     }

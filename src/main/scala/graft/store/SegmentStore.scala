@@ -111,6 +111,7 @@ class SegmentStore(val root: String) {
         try {
           val next = update(readManifest(ds))
           writeManifest(next)
+          SegmentStore.bumpMutation(root, ds) // invalidate resolved-plan cache
           next
         } finally lock.release()
       } finally ch.close()
@@ -122,19 +123,14 @@ class SegmentStore(val root: String) {
     * is a scheduler round-trip per chunk for a number the footers already
     * hold. */
   private def footerRows(dir: String): Long = {
-    val conf = new org.apache.hadoop.conf.Configuration()
     val d = Paths.get(dir)
     if (!Files.exists(d)) 0L
     else {
       val files = Files.list(d)
-      try files.iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f.toString), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getRecordCount finally r.close()
-        }.sum
+      try graft.sources.ParquetFooters.totalRecords(
+        files.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toSeq,
+        new org.apache.hadoop.conf.Configuration())
       finally files.close()
     }
   }
@@ -352,8 +348,17 @@ class SegmentStore(val root: String) {
         size() > 64
     })
 
-  private def readCached(spark: SparkSession, segs: Seq[SegmentInfo]): DataFrame = {
+  private def readCached(spark: SparkSession, ds: String,
+      segs: Seq[SegmentInfo]): DataFrame = {
+    // the mutation counter covers what (path, rowCount) cannot: a kill +
+    // re-ingest of identical data recreates the same version dirs with the
+    // same row counts but NEW part-file names — serving the cached file
+    // index would point every query at deleted files. All mutations in this
+    // JVM go through updateManifest, which bumps the counter. (Cross-process
+    // mutation is outside the cache's view — same single-writer-JVM
+    // assumption the manifest monitor map documents above.)
     val key = System.identityHashCode(spark) + "|" +
+      SegmentStore.mutationCount(root, ds) + "|" +
       segs.map(s => s"${s.path}@${s.rowCount}").sorted.mkString(",")
     val hit = planCache.get(key)
     if (hit != null) hit
@@ -371,7 +376,7 @@ class SegmentStore(val root: String) {
   def read(spark: SparkSession, ds: String): DataFrame = {
     val manifest = readManifest(ds)
     require(manifest.segments.nonEmpty, s"datasource '$ds' has no segments")
-    readCached(spark, manifest.segments)
+    readCached(spark, ds, manifest.segments)
   }
 
   /** Interval-routed read: only segments whose day-chunk overlaps one of
@@ -391,7 +396,7 @@ class SegmentStore(val root: String) {
         intervals.exists(iv => iv.start.isBefore(dayEnd) && dayStart.isBefore(iv.end))
       }
     if (live.isEmpty) read(spark, ds).limit(0) // keep the schema
-    else readCached(spark, live)
+    else readCached(spark, ds, live)
   }
 
   private def deleteDir(p: Path): Unit =
@@ -406,6 +411,23 @@ object SegmentStore {
     * updateManifest — must be shared across SegmentStore instances). */
   private val manifestLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** JVM-global per-(root, datasource) mutation counters — part of the
+    * resolved-plan cache key (see readCached); global so two SegmentStore
+    * instances over one root invalidate each other's cached plans. */
+  private val mutationCounters =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def counterFor(root: String, ds: String) =
+    mutationCounters.computeIfAbsent(
+      java.nio.file.Paths.get(root, ds).toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+
+  private[store] def bumpMutation(root: String, ds: String): Unit =
+    counterFor(root, ds).incrementAndGet()
+
+  private[store] def mutationCount(root: String, ds: String): Long =
+    counterFor(root, ds).get()
 }
 
 /** Catalog over a SegmentStore: resolves datasources from manifests and

@@ -90,6 +90,36 @@ class ExtSpec extends SparkTestBase {
         s"${Similarity.NearDupBucketCap} — star fallback would fire")
   }
 
+  test("multi-family candidates: one banding pass verifies to the same pairs as the two-pipeline union") {
+    import org.apache.spark.sql.DataFrame
+    val frame = docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3).as("msig"),
+      Dedup.simhash(col("text")).as("ssig"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+      .localCheckpoint(true)
+    def verified(cand: DataFrame): Set[(Long, Long)] = cand
+      .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .where(col("j") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = verified(Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
+      mBands = 16, estThreshold = 0.75, maxHamming = 3, sBands = 4))
+    val separate = verified(
+      Dedup.minhashDupPairsFromSigs(frame, "id", "msig", bands = 16, threshold = 0.75)
+        .select("id_a", "id_b")
+        .union(Dedup.simhashDupPairsFromSigs(frame, "id", "ssig",
+          maxHamming = 3, bands = 4).select("id_a", "id_b"))
+        .distinct())
+    assert(multi.nonEmpty, "fixture should contain verified near-dup pairs")
+    // the combined pass (incl. the est floor on the hamming arm) must not
+    // change what survives exact verification — the floor only drops pairs
+    // that cannot verify at 0.9
+    assert(multi == separate)
+  }
+
   test("materialize modes agree: persist(MEMORY_AND_DISK) matches localCheckpoint") {
     // cluster-safe mode for preemptible executors: same pair set, and the
     // persisted frame keeps its lineage (recompute instead of query failure)
