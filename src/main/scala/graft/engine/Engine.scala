@@ -473,15 +473,27 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       }
     val queryId = "sql-" + UUID.randomUUID().toString
     val t0 = System.nanoTime()
-    val inner = ResultEncoder.encodeRowsStream(executeSql(sql, names))
-    new Iterator[String] {
+    val df = executeSql(sql, names)
+    // tag the consumer's jobs (executeSql cleared stale thread state) so an
+    // abandoned stream can be cancelled instead of running to completion
+    spark.sparkContext.setJobGroup(queryId, s"graft sql $queryId",
+      interruptOnCancel = true)
+    spark.sparkContext.addJobTag(Engine.jobTag(queryId))
+    val inner = ResultEncoder.encodeRowsStream(df)
+    new Iterator[String] with AutoCloseable {
       private var bytes = 0L
       private def done(success: Boolean): Unit = {
         record(QueryMetric(queryId, "Sql",
           (System.nanoTime() - t0) / 1000000L,
           success = success, cached = false, bytes = math.max(bytes, 0L)))
         bytes = -1L // record once
+        spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
       }
+      def close(): Unit =
+        if (bytes >= 0L) {
+          cancel(queryId) // stop the abandoned statement's running jobs
+          done(false)
+        }
       def hasNext: Boolean = {
         val more =
           try inner.hasNext

@@ -106,10 +106,18 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               ex.getResponseHeaders.add("Content-Type", "application/json")
               ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
               val os = ex.getResponseBody
+              // disconnect mid-stream: close() cancels the statement's jobs
               try stream.foreach(s => os.write(s.getBytes(StandardCharsets.UTF_8)))
               finally {
                 try os.close()
-                finally engine.clearThreadJobState()
+                finally {
+                  stream match {
+                    case c: AutoCloseable =>
+                      try c.close() catch { case _: Exception => () }
+                    case _ =>
+                  }
+                  engine.clearThreadJobState()
+                }
               }
             } finally streamPermits.release()
           case ("POST", "/druid/v2") | ("POST", "/druid/v2/") =>
