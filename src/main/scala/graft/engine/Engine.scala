@@ -464,12 +464,16 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       if (datasources.nonEmpty) datasources
       else {
         // best-effort: probe only identifiers in table position (after
-        // FROM/JOIN) — probing every bare word would repeat failed catalog
-        // I/O for aliases/functions/keywords on each request
-        val tablePos = "(?i)\\b(?:from|join)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
-        tablePos.findAllMatchIn(sql).map(_.group(1)).toSeq.distinct.filter { n =>
-          try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
-        }
+        // FROM/JOIN, including comma-separated FROM lists — TPC-H style
+        // `FROM a, b, c`) — probing every bare word would repeat failed
+        // catalog I/O for aliases/functions/keywords on each request
+        val tablePos =
+          "(?i)\\b(?:from|join)\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)".r
+        tablePos.findAllMatchIn(sql)
+          .flatMap(_.group(1).split(",").iterator.map(_.trim))
+          .toSeq.distinct.filter { n =>
+            try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
+          }
       }
     val queryId = "sql-" + UUID.randomUUID().toString
     val t0 = System.nanoTime()

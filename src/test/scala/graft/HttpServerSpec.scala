@@ -121,6 +121,13 @@ class HttpServerSpec extends SparkTestBase {
       assert(arr.get(0).get("event_type").asText() == "click")
       assert(arr.get(0).get("cnt").asLong() == 1L)
 
+      // comma-separated FROM lists register every named table
+      val multi = post(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS n FROM ev a, ev b WHERE a.event_type = b.event_type"}""")
+      assert(multi.statusCode() == 200)
+      assert(new com.fasterxml.jackson.databind.ObjectMapper().readTree(multi.body())
+        .get(0).get("n").asLong() == 2L)
+
       // client mistakes are 400s, not "Unknown exception" 500s
       val bad = post(s"$base/druid/v2/sql", "{}")
       assert(bad.statusCode() == 400)
