@@ -164,6 +164,16 @@ class EngineSpec extends SparkTestBase {
     assert(e.error == "Query timeout")
   }
 
+  test("Long.MaxValue timeout sentinel does not spuriously time out") {
+    // clients send huge values to mean "no timeout"; an unclamped
+    // t0 + ms*1e6 overflows negative and every query would instantly fail
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    val q = tsQuery.dropRight(1) +
+      ""","context":{"timeout":"9223372036854775807","useCache":"false"}}"""
+    assert(engine.executeJson(q).contains("cnt"))
+    assert(engine.executeJsonStream(q).mkString.contains("cnt"))
+  }
+
   test("timeout holds on the STREAMING path too (query-module-overview.md:83-86)") {
     val engine = new Engine(spark, new MapCatalog(
       Map("big" -> SparkTestBase.interruptiblySlowDF(spark, ts("2024-05-01T00:00:00Z")))))
