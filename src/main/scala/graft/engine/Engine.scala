@@ -154,30 +154,48 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           // re-cancel watchdog so the job itself actually dies: a one-shot
           // cancel fired while planning is still in progress reaches no
           // RUNNING job, and the late-started job would run to completion.
+          // The watchdog outlives the CLIENT deadline on purpose — it keeps
+          // cancelling until the worker actually finishes (the `done` flag
+          // self-stops the fixed-delay task); disarming it when fut.get
+          // times out would resurrect the late-started-job leak.
+          val done = new java.util.concurrent.atomic.AtomicBoolean(false)
           val watchdog = Engine.timeoutScheduler.scheduleWithFixedDelay(
-            new Runnable { def run(): Unit = cancel(queryId) },
+            new Runnable {
+              def run(): Unit = {
+                if (done.get) throw new java.util.concurrent.CancellationException(
+                  "query finished — stop this watchdog")
+                cancel(queryId)
+              }
+            },
             ms, math.max(ms / 4, 25L), TimeUnit.MILLISECONDS)
-          val ex = Executors.newSingleThreadExecutor()
-          val fut = ex.submit(new java.util.concurrent.Callable[String] {
-            def call(): String = run()
+          val deadline = t0 + ms * 1000000L
+          val fut = Engine.timedQueryPool.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = try run() finally done.set(true)
           })
           try fut.get(ms, TimeUnit.MILLISECONDS)
           catch {
             case _: TimeoutException =>
-              cancel(queryId) // final direct cancel before the watchdog stops
+              cancel(queryId) // immediate cancel; the watchdog keeps retrying
               throw QueryError("Query timeout", s"query $queryId timed out after ${ms}ms",
                 "QueryTimeoutException")
             case e: java.util.concurrent.ExecutionException =>
-              // unwrap: a QueryError raised inside the future (e.g. the
-              // maxResults cap) must keep its documented error code
-              throw e.getCause match {
-                case qe: QueryError => qe
-                case c if c != null => c
-                case _ => e
+              e.getCause match {
+                // a QueryError raised inside the worker (e.g. the
+                // maxResults cap) keeps its documented error code
+                case qe: QueryError => throw qe
+                // the watchdog's cancel can beat fut.get's own deadline
+                // (its countdown starts before the worker is submitted) —
+                // a failure at/past the deadline IS the timeout, not a
+                // client-visible 'Query cancelled'
+                case c if System.nanoTime() > deadline =>
+                  throw QueryError("Query timeout",
+                    s"query $queryId timed out after ${ms}ms", "QueryTimeoutException")
+                case c if c != null => throw c
+                case _ => throw e
               }
           } finally {
-            watchdog.cancel(false)
-            ex.shutdownNow()
+            fut.cancel(true) // interrupt the worker if still waiting
+            if (done.get) watchdog.cancel(false) // completed: disarm eagerly
           }
       }
       if (populateCache) resultCache.put(cacheKey, result)
@@ -420,6 +438,14 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     // would cancel THIS statement's jobs
     spark.sparkContext.clearJobTags()
     spark.sparkContext.clearJobGroup()
+    executeSqlTagged(sql, datasources)
+  }
+
+  /** `executeSql` body without the stale-state clearing — for callers that
+    * have already set their OWN job group/tag on this thread, so even the
+    * statement's preparatory jobs (lookup collects, file listings) fall
+    * under that cancellation umbrella. */
+  private def executeSqlTagged(sql: String, datasources: Seq[String]): DataFrame = {
     datasources.foreach(n => catalog.table(spark, n).createOrReplaceTempView(n))
     graft.functions.GraftFunctionRegistry.registerAll(spark)
     // LOOKUP('key', 'name') over the catalog's registered lookups — only
@@ -463,26 +489,41 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     val names =
       if (datasources.nonEmpty) datasources
       else {
-        // best-effort: probe only identifiers in table position (after
-        // FROM/JOIN, including comma-separated FROM lists — TPC-H style
-        // `FROM a, b, c`) — probing every bare word would repeat failed
-        // catalog I/O for aliases/functions/keywords on each request
-        val tablePos =
-          "(?i)\\b(?:from|join)\\s+([A-Za-z_][A-Za-z0-9_]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)*)".r
-        tablePos.findAllMatchIn(sql)
-          .flatMap(_.group(1).split(",").iterator.map(_.trim))
-          .toSeq.distinct.filter { n =>
-            try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
-          }
+        // best-effort: probe only identifiers in table position — every
+        // FROM clause (scanned independently, so subquery FROMs are found
+        // too) split on commas taking each item's FIRST identifier (the
+        // table; aliases after it are ignored), plus JOIN targets. Probing
+        // every bare word instead would repeat failed catalog I/O for
+        // aliases/functions/keywords on each request.
+        val ident = "[A-Za-z_][A-Za-z0-9_]*"
+        val clauseEnd =
+          ("(?i)\\b(?:where|group|order|having|limit|union|join|select|on)\\b|\\)").r
+        val firstIdent = ("^\\s*(" + ident + ")").r
+        val fromTables = "(?i)\\bfrom\\b".r.findAllMatchIn(sql).flatMap { m =>
+          val tail = sql.substring(m.end)
+          val clause = clauseEnd.findFirstMatchIn(tail)
+            .map(e => tail.substring(0, e.start)).getOrElse(tail)
+          clause.split(",").iterator
+            .flatMap(item => firstIdent.findFirstMatchIn(item).map(_.group(1)))
+        }
+        val joinTables = ("(?i)\\bjoin\\s+(" + ident + ")").r
+          .findAllMatchIn(sql).map(_.group(1))
+        (fromTables ++ joinTables).toSeq.distinct.filter { n =>
+          try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
+        }
       }
     val queryId = "sql-" + UUID.randomUUID().toString
     val t0 = System.nanoTime()
-    val df = executeSql(sql, names)
-    // tag the consumer's jobs (executeSql cleared stale thread state) so an
-    // abandoned stream can be cancelled instead of running to completion
+    // clear stale thread state FIRST, then set this statement's group/tag
+    // BEFORE planning — the preparatory jobs executeSql runs (lookup
+    // collects, file listings) must fall under the same cancellation
+    // umbrella as the result iteration
+    spark.sparkContext.clearJobTags()
+    spark.sparkContext.clearJobGroup()
     spark.sparkContext.setJobGroup(queryId, s"graft sql $queryId",
       interruptOnCancel = true)
     spark.sparkContext.addJobTag(Engine.jobTag(queryId))
+    val df = executeSqlTagged(sql, names)
     val inner = ResultEncoder.encodeRowsStream(df)
     new Iterator[String] with AutoCloseable {
       private var bytes = 0L
@@ -492,6 +533,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           success = success, cached = false, bytes = math.max(bytes, 0L)))
         bytes = -1L // record once
         spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+        spark.sparkContext.clearJobGroup() // don't leave the thread in a dead group
       }
       def close(): Unit =
         if (bytes >= 0L) {
@@ -534,6 +576,21 @@ object Engine {
     context.get("timeout").flatMap(_.toLongOption)
       .filter(_ > 0L)
       .map(math.min(_, 365L * 24 * 3600 * 1000))
+
+  /** Shared daemon pool for timed buffered queries — one worker per
+    * in-flight timed query, reused when idle. Daemon + shared (vs. the
+    * previous per-query `newSingleThreadExecutor`): an interrupt-ignoring
+    * zombie query holds its worker only until the job dies, and lingering
+    * workers can never block JVM exit or grow without a matching number of
+    * live zombies. */
+  private[engine] lazy val timedQueryPool =
+    Executors.newCachedThreadPool(new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-timed-query-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
 
   /** Shared daemon scheduler for streaming-path timeout watchdogs — one
     * thread for the whole JVM; each armed timeout is a no-op cancel if the

@@ -104,7 +104,7 @@ class HttpServerSpec extends SparkTestBase {
   }
 
   test("POST /druid/v2/sql runs SQL and returns row objects") {
-    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events, "ev2" -> events)))
     val srv = new HttpServer(engine)
     srv.start()
     try {
@@ -121,9 +121,10 @@ class HttpServerSpec extends SparkTestBase {
       assert(arr.get(0).get("event_type").asText() == "click")
       assert(arr.get(0).get("cnt").asLong() == 1L)
 
-      // comma-separated FROM lists register every named table
+      // comma-separated FROM lists register every named table, including
+      // DISTINCT tables carrying aliases (TPC-H style)
       val multi = post(s"$base/druid/v2/sql",
-        """{"query":"SELECT count(*) AS n FROM ev a, ev b WHERE a.event_type = b.event_type"}""")
+        """{"query":"SELECT count(*) AS n FROM ev a, ev2 b WHERE a.event_type = b.event_type"}""")
       assert(multi.statusCode() == 200)
       assert(new com.fasterxml.jackson.databind.ObjectMapper().readTree(multi.body())
         .get(0).get("n").asLong() == 2L)
