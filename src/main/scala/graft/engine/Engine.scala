@@ -30,6 +30,11 @@ class Engine(spark: SparkSession, catalog: Catalog) {
 
   // Druid comparisons/casts are lenient (no-match, not error) — ANSI off.
   spark.conf.set("spark.sql.ansi.enabled", "false")
+  // Druid is UTC-native: granularity bucketing, the zero-fill spine join
+  // and timeFormat extraction all assume session-tz = UTC. An externally
+  // built session in a local zone would silently mis-join every spine
+  // bucket (all-zero timeseries), so the engine enforces it.
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
 
   /** Parse + plan without executing — the logical surface. */
   def plan(json: String): DataFrame =

@@ -237,8 +237,13 @@ object Compilers {
     import ExtractionFn._
     fn match {
       case RegexE(expr, idx, replaceMissing, replaceWith) =>
+        // Druid regex extraction: no match → replaceWith when
+        // replaceMissingValue=true, otherwise the dimension value AS IS
+        // (upstream RegexDimExtractionFn; returning null here would move
+        // non-matching rows into the null group)
         val ex = regexp_extract(in.cast(StringType), expr, idx)
-        val missing = if (replaceMissing) lit(replaceWith.orNull) else lit(null)
+        val missing =
+          if (replaceMissing) lit(replaceWith.orNull) else in.cast(StringType)
         when(ex === "" && !in.cast(StringType).rlike(expr), missing).otherwise(ex)
       case Substring(idx, len) =>
         val s = len match {
@@ -405,11 +410,32 @@ object Compilers {
           rangePred(c, mk)
         }
       case Like(dim, pattern, escape, exOpt) =>
-        // Column.like has no escape-char overload; normalize a custom escape
-        // char to the default backslash in the pattern instead.
+        // Column.like has no escape-char overload; rewrite the pattern to
+        // backslash escaping CHAR BY CHAR — a blanket replace would turn a
+        // doubled escape char ("##" = literal '#') into an escaped
+        // backslash instead of the literal escape char.
         val normalized = escape match {
           case Some(e) if e.nonEmpty && e.head != '\\' =>
-            pattern.replace("\\", "\\\\").replace(e.head.toString, "\\")
+            val esc = e.head
+            val sb = new StringBuilder
+            var i = 0
+            while (i < pattern.length) {
+              val ch = pattern.charAt(i)
+              if (ch == esc && i + 1 < pattern.length) {
+                // escape sequence: next char is a literal (incl. esc itself).
+                // Spark LIKE only permits backslash before % _ \ — any other
+                // char is literal on its own, so emit it plain.
+                val litc = pattern.charAt(i + 1)
+                litc match {
+                  case '%' | '_' => sb.append('\\').append(litc)
+                  case '\\'      => sb.append("\\\\")
+                  case other     => sb.append(other)
+                }
+                i += 2
+              } else if (ch == '\\') { sb.append("\\\\"); i += 1 }
+              else { sb.append(ch); i += 1 }
+            }
+            sb.toString
           case _ => pattern
         }
         perValuePred(dim, exOpt, schema)(_.cast(StringType).like(normalized))
@@ -420,7 +446,11 @@ object Compilers {
       case IntervalF(dim, ivs, exOpt) =>
         intervalPredicate(ivs, dimCol(dim, exOpt, schema))
       case ColumnComparison(dims) =>
-        dims.sliding(2).map { case Seq(a, b) =>
+        // fewer than 2 dimensions: nothing to compare → always true
+        // (sliding(2) over one element yields the single element and the
+        // pair-match would MatchError)
+        if (dims.size < 2) lit(true)
+        else dims.sliding(2).map { case Seq(a, b) =>
           col(a).cast(StringType) === col(b).cast(StringType)
         }.reduceOption(_ && _).getOrElse(lit(true))
       case And(fs) => fs.map(filterCol(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
@@ -576,12 +606,21 @@ object Compilers {
           case _ => c
         }
       case Extraction(dim, _, fn, outTypeOpt) =>
-        val c = extractionCol(fn, col(dim))
-        outTypeOpt match {
+        def castOut(c: Column): Column = outTypeOpt match {
           case Some("LONG")   => c.cast(LongType)
           case Some("FLOAT")  => c.cast(FloatType)
           case Some("DOUBLE") => c.cast(DoubleType)
           case _ => c
+        }
+        fieldType(schema, dim) match {
+          case Some(ArrayType(_, _)) =>
+            // multi-value dim: the extraction applies PER VALUE (Druid
+            // semantics) — transform the array, keeping it an array so the
+            // planner's explode path (and list/regex filtering above it)
+            // still sees array input; extraction over the stringified
+            // array would both diverge and break explode
+            transform(col(dim), x => castOut(extractionCol(fn, x)))
+          case _ => castOut(extractionCol(fn, col(dim)))
         }
       case ListFiltered(delegate, values, whitelist) =>
         val c = eval(delegate)

@@ -66,16 +66,57 @@ object QueryPlanner {
   }
 
   /** interval + filter pushdown — applied before any aggregation so Catalyst
-    * can push to the Parquet scan. */
-  private def filtered(df: DataFrame, intervals: Seq[Interval], filter: Option[Filter])
-      : DataFrame = {
+    * can push to the Parquet scan. registeredLookup extraction fns inside
+    * the filter are resolved here (inline map) before compilation. */
+  private def filtered(spark: SparkSession, catalog: Catalog, df: DataFrame,
+      intervals: Seq[Interval], filter: Option[Filter]): DataFrame = {
     val withIntervals =
       if (intervals.nonEmpty && df.columns.contains(TimeColumn))
         df.where(Compilers.intervalPredicate(intervals, col(TimeColumn)))
       else df
-    filter match {
+    filter.map(resolveLookupsInFilter(_, spark, catalog)) match {
       case Some(f) => withIntervals.where(Compilers.filterCol(f, df.schema))
       case None    => withIntervals
+    }
+  }
+
+  /** Resolve registeredLookup extraction fns OUTSIDE the dimension-spec
+    * broadcast-join path — filters, cascades, having filters — into the
+    * inline-map `Lookup` fn (the lookup table is collected once; lookup
+    * tables are broadcast-sized by definition, and the SQL LOOKUP path
+    * already collects them the same way). Dimension specs in groupBy/topN
+    * keep the broadcast JOIN rewrite (plan-gated); this is the fallback for
+    * every other position Druid allows the fn in, which previously died
+    * with an internal IllegalStateException. */
+  private def resolveLookupFn(fn: ExtractionFn, spark: SparkSession,
+      catalog: Catalog): ExtractionFn = fn match {
+    case ExtractionFn.RegisteredLookup(name, retain, replaceWith) =>
+      val lkp = catalog.lookupTable(spark, name).getOrElse(
+        throw new IllegalArgumentException(s"unknown registered lookup '$name'"))
+      val m = lkp.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      ExtractionFn.Lookup(m, retain, replaceWith)
+    case ExtractionFn.Cascade(fns) =>
+      ExtractionFn.Cascade(fns.map(resolveLookupFn(_, spark, catalog)))
+    case other => other
+  }
+
+  private def resolveLookupsInFilter(f: Filter, spark: SparkSession,
+      catalog: Catalog): Filter = {
+    def rf(ex: Option[ExtractionFn]): Option[ExtractionFn] =
+      ex.map(resolveLookupFn(_, spark, catalog))
+    f match {
+      case Filter.Selector(d, v, ex)   => Filter.Selector(d, v, rf(ex))
+      case Filter.In(d, vs, ex)        => Filter.In(d, vs, rf(ex))
+      case Filter.Bound(d, lo, hi, ls, us, o, ex) =>
+        Filter.Bound(d, lo, hi, ls, us, o, rf(ex))
+      case Filter.Like(d, p, e, ex)    => Filter.Like(d, p, e, rf(ex))
+      case Filter.Regex(d, p, ex)      => Filter.Regex(d, p, rf(ex))
+      case Filter.Search(d, q, ex)     => Filter.Search(d, q, rf(ex))
+      case Filter.IntervalF(d, ivs, ex) => Filter.IntervalF(d, ivs, rf(ex))
+      case Filter.And(fs) => Filter.And(fs.map(resolveLookupsInFilter(_, spark, catalog)))
+      case Filter.Or(fs)  => Filter.Or(fs.map(resolveLookupsInFilter(_, spark, catalog)))
+      case Filter.Not(f0) => Filter.Not(resolveLookupsInFilter(f0, spark, catalog))
+      case other => other
     }
   }
 
@@ -101,6 +142,10 @@ object QueryPlanner {
         cur = cur.withColumn(s"__lkp_$outName", resolved)
           .drop(keyCol, valCol)
         DimensionSpec.Default(s"__lkp_$outName", outName)
+      // registeredLookup NESTED in a cascade (or other composite) cannot be
+      // a join column directly — fall back to the inline-map resolution
+      case DimensionSpec.Extraction(dim, outName, fn, t) =>
+        DimensionSpec.Extraction(dim, outName, resolveLookupFn(fn, spark, catalog), t)
       case other => other
     }
     (cur, out)
@@ -111,7 +156,7 @@ object QueryPlanner {
   private def planTimeseries(spark: SparkSession, q: Query.Timeseries, catalog: Catalog)
       : DataFrame = {
     val src = source(spark, q.dataSource, catalog, q.intervals)
-    val base = filtered(src, q.intervals, q.filter)
+    val base = filtered(spark, catalog, src, q.intervals, q.filter)
     val rollupCount = rollupCountOf(q.dataSource, catalog)
     val aggs = q.aggregations.map(a => Compilers.aggCol(a, src.schema, rollupCount))
     require(aggs.nonEmpty, "timeseries query requires at least one aggregation")
@@ -212,7 +257,7 @@ object QueryPlanner {
   private def planGroupBy(spark: SparkSession, q: Query.GroupBy, catalog: Catalog)
       : DataFrame = {
     val src = source(spark, q.dataSource, catalog, q.intervals)
-    val base0 = filtered(src, q.intervals, q.filter)
+    val base0 = filtered(spark, catalog, src, q.intervals, q.filter)
 
     // registeredLookup dims → broadcast joins, then multi-value dims: a row
     // counts once per value → explode before grouping (SURVEY §7.4).
@@ -221,6 +266,8 @@ object QueryPlanner {
 
     val aggs = q.aggregations.map(a =>
       Compilers.aggCol(a, base.schema, rollupCountOf(q.dataSource, catalog)))
+    require(q.dimensions.nonEmpty || aggs.nonEmpty,
+      "groupBy requires at least one dimension or aggregation")
     val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
     val groupCols = bucketOpt.map(_.as(TimeColumn)).toSeq ++ dimCols
 
@@ -231,7 +278,7 @@ object QueryPlanner {
 
     val posted = withPostAggs(agged, q.postAggregations)
     val havinged = q.having match {
-      case Some(h) => posted.where(havingCol(h, posted.schema))
+      case Some(h) => posted.where(havingCol(h, posted.schema, spark, catalog))
       case None    => posted
     }
     q.limitSpec match {
@@ -283,17 +330,21 @@ object QueryPlanner {
   /** The spec itself (filters applied) but without the final alias mattering. */
   private def stripOutput(spec: DimensionSpec): DimensionSpec = spec
 
-  private def havingCol(h: HavingSpec, schema: StructType): Column = {
+  private def havingCol(h: HavingSpec, schema: StructType,
+      spark: SparkSession, catalog: Catalog): Column = {
     import HavingSpec._
     h match {
       case EqualTo(a, v)     => col(a).cast(DoubleType) === v
       case GreaterThan(a, v) => col(a).cast(DoubleType) > v
       case LessThan(a, v)    => col(a).cast(DoubleType) < v
       case DimSelector(d, v) => col(d).cast(StringType) === v
-      case AndH(hs)          => hs.map(havingCol(_, schema)).reduce(_ && _)
-      case OrH(hs)           => hs.map(havingCol(_, schema)).reduce(_ || _)
-      case NotH(h0)          => !coalesce(havingCol(h0, schema), lit(false))
-      case FilterH(f)        => Compilers.filterCol(f, schema)
+      case AndH(hs)          =>
+        hs.map(havingCol(_, schema, spark, catalog)).reduceOption(_ && _).getOrElse(lit(true))
+      case OrH(hs)           =>
+        hs.map(havingCol(_, schema, spark, catalog)).reduceOption(_ || _).getOrElse(lit(false))
+      case NotH(h0)          => !coalesce(havingCol(h0, schema, spark, catalog), lit(false))
+      case FilterH(f)        =>
+        Compilers.filterCol(resolveLookupsInFilter(f, spark, catalog), schema)
     }
   }
 
@@ -314,7 +365,7 @@ object QueryPlanner {
 
   private def planTopN(spark: SparkSession, q: Query.TopN, catalog: Catalog): DataFrame = {
     val src = source(spark, q.dataSource, catalog, q.intervals)
-    val base0 = filtered(src, q.intervals, q.filter)
+    val base0 = filtered(spark, catalog, src, q.intervals, q.filter)
     val (base1, specs1) = applyRegisteredLookups(spark, base0, Seq(q.dimension), catalog)
     val (base, dimCols) = explodeMultiValue(base1, specs1, base1.schema)
     val dimOut = q.dimension.outputName
@@ -412,7 +463,7 @@ object QueryPlanner {
   private def planTimeBoundary(spark: SparkSession, q: Query.TimeBoundary, catalog: Catalog)
       : DataFrame = {
     val src = source(spark, q.dataSource, catalog)
-    val base = filtered(src, Seq.empty, q.filter)
+    val base = filtered(spark, catalog, src, Seq.empty, q.filter)
     q.bound match {
       case "minTime" => base.agg(min(col(TimeColumn)).as("minTime"))
       case "maxTime" => base.agg(max(col(TimeColumn)).as("maxTime"))
@@ -429,7 +480,16 @@ object QueryPlanner {
     // (Druid's per-segment analysis; reference query/query-module-overview.md:29-30)
     q.dataSource match {
       case DataSource.Table(name) if !q.merge =>
-        val infos = catalog.segmentInfos(name)
+        // interval routing applies here too: Druid's per-segment analysis
+        // covers only segments overlapping the query intervals
+        val infos = catalog.segmentInfos(name).filter { case (chunk, _, _) =>
+          q.intervals.isEmpty || {
+            val dayStart = java.time.LocalDate.parse(chunk)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+            val dayEnd = dayStart.plus(java.time.Duration.ofDays(1))
+            q.intervals.exists(iv => iv.start.isBefore(dayEnd) && dayStart.isBefore(iv.end))
+          }
+        }
         if (infos.nonEmpty) {
           import spark.implicits._
           return infos.toDF("segment_id", "version", "rows")
@@ -437,7 +497,7 @@ object QueryPlanner {
       case _ =>
     }
     val src = source(spark, q.dataSource, catalog, q.intervals)
-    val base = if (q.intervals.nonEmpty) filtered(src, q.intervals, None) else src
+    val base = if (q.intervals.nonEmpty) filtered(spark, catalog, src, q.intervals, None) else src
     val wantCardinality = q.analysisTypes.isEmpty || q.analysisTypes.contains("cardinality") ||
       q.analysisTypes.contains("exactCardinality") || q.analysisTypes.contains("approxCardinality")
     // Druid's segmentMetadata `cardinality` is EXACT (dictionary
@@ -502,7 +562,7 @@ object QueryPlanner {
   private def planSearch(spark: SparkSession, q: Query.SearchQ, catalog: Catalog)
       : DataFrame = {
     val src = source(spark, q.dataSource, catalog, q.intervals)
-    val base = filtered(src, q.intervals, q.filter)
+    val base = filtered(spark, catalog, src, q.intervals, q.filter)
     val dims =
       if (q.searchDimensions.nonEmpty) q.searchDimensions
       else src.schema.fields.collect {
@@ -661,7 +721,7 @@ object QueryPlanner {
     // empty intervals must NOT fall through to an unrouted full-table scan
     val exhausted = cursor.isDefined && intervals.isEmpty
     val src = source(spark, q.dataSource, catalog, intervals)
-    val base0 = filtered(src, intervals, q.filter)
+    val base0 = filtered(spark, catalog, src, intervals, q.filter)
     val base = if (exhausted) base0.where(lit(false)) else base0
     val cols: Seq[String] =
       if (q.dimensions.isEmpty && q.metrics.isEmpty)
@@ -687,7 +747,7 @@ object QueryPlanner {
 
   private def planScan(spark: SparkSession, q: Query.Scan, catalog: Catalog): DataFrame = {
     val src = source(spark, q.dataSource, catalog, q.intervals)
-    val base = filtered(src, q.intervals, q.filter)
+    val base = filtered(spark, catalog, src, q.intervals, q.filter)
     val projected =
       if (q.columns.isEmpty) base else base.select(q.columns.map(col): _*)
     val ordered = q.order match {
@@ -696,6 +756,10 @@ object QueryPlanner {
       case _            => projected
     }
     q.limit match {
+      // clamp: clients send Long.MAX_VALUE as "no limit" (ScanQuery's
+      // serialized default) and a raw toInt would truncate — to -1
+      // (AnalysisException) or, worse, to a small positive row count
+      case Some(n) if n >= Int.MaxValue.toLong => ordered
       case Some(n) => ordered.limit(n.toInt)
       case None    => ordered
     }

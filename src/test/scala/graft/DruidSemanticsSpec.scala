@@ -457,6 +457,95 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(topn(""""context":{"approxTopN":"true"},""") == Seq(("b", 20L)))
   }
 
+  test("extraction fns over multi-value dims apply PER VALUE, then explode") {
+    // upper() over tags must group A/B/C (per value), not crash on the
+    // array or stringify it ("[a, b]")
+    val rows = engine.plan(
+      """{"queryType":"groupBy","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"dimensions":[{"type":"extraction","dimension":"tags","outputName":"tag",
+        |  "extractionFn":{"type":"upper"}}],
+        |"aggregations":[{"type":"count","name":"cnt"}],
+        |"limitSpec":{"type":"default","columns":[{"dimension":"tag","direction":"ascending"}]}}""".stripMargin)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[Long]("cnt"))).toSeq
+    assert(rows == Seq(("A", 1L), ("B", 2L), ("C", 1L)))
+  }
+
+  test("regex extraction without replaceMissingValue returns the value AS IS on no match") {
+    // upstream RegexDimExtractionFn: no match → dimension value unchanged;
+    // null would silently move those rows into the null group
+    val rows = engine.plan(
+      """{"queryType":"groupBy","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"dimensions":[{"type":"extraction","dimension":"event_type","outputName":"e",
+        |  "extractionFn":{"type":"regex","expr":"^(cl)","index":1}}],
+        |"aggregations":[{"type":"count","name":"cnt"}],
+        |"limitSpec":{"type":"default","columns":[{"dimension":"e","direction":"ascending"}]}}""".stripMargin)
+      .collect().map(r => (r.getAs[String]("e"), r.getAs[Long]("cnt"))).toSeq
+    // 'click','click' → 'cl'; 'view' has no match → stays 'view'
+    assert(rows == Seq(("cl", 2L), ("view", 1L)))
+  }
+
+  test("registeredLookup extraction works inside FILTERS (inline-map resolution)") {
+    val cat = new MapCatalog(Map("ev" -> events)) {
+      override def lookupTable(s: org.apache.spark.sql.SparkSession, name: String) =
+        if (name == "evname")
+          Some(Seq(("click", "Click!"), ("view", "View!")).toDF("key", "value"))
+        else None
+      override def lookupNames: Seq[String] = Seq("evname")
+    }
+    val eng = new Engine(spark, cat)
+    val rows = eng.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all",
+        |"filter":{"type":"selector","dimension":"event_type","value":"Click!",
+        |  "extractionFn":{"type":"registeredLookup","lookup":"evname"}},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    assert(rows.head.getAs[Long]("cnt") == 2L)
+  }
+
+  test("like filter: doubled custom escape char means the literal escape char") {
+    val d2 = Seq(
+      (ts("2024-03-01T01:00:00Z"), "100#x"),
+      (ts("2024-03-01T02:00:00Z"), "100yx"),
+    ).toDF("__time", "event_type")
+    val eng = new Engine(spark, new MapCatalog(Map("e2" -> d2)))
+    val rows = eng.plan(
+      """{"queryType":"scan","dataSource":"e2",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+        |"filter":{"type":"like","dimension":"event_type",
+        |  "pattern":"100##%","escape":"#"},
+        |"columns":["event_type"],"order":"none"}""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("100#x")) // literal '#', then wildcard
+  }
+
+  test("degenerate query shapes fail cleanly or behave, never MatchError") {
+    // scan limit = Long.MaxValue sentinel → no limit, not toInt truncation
+    val all = engine.plan(
+      """{"queryType":"scan","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"limit":9223372036854775807,"order":"none"}""".stripMargin).collect()
+    assert(all.length == 3)
+    // columnComparison with one dimension: nothing to compare → all rows
+    val one = engine.plan(
+      """{"queryType":"scan","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"filter":{"type":"columnComparison","dimensions":["event_type"]},
+        |"order":"none"}""".stripMargin).collect()
+    assert(one.length == 3)
+    // groupBy with no dimensions AND no aggregations: descriptive error
+    val e = intercept[IllegalArgumentException](engine.plan(
+      """{"queryType":"groupBy","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"all","dimensions":[],"aggregations":[]}""".stripMargin))
+    assert(e.getMessage.contains("at least one dimension or aggregation"))
+  }
+
   test("filtered aggregator filters only its own input") {
     val rows = engine.plan(
       """{"queryType":"timeseries","dataSource":"ev",
