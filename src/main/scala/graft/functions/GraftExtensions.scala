@@ -24,18 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder: Seq[Expression] => Expression): Unit =
     e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    register(e, "cosine_similarity", "cosine similarity of two float/double arrays",
-      es => CosineSimilarity(es(0), es(1)))
-    register(e, "vector_dot", "dot product of two float/double arrays",
-      es => VectorDot(es(0), es(1)))
-    register(e, "simhash64", "64-bit SimHash of a token array",
-      es => SimHash64(es(0)))
-    register(e, "hll_sketch_estimate", "finalize an HLL sketch to a distinct count",
-      es => HllSketchEstimate(es(0)))
-    register(e, "hll_sketch_build", "aggregate values into a mergeable HLL sketch",
-      es => HllSketchAgg(es.head, mergeSketches = false))
-    register(e, "hll_sketch_merge", "merge pre-built HLL sketches",
-      es => HllSketchAgg(es.head, mergeSketches = true))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    // the ONE function table — shared with registerAll so the two
+    // registration surfaces cannot drift (they had: extensions sessions
+    // were missing minhash_signature, band_keys and all TIME_* functions)
+    GraftFunctionRegistry.builders.foreach { case (name, usage, builder) =>
+      register(e, name, usage, builder)
+    }
 }

@@ -39,21 +39,28 @@ object GraftFunctionRegistry {
   private def ex(c: Column): Expression = GraftBridge.analyzableExpression(c)
 
   /** TIME_SHIFT semantics: ts + step × period, calendar-aware for month/
-    * year periods (wall-clock arithmetic in `tz`), fixed millis otherwise. */
+    * year AND day/week periods (wall-clock arithmetic in `tz` — a P1D shift
+    * across a DST transition is 23 or 25 real hours, and treating it as
+    * fixed 24h would land TIME_CEIL an hour past the bucket boundary);
+    * fixed millis for hour-and-below and composite periods. */
   private def timeShift(ts: Column, period: String, step: Int, tz: String): Column = {
     val monthsP = "P(\\d+)M".r
     val yearsP = "P(\\d+)Y".r
-    val months = period match {
-      case monthsP(n) => Some(n.toInt)
-      case yearsP(n)  => Some(n.toInt * 12)
-      case _          => None
-    }
-    months match {
-      case Some(m) =>
-        val iv = make_interval(lit(0), lit(m * step), lit(0), lit(0), lit(0), lit(0), lit(0))
-        if (tz == "UTC") ts + iv
-        else to_utc_timestamp(from_utc_timestamp(ts, tz) + iv, tz)
-      case None =>
+    val daysP = "P(\\d+)D".r
+    val weeksP = "P(\\d+)W".r
+    def wallClock(iv: Column): Column =
+      if (tz == "UTC") ts + iv
+      else to_utc_timestamp(from_utc_timestamp(ts, tz) + iv, tz)
+    period match {
+      case monthsP(n) =>
+        wallClock(make_interval(lit(0), lit(n.toInt * step), lit(0), lit(0), lit(0), lit(0), lit(0)))
+      case yearsP(n) =>
+        wallClock(make_interval(lit(n.toInt * step), lit(0), lit(0), lit(0), lit(0), lit(0), lit(0)))
+      case daysP(n) =>
+        wallClock(make_interval(lit(0), lit(0), lit(0), lit(n.toInt * step), lit(0), lit(0), lit(0)))
+      case weeksP(n) =>
+        wallClock(make_interval(lit(0), lit(0), lit(n.toInt * step), lit(0), lit(0), lit(0), lit(0)))
+      case _ =>
         // interval addition preserves sub-millisecond precision (µs
         // timestamps); a unix_millis round-trip would truncate it
         val ms = graft.expr.Compilers.periodMillis(period)
@@ -82,35 +89,37 @@ object GraftFunctionRegistry {
     }
   }
 
-  def registerAll(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_similarity",
-      es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("vector_dot",
-      es => VectorDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_signature",
-      es => MinHashSignature(es(0), intArg(es(1), "numHashes"), intArg(es(2), "shingleN")),
-      "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es(0)), "built-in")
-    reg.createOrReplaceTempFunction("band_keys",
-      es => SignatureBandKeys(es(0), intArg(es(1), "bands")), "built-in")
-    reg.createOrReplaceTempFunction("hll_sketch_build",
-      es => HllSketchAgg(es.head, mergeSketches = false), "built-in")
-    reg.createOrReplaceTempFunction("hll_sketch_merge",
-      es => HllSketchAgg(es.head, mergeSketches = true), "built-in")
-    reg.createOrReplaceTempFunction("hll_sketch_estimate",
-      es => HllSketchEstimate(es.head), "built-in")
-
+  /** (name, usage, builder) — the SINGLE source of truth for both
+    * registration surfaces (`registerAll` temp functions and
+    * `GraftExtensions` session-extension injection). The two lists used to
+    * be maintained by hand and had drifted: extensions sessions were
+    * missing minhash_signature, band_keys and every TIME_* function. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity", "cosine similarity of two float/double arrays",
+      es => CosineSimilarity(es(0), es(1))),
+    ("vector_dot", "dot product of two float/double arrays",
+      es => VectorDot(es(0), es(1))),
+    ("minhash_signature", "minhash signature of a token array (numHashes, shingleN)",
+      es => MinHashSignature(es(0), intArg(es(1), "numHashes"), intArg(es(2), "shingleN"))),
+    ("simhash64", "64-bit SimHash of a token array",
+      es => SimHash64(es(0))),
+    ("band_keys", "LSH band bucket keys of a signature array",
+      es => SignatureBandKeys(es(0), intArg(es(1), "bands"))),
+    ("hll_sketch_build", "aggregate values into a mergeable HLL sketch",
+      es => HllSketchAgg(es.head, mergeSketches = false)),
+    ("hll_sketch_merge", "merge pre-built HLL sketches",
+      es => HllSketchAgg(es.head, mergeSketches = true)),
+    ("hll_sketch_estimate", "finalize an HLL sketch to a distinct count",
+      es => HllSketchEstimate(es.head)),
     // --- reference-system SQL time functions -----------------------------
-    reg.createOrReplaceTempFunction("time_floor", es => {
+    ("time_floor", "floor a timestamp to a period (origin, timezone)", es => {
       val period = strArg(es(1), "period")
       val origin = if (es.length > 2) Option(strArg(es(2), "origin"))
         .map(java.time.Instant.parse) else None
       val tz = if (es.length > 3) Option(strArg(es(3), "timezone")) else None
       ex(graft.expr.Compilers.periodTrunc(period, tz, origin, col(es(0))))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("time_ceil", es => {
+    }),
+    ("time_ceil", "ceil a timestamp to a period (origin, timezone)", es => {
       val period = strArg(es(1), "period")
       val origin = if (es.length > 2) Option(strArg(es(2), "origin"))
         .map(java.time.Instant.parse) else None
@@ -119,19 +128,19 @@ object GraftFunctionRegistry {
       val floored = graft.expr.Compilers.periodTrunc(period, tz, origin, t)
       ex(when(floored === t, t)
         .otherwise(timeShift(floored, period, 1, tz.getOrElse("UTC"))))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("time_shift", es => {
+    }),
+    ("time_shift", "shift a timestamp by step × period (timezone-aware)", es => {
       val period = strArg(es(1), "period")
       val step = intArg(es(2), "step")
       val tz = if (es.length > 3) strArg(es(3), "timezone") else "UTC"
       ex(timeShift(col(es(0)), period, step, tz))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("time_extract", es => {
+    }),
+    ("time_extract", "extract a time unit (timezone-aware)", es => {
       val unit = strArg(es(1), "unit")
       val tz = if (es.length > 2) strArg(es(2), "timezone") else "UTC"
       ex(timeExtract(col(es(0)), unit, tz))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("time_parse", es => {
+    }),
+    ("time_parse", "parse a string to a timestamp (pattern, timezone)", es => {
       val fmt = if (es.length > 1) Option(strArg(es(1), "pattern")) else None
       val parsed = fmt match {
         case Some(p) => to_timestamp(col(es(0)).cast("string"), p)
@@ -140,19 +149,26 @@ object GraftFunctionRegistry {
       // 3rd arg: zone-less strings are wall-clock in THAT zone, not UTC
       val tz = if (es.length > 2) strArg(es(2), "timezone") else "UTC"
       ex(if (tz == "UTC") parsed else to_utc_timestamp(parsed, tz))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("time_format", es => {
+    }),
+    ("time_format", "format a timestamp (pattern, timezone)", es => {
       val fmt = if (es.length > 1) Option(strArg(es(1), "pattern"))
         .getOrElse("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
         else "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
       val tz = if (es.length > 2) strArg(es(2), "timezone") else "UTC"
       val local = if (tz == "UTC") col(es(0)) else from_utc_timestamp(col(es(0)), tz)
       ex(date_format(local, fmt))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("millis_to_timestamp",
-      es => ex(timestamp_millis(col(es(0)).cast("long"))), "built-in")
-    reg.createOrReplaceTempFunction("timestamp_to_millis",
-      es => ex(unix_millis(col(es(0)))), "built-in")
+    }),
+    ("millis_to_timestamp", "epoch millis to timestamp",
+      es => ex(timestamp_millis(col(es(0)).cast("long")))),
+    ("timestamp_to_millis", "timestamp to epoch millis",
+      es => ex(unix_millis(col(es(0))))),
+  )
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   /** Reference SQL `LOOKUP(expr, 'name')` over the catalog's registered

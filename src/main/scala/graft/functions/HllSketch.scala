@@ -41,11 +41,10 @@ object Hll {
     case b: Array[Byte] =>
       org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-    case other => org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes({
+    case other =>
       val bytes = other.toString.getBytes("UTF-8")
-      bytes
-    }, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-      other.toString.getBytes("UTF-8").length, 42L)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
   }
 
   def add(registers: Array[Byte], v: Any): Unit = {
@@ -58,6 +57,9 @@ object Hll {
   }
 
   def merge(a: Array[Byte], b: Array[Byte]): Unit = {
+    // a truncated/foreign binary is a corrupt sketch, not an index crash
+    require(b.length == M,
+      s"not an HLL sketch: expected $M register bytes, got ${b.length}")
     var i = 0
     while (i < M) {
       if ((b(i) & 0xFF) > (a(i) & 0xFF)) a(i) = b(i)
@@ -93,6 +95,15 @@ case class HllSketchAgg(child: Expression, mergeSketches: Boolean,
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!mergeSketches) TypeCheckResult.TypeCheckSuccess // build hashes any type
+    else child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hll_sketch_merge requires binary sketch input, got ${t.simpleString} " +
+          "(use hll_sketch_build to aggregate raw values)")
+    }
 
   override def createAggregationBuffer(): Array[Byte] = Hll.emptySketch
 
@@ -137,8 +148,12 @@ case class HllSketchEstimate(child: Expression)
       s"hll_sketch_estimate requires binary sketch input, got ${t.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any =
-    Hll.estimate(v.asInstanceOf[Array[Byte]])
+  override def nullSafeEval(v: Any): Any = {
+    val sk = v.asInstanceOf[Array[Byte]]
+    require(sk.length == Hll.M,
+      s"not an HLL sketch: expected ${Hll.M} register bytes, got ${sk.length}")
+    Hll.estimate(sk)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -128,6 +128,12 @@ case class SignatureBandKeys(child: Expression, bands: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // bands > n would make rowsPerBand 0 → every row gets the same constant
+    // band keys and the LSH join degenerates to all-pairs; a non-divisible
+    // count silently ignores trailing signature slots (recall loss). Both
+    // are config errors — fail loudly.
+    require(bands >= 1 && bands <= n && n % bands == 0,
+      s"bands=$bands must divide the signature length $n")
     val rowsPerBand = n / bands
     val keys = new Array[Long](bands)
     var b = 0
@@ -218,8 +224,13 @@ case class AlphanumericSortKey(child: Expression)
         while (k < j - 1 && s.charAt(k) == '0') k += 1
         val digits = s.substring(k, j)
         // length prefix (2 chars, supports runs up to 99 digits) then digits:
-        // shorter runs sort before longer ones, equal lengths compare bytewise
-        sb.append('#') // digits sort before letters, marker keeps that
+        // shorter runs sort before longer ones, equal lengths compare bytewise.
+        // Marker '0' (0x30): a digit run must sort exactly where its first
+        // digit would against NON-digit chars (alphanum compares mixed
+        // positions charwise), and '0' is the lowest code point no literal
+        // non-digit char can be — an earlier '#' marker sorted digit runs
+        // BEFORE '$'-'/' (0x24-0x2F), inverting those orders
+        sb.append('0')
         sb.append(f"${digits.length}%02d")
         sb.append(digits)
         i = j

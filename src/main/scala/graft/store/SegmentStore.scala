@@ -41,7 +41,12 @@ class SegmentStore(val root: String) {
   final case class SegmentInfo(chunk: String, version: Int, path: String,
       rowCount: Long, rollupCountCol: Option[String])
 
-  final case class Manifest(datasource: String, segments: Seq[SegmentInfo]) {
+  /** `lastBatchId`: highest streaming micro-batch committed into this
+    * datasource — appendBatch skips replays at or below it, which is what
+    * makes the streaming path's exactly-once hold across a crash between
+    * the parquet append and the checkpoint commit. */
+  final case class Manifest(datasource: String, segments: Seq[SegmentInfo],
+      lastBatchId: Option[Long] = None) {
     def rollupCountCol: Option[String] =
       segments.headOption.flatMap(_.rollupCountCol)
   }
@@ -58,7 +63,8 @@ class SegmentStore(val root: String) {
           s.get("path").asText(), s.get("rowCount").asLong(),
           Option(s.get("rollupCountCol")).filterNot(_.isNull).map(_.asText()))
       }.toSeq
-      Manifest(ds, segs)
+      Manifest(ds, segs,
+        Option(node.get("lastBatchId")).filterNot(_.isNull).map(_.asLong()))
     }
   }
 
@@ -72,6 +78,7 @@ class SegmentStore(val root: String) {
       o.put("path", s.path); o.put("rowCount", s.rowCount)
       s.rollupCountCol.foreach(o.put("rollupCountCol", _))
     }
+    m.lastBatchId.foreach(rootNode.put("lastBatchId", _))
     val p = manifestPath(m.datasource)
     Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling(s"manifest.json.tmp${System.nanoTime()}")
@@ -213,7 +220,7 @@ class SegmentStore(val root: String) {
       }
       val oldPaths = manifest.segments.filter(s => chunks.contains(s.chunk)).map(_.path)
       val next = updateManifest(ds) { cur =>
-        Manifest(ds, cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ byChunk)
+        cur.copy(segments = cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ byChunk)
       }
       deleteUnreferenced(next, oldPaths) // overshadowed versions
     }
@@ -222,7 +229,12 @@ class SegmentStore(val root: String) {
   /** Append-style micro-batch commit (streaming): new files into the
     * CURRENT version dir of each chunk; manifest row counts refreshed.
     * Unlike `write`, existing data in the chunk is kept. */
-  def appendBatch(df: DataFrame, ds: String): Unit = {
+  def appendBatch(df: DataFrame, ds: String, batchId: Option[Long] = None): Unit = {
+    // replay protection: a retried micro-batch (crash between parquet
+    // append and checkpoint commit) must not double-write its rows
+    batchId.foreach { id =>
+      if (readManifest(ds).lastBatchId.exists(_ >= id)) return
+    }
     val withChunk = df.withColumn("dt", date_format(col("__time"), "yyyy-MM-dd"))
     val chunks = withChunk.select("dt").distinct().collect().map(_.getString(0)).sorted
     withChunkLocks(ds, chunks.toSeq) {
@@ -237,7 +249,8 @@ class SegmentStore(val root: String) {
         SegmentInfo(c, v, dir, rows, existing.flatMap(_.rollupCountCol))
       }
       updateManifest(ds) { cur =>
-        Manifest(ds, cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ updated)
+        cur.copy(segments = cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ updated,
+          lastBatchId = batchId.orElse(cur.lastBatchId))
       }
     }
   }
@@ -257,7 +270,7 @@ class SegmentStore(val root: String) {
         .write.mode(SaveMode.Overwrite).parquet(dir)
       val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
-        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+        cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
           SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
       }
       deleteUnreferenced(next, Seq(seg.path))
@@ -281,7 +294,7 @@ class SegmentStore(val root: String) {
       merged.write.mode(SaveMode.Overwrite).parquet(dir)
       val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
-        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+        cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
           SegmentInfo(chunk, v, dir, rows, Some(countCol)))
       }
       deleteUnreferenced(next, Seq(seg.path))
@@ -294,7 +307,7 @@ class SegmentStore(val root: String) {
       val next = updateManifest(ds) { cur =>
         val (d, keep) = cur.segments.partition(_.chunk == chunk)
         dead = d
-        Manifest(ds, keep)
+        cur.copy(segments = keep)
       }
       deleteUnreferenced(next, dead.map(_.path))
     }
@@ -309,7 +322,7 @@ class SegmentStore(val root: String) {
       Files.createDirectories(dest.getParent)
       Files.move(Paths.get(seg.path), dest, StandardCopyOption.ATOMIC_MOVE)
       updateManifest(ds) { cur =>
-        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+        cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
           seg.copy(path = dest.toString))
       }
     }
@@ -327,7 +340,7 @@ class SegmentStore(val root: String) {
         .options(options).parquet(dir)
       val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
-        Manifest(ds, cur.segments.filterNot(_.chunk == chunk) :+
+        cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
           SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
       }
       deleteUnreferenced(next, Seq(seg.path))

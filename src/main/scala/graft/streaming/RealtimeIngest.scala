@@ -21,22 +21,66 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object RealtimeIngest {
 
+  /** Parse a "10 minutes"-style duration into millis. */
+  private[streaming] def durationMs(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"duration '$s' must be '<n> <unit>'")
+    val n = parts(0).toLong
+    parts(1).stripSuffix("s") match {
+      case "millisecond" => n
+      case "second"      => n * 1000L
+      case "minute"      => n * 60000L
+      case "hour"        => n * 3600000L
+      case "day"         => n * 86400000L
+      case u => throw new IllegalArgumentException(s"unknown duration unit '$u'")
+    }
+  }
+
   /** Start ingesting `stream` (must carry `__time`) into `datasource`.
-    * `watermark` e.g. "10 minutes" drops events later than the period —
-    * pass None to accept everything. */
+    * `watermark` e.g. "10 minutes" drops events later than the period
+    * behind the max event time seen — pass None to accept everything.
+    *
+    * Late rejection is enforced EXPLICITLY in the batch sink:
+    * `withWatermark` alone only filters rows inside stateful operators, and
+    * this path has none — without the explicit filter every late event
+    * would silently land in a segment. The high-watermark is process-local
+    * (re-seeded from the first batch after a restart), matching the
+    * reference's realtime-node window semantics (`data-ingest/kis.md`).
+    *
+    * Replay safety: each batch carries its batchId into the segment
+    * manifest; a micro-batch retried after a crash between the parquet
+    * append and the checkpoint commit is SKIPPED instead of double-writing
+    * its rows — this is what makes the documented exactly-once hold. */
   def start(stream: DataFrame, store: SegmentStore, datasource: String,
       watermark: Option[String], checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
-    val withWm = watermark match {
-      case Some(w) => stream.withWatermark("__time", w)
-      case None    => stream
-    }
-    withWm.writeStream
+    val lateMs = watermark.map(durationMs)
+    // process-local high-watermark of event time, advanced per batch
+    val maxSeenMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.appendBatch(batch, datasource)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val accepted = lateMs match {
+            case Some(ms) =>
+              val horizon = maxSeenMs.get() match {
+                case Long.MinValue => Long.MinValue
+                case seen          => seen - ms
+              }
+              val kept =
+                if (horizon == Long.MinValue) batch
+                else batch.where(col("__time") >=
+                  new java.sql.Timestamp(horizon))
+              val batchMax = batch.agg(max(col("__time"))).head().getTimestamp(0)
+              if (batchMax != null)
+                maxSeenMs.getAndUpdate(m => math.max(m, batchMax.getTime))
+              kept
+            case None => batch
+          }
+          store.appendBatch(accepted, datasource, Some(batchId))
+        }
       }
       .start()
   }
@@ -59,8 +103,9 @@ object RealtimeIngest {
     agged.writeStream
       .outputMode("append") // watermark-closed windows only
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.appendBatch(batch, datasource)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId makes a post-crash replay a no-op (see start())
+        if (!batch.isEmpty) store.appendBatch(batch, datasource, Some(batchId))
       }
       .start()
   }

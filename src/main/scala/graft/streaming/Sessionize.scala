@@ -57,7 +57,10 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                  // min() the start too: an out-of-order event inside the
+                  // watermark may precede the current session's start, and
+                  // it IS counted — start/duration must cover it
+                  cur = Some(SessionState(math.min(s.startMs, t), math.max(s.endMs, t),
                     s.nEvents + 1, s.valueSum + e.value))
                 case Some(s) => // gap inside the batch → close, start fresh
                   closed ::= Session(entity, new Timestamp(s.startMs),

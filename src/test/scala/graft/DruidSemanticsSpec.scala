@@ -378,6 +378,9 @@ class DruidSemanticsSpec extends SparkTestBase {
       (ts("2024-03-01T01:00:00Z"), "file10"), (ts("2024-03-01T01:00:00Z"), "file2"),
       (ts("2024-03-01T01:00:00Z"), "file1"), (ts("2024-03-01T01:00:00Z"), "x9y"),
       (ts("2024-03-01T01:00:00Z"), "x10y"), (ts("2024-03-01T01:00:00Z"), "abc"),
+      // chars between '#' and '0' (0x24-0x2F) must sort BEFORE digit runs —
+      // the sort-key marker must not invert them
+      (ts("2024-03-01T01:00:00Z"), "file-"), (ts("2024-03-01T01:00:00Z"), "file."),
     ).toDF("__time", "d")
     val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
     val rows = e2.plan(
@@ -388,7 +391,7 @@ class DruidSemanticsSpec extends SparkTestBase {
         |"limitSpec":{"type":"default","columns":[
         |  {"dimension":"d","direction":"ascending","dimensionOrder":"alphanumeric"}]}}""".stripMargin)
       .collect().map(_.getAs[String]("d")).toSeq
-    assert(rows == Seq("abc", "file1", "file2", "file10", "x9y", "x10y"))
+    assert(rows == Seq("abc", "file-", "file.", "file1", "file2", "file10", "x9y", "x10y"))
   }
 
   test("multiple intervals: OR-ed predicate + spine covers both, gaps not filled") {
