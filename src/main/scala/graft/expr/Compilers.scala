@@ -357,6 +357,11 @@ object Compilers {
             else if (exOpt.isEmpty) c === typedLitFor(schema, dim, v)
             else c === lit(v)
         }
+      case In(dim, vs, exOpt) if vs.contains(null) =>
+        // a null element matches null/missing dims (Druid semantics) —
+        // delegate to the Selector null path, which already implements them
+        filterCol(Or(Seq(In(dim, vs.filterNot(_ == null), exOpt),
+          Selector(dim, None, exOpt))), schema)
       case In(dim, vs, exOpt) =>
         if (isMultiValue(schema, dim) && exOpt.isEmpty) {
           val et = fieldType(schema, dim).get.asInstanceOf[ArrayType].elementType

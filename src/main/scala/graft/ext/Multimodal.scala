@@ -70,8 +70,11 @@ object Multimodal {
     val input = df.select(col(idCol).cast(LongType), col(binCol))
     val enc = RowEncoder.encoderFor(mediaMetaSchema)
     input.mapPartitions { it =>
-      // batch-scoped decoder state would be initialized here (real codec)
-      it.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1), featureDim))
+      // batch-scoped decoder state would be initialized here (real codec).
+      // null/uncastable ids keep their row (id -1) rather than NPE-ing the
+      // task — Row.getLong on a null slot throws
+      it.map(r => decodeStub(if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getAs[Array[Byte]](1), featureDim))
     }(enc)
   }
 
@@ -81,13 +84,21 @@ object Multimodal {
   def resizeFeatures(decoded: DataFrame, newDim: Int): DataFrame =
     decoded.withColumn("feature",
       when(col("feature").isNull, lit(null))
-        .otherwise(slice(concat(col("feature"), col("feature")), 1, newDim)))
+        // repeat enough copies to COVER newDim before slicing — a single
+        // concat(f, f) silently returned ragged arrays for newDim > 2×dim
+        .otherwise(slice(
+          flatten(array_repeat(col("feature"),
+            (lit(newDim) / greatest(size(col("feature")), lit(1))).cast("int") + 1)),
+          1, newDim)))
 
   /** Frame sampling for video-like assets: pick every `stride`-th frame
     * index up to n_frames. Pure expression — no shuffle, codegen'd. */
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
     decoded.withColumn("sampled_frames",
       when(col("n_frames").isNull, lit(null))
+        // a 0-frame asset (corrupt/still from a real codec) yields an empty
+        // array — sequence(0, -1) would throw on the executor
+        .when(col("n_frames") <= 0, array().cast("array<int>"))
         .otherwise(sequence(lit(0), col("n_frames") - 1, lit(stride))))
 
   /** Build a synthetic media table from any source table (used by tests and

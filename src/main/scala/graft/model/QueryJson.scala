@@ -20,13 +20,21 @@ object QueryJson {
 
   private def fail(msg: String): Nothing = throw QueryParseException(msg)
 
+  /** Required sub-object: missing → QueryParseException naming the field
+    * (a bare n.get would NPE with no message downstream). */
+  private def req(n: JsonNode, f: String): JsonNode =
+    opt(n, f).getOrElse(fail(s"missing required field '$f'"))
+
   private def opt(n: JsonNode, f: String): Option[JsonNode] =
     Option(n.get(f)).filterNot(_.isNull)
 
   private def str(n: JsonNode, f: String): String =
     opt(n, f).map(_.asText()).getOrElse(fail(s"missing field '$f' in ${n.toString.take(200)}"))
 
-  private def strOpt(n: JsonNode, f: String): Option[String] = opt(n, f).map(_.asText())
+  // value nodes only: asText() on an OBJECT returns "" and would
+  // short-circuit orElse fallbacks (e.g. the object-form search sortSpec)
+  private def strOpt(n: JsonNode, f: String): Option[String] =
+    opt(n, f).filter(_.isValueNode).map(_.asText())
 
   private def strSeq(n: JsonNode, f: String): Seq[String] =
     opt(n, f).map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
@@ -57,7 +65,7 @@ object QueryJson {
     else str(n, "type") match {
       case "table" => DataSource.Table(str(n, "name"))
       case "union" => DataSource.Union(strSeq(n, "dataSources"))
-      case "query" => DataSource.QueryD(parseQuery(n.get("query")))
+      case "query" => DataSource.QueryD(parseQuery(req(n, "query")))
       case t       => fail(s"unknown dataSource type '$t'")
     }
 
@@ -75,7 +83,7 @@ object QueryJson {
     case Some(n) =>
       str(n, "type") match {
         case "duration" =>
-          Granularity.Duration(n.get("duration").asLong(),
+          Granularity.Duration(req(n, "duration").asLong(),
             strOpt(n, "origin").map(Interval.parseInstant))
         case "period" =>
           Granularity.Period(str(n, "period"), strOpt(n, "timeZone"),
@@ -92,11 +100,14 @@ object QueryJson {
     case "selector" =>
       Filter.Selector(str(n, "dimension"), strOpt(n, "value"), extractionFnOpt(n))
     case "in" =>
-      Filter.In(str(n, "dimension"), strSeq(n, "values"), extractionFnOpt(n))
+      // null elements stay null (they match null/missing dims, Druid
+      // semantics) — asText() would turn them into the string "null"
+      val vs = arr(n, "values").map(v => if (v.isNull) null else v.asText())
+      Filter.In(str(n, "dimension"), vs, extractionFnOpt(n))
     case "bound" =>
       val ordering =
         strOpt(n, "ordering").getOrElse(
-          if (boolOpt(n, "alphaNumeric", dflt = false)) "numeric" else "lexicographic")
+          if (boolOpt(n, "alphaNumeric", dflt = false)) "alphanumeric" else "lexicographic")
       Filter.Bound(str(n, "dimension"), strOpt(n, "lower"), strOpt(n, "upper"),
         boolOpt(n, "lowerStrict", dflt = false), boolOpt(n, "upperStrict", dflt = false),
         ordering, extractionFnOpt(n))
@@ -125,9 +136,10 @@ object QueryJson {
   def parseSearchSpec(n: JsonNode): SearchQuerySpec = str(n, "type") match {
     case "insensitive_contains" => SearchQuerySpec.InsensitiveContains(str(n, "value"))
     case "contains" =>
-      SearchQuerySpec.Contains(str(n, "value"), boolOpt(n, "caseSensitive", dflt = true))
+      // Druid's spec takes a primitive boolean: absent → false (insensitive)
+      SearchQuerySpec.Contains(str(n, "value"), boolOpt(n, "caseSensitive", dflt = false))
     case "fragment" =>
-      SearchQuerySpec.Fragment(strSeq(n, "values"), boolOpt(n, "caseSensitive", dflt = true))
+      SearchQuerySpec.Fragment(strSeq(n, "values"), boolOpt(n, "caseSensitive", dflt = false))
     case "regex" => SearchQuerySpec.RegexS(str(n, "pattern"))
     case t       => fail(s"unknown searchQuerySpec type '$t'")
   }
@@ -179,7 +191,7 @@ object QueryJson {
         FieldAccess(strOpt(n, "name").getOrElse(str(n, "fieldName")), str(n, "fieldName"))
       case "finalizingFieldAccess" =>
         FinalizingFieldAccess(strOpt(n, "name").getOrElse(str(n, "fieldName")), str(n, "fieldName"))
-      case "constant" => Constant(str(n, "name"), n.get("value").asDouble())
+      case "constant" => Constant(str(n, "name"), req(n, "value").asDouble())
       case "doubleGreatest" => GreatestLeast(str(n, "name"), "greatest", "double", arr(n, "fields").map(parsePostAgg))
       case "longGreatest"   => GreatestLeast(str(n, "name"), "greatest", "long", arr(n, "fields").map(parsePostAgg))
       case "doubleLeast"    => GreatestLeast(str(n, "name"), "least", "double", arr(n, "fields").map(parsePostAgg))
@@ -216,7 +228,7 @@ object QueryJson {
       case "stringFormat" => StringFormat(str(n, "format"))
       case "cascade"      => Cascade(arr(n, "extractionFns").map(parseExtractionFn))
       case "partial"      => Partial(str(n, "expr"))
-      case "searchQuery"  => SearchQueryE(parseSearchSpec(n.get("query")))
+      case "searchQuery"  => SearchQueryE(parseSearchSpec(req(n, "query")))
       case "lookup" =>
         opt(n, "lookup") match {
           case Some(l) if l.isTextual =>
@@ -249,10 +261,10 @@ object QueryJson {
           parseExtractionFn(opt(n, "extractionFn").getOrElse(fail("extraction dimSpec missing 'extractionFn'"))),
           strOpt(n, "outputType"))
       case "listFiltered" =>
-        ListFiltered(parseDimensionSpec(n.get("delegate")), strSeq(n, "values"),
+        ListFiltered(parseDimensionSpec(req(n, "delegate")), strSeq(n, "values"),
           boolOpt(n, "isWhitelist", dflt = true))
       case "regexFiltered" =>
-        RegexFiltered(parseDimensionSpec(n.get("delegate")), str(n, "pattern"))
+        RegexFiltered(parseDimensionSpec(req(n, "delegate")), str(n, "pattern"))
       case t => fail(s"unknown dimensionSpec type '$t'")
     }
   }
@@ -262,14 +274,14 @@ object QueryJson {
   def parseHaving(n: JsonNode): HavingSpec = {
     import HavingSpec._
     str(n, "type") match {
-      case "equalTo"     => EqualTo(str(n, "aggregation"), n.get("value").asDouble())
-      case "greaterThan" => GreaterThan(str(n, "aggregation"), n.get("value").asDouble())
-      case "lessThan"    => LessThan(str(n, "aggregation"), n.get("value").asDouble())
+      case "equalTo"     => EqualTo(str(n, "aggregation"), req(n, "value").asDouble())
+      case "greaterThan" => GreaterThan(str(n, "aggregation"), req(n, "value").asDouble())
+      case "lessThan"    => LessThan(str(n, "aggregation"), req(n, "value").asDouble())
       case "dimSelector" => DimSelector(str(n, "dimension"), str(n, "value"))
       case "and"         => AndH(arr(n, "havingSpecs").map(parseHaving))
       case "or"          => OrH(arr(n, "havingSpecs").map(parseHaving))
-      case "not"         => NotH(parseHaving(n.get("havingSpec")))
-      case "filter"      => FilterH(parseFilter(n.get("filter")))
+      case "not"         => NotH(parseHaving(req(n, "havingSpec")))
+      case "filter"      => FilterH(parseFilter(req(n, "filter")))
       case t             => fail(s"unknown havingSpec type '$t'")
     }
   }
@@ -293,7 +305,7 @@ object QueryJson {
       case "numeric"       => Numeric(str(n, "metric"))
       case "lexicographic" => Lexicographic(strOpt(n, "previousStop"))
       case "alphaNumeric" | "alphanumeric" => Alphanumeric(strOpt(n, "previousStop"))
-      case "inverted"      => Inverted(parseTopNMetric(n.get("metric")))
+      case "inverted"      => Inverted(parseTopNMetric(req(n, "metric")))
       case t               => fail(s"unknown topN metric type '$t'")
     }
   }

@@ -62,10 +62,13 @@ class ParquetDirCatalog(dir: String,
     timeColumns: Map[String, String] = ParquetDirCatalog.defaultTimeColumns)
     extends Catalog {
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // keyed by (session, name): a DataFrame is bound to the session that
+  // built it — serving session A's cached frame to session B fails with
+  // "Cannot call methods on a stopped SparkContext" once A closes
+  private val cache = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
   def table(spark: SparkSession, name: String): DataFrame =
-    cache.getOrElseUpdate(name, name match {
+    cache.getOrElseUpdate((System.identityHashCode(spark), name), name match {
       // derived datasource with a multi-value (array) dimension `tags` —
       // the Druid multi-value-string fixture (SURVEY §7.4, FIXTURES.md)
       case "events_mv" =>

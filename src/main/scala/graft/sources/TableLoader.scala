@@ -20,11 +20,20 @@ object TableLoader {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     convertNanos(loadRaw(spark, dir, name))
 
-  /** Raw read: nanos time columns stay int64 (for pushable predicates). */
+  /** Raw read: nanos time columns stay int64 (for pushable predicates).
+    *
+    * DOCUMENTED side effect: the two session confs below are required to
+    * read the driver's fixtures at all (nanos parquet) and to match Druid's
+    * lenient cast semantics, and they are session-wide. Set idempotently
+    * (no conf churn while concurrent queries analyze); an embedding
+    * application that needs ANSI on should use a separate session for
+    * engine work — the engine's semantics are non-ANSI by contract. */
   def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ensure(k: String, v: String): Unit =
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    ensure("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Druid is lenient where ANSI SQL throws (bad casts, overflow); match it.
-    spark.conf.set("spark.sql.ansi.enabled", "false")
+    ensure("spark.sql.ansi.enabled", "false")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
