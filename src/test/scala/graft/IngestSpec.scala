@@ -382,6 +382,56 @@ class IngestSpec extends SparkTestBase {
     assert(r.getAs[Timestamp]("maxTime") == ts("2024-06-01T12:00:00Z"))
   }
 
+  test("appendBatch replay protection: a retried batchId is a no-op") {
+    val store = freshStore()
+    def batch(h: Int) = Seq((ts(f"2024-06-01T$h%02d:00:00Z"), "click", 1.0))
+      .toDF("__time", "event_type", "value")
+    store.appendBatch(batch(10), "rp", Some(0L))
+    assert(store.read(spark, "rp").count() == 1)
+    // crash-between-append-and-checkpoint replay: same id → skipped
+    store.appendBatch(batch(10), "rp", Some(0L))
+    assert(store.read(spark, "rp").count() == 1)
+    // next batch appends
+    store.appendBatch(batch(11), "rp", Some(1L))
+    assert(store.read(spark, "rp").count() == 2)
+    // batchId-less appends (non-streaming callers) never skip
+    store.appendBatch(batch(12), "rp", None)
+    store.appendBatch(batch(12), "rp", None)
+    assert(store.read(spark, "rp").count() == 4)
+  }
+
+  test("streaming ingest drops events later than the watermark period") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val store = freshStore()
+    implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("__time", "event_type", "value")
+    val ckpt = Files.createTempDirectory("graft-ckpt-wm").toString
+
+    // one running query, two micro-batches (the rejection horizon is
+    // process-local to the run — a restart re-seeds it by design)
+    val q = graft.streaming.RealtimeIngest.start(stream, store, "wm",
+      watermark = Some("1 hour"), checkpointDir = ckpt,
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // batch 1 establishes the high-watermark at 11:00
+      mem.addData((ts("2024-06-01T10:00:00Z"), "click", 1.0),
+        (ts("2024-06-01T11:00:00Z"), "view", 2.0))
+      q.processAllAvailable()
+      assert(store.read(spark, "wm").count() == 2)
+
+      // batch 2: 09:00 is 2h behind the 11:00 high-watermark → dropped;
+      // 10:30 is inside the 1h window → kept
+      mem.addData((ts("2024-06-01T09:00:00Z"), "late", 9.0),
+        (ts("2024-06-01T10:30:00Z"), "ok", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val types = store.read(spark, "wm").select("event_type")
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("click", "view", "ok"), s"late event must be dropped: $types")
+  }
+
   test("sessionization: gap-based sessions close via event-time timeout state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
