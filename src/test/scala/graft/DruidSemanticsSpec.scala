@@ -549,6 +549,28 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(e.getMessage.contains("at least one dimension or aggregation"))
   }
 
+  test("TIME_CEIL/TIME_SHIFT use calendar days across DST transitions") {
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    // US spring-forward 2025-03-09 in America/Los_Angeles: local midnight
+    // Mar 9 = 08:00Z, NEXT local midnight Mar 10 = 07:00Z — a 23-hour day.
+    // Fixed-24h arithmetic would land both results at 08:00Z Mar 10, an
+    // hour past the bucket boundary.
+    val r = spark.sql(
+      """SELECT
+        |  time_ceil(TIMESTAMP '2025-03-09 10:00:00+00:00', 'P1D', NULL,
+        |            'America/Los_Angeles') AS c,
+        |  time_shift(TIMESTAMP '2025-03-09 08:00:00+00:00', 'P1D', 1,
+        |             'America/Los_Angeles') AS s""".stripMargin)
+      .collect().head
+    assert(r.getTimestamp(0) == ts("2025-03-10T07:00:00Z"))
+    assert(r.getTimestamp(1) == ts("2025-03-10T07:00:00Z"))
+    // UTC day shifts stay fixed 24h
+    val u = spark.sql(
+      """SELECT time_shift(TIMESTAMP '2025-03-09 08:00:00+00:00', 'P1D', 1) AS s""")
+      .collect().head
+    assert(u.getTimestamp(0) == ts("2025-03-10T08:00:00Z"))
+  }
+
   test("filtered aggregator filters only its own input") {
     val rows = engine.plan(
       """{"queryType":"timeseries","dataSource":"ev",
