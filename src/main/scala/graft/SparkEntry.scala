@@ -104,6 +104,20 @@ object SparkEntry {
          |  {"type":"doubleMax","name":"max_val","fieldName":"value"},
          |  {"type":"doubleMin","name":"min_val","fieldName":"value"}]}""".stripMargin
 
+    /** second granularity over 3 days = 259,200 zero-filled buckets: the
+      * spine is generated on executors (`spark.range` per interval), so the
+      * old 200k driver-side cap is gone and the zero-fill contract
+      * (reference `query/query-timeseries.md:74-95`) holds at any spine
+      * size — this is the monitoring-dashboard query shape at 100× scale. */
+    val timeseriesSecondSpine: String =
+      """{"queryType":"timeseries","dataSource":"events",
+         |"intervals":["2024-01-05T00:00:00Z/2024-01-08T00:00:00Z"],
+         |"granularity":"second",
+         |"filter":{"type":"selector","dimension":"event_type","value":"purchase"},
+         |"aggregations":[
+         |  {"type":"count","name":"cnt"},
+         |  {"type":"longSum","name":"sum_uid","fieldName":"user_id"}]}""".stripMargin
+
     /** topN over one dimension, granularity all (global top-K) */
     val topnAll: String =
       """{"queryType":"topN","dataSource":"events",
@@ -796,6 +810,8 @@ object SparkEntry {
         """SELECT lookup(CAST(c_nationkey AS STRING), 'nation_name') AS nation,
           |  count(*) AS cnt
           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin, Seq("customer"))),
+    "q58_timeseries_second_spine" -> ((s, dir) =>
+      engine(s, dir).plan(Q.timeseriesSecondSpine)),
     "q52_scan_throughput" -> ((s, dir) =>
       // headline raw-scan throughput: full-table aggregate, no filters
       roundCols(engine(s, dir).plan(
@@ -1293,6 +1309,20 @@ object SparkEntry {
       """SELECT n_name AS nation, count(*) AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q58_timeseries_second_spine" ->
+      """WITH agg AS (
+        |  SELECT date_trunc('second', ts) AS __time, count(*) AS c,
+        |    CAST(sum(user_id) AS BIGINT) AS su
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+        |    AND event_type = 'purchase'
+        |  GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+        |    TIMESTAMP '2024-01-07 23:59:59', INTERVAL 1 SECOND)) AS __time)
+        |SELECT spine.__time AS __time, coalesce(c, 0) AS cnt,
+        |  coalesce(su, 0) AS sum_uid
+        |FROM spine LEFT JOIN agg USING (__time) ORDER BY 1""".stripMargin,
     "q52_scan_throughput" ->
       """SELECT TIMESTAMP '1990-01-01' AS __time, count(*) AS cnt,
         |  round(sum(l_extendedprice), 1) AS sum_price,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,6 +29,13 @@ abstract class StringArrayExpression extends UnaryExpression with Serializable {
 
   protected def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** Generated-code equivalent of `hash`: `s` must be a UTF8String var. */
+  protected def genHash(s: String, seed: String): String =
+    s"$XXH64Cls.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), " +
+      s"$s.numBytes(), $seed)"
+
+  protected val XXH64Cls = "org.apache.spark.sql.catalyst.expressions.XXH64"
 }
 
 /** k-element MinHash signature over word `shingleN`-gram shingles of a
@@ -36,7 +43,7 @@ abstract class StringArrayExpression extends UnaryExpression with Serializable {
   * hashed once, a shingle's identity is the XXH64 chain of its token
   * hashes, and the k permutations come from double hashing. */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
-    extends StringArrayExpression with CodegenFallback {
+    extends StringArrayExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -72,12 +79,50 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
     new GenericArrayData(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val th = ctx.freshName("th"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val ns = ctx.freshName("nShingles")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val h = ctx.freshName("h"); val t = ctx.freshName("t")
+      val end = ctx.freshName("end"); val i = ctx.freshName("i")
+      val u = ctx.freshName("u")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |long[] $th = new long[$n];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j)) { $th[$j] = 0L; } else {
+         |    UTF8String $u = $a.getUTF8String($j);
+         |    $th[$j] = ${genHash(u, "42L")};
+         |  }
+         |}
+         |int $ns = java.lang.Math.max(1, $n - $shingleN + 1);
+         |for (int $s = 0; $s < $ns; $s++) {
+         |  long $h1 = 42L;
+         |  int $end = java.lang.Math.min($s + $shingleN, $n);
+         |  for (int $t = $s; $t < $end; $t++) {
+         |    $h1 = $XXH64Cls.hashLong($th[$t], $h1);
+         |  }
+         |  long $h2 = $XXH64Cls.hashLong($h1, 0x9E3779B97F4A7C15L) | 1L;
+         |  long $h = $h1;
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    if ($h < $mins[$i]) $mins[$i] = $h;
+         |    $h += $h2;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash of a string array (token set). */
 case class SimHash64(child: Expression)
-    extends StringArrayExpression with CodegenFallback {
+    extends StringArrayExpression {
 
   override def dataType: DataType = LongType
 
@@ -106,13 +151,39 @@ case class SimHash64(child: Expression)
     sig
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val sums = ctx.freshName("sums")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val b = ctx.freshName("b"); val sig = ctx.freshName("sig")
+      val u = ctx.freshName("u")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $sums = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    UTF8String $u = $a.getUTF8String($j);
+         |    long $h = ${genHash(u, "42L")};
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $sums[$b]++; else $sums[$b]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($sums[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** LSH band keys of a long-array signature: key_b = hash of band slice
   * (band index mixed in). One pass, no JSON serialization. */
 case class SignatureBandKeys(child: Expression, bands: Int)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) | ArrayType(IntegerType, _) =>
@@ -152,6 +223,37 @@ case class SignatureBandKeys(child: Expression, bands: Int)
     new GenericArrayData(keys)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val get = if (isInt) "(long) $arr$.getInt" else "$arr$.getLong"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val rpb = ctx.freshName("rowsPerBand")
+      val keys = ctx.freshName("keys"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      val acc = get.replace("$arr$", a)
+      s"""
+         |int $n = $a.numElements();
+         |if (!($bands >= 1 && $bands <= $n && $n % $bands == 0)) {
+         |  throw new IllegalArgumentException(
+         |    "bands=$bands must divide the signature length " + $n);
+         |}
+         |int $rpb = $n / $bands;
+         |long[] $keys = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = $xxh.hashLong((long) $b, 42L);
+         |  int $i = $b * $rpb;
+         |  int $end = $i + $rpb;
+         |  for (; $i < $end; $i++) {
+         |    $h = $xxh.hashLong($acc($i), $h);
+         |  }
+         |  $keys[$b] = $h;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($keys);
+       """.stripMargin
+    })
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -161,7 +263,7 @@ case class SignatureBandKeys(child: Expression, bands: Int)
   * intermediate array — and it runs once per banded candidate PAIR, the
   * LSH join's hot path. This is one primitive pass. */
 case class MinHashJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with Serializable {
+    extends BinaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -190,6 +292,23 @@ case class MinHashJaccard(left: Expression, right: Expression)
       m.toDouble / total
     }
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val total = ctx.freshName("total")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $total = $a.numElements();
+         |if ($total == 0) { ${ev.value} = 0.0; } else {
+         |  int $m = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.getLong($i) == $b.getLong($i)) $m++;
+         |  }
+         |  ${ev.value} = (double) $m / (double) $total;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression)
       : Expression = copy(left = l, right = r)

@@ -28,8 +28,13 @@ import scala.jdk.CollectionConverters._
   */
 object QueryPlanner {
 
-  /** Cap on driver-side generated zero-fill buckets. */
-  private val MaxSpineBuckets = 200000
+  /** Guard on the driver-side (calendar-stepped) spine enumeration. The
+    * calendar path only covers steps >= one day, so 10M buckets is >27,000
+    * years of spine — a malformed query, not a scale problem. Exceeding it
+    * throws; zero-fill never silently disappears. Fixed-step granularities
+    * (second/minute/hour/duration/fixed periods) generate the spine on
+    * executors and have no cap at all. */
+  private val MaxCalendarSpineBuckets = 10000000
 
   def plan(spark: SparkSession, q: Query, catalog: Catalog): DataFrame = q match {
     case t: Query.Timeseries       => planTimeseries(spark, t, catalog)
@@ -200,20 +205,99 @@ object QueryPlanner {
   private def zeroFill(spark: SparkSession, agged: DataFrame, intervals: Seq[Interval],
       g: Granularity, aggs: Seq[Aggregator],
       coverage: Option[Seq[Interval]] = None): DataFrame = {
+    val spineOpt = fixedStepMillis(g) match {
+      case Some(step) => distributedSpine(spark, intervals, g, step, coverage)
+      case None       => calendarSpine(spark, intervals, g, coverage)
+    }
+    spineOpt match {
+      case None => agged
+      case Some(spine) =>
+        val joined = spine.join(agged, Seq(TimeColumn), "left")
+        val fills: Seq[Column] = aggs.map(a => zeroFillCol(a))
+        val keep = joined.columns.filterNot(c => aggs.exists(_.name == c)).map(col).toSeq
+        joined.select(keep ++ fills: _*)
+    }
+  }
+
+  /** Step of `g` in epoch millis when every bucket advance is
+    * calendar-independent — i.e. `Compilers.nextBucket` is `plusMillis(step)`
+    * for this granularity. None for calendar-aware steps (month/quarter/year
+    * units, PnM/PnY, and day/week periods in a non-UTC timezone, where a
+    * bucket may be 23 or 25 wall-clock hours across DST). */
+  private def fixedStepMillis(g: Granularity): Option[Long] = g match {
+    case Granularity.All | Granularity.NoneG => None
+    case Granularity.Duration(ms, _) => Some(ms)
+    case Granularity.Simple(u) => u match {
+      case "second" => Some(1000L)
+      case "minute" => Some(60000L)
+      case "fifteen_minute" => Some(15 * 60000L)
+      case "thirty_minute" => Some(30 * 60000L)
+      case "hour" => Some(3600000L)
+      case "day"  => Some(86400000L)   // simple units step in UTC: fixed
+      case "week" => Some(7 * 86400000L)
+      case _ => None                   // month | quarter | year
+    }
+    case Granularity.Period(p, tzS, _) =>
+      val tz = tzS.getOrElse("UTC")
+      val monthP = "P(\\d+)M".r; val yearP = "P(\\d+)Y".r
+      p match {
+        case "P1M" | "P3M" | "P1Y" | monthP(_) | yearP(_) => None
+        case "P1D" | "P1W" if tz != "UTC" => None // calendar-stepped in tz
+        case "P1D" => Some(86400000L)
+        case "P1W" => Some(7 * 86400000L)
+        case _ => Some(Compilers.periodMillis(p)) // PT*/PnD/PnW: fixed length
+      }
+  }
+
+  /** Executor-side spine for fixed-step granularities: each interval becomes
+    * `range(0, n)` → `first + id*step`, so a multi-day second-granularity
+    * spine (hundreds of thousands to millions of buckets) never materializes
+    * on the driver (reference zero-fill contract,
+    * `query/query-timeseries.md:74-95`). Coverage intersection (segment-gap
+    * skip, `query/query-timeseries.md:93`) is a pushed predicate. */
+  private def distributedSpine(spark: SparkSession, intervals: Seq[Interval],
+      g: Granularity, step: Long, coverage: Option[Seq[Interval]]): Option[DataFrame] = {
+    val perInterval = intervals.flatMap { iv =>
+      val first = Compilers.truncInstant(g, iv.start).toEpochMilli
+      val end = iv.end.toEpochMilli
+      val n = if (end <= first) 0L else (end - first + step - 1) / step
+      if (n <= 0L) None
+      else Some(spark.range(0L, n)
+        .select(timestamp_millis(col("id") * step + first).as(TimeColumn)))
+    }
+    if (perInterval.isEmpty) return None
+    val unioned = perInterval.reduce(_ union _)
+    val spine =
+      if (intervals.lengthCompare(1) > 0) unioned.dropDuplicates(TimeColumn)
+      else unioned
+    coverage match {
+      case Some(ivs) if ivs.isEmpty => None // no segments → nothing to fill
+      case Some(ivs) =>
+        // bucket overlaps a covered chunk: b < iv.end && b+step > iv.start
+        val t = col(TimeColumn)
+        val pred = ivs.map(iv =>
+          t < lit(Timestamp.from(iv.end)) &&
+          timestamp_millis(unix_millis(t) + step) > lit(Timestamp.from(iv.start)))
+          .reduce(_ || _)
+        Some(spine.where(pred))
+      case None => Some(spine)
+    }
+  }
+
+  /** Driver-side spine for calendar-stepped granularities (step >= 1 day, so
+    * the enumeration stays tiny — a century of months is 1,200 instants). */
+  private def calendarSpine(spark: SparkSession, intervals: Seq[Interval],
+      g: Granularity, coverage: Option[Seq[Interval]]): Option[DataFrame] = {
     val all = spineBuckets(intervals, g)
     val buckets = coverage match {
       case Some(ivs) => all.filter(b => ivs.exists(iv =>
         b.isBefore(iv.end) && Compilers.nextBucket(g, b).isAfter(iv.start)))
       case None => all
     }
-    if (buckets.isEmpty || buckets.size > MaxSpineBuckets) return agged
+    if (buckets.isEmpty) return None
     val rows = buckets.map(i => Row(Timestamp.from(i))).asJava
-    val spine = spark.createDataFrame(rows,
-      StructType(Seq(StructField(TimeColumn, TimestampType, nullable = false))))
-    val joined = spine.join(agged, Seq(TimeColumn), "left")
-    val fills: Seq[Column] = aggs.map(a => zeroFillCol(a))
-    val keep = joined.columns.filterNot(c => aggs.exists(_.name == c)).map(col).toSeq
-    joined.select(keep ++ fills: _*)
+    Some(spark.createDataFrame(rows,
+      StructType(Seq(StructField(TimeColumn, TimestampType, nullable = false)))))
   }
 
   private def zeroFillCol(a: Aggregator): Column = a match {
@@ -227,7 +311,10 @@ object QueryPlanner {
     case other => col(other.name)
   }
 
-  /** Driver-side enumeration of granularity buckets covering the intervals. */
+  /** Driver-side enumeration of granularity buckets covering the intervals.
+    * Only reached for calendar-stepped granularities (fixed-step spines are
+    * generated on executors); throws — never silently skips — past the
+    * sanity guard. */
   def spineBuckets(intervals: Seq[Interval], g: Granularity): Seq[Instant] = {
     g match {
       case Granularity.All | Granularity.NoneG => return Seq.empty
@@ -237,13 +324,16 @@ object QueryPlanner {
     var n = 0
     intervals.foreach { iv =>
       var b = Compilers.truncInstant(g, iv.start)
-      while (b.isBefore(iv.end) && n <= MaxSpineBuckets) {
+      while (b.isBefore(iv.end)) {
+        if (n >= MaxCalendarSpineBuckets) throw new IllegalArgumentException(
+          s"zero-fill spine exceeds $MaxCalendarSpineBuckets buckets for " +
+          s"granularity $g; narrow the intervals or set skipEmptyBuckets")
         out += b
         n += 1
         b = Compilers.nextBucket(g, b)
       }
     }
-    if (n > MaxSpineBuckets) Seq.empty else out.result().distinct
+    out.result().distinct
   }
 
   /** Project post-aggregations on top of the aggregate result

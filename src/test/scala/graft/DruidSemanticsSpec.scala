@@ -52,6 +52,42 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(rows.length == 1) // only the one bucket the interval covers
   }
 
+  test("zero-fill holds past 200k buckets: spine is generated on executors") {
+    // 3 days at second granularity = 259,200 buckets — over the old driver
+    // cap that silently returned the unfilled aggregate. The spine is now
+    // spark.range-generated, so the contract holds at any size.
+    val df = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-04T00:00:00Z"],
+        |"granularity":"second",
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+    assert(df.count() == 259200L)
+    val nonZero = df.where(col("cnt") =!= 0L).collect()
+    assert(nonZero.map(_.getAs[Timestamp]("__time")).toSeq == Seq(
+      ts("2024-03-01T01:00:00Z"), ts("2024-03-01T02:00:00Z"),
+      ts("2024-03-03T05:00:00Z")))
+    // filled buckets are zero, not null
+    val filled = df.where(col("cnt") === 0L).agg(
+      count(lit(1)), sum(when(col("sv").isNull, 1).otherwise(0))).head()
+    assert(filled.getLong(0) == 259197L && filled.getLong(1) == 0L)
+  }
+
+  test("multi-interval fixed-step spine dedups overlapping buckets") {
+    val rows = engine.plan(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-01T02:00:00Z",
+        |             "2024-03-01T01:00:00Z/2024-03-01T03:00:00Z"],
+        |"granularity":"hour",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect()
+    // hours 00,01,02 exactly once each (01-02 covered by both intervals)
+    assert(rows.map(_.getAs[Timestamp]("__time")).toSeq == Seq(
+      ts("2024-03-01T00:00:00Z"), ts("2024-03-01T01:00:00Z"),
+      ts("2024-03-01T02:00:00Z")))
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq == Seq(0L, 1L, 1L))
+  }
+
   test("skipEmptyBuckets context disables zero-fill (query-timeseries.md:95)") {
     val rows = engine.plan(
       """{"queryType":"timeseries","dataSource":"ev",
