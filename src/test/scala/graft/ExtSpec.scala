@@ -228,6 +228,37 @@ class ExtSpec extends SparkTestBase {
     assert(scores(1L) > scores(2L))
   }
 
+  test("text-hash expressions: generated code compiles and matches interpreted eval") {
+    // CODEGEN_ONLY + fallback=false make a broken doGenCode throw instead of
+    // silently reverting to nullSafeEval; NO_CODEGEN is the interpreted
+    // reference the generated code must agree with byte-for-byte.
+    import graft.functions.TextHashFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.limit(200)
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        minhash_signature(col("toks"), 64, 3).as("sig"),
+        simhash64(col("toks")).as("sh"))
+      .withColumn("bk", band_keys(col("sig"), 16))
+      .withColumn("prev", lag("sig", 1).over(Window.orderBy("doc_id")))
+      .withColumn("jac", when(col("prev").isNotNull,
+        minhash_jaccard(col("sig"), col("prev"))).otherwise(lit(-1.0)))
+      .drop("prev")
+
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try base.orderBy("doc_id").collect().toSeq
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    val gen = run("CODEGEN_ONLY")
+    val interp = run("NO_CODEGEN")
+    assert(gen.nonEmpty && gen == interp)
+  }
+
   test("multimodal decode is deterministic and handles nulls/empties") {
     val media = Multimodal.syntheticMedia(spark, 50)
       .union(Seq((98L, Array.empty[Byte])).toDF("media_id", "content"))
