@@ -478,6 +478,28 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     spark.sql(sql)
   }
 
+  /** Single-part table identifiers a statement references, via Spark's own
+    * parser: every `UnresolvedRelation` in the (unresolved) parsed plan —
+    * including inside expression subqueries — minus CTE-defined names, which
+    * shadow datasources. Exact under quoted identifiers, comments, and CTEs,
+    * where a regex FROM-probe mis-fires. Parse failures yield no names; the
+    * statement then fails in `spark.sql` with the parser's own error. */
+  private def sqlTableReferences(sql: String): Seq[String] = {
+    import java.util.Locale
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case NonFatal(_) => return Seq.empty }
+    val cteNames = plan.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase(Locale.ROOT))
+    }.flatten.toSet
+    plan.collectWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
+        r.multipartIdentifier.head
+    }.distinct.filterNot(n => cteNames.contains(n.toLowerCase(Locale.ROOT)))
+  }
+
   /** SQL over HTTP (`POST /druid/v2/sql`): runs the statement against the
     * named datasources (or every bare identifier that resolves as one) and
     * returns the rows as a JSON array of objects — the reference's SQL
@@ -493,29 +515,8 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   def executeSqlJsonStream(sql: String, datasources: Seq[String]): Iterator[String] = {
     val names =
       if (datasources.nonEmpty) datasources
-      else {
-        // best-effort: probe only identifiers in table position — every
-        // FROM clause (scanned independently, so subquery FROMs are found
-        // too) split on commas taking each item's FIRST identifier (the
-        // table; aliases after it are ignored), plus JOIN targets. Probing
-        // every bare word instead would repeat failed catalog I/O for
-        // aliases/functions/keywords on each request.
-        val ident = "[A-Za-z_][A-Za-z0-9_]*"
-        val clauseEnd =
-          ("(?i)\\b(?:where|group|order|having|limit|union|join|select|on)\\b|\\)").r
-        val firstIdent = ("^\\s*(" + ident + ")").r
-        val fromTables = "(?i)\\bfrom\\b".r.findAllMatchIn(sql).flatMap { m =>
-          val tail = sql.substring(m.end)
-          val clause = clauseEnd.findFirstMatchIn(tail)
-            .map(e => tail.substring(0, e.start)).getOrElse(tail)
-          clause.split(",").iterator
-            .flatMap(item => firstIdent.findFirstMatchIn(item).map(_.group(1)))
-        }
-        val joinTables = ("(?i)\\bjoin\\s+(" + ident + ")").r
-          .findAllMatchIn(sql).map(_.group(1))
-        (fromTables ++ joinTables).toSeq.distinct.filter { n =>
-          try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
-        }
+      else sqlTableReferences(sql).filter { n =>
+        try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
       }
     val queryId = "sql-" + UUID.randomUUID().toString
     val t0 = System.nanoTime()

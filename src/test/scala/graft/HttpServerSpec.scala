@@ -133,6 +133,34 @@ class HttpServerSpec extends SparkTestBase {
       val bad = post(s"$base/druid/v2/sql", "{}")
       assert(bad.statusCode() == 400)
       assert(bad.body().contains("missing 'query'"))
+
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+      // a CTE named like a datasource SHADOWS it — the parser-based table
+      // probe must not register the view over the CTE (the old regex probe
+      // registered 'ev' and could clobber evaluation order)
+      val cte = post(s"$base/druid/v2/sql",
+        """{"query":"WITH ev AS (SELECT 1 AS one) SELECT sum(one) AS s FROM ev"}""")
+      assert(cte.statusCode() == 200)
+      assert(om.readTree(cte.body()).get(0).get("s").asLong() == 1L)
+
+      // quoted identifiers in table position resolve as datasources
+      val quoted = post(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS n FROM `ev`"}""")
+      assert(quoted.statusCode() == 200)
+      assert(om.readTree(quoted.body()).get(0).get("n").asLong() == 2L)
+
+      // a commented-out FROM must not probe; the real table still registers
+      val commented = post(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS n -- FROM nonexistent\nFROM ev2"}""")
+      assert(commented.statusCode() == 200)
+      assert(om.readTree(commented.body()).get(0).get("n").asLong() == 2L)
+
+      // expression subqueries (IN (SELECT ...)) register their tables too
+      val subq = post(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS n FROM ev WHERE event_type IN (SELECT event_type FROM ev2)"}""")
+      assert(subq.statusCode() == 200)
+      assert(om.readTree(subq.body()).get(0).get("n").asLong() == 2L)
     } finally srv.stop()
   }
 
