@@ -79,14 +79,38 @@ object Compilers {
         to_utc_timestamp(date_trunc(u, from_utc_timestamp(t, tz)), tz)
       case (None, monthP(n)) => monthMultipleTrunc(t, n.toInt, tz, origin)
       case (None, yearP(n))  => monthMultipleTrunc(t, n.toInt * 12, tz, origin)
+      case _ if tz != "UTC" && isDayBasedPeriod(period) =>
+        // PnD/PnW in a timezone: Druid's PeriodGranularity steps day units
+        // calendar-aware (Joda chronology), so a P2D bucket spanning a DST
+        // shift is 47 or 49 wall-clock hours. Bucket on the WALL clock:
+        // shift into tz, duration-bucket the wall-clock millis (wall-clock
+        // day arithmetic is exact fixed-length there), shift back.
+        val ms = periodMillis(period)
+        val oW = wallMillis(origin.getOrElse(Instant.EPOCH), ZoneId.of(tz))
+        val wall = unix_millis(from_utc_timestamp(t, tz))
+        to_utc_timestamp(timestamp_millis(
+          floor((wall - oW).cast(DoubleType) / ms).cast(LongType) * ms + oW), tz)
       case _ =>
-        // general fixed-length period (e.g. PT6H, P2D): duration bucketing
+        // general fixed-length period (e.g. PT6H, P2D in UTC): duration
+        // bucketing in absolute millis. Pure hour/minute/second periods are
+        // absolute in Druid too (Joda hour arithmetic is instant-based), so
+        // tz only matters for day-based periods above.
         val ms = periodMillis(period)
         val o = origin.map(_.toEpochMilli).getOrElse(0L)
         timestamp_millis(floor((unix_millis(t) - o).cast(DoubleType) / ms)
           .cast(LongType) * ms + o)
     }
   }
+
+  /** PnD / PnW (day-unit periods whose Druid stepping is calendar-aware). */
+  def isDayBasedPeriod(period: String): Boolean =
+    period.matches("P\\d+[DW]")
+
+  /** Wall-clock millis of an instant in `zone`: the local datetime re-read
+    * as if it were UTC. Day arithmetic is exact fixed-length in this space. */
+  private def wallMillis(i: Instant, zone: ZoneId): Long =
+    java.time.LocalDateTime.ofInstant(i, zone)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
 
   /** PnM-style bucketing: floor the month distance from the origin month to
     * a multiple of n, in the wall clock of `tz`. */
@@ -141,6 +165,15 @@ object Compilers {
           case "P1Y"  => truncSimple("year", i, zone)
           case monthP(n) => truncMonthMultiple(i, n.toInt, zone, origin)
           case yearP(n)  => truncMonthMultiple(i, n.toInt * 12, zone, origin)
+          case _ if zone != ZoneId.of("UTC") && isDayBasedPeriod(p) =>
+            // wall-clock day bucketing, mirroring periodTrunc
+            val ms = periodMillis(p)
+            val oW = wallMillis(origin.getOrElse(Instant.EPOCH), zone)
+            val w = wallMillis(i, zone)
+            val bW = Math.floorDiv(w - oW, ms) * ms + oW
+            java.time.LocalDateTime.ofInstant(
+              Instant.ofEpochMilli(bW), java.time.ZoneOffset.UTC)
+              .atZone(zone).toInstant
           case _ =>
             val ms = periodMillis(p)
             val o = origin.map(_.toEpochMilli).getOrElse(0L)
@@ -191,6 +224,8 @@ object Compilers {
       val zone = ZoneId.of(tzS.getOrElse("UTC"))
       val monthP = "P(\\d+)M".r
       val yearP = "P(\\d+)Y".r
+      val dayP = "P(\\d+)D".r
+      val weekP = "P(\\d+)W".r
       p match {
         case "P1D"  => stepSimple("day", i, zone)
         case "P1W"  => stepSimple("week", i, zone)
@@ -199,6 +234,10 @@ object Compilers {
         case "P1Y"  => stepSimple("year", i, zone)
         case monthP(n) => i.atZone(zone).plusMonths(n.toInt.toLong).toInstant
         case yearP(n)  => i.atZone(zone).plusMonths(n.toInt * 12L).toInstant
+        case dayP(n) if zone != ZoneId.of("UTC") =>
+          i.atZone(zone).plusDays(n.toInt.toLong).toInstant
+        case weekP(n) if zone != ZoneId.of("UTC") =>
+          i.atZone(zone).plusWeeks(n.toInt.toLong).toInstant
         case _      => i.plusMillis(periodMillis(p))
       }
   }

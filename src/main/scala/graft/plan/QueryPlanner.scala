@@ -242,10 +242,12 @@ object QueryPlanner {
       val monthP = "P(\\d+)M".r; val yearP = "P(\\d+)Y".r
       p match {
         case "P1M" | "P3M" | "P1Y" | monthP(_) | yearP(_) => None
-        case "P1D" | "P1W" if tz != "UTC" => None // calendar-stepped in tz
+        // day-unit periods step calendar-aware in a non-UTC tz (DST)
+        case _ if tz != "UTC" &&
+          (p == "P1D" || p == "P1W" || Compilers.isDayBasedPeriod(p)) => None
         case "P1D" => Some(86400000L)
         case "P1W" => Some(7 * 86400000L)
-        case _ => Some(Compilers.periodMillis(p)) // PT*/PnD/PnW: fixed length
+        case _ => Some(Compilers.periodMillis(p)) // PT* and UTC PnD/PnW: fixed
       }
   }
 

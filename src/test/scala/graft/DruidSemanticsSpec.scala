@@ -331,6 +331,34 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(buckets == Seq("2024-03-08T05:00:00Z", "2024-03-10T05:00:00Z"))
   }
 
+  test("P2D in America/New_York steps calendar days across DST (47h bucket)") {
+    // Spring-forward 2024-03-10: the [Mar 9 00:00, Mar 11 00:00) local
+    // bucket is 47 wall-clock hours. Druid's PeriodGranularity steps day
+    // units in the tz chronology, so the next boundary is Mar 11 00:00 EDT
+    // = 04:00Z — NOT origin+48h = 05:00Z. An event at 04:30Z must open the
+    // second bucket, and zero-fill must land on the same wall-clock spine.
+    val df = Seq(
+      (ts("2024-03-09T12:00:00Z"), 1.0),  // Mar 9 local → bucket 1
+      (ts("2024-03-11T04:30:00Z"), 2.0),  // 00:30 EDT Mar 11 → bucket 2
+      (ts("2024-03-13T12:00:00Z"), 4.0),  // Mar 13 local → bucket 3
+    ).toDF("__time", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-03-09T05:00:00Z/2024-03-17T04:00:00Z"],
+        |"granularity":{"type":"period","period":"P2D",
+        |  "timeZone":"America/New_York","origin":"2024-03-09T05:00:00Z"},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect()
+    val got = rows.map(r => (r.getAs[Timestamp]("__time").toInstant.toString,
+      r.getAs[Double]("sv"))).toSeq
+    assert(got == Seq(
+      ("2024-03-09T05:00:00Z", 1.0),  // 47h DST-shortened bucket
+      ("2024-03-11T04:00:00Z", 2.0),  // 04:30Z opens the SECOND bucket
+      ("2024-03-13T04:00:00Z", 4.0),
+      ("2024-03-15T04:00:00Z", 0.0))) // zero-fill on the wall-clock spine
+  }
+
   test("P2M period granularity buckets by 2-month calendar multiples") {
     val df = Seq(
       (ts("2024-01-15T00:00:00Z"), 1.0), (ts("2024-02-20T00:00:00Z"), 2.0),
