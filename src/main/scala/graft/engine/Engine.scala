@@ -45,13 +45,33 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   /** (query json, datasource versions) → cached result JSON. LRU, keyed so
     * any segment change invalidates (reference
     * `query/query-internal-procedure.md:43-47`, context `useCache`/
-    * `populateCache` `TOC.md:39`). */
+    * `populateCache` `TOC.md:39`). Evicts by accumulated BYTES, not entry
+    * count — entries are whole buffered result strings, so a count bound
+    * would let a handful of large results pressure driver memory. */
+  private val resultCacheMaxBytes: Long =
+    spark.conf.getOption("spark.graft.resultCache.maxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+  private var resultCacheBytes = 0L // guarded by resultCache's monitor
   private val resultCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, String](128, 0.75f, true) {
-        override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
-          size() > 128
-      })
+    new java.util.LinkedHashMap[String, String](128, 0.75f, true)
+
+  private def entryBytes(k: String, v: String): Long = 2L * (k.length + v.length)
+
+  private def cachePut(key: String, value: String): Unit = resultCache.synchronized {
+    val sz = entryBytes(key, value)
+    if (sz > resultCacheMaxBytes) return // larger than the whole budget
+    Option(resultCache.put(key, value))
+      .foreach(old => resultCacheBytes -= entryBytes(key, old))
+    resultCacheBytes += sz
+    val it = resultCache.entrySet().iterator()
+    while (resultCacheBytes > resultCacheMaxBytes && it.hasNext) {
+      val e = it.next() // eldest-accessed first (access-order map)
+      if (e.getKey != key) {
+        resultCacheBytes -= entryBytes(e.getKey, e.getValue)
+        it.remove()
+      }
+    }
+  }
 
   // cache observability (reference metric families, `TOC.md:50-58`): a cache
   // whose hit rate cannot be observed cannot be sized — counters are the
@@ -63,15 +83,19 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   private val lookupCacheMisses = new java.util.concurrent.atomic.AtomicLong
 
   /** Cache hit/miss counters, surfaced at `GET /druid/v2/metrics`. */
-  def cacheStats: Map[String, Long] = Map(
-    "resultCacheHits" -> resultCacheHits.get,
-    "resultCacheMisses" -> resultCacheMisses.get,
-    "resultCacheEntries" -> resultCache.size().toLong,
-    "lookupCacheHits" -> lookupCacheHits.get,
-    "lookupCacheMisses" -> lookupCacheMisses.get)
+  def cacheStats: Map[String, Long] = resultCache.synchronized {
+    Map(
+      "resultCacheHits" -> resultCacheHits.get,
+      "resultCacheMisses" -> resultCacheMisses.get,
+      "resultCacheEntries" -> resultCache.size().toLong,
+      "resultCacheBytes" -> resultCacheBytes,
+      "lookupCacheHits" -> lookupCacheHits.get,
+      "lookupCacheMisses" -> lookupCacheMisses.get)
+  }
 
   private def cacheLookup(key: String): Option[String] = {
-    val hit = Option(resultCache.get(key))
+    // get mutates an access-order LinkedHashMap — needs the same monitor
+    val hit = resultCache.synchronized { Option(resultCache.get(key)) }
     if (hit.isDefined) resultCacheHits.incrementAndGet()
     else resultCacheMisses.incrementAndGet()
     hit
@@ -203,7 +227,7 @@ class Engine(spark: SparkSession, catalog: Catalog) {
             if (done.get) watchdog.cancel(false) // completed: disarm eagerly
           }
       }
-      if (populateCache) resultCache.put(cacheKey, result)
+      if (populateCache) cachePut(cacheKey, result)
       record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
         success = true, cached = false, bytes = result.length.toLong))
       result

@@ -48,6 +48,34 @@ class EngineSpec extends SparkTestBase {
     assert(r3.contains("\"cnt\":2")) // 05-02 now has 2 events
   }
 
+  test("result cache evicts by byte budget, least-recently-used first") {
+    spark.conf.set("spark.graft.resultCache.maxBytes", "600")
+    try {
+      val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+      def q(day: Int): String =
+        s"""{"queryType":"timeseries","dataSource":"ev",
+           |"intervals":["2024-05-0${day}T00:00:00Z/2024-05-0${day + 1}T00:00:00Z"],
+           |"granularity":"day",
+           |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+      engine.executeJson(q(1)) // each result is ~60-80 chars → ~150+ bytes/entry
+      engine.executeJson(q(2))
+      val hitsBefore = engine.cacheStats("resultCacheHits")
+      engine.executeJson(q(1)) // hit — and refreshes q1's recency
+      assert(engine.cacheStats("resultCacheHits") == hitsBefore + 1)
+      assert(engine.cacheStats("resultCacheBytes") <= 600L)
+      // overflow the budget: older entries must leave, bytes stay bounded
+      (3 to 6).foreach(d => engine.executeJson(q(d)))
+      val stats = engine.cacheStats
+      assert(stats("resultCacheBytes") <= 600L)
+      assert(stats("resultCacheEntries") < 6L)
+      // an entry bigger than the whole budget is not cached at all
+      spark.conf.set("spark.graft.resultCache.maxBytes", "10")
+      val tiny = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+      tiny.executeJson(q(1))
+      assert(tiny.cacheStats("resultCacheEntries") == 0L)
+    } finally spark.conf.unset("spark.graft.resultCache.maxBytes")
+  }
+
   test("useCache=false bypasses the cache") {
     val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
     val q = tsQuery.replace("\"context\":{}", "")
