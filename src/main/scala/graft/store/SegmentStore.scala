@@ -38,8 +38,15 @@ class SegmentStore(val root: String) {
 
   // -- manifest -------------------------------------------------------------
 
+  /** `files`: the exact parquet files this segment committed — readers scan
+    * THIS list, never a directory listing, so a reader racing a concurrent
+    * `appendBatch` job-commit (part-files surface one rename at a time)
+    * can never observe a partial batch: visibility is solely the atomic
+    * manifest flip. Empty (manifests written before this field) falls back
+    * to listing the version dir. */
   final case class SegmentInfo(chunk: String, version: Int, path: String,
-      rowCount: Long, rollupCountCol: Option[String])
+      rowCount: Long, rollupCountCol: Option[String],
+      files: Seq[String] = Seq.empty)
 
   /** `lastBatchId`: highest streaming micro-batch committed into this
     * datasource — appendBatch skips replays at or below it, which is what
@@ -61,7 +68,9 @@ class SegmentStore(val root: String) {
       val segs = node.get("segments").elements().asScala.map { s =>
         SegmentInfo(s.get("chunk").asText(), s.get("version").asInt(),
           s.get("path").asText(), s.get("rowCount").asLong(),
-          Option(s.get("rollupCountCol")).filterNot(_.isNull).map(_.asText()))
+          Option(s.get("rollupCountCol")).filterNot(_.isNull).map(_.asText()),
+          Option(s.get("files")).filterNot(_.isNull)
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
       }.toSeq
       Manifest(ds, segs,
         Option(node.get("lastBatchId")).filterNot(_.isNull).map(_.asLong()))
@@ -77,6 +86,10 @@ class SegmentStore(val root: String) {
       o.put("chunk", s.chunk); o.put("version", s.version)
       o.put("path", s.path); o.put("rowCount", s.rowCount)
       s.rollupCountCol.foreach(o.put("rollupCountCol", _))
+      if (s.files.nonEmpty) {
+        val fa = o.putArray("files")
+        s.files.foreach(fa.add)
+      }
     }
     m.lastBatchId.foreach(rootNode.put("lastBatchId", _))
     val p = manifestPath(m.datasource)
@@ -129,15 +142,20 @@ class SegmentStore(val root: String) {
     * `read.parquet(dir).count()` job per chunk; on a many-chunk ingest that
     * is a scheduler round-trip per chunk for a number the footers already
     * hold. */
-  private def footerRows(dir: String): Long = {
+  private def footerRows(dir: String): Long =
+    graft.sources.ParquetFooters.totalRecords(listParquet(dir),
+      new org.apache.hadoop.conf.Configuration())
+
+  /** Committed parquet files of a segment dir, sorted — the writer pins
+    * this list into the manifest (see `SegmentInfo.files`). Only called
+    * under the chunk's write lock, so the listing cannot race a writer. */
+  private def listParquet(dir: String): Seq[String] = {
     val d = Paths.get(dir)
-    if (!Files.exists(d)) 0L
+    if (!Files.exists(d)) Seq.empty
     else {
       val files = Files.list(d)
-      try graft.sources.ParquetFooters.totalRecords(
-        files.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toSeq,
-        new org.apache.hadoop.conf.Configuration())
+      try files.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
       finally files.close()
     }
   }
@@ -216,7 +234,7 @@ class SegmentStore(val root: String) {
         writer.parquet(dir)
         val rows = footerRows(dir)
         SegmentInfo(c, v, dir, rows,
-          rollup.map(_ => "__rollup_count"))
+          rollup.map(_ => "__rollup_count"), listParquet(dir))
       }
       val oldPaths = manifest.segments.filter(s => chunks.contains(s.chunk)).map(_.path)
       val next = updateManifest(ds) { cur =>
@@ -246,7 +264,8 @@ class SegmentStore(val root: String) {
         withChunk.where(col("dt") === c).drop("dt")
           .write.mode(SaveMode.Append).parquet(dir)
         val rows = footerRows(dir)
-        SegmentInfo(c, v, dir, rows, existing.flatMap(_.rollupCountCol))
+        SegmentInfo(c, v, dir, rows, existing.flatMap(_.rollupCountCol),
+          listParquet(dir))
       }
       updateManifest(ds) { cur =>
         cur.copy(segments = cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ updated,
@@ -271,7 +290,7 @@ class SegmentStore(val root: String) {
       val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
         cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
-          SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
+          SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol, listParquet(dir)))
       }
       deleteUnreferenced(next, Seq(seg.path))
     }
@@ -295,7 +314,7 @@ class SegmentStore(val root: String) {
       val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
         cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
-          SegmentInfo(chunk, v, dir, rows, Some(countCol)))
+          SegmentInfo(chunk, v, dir, rows, Some(countCol), listParquet(dir)))
       }
       deleteUnreferenced(next, Seq(seg.path))
     }
@@ -323,7 +342,7 @@ class SegmentStore(val root: String) {
       Files.move(Paths.get(seg.path), dest, StandardCopyOption.ATOMIC_MOVE)
       updateManifest(ds) { cur =>
         cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
-          seg.copy(path = dest.toString))
+          seg.copy(path = dest.toString, files = listParquet(dest.toString)))
       }
     }
 
@@ -341,7 +360,7 @@ class SegmentStore(val root: String) {
       val rows = footerRows(dir)
       val next = updateManifest(ds) { cur =>
         cur.copy(segments = cur.segments.filterNot(_.chunk == chunk) :+
-          SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol))
+          SegmentInfo(chunk, v, dir, rows, seg.rollupCountCol, listParquet(dir)))
       }
       deleteUnreferenced(next, Seq(seg.path))
     }
@@ -376,7 +395,14 @@ class SegmentStore(val root: String) {
     val hit = planCache.get(key)
     if (hit != null) hit
     else {
-      val df = spark.read.parquet(segs.map(_.path): _*)
+      // scan the manifest-pinned file lists when every segment has one:
+      // a directory listing racing a concurrent append's job-commit could
+      // surface a strict subset of that batch's part-files. Dir-path
+      // fallback only for manifests written before the `files` field.
+      val paths =
+        if (segs.forall(_.files.nonEmpty)) segs.flatMap(_.files)
+        else segs.map(_.path)
+      val df = spark.read.parquet(paths: _*)
       planCache.put(key, df)
       df
     }

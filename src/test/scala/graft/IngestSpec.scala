@@ -94,6 +94,50 @@ class IngestSpec extends SparkTestBase {
       Seq(ts("2024-05-01T00:00:00Z")))
   }
 
+  test("reader racing appendBatch never sees a partial batch (manifest-flip atomicity)") {
+    // SegmentStore.scala documents that visibility is solely the atomic
+    // manifest flip. The hazard: a batch's part-files surface in the
+    // version dir one rename at a time during job-commit, so a reader
+    // listing the DIRECTORY mid-commit would count a strict subset of the
+    // batch. Readers scan the manifest-pinned file list instead — every
+    // count a racing reader observes must be a whole number of batches.
+    val store = freshStore()
+    val batchRows = 5
+    store.write((0 until batchRows).map(i =>
+      (ts("2024-05-01T01:00:00Z"), s"e$i", i.toDouble))
+      .toDF("__time", "event_type", "value"), "race")
+
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writerFail = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        (1 to 12).foreach { b =>
+          store.appendBatch((0 until batchRows).map(i =>
+            (ts("2024-05-01T02:00:00Z"), s"b${b}e$i", i.toDouble))
+            .toDF("__time", "event_type", "value"), "race", batchId = Some(b.toLong))
+        }
+      } catch { case t: Throwable => writerFail.set(t) }
+      finally writerDone.set(true)
+    })
+    writer.start()
+    val observed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var iters = 0
+    while ((!writerDone.get || iters < 100) && iters < 400) {
+      observed += store.read(spark, "race").count()
+      iters += 1
+    }
+    writer.join()
+    assert(writerFail.get == null, s"writer failed: ${writerFail.get}")
+    observed.foreach { c =>
+      assert(c % batchRows == 0,
+        s"reader observed $c rows mid-append — a partial batch became visible")
+    }
+    // counts only move forward (monotone visibility), and the final state
+    // holds every batch exactly once
+    assert(observed.toSeq == observed.sorted.toSeq, "visibility went backwards")
+    assert(store.read(spark, "race").count() == 13L * batchRows)
+  }
+
   test("rollup index pre-aggregates and count is rewritten to sum") {
     val store = freshStore()
     store.write(raw, "ev_rollup", rollup = Some((Granularity.Simple("hour"),

@@ -226,6 +226,57 @@ class PlannerPropertySpec extends SparkTestBase {
     }
   }
 
+  test("law: keyset paging survives ONE timestamp spanning many consecutive pages") {
+    // the keyset cursor's worst case (QueryPlanner.planSelect): the offset
+    // part of the cursor skips rows already consumed AT the cursor
+    // timestamp, so a timestamp holding threshold×N rows means N straight
+    // pages re-enter the same µs with a growing offset. 400 rows on one
+    // timestamp at threshold=7 → ~58 consecutive same-timestamp pages.
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val rows =
+      (0 until 5).map(i => (ts(f"2024-04-01T$i%02d:00:00Z"), s"pre$i", i.toDouble)) ++
+      (0 until 400).map(i => (ts("2024-04-02T00:00:00Z"), s"e${i % 13}", (i % 17).toDouble)) ++
+      (0 until 5).map(i => (ts(f"2024-04-03T$i%02d:00:00Z"), s"post$i", i.toDouble))
+    val dup = rows.toDF("__time", "event_type", "value")
+    val engine = new Engine(spark, new MapCatalog(Map("pg1" -> dup)))
+
+    Seq(false, true).foreach { desc =>
+      var ids = "{}"
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+      var pages = 0
+      var done = false
+      while (!done && pages < 100) {
+        val json = engine.executeJson(
+          s"""{"queryType":"select","dataSource":"pg1",
+            |"intervals":["2024-04-01T00:00:00Z/2024-04-04T00:00:00Z"],
+            |"descending":$desc,
+            |"dimensions":["event_type"],"metrics":["value"],
+            |"context":{"useCache":"false"},
+            |"pagingSpec":{"pagingIdentifiers":$ids,"threshold":7}}""".stripMargin)
+        val r = mapper.readTree(json).get(0).get("result")
+        val events = r.get("events")
+        if (events.size() == 0) done = true
+        else {
+          (0 until events.size()).foreach { i =>
+            val e = events.get(i)
+            seen += ((e.get("__time").asText(), e.get("event_type").asText(),
+              e.get("value").asDouble()))
+          }
+          ids = mapper.writeValueAsString(r.get("pagingIdentifiers"))
+          pages += 1
+        }
+      }
+      // exact page count: no page may come back short while rows remain
+      assert(pages == math.ceil(410.0 / 7).toInt, s"desc=$desc took $pages pages")
+      assert(seen.size == 410, s"desc=$desc got ${seen.size} rows")
+      val expected = rows.map(r => (r._1.toInstant.toString, r._2, r._3))
+      assert(seen.toSeq.groupBy(identity).view.mapValues(_.size).toMap ==
+        expected.groupBy(identity).view.mapValues(_.size).toMap,
+        s"desc=$desc multiset mismatch under pathological duplication")
+    }
+  }
+
   test("law: union datasource == doubled aggregates") {
     val single = Query.Timeseries(DataSource.Table("ev"), Seq(interval),
       Granularity.Simple("day"), None,
