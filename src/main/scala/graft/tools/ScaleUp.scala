@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal data generator: replicates a driver-generated SF
+  * directory N× into a new parquet directory, entirely on executors
+  * (one `explode(sequence(...))` pass per table — no driver-side row
+  * building), so the bench can be run one decade of scale above the
+  * largest driver-provided SF.
+  *
+  * The replication is designed to preserve each query's OUTPUT SHAPE
+  * while scaling its INPUT 10×, which is what a real 10× deployment
+  * looks like:
+  *
+  *  - `region`/`nation` are copied as-is — dimension tables don't grow
+  *    with deployment size, and scaling them would break the fixed
+  *    5/25-row group-by cardinalities every oracle query has.
+  *  - Fact keys (`custkey`, `orderkey`, `partkey`, `suppkey`,
+  *    `event_id`, `user_id`, `doc_id`, `vec_id`) shift by
+  *    `replica * KeyOffset`, consistently across tables, so
+  *    orders↔lineitem / customer↔orders joins keep exactly one match
+  *    per key and per-key group sizes stay flat.
+  *  - Timestamps are NOT shifted: a 10× deployment sees 10× events in
+  *    the same wall-clock window, so timeseries queries keep their
+  *    bucket count and get 10× rows per bucket (the realistic load
+  *    shape for zero-fill/granularity machinery).
+  *  - `documents.text` gets a per-replica suffix on EVERY token
+  *    (replica 0 is unmodified). Within a replica the token-overlap
+  *    structure — exact dups, planted near-dups — is exactly the
+  *    original's; across replicas shingle sets are disjoint, so the
+  *    planted-duplicate RATE stays constant instead of every doc
+  *    acquiring 9 cross-replica twins (which would inflate the
+  *    candidate-verify stages quadratically and measure a data shape
+  *    no real corpus has).
+  *  - `embeddings.embedding` gets a per-replica deterministic sign
+  *    flip per component (replica 0 unmodified): a diagonal ±1
+  *    orthogonal transform, so within-replica inner products — the
+  *    planted near-dup pairs, the IVF cluster geometry — are exactly
+  *    preserved, while cross-replica cosines scramble to near zero
+  *    (the data is zero-mean per component).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleUp"` with env
+  *   SPARK_GRAFT_SCALE_SRC  (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_SCALE_N    (default 10)
+  *   SPARK_GRAFT_SCALE_OUT  (default target/testdata-sf1)
+  */
+object ScaleUp {
+
+  /** Key shift per replica — far above any driver-generated key (sf0.1
+    * orderkeys top out ~6e6) and far below Long overflow at replica 10. */
+  val KeyOffset = 1000000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "10").toInt
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "target/testdata-sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scaleAll(spark, src, out, n)
+    spark.stop()
+  }
+
+  def scaleAll(spark: SparkSession, src: String, out: String, n: Int): Unit = {
+    // loadRaw, not a plain parquet read: `events.ts` is TIMESTAMP(NANOS),
+    // which Spark 4 rejects without the nanosAsLong conf. Reading AND
+    // writing it as a raw int64 keeps the scaled table on the same
+    // LongType code path (Catalog's raw-nanos pushdown, TableLoader's
+    // div-1000 conversion) the driver's fixtures exercise.
+    def read(t: String) = graft.sources.TableLoader.loadRaw(spark, src, t)
+    def write(t: String)(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      System.err.println(s"[scaleup] $t done")
+    }
+
+    // dims: verbatim copy
+    Seq("region", "nation").foreach(t => write(t)(read(t)))
+
+    // one exploded scan per fact table; `replica` is dropped after use
+    def replicate(df: DataFrame): DataFrame =
+      df.withColumn("replica", explode(sequence(lit(0L), lit((n - 1).toLong))))
+    def shift(cols: String*)(df: DataFrame): DataFrame =
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c) + col("replica") * KeyOffset))
+
+    write("customer")(shift("c_custkey")(replicate(read("customer"))).drop("replica"))
+    write("supplier")(shift("s_suppkey")(replicate(read("supplier"))).drop("replica"))
+    write("part")(shift("p_partkey")(replicate(read("part"))).drop("replica"))
+    write("orders")(shift("o_orderkey", "o_custkey")(replicate(read("orders")))
+      .drop("replica"))
+    write("lineitem")(shift("l_orderkey", "l_partkey", "l_suppkey")(
+      replicate(read("lineitem"))).drop("replica"))
+    write("events")(shift("event_id", "user_id")(replicate(read("events")))
+      .drop("replica"))
+
+    // documents: suffix every token with the replica id (replica 0 verbatim),
+    // so cross-replica shingle sets are disjoint; n_chars tracks the new text
+    val docs = replicate(read("documents"))
+      .withColumn("doc_id", col("doc_id") + col("replica") * KeyOffset)
+      .withColumn("text",
+        when(col("replica") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("replica"))))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("replica")
+    write("documents")(docs)
+
+    // embeddings: per-(replica, component) deterministic sign flip — a
+    // diagonal orthogonal transform per replica (replica 0 verbatim)
+    val emb = replicate(read("embeddings"))
+      .withColumn("vec_id", col("vec_id") + col("replica") * KeyOffset)
+      .withColumn("embedding",
+        when(col("replica") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, j) => when(pmod(hash(col("replica"), j), lit(2)) === 0, x)
+              .otherwise(-x))))
+      .drop("replica")
+    write("embeddings")(emb)
+  }
+}
