@@ -28,4 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // HotSpot permanently bans a method from C2 after 400 deopt→recompile
+  // cycles ("made not compilable") — at >=10x the test row volume Spark's
+  // generated iterator code can cross that budget mid-run, leaving hot
+  // query loops interpreted FOREVER in that JVM (measured: the q23 dedup
+  // pipeline at a 10x SF decayed 19s → 90-500s run-to-run, and recovered
+  // to a stable 8-18s with the cutoff raised). Executors on a real
+  // cluster process orders of magnitude more rows per JVM, so ship the
+  // raised cutoff with every runnable main.
+  "-XX:PerMethodRecompilationCutoff=10000",
 )

