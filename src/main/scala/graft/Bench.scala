@@ -22,6 +22,12 @@ import org.apache.spark.sql.SparkSession
   * pass) so a contended window is visible in the file, not just stderr.
   * Failed passes never contribute a timing: a query that throws instantly
   * must not masquerade as a speedup — it lands in `errors` instead.
+  *
+  * `canary_sec` / `canary_par_sec` time a fixed pure-CPU workload (no
+  * Spark, no allocation) on 1 thread and on all `cpus` threads, sampled
+  * before, between, and after the sweeps. Variation in the canary across
+  * runs measures the HOST (CPU steal, co-tenant load), not the engine —
+  * compare canaries first before reading a cross-run query delta as real.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -61,19 +67,48 @@ object Bench {
     }
     def settle(): Unit = { System.gc(); Thread.sleep(200) }
 
+    // fixed xorshift64 loop; the sink keeps the JIT from eliding it
+    @volatile var canarySink = 0L
+    def canaryLoop(): Long = {
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < (1 << 28)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      canarySink ^= canaryLoop()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canaryPar(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val ts = (1 to n).map(_ => new Thread(() => { canarySink ^= canaryLoop() }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // JIT warm the loop before the first sample
+    val canary1 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaryN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleCanary(): Unit = { canary1 += canaryOnce(); canaryN += canaryPar() }
+
     val acc = names.map(n => n -> scala.collection.mutable.ArrayBuffer
       .empty[(Double, Boolean)]).toMap
 
+    sampleCanary()
     // sweep 1: query-major with a GC+settle barrier between queries
     names.foreach { n =>
       settle()
       (1 to passes).foreach(_ => acc(n) += runOne(n))
     }
+    sampleCanary()
     // sweep 2: pass-major, GC barrier between whole passes
     (1 to passes).foreach { _ =>
       settle()
       names.foreach(n => acc(n) += runOne(n))
     }
+    sampleCanary()
+    if (canarySink == 42L) System.err.println("[bench] canary sink (never prints)")
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -113,7 +148,10 @@ object Bench {
         .mkString("{", ",", "}")
     val total = stats.flatMap(_._2.map(_._1)).sum
     val totalMin = stats.flatMap(_._2.map(_._2)).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"query-major+pass-major"$errorsJson}""")
+    val canaryJson =
+      ",\"canary_sec\":[" + canary1.map(fmt).mkString(",") + "]" +
+        ",\"canary_par_sec\":[" + canaryN.map(fmt).mkString(",") + "]"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"query-major+pass-major"$canaryJson$errorsJson}""")
     spark.stop()
   }
 }

@@ -348,11 +348,13 @@ object SparkEntry {
       docs.select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_m"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(graft.functions.TextHashFunctions.split_ws(trim(col("text"))))
+          .cast("long").as("n_tokens"),
         ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
           .cast("long").as("n_the"),
         round(length(col("text")).cast("double") /
-          size(split(trim(col("text")), "\\s+")), 3).as("avg_tok_len"))
+          size(graft.functions.TextHashFunctions.split_ws(trim(col("text")))), 3)
+          .as("avg_tok_len"))
         .orderBy("doc_id")
     }),
     "q22_minhash_dups" -> ((s, dir) => {
@@ -381,8 +383,8 @@ object SparkEntry {
         .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("__j"))
+          graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
+            .as("__j"))
         .where(col("__j") >= 0.5)
         .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -421,8 +423,8 @@ object SparkEntry {
         .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("__j"))
+          graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
+            .as("__j"))
         .where(col("__j") >= 0.9)
         .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")

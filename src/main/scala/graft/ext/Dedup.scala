@@ -58,17 +58,21 @@ object Dedup {
   // shingling
   // -------------------------------------------------------------------------
 
-  /** Lowercased whitespace tokens. */
-  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+  /** Lowercased whitespace tokens — native byte-pass tokenizer with
+    * `split(lower(trim(text)), "\\s+")` semantics. The builtin `split`
+    * recompiles the `\s+` pattern per ROW (String.split only fast-paths
+    * single-char separators); the native expression scans bytes once. */
+  def tokens(text: Column): Column =
+    graft.functions.TextHashFunctions.split_ws(lower(trim(text)))
 
-  /** Word n-gram shingles as strings ("w1 w2 ... wn"), distinct. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(size(t) < n, array(concat_ws(" ", t)))
-        .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n))))))
-  }
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"), distinct — native
+    * one-pass expression. The previous HOF formulation
+    * (`transform(sequence(...), i => concat_ws(" ", slice(t, i, n)))`)
+    * was interpreted per element and re-evaluated the tokenizer subtree
+    * once per shingle POSITION — O(tokens²) per document, which is what
+    * blew q22/q23's verify-frame build up at 10× SF. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextHashFunctions.word_shingles(tokens(text), n)
 
   // -------------------------------------------------------------------------
   // exact dedup
@@ -295,8 +299,8 @@ object Dedup {
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -13,7 +13,7 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+"))).cast(LongType)
+      .otherwise(size(graft.functions.TextHashFunctions.split_ws(trim(text)))).cast(LongType)
 
   /** BPE-ish subword count: splits on word/number/punct boundaries the way a
     * byte-pair tokenizer's pre-tokenizer does (letters runs, digit runs,
@@ -86,7 +86,7 @@ object TextAnalysis {
     * packing). Returns array<string>; explode for one row per chunk. */
   def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
-    val t = split(trim(text), "\\s+")
+    val t = graft.functions.TextHashFunctions.split_ws(trim(text))
     val step = chunkSize - overlap
     when(size(t) <= chunkSize, array(concat_ws(" ", t)))
       .otherwise(transform(

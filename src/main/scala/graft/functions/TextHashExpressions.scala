@@ -314,6 +314,164 @@ case class MinHashJaccard(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Whitespace tokenizer with `String.split("\\s+")` semantics, minus the
+  * regex: one byte-level pass over the UTF8String. Spark's `split(col,
+  * "\\s+")` recompiles the pattern on EVERY row (`String.split` only
+  * fast-paths single-char non-regex separators), which profiled as the
+  * top kernel+CPU sink of the dedup frame build at 10× SF. Whitespace
+  * here = Java regex `\s` = [ \t\n\x0B\f\r], all ASCII, so byte-wise
+  * scanning is UTF-8-safe (continuation bytes are ≥ 0x80).
+  *
+  * Exact Spark `split(col, re)` (= `String.split(re, -1)`) edge semantics
+  * are preserved: a leading separator yields a leading "" field, a
+  * trailing separator yields a trailing "" field (Spark's default limit
+  * -1 KEEPS trailing empties, unlike `String.split(re)`), and an empty
+  * input yields [""]. */
+case class WhitespaceSplit(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WhitespaceSplit.split(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WhitespaceSplit.split($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WhitespaceSplit {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Static so generated code stays a one-line call (big inline bodies are
+    * what tripped the JIT recompilation ban at 10× SF). */
+  def split(u: UTF8String): ArrayData = {
+    val bytes = u.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[UTF8String]
+    var start = 0
+    var i = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        out.add(UTF8String.fromBytes(bytes, start, i - start))
+        while (i < len && isWs(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out.add(UTF8String.fromBytes(bytes, start, len - start)) // tail, "" if trailing ws
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Distinct word n-gram shingles ("w1 w2 ... wn") of a token array, one
+  * pass. Replaces the HOF formulation `transform(sequence(...), i =>
+  * concat_ws(" ", slice(t, i, n)))`, which is interpreted per element AND
+  * re-evaluates the full child subtree (the tokenizer!) once per shingle
+  * position — O(tokens²) per document. Matches that formulation exactly:
+  * fewer than n tokens collapse to ONE shingle of all tokens, null tokens
+  * are skipped in the join (concat_ws semantics), and the distinct keeps
+  * first occurrence (array_distinct semantics). */
+case class WordShingles(child: Expression, shingleN: Int)
+    extends StringArrayExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingles.compute(v.asInstanceOf[ArrayData], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordShingles.compute($a, $shingleN);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingles {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, shingleN: Int): ArrayData = {
+    val n = arr.numElements()
+    def join(from: Int, until: Int): UTF8String = {
+      val w = new Array[UTF8String](until - from)
+      var i = from
+      while (i < until) {
+        w(i - from) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        i += 1
+      }
+      UTF8String.concatWs(Sep, w: _*) // skips nulls, like ConcatWs
+    }
+    val out = new java.util.LinkedHashSet[UTF8String] // distinct, first-occurrence order
+    if (n < shingleN) out.add(join(0, n))
+    else {
+      var s = 0
+      while (s <= n - shingleN) { out.add(join(s, s + shingleN)); s += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Exact set Jaccard of two string arrays in one pass. Drop-in equal to
+  * `size(array_intersect(a, b)) / size(array_union(a, b))` (distinct
+  * semantics over possibly-duplicated inputs, NaN on two empty arrays)
+  * without materializing either intermediate array — this runs once per
+  * candidate PAIR on the dedup verify path. */
+case class SetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SetJaccard.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
+object SetJaccard {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String]
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      setA.add(if (a.isNullAt(i)) null else a.getUTF8String(i))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[UTF8String]
+    var inter = 0
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      val e = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      if (seenB.add(e) && setA.contains(e)) inter += 1
+      j += 1
+    }
+    val union = setA.size + seenB.size - inter
+    if (union == 0) Double.NaN else inter.toDouble / union
+  }
+}
+
 /** Sort key realizing Druid's alphanumeric comparator: embedded digit runs
   * compare numerically ("file2" < "file10"), everything else byte-wise.
   * Digit runs are rewritten to (0-padded-length-prefix + digits) so plain
@@ -380,4 +538,13 @@ object TextHashFunctions {
 
   def alphanumeric_sort_key(s: Column): Column =
     GraftBridge.column(AlphanumericSortKey(GraftBridge.expression(s)))
+
+  def split_ws(s: Column): Column =
+    GraftBridge.column(WhitespaceSplit(GraftBridge.expression(s)))
+
+  def word_shingles(tokens: Column, shingleN: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(tokens), shingleN))
+
+  def set_jaccard(a: Column, b: Column): Column =
+    GraftBridge.column(SetJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

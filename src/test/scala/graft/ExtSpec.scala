@@ -259,6 +259,55 @@ class ExtSpec extends SparkTestBase {
     assert(gen.nonEmpty && gen == interp)
   }
 
+  test("native split_ws/word_shingles/set_jaccard match the builtin formulations") {
+    import graft.functions.TextHashFunctions._
+    // edge zoo: empty, all-whitespace, leading/trailing tabs and newlines
+    // (trim() only strips spaces!), runs of mixed whitespace, fewer tokens
+    // than the shingle width, duplicate shingles, non-ASCII text
+    val texts = Seq(
+      "", " ", "\t", "a", "a b", "a  b\tc", "\ta b c d", "a b c d\n",
+      "x y x y x y x y", "ONE Two  three\r\nfour", "héllo wörld düp düp düp",
+      "ab", "  lots   of \t space  ", "w1 w2 w3 w1 w2 w3 w1 w2 w3")
+    val df = texts.toDF("text")
+      .withColumn("t_old", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("t_new", split_ws(lower(trim(col("text")))))
+    assert(df.where(not(col("t_old") === col("t_new"))).count() == 0,
+      df.select("text", "t_old", "t_new").collect().mkString("\n"))
+
+    // old HOF shingle formulation, verbatim from the pre-native Dedup.shingles
+    def oldShingles(t: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(
+        when(size(t) < n, array(concat_ws(" ", t)))
+          .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", slice(t, i, lit(n))))))
+    val sh = df
+      .withColumn("sh_old", oldShingles(col("t_old"), 3))
+      .withColumn("sh_new", word_shingles(col("t_new"), 3))
+    assert(sh.where(not(col("sh_old") === col("sh_new"))).count() == 0,
+      sh.select("text", "sh_old", "sh_new").collect().mkString("\n"))
+
+    // set_jaccard vs intersect/union over every pair of the zoo's shingle sets
+    val l = sh.select(col("sh_new").as("a"))
+    val r = sh.select(col("sh_new").as("b"))
+    val pairs = l.crossJoin(r)
+      .withColumn("j_old", size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))))
+      .withColumn("j_new", set_jaccard(col("a"), col("b")))
+    assert(pairs.where(not(col("j_old") === col("j_new"))).count() == 0)
+
+    // and the three must agree between codegen'd and interpreted eval
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try sh.select("t_new", "sh_new").collect().toSeq
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+    assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
+  }
+
   test("multimodal decode is deterministic and handles nulls/empties") {
     val media = Multimodal.syntheticMedia(spark, 50)
       .union(Seq((98L, Array.empty[Byte])).toDF("media_id", "content"))
