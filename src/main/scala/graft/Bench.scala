@@ -39,6 +39,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-mode liveness: driver and "executor" share one GC domain, so
+      // a heavy sweep (32 busy tasks + multi-second G1 young pauses at big
+      // heaps) can starve the in-process heartbeat RPC loop long past the
+      // 120s default — HeartbeatReceiver then kills the only executor and
+      // the whole context collapses mid-bench (observed at 10x SF: 268s
+      // heartbeat gap -> exit 56 at minute 28). In-process heartbeats
+      // carry no liveness signal worth dying for.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -570,15 +570,31 @@ object Compilers {
             // merge sketches, then finalize (Druid hyperUnique-on-metric)
             graft.functions.HllFunctions.hll_sketch_estimate(
               graft.functions.HllFunctions.hll_sketch_merge(in))
-          case _ => approx_count_distinct(in)
+          case _ =>
+            // raw column: BUILD the same sketch ingest-time rollup builds,
+            // then estimate — one estimator (p=11, ~2.3% rsd, linear
+            // counting under 2.5m registers) whether the segment is rolled
+            // up or raw. Spark's approx_count_distinct (default rsd 0.05)
+            // broke the documented ±5% accuracy band in exactly the common
+            // regime n ≈ register count: at sf0.1 (1500 uniques/bucket) it
+            // missed the band on every single bucket.
+            graft.functions.HllFunctions.hll_sketch_estimate(
+              graft.functions.HllFunctions.hll_sketch_build(in))
         }
       case Cardinality(_, fields, byRow) =>
         val base =
           if (fields.size == 1) col(fields.head)
-          else if (byRow) struct(fields.map(col): _*)
+          else if (byRow)
+            // canonical delimited encoding, not struct(): the sketch hashes
+            // non-primitive inputs via toString, and InternalRow renderings
+            // differ between Unsafe/Generic rows. \u0001 joins fields,
+            // \u0000 marks null so ("a",null) hashes apart from ("a","").
+            concat_ws("\u0001",
+              fields.map(c => coalesce(col(c).cast(StringType), lit("\u0000"))): _*)
           else concat_ws("", fields.map(c => col(c).cast(StringType)): _*)
         val in = pred.map(p => when(p, base)).getOrElse(base)
-        approx_count_distinct(in)
+        graft.functions.HllFunctions.hll_sketch_estimate(
+          graft.functions.HllFunctions.hll_sketch_build(in))
       case Filtered(f, agg) =>
         val p = filterCol(f, schema)
         inner(agg, pred.map(_ && p).orElse(Some(p)))

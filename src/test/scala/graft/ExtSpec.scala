@@ -308,6 +308,23 @@ class ExtSpec extends SparkTestBase {
     assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
   }
 
+  test("hot-path expressions stay off CodegenFallback (per-row interpreted dispatch)") {
+    // CodegenFallback expressions still sit inside WholeStageCodegen spans —
+    // the plan string can't catch a regression to interpreted dispatch, so
+    // pin it at the class level: every expression on the dedup/ANN hot paths
+    // must implement real doGenCode.
+    import graft.functions._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val hot = Seq(
+      classOf[MinHashSignature], classOf[SimHash64], classOf[SignatureBandKeys],
+      classOf[MinHashJaccard], classOf[WhitespaceSplit], classOf[WordShingles],
+      classOf[SetJaccard], classOf[CosineSimilarity], classOf[HyperplaneSignBits],
+      classOf[PackBits])
+    val fallen = hot.filter(classOf[CodegenFallback].isAssignableFrom(_))
+    assert(fallen.isEmpty,
+      s"hot-path expressions regressed to CodegenFallback: ${fallen.map(_.getSimpleName)}")
+  }
+
   test("multimodal decode is deterministic and handles nulls/empties") {
     val media = Multimodal.syntheticMedia(spark, 50)
       .union(Seq((98L, Array.empty[Byte])).toDF("media_id", "content"))
