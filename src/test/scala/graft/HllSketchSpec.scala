@@ -24,6 +24,45 @@ class HllSketchSpec extends SparkTestBase {
     assert(math.abs(est - n).toDouble / n < 0.05, s"est=$est for n=$n")
   }
 
+  test("sketch estimate holds the 5% band ACROSS regimes, incl. n ≈ register count") {
+    // the regime that broke at sf0.1: Spark's approx_count_distinct (rsd
+    // 0.05) missed the documented ±5% band at n=1500 vs m=2048 registers.
+    // Our estimator must hold the band through the linear-counting regime,
+    // the transition at 2.5m, and the raw-HLL regime.
+    for (n <- Seq(100, 500, 1500, 2048, 3000, 5120, 8000, 20000)) {
+      val reg = Hll.emptySketch
+      (1 to n).foreach(i => Hll.add(reg, i.toLong * 2654435761L)) // spread keys
+      val est = Hll.estimate(reg)
+      assert(math.abs(est - n).toDouble / n < 0.05, s"est=$est for n=$n")
+    }
+  }
+
+  test("raw-column hyperUnique/cardinality aggs use the sketch estimator (±5% at n≈m)") {
+    // engine-path regression for the sf0.1 q30 failure: a raw (non-sketch)
+    // column at 1500 uniques per bucket must estimate within the band.
+    val n = 1500
+    val df = (0 until 3).flatMap(b => (1 to n).map(u =>
+      (Timestamp.from(java.time.Instant.parse(s"2024-01-0${b + 1}T00:00:00Z")),
+        b * 1000000L + u)))
+      .toDF("__time", "uid")
+    val out = new Engine(spark,
+      new graft.sources.MapCatalog(Map("hll_raw_band" -> df))).plan(
+      """{"queryType":"timeseries","dataSource":"hll_raw_band",
+        |"intervals":["2024-01-01T00:00:00Z/2024-01-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[
+        |  {"type":"hyperUnique","name":"uu","fieldName":"uid"},
+        |  {"type":"cardinality","name":"cc","fields":["uid"]}]}""".stripMargin)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val uu = r.getAs[Number]("uu").longValue()
+      val cc = r.getAs[Number]("cc").longValue()
+      assert(math.abs(uu - n).toDouble / n < 0.05, s"hyperUnique est=$uu for n=$n")
+      assert(math.abs(cc - n).toDouble / n < 0.05, s"cardinality est=$cc for n=$n")
+    }
+  }
+
   test("merge of disjoint sketches ≈ union cardinality") {
     val a = Hll.emptySketch; val b = Hll.emptySketch
     (1 to 10000).foreach(i => Hll.add(a, i.toLong))
