@@ -27,6 +27,37 @@ object Similarity {
   val NearDupSeed = 42L
   val NearDupBucketCap = 256
 
+  /** Banding geometry sized to the corpus. Hyperplane-LSH bucket keys are
+    * the band's sign BITS, so the keyspace is 2^rowsPerBand — FIXED. A
+    * fixed r means random-collision bucket load grows linearly with the
+    * corpus (n/2^r): at 5k docs the oracle-proven 16×8 default keeps ~20
+    * docs/bucket, but at 500k docs every 8-bit bucket holds ~2k docs, the
+    * skew cap star-links them all, and member↔member capture collapses
+    * (measured: 97.7% of true pairs silently lost at a 100× corpus).
+    *
+    * The scalable law: rows-per-band grows with log2(n) to pin expected
+    * random bucket load at ~`TargetBucketLoad`, and the band count follows
+    * from the capture target 1-(1-p^r)^b ≥ 99% at the THRESHOLD's bit
+    * agreement p = 1-acos(θ)/π — the standard n^ρ LSH trade: total banding
+    * work stays ~linear in n, band count grows sub-polynomially. Never
+    * narrower than the small-corpus default (which this reproduces exactly
+    * up to n = 32·2^8 ≈ 8k docs, keeping the oracle outputs
+    * byte-identical), and band count is clamped to `MaxAdaptiveBands`
+    * (low thresholds would demand unbounded OR-amplification; the clamp
+    * trades capture, loudly via the scaladoc'd formula). */
+  def adaptiveNearDupBanding(n: Long, threshold: Double): (Int, Int) = {
+    val r = math.max(NearDupRowsPerBand,
+      math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucketLoad))
+        / math.log(2)).toInt)
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val captureMiss = 0.01 // per-pair capture target 99%
+    val b = math.min(MaxAdaptiveBands, math.max(NearDupBands,
+      math.ceil(math.log(captureMiss) / math.log1p(-math.pow(p, r))).toInt))
+    (b, r)
+  }
+  val TargetBucketLoad = 32
+  val MaxAdaptiveBands = 96
+
   /** Cosine similarity of two float-array columns (0 when either norm=0).
     * Backed by the native codegen'd expression (graft.functions). */
   def cosine(a: Column, b: Column): Column =
@@ -215,9 +246,15 @@ object Similarity {
     * (more bands × fewer rows) knowingly if you need that regime. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double,
-      bands: Int = NearDupBands, rowsPerBand: Int = NearDupRowsPerBand,
+      bands: Int = -1, rowsPerBand: Int = -1,
       seed: Long = NearDupSeed, bucketCap: Int = NearDupBucketCap): DataFrame = {
-    val nBits = bands * rowsPerBand
+    // bands/rowsPerBand < 0 → size the banding to the corpus (one
+    // column-pruned count scan; the corpus is about to be scanned for
+    // signatures anyway). Explicit values pin the geometry for tests.
+    val (bandsR, rowsR) =
+      if (bands > 0 && rowsPerBand > 0) (bands, rowsPerBand)
+      else adaptiveNearDupBanding(df.count(), threshold)
+    val nBits = bandsR * rowsR
 
     // one corpus scan + hash pass; bit array for banding, packed longs for
     // the shuffle payload + popcount agreement
@@ -228,7 +265,7 @@ object Similarity {
           graft.functions.VectorFunctions.pack_bits(col("__sig"))))
 
     val banded = sigs.select(col("id"), col("__sigbits"),
-      posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
+      posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bandsR))
         .as(Seq("band", "bucket")))
 
     // agreement cut: bits agree w.p. 1-θ/π; keep pairs within 3σ of the

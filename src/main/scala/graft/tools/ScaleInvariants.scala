@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Correctness-at-scale gate: the oracle (DuckDB) cannot re-verify the
+  * quadratic dedup queries past ~5k documents, but `ScaleUp`'s replication
+  * is structure-preserving BY CONSTRUCTION, which yields invariants the
+  * scaled directory must satisfy:
+  *
+  *  - per-replica token suffixing keeps within-replica shingle overlap
+  *    identical to the base corpus and makes cross-replica overlap ZERO.
+  *    Exact dedup therefore scales EXACTLY N× (hash groups are
+  *    replica-local). LSH-banded families scale N× up to their published
+  *    capture semantics: minhash capture is probabilistic per replica
+  *    (≥99% per pair), and simhash HAMMING DISTANCE itself changes under
+  *    token renaming (a base pair at hamming 3 may sit at 4 in a suffixed
+  *    replica, and vice versa), so those counts must land in a tight band
+  *    around N×, not exactly on it.
+  *  - brute-force ANN top-k at a bigger corpus POINTWISE DOMINATES the
+  *    base: per query, the k-th best cosine can only go up (the candidate
+  *    set is a superset up to orthogonal replica transforms). Row equality
+  *    is NOT expected — at N× corpus the extreme-value tail of ~N·|base|
+  *    random cosines legitimately enters the top-k.
+  *  - IVF on the scaled corpus is graded as measured RECALL against the
+  *    scaled brute-force ground truth (the nProbe/nClusters trade at
+  *    scale), not against the base directory.
+  *
+  * A count drifting outside its band is a real semantic finding (this gate
+  * caught the fixed-keyspace banding collapse: 97.7% of true cosine pairs
+  * silently star-linked away at 100× corpus) — exactly the class of bug
+  * the sf0.01 oracle gate cannot see.
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleInvariants <baseDir> <scaledDir> <N>"`
+  */
+object ScaleInvariants {
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val scaled = args.lift(1).getOrElse("target/testdata-sf10")
+    val n = args.lift(2).map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failures = 0
+    def check(label: String)(ok: => Boolean, detail: => String): Unit = {
+      val pass = try ok catch { case e: Throwable =>
+        System.err.println(s"[invariant] ERROR $label: $e"); false }
+      if (!pass) failures += 1
+      println(s"[invariant] ${if (pass) "PASS" else "FAIL"} $label: $detail")
+    }
+
+    def qcount(q: String, dir: String): Long =
+      graft.SparkEntry.queries(q)(spark, dir).count()
+
+    // exact dedup: replica-local hash groups -> exactly N x
+    locally {
+      val b = qcount("q20_dedup_exact", base)
+      val s = qcount("q20_dedup_exact", scaled)
+      check("q20_exact_Nx")(s == n * b, s"base=$b scaled=$s expected=${n * b}")
+    }
+    // LSH families: within the published capture band of N x
+    for ((q, tol) <- Seq("q22_minhash_dups" -> 0.01, "q23_simhash_dups" -> 0.01,
+        "q28_cosine_neardup" -> 0.02)) {
+      val b = qcount(q, base)
+      val s = qcount(q, scaled)
+      val lo = ((1.0 - tol) * n * b).floor.toLong
+      val hi = ((1.0 + tol) * n * b).ceil.toLong
+      check(s"${q}_capture_band")(s >= lo && s <= hi,
+        f"base=$b scaled=$s band=[$lo,$hi] capture=${s.toDouble / (n * b)}%.4f")
+    }
+
+    // brute-force ANN: per-query k-th-best cosine pointwise dominates base
+    def kthBest(dir: String) = graft.SparkEntry.queries("q25_ann_cosine")(
+        spark, dir)
+      .groupBy("query_id").agg(min("cosine").as("kth"), count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    locally {
+      val b = kthBest(base)
+      val s = kthBest(scaled)
+      check("q25_topk_dominates")(b.keySet == s.keySet && b.forall {
+        case (q, (kb, k)) => s(q)._2 == k && s(q)._1 >= kb - 1e-9 },
+        b.keySet.toSeq.sorted.map(q =>
+          f"q$q ${b(q)._1}%.3f->${s(q)._1}%.3f").mkString(" "))
+    }
+
+    // IVF at N x corpus: measured recall vs the SCALED brute-force truth
+    locally {
+      def pairs(q: String) = graft.SparkEntry.queries(q)(spark, scaled)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairs("q25_ann_cosine")
+      val ivf = pairs("q47_ivf_ann")
+      val recall = (truth & ivf).size.toDouble / truth.size
+      check("q47_ivf_recall_at_scale")(recall >= 0.7, f"recall=$recall%.3f " +
+        s"(nProbe=7/8 on near-random data; base-SF recall is 1.0 by oracle)")
+    }
+
+    println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -33,12 +33,13 @@ import org.apache.spark.sql.functions._
   *    acquiring 9 cross-replica twins (which would inflate the
   *    candidate-verify stages quadratically and measure a data shape
   *    no real corpus has).
-  *  - `embeddings.embedding` gets a per-replica deterministic sign
-  *    flip per component (replica 0 unmodified): a diagonal ±1
+  *  - `embeddings.embedding` gets a per-replica SIGNED PERMUTATION
+  *    (cyclic component shift + sign flips; replica 0 unmodified): an
   *    orthogonal transform, so within-replica inner products — the
   *    planted near-dup pairs, the IVF cluster geometry — are exactly
-  *    preserved, while cross-replica cosines scramble to near zero
-  *    (the data is zero-mean per component).
+  *    preserved, while cross-replica pairs behave like independent
+  *    random vectors (a sign-flip-only transform leaves self-copy
+  *    cosines at Σ±v_j²/|v|² ≈ 0.5, polluting ANN top-k).
   *
   * Usage: `sbt "runMain graft.tools.ScaleUp"` with env
   *   SPARK_GRAFT_SCALE_SRC  (default /root/testdata/sf0.1)
@@ -111,16 +112,32 @@ object ScaleUp {
       .drop("replica")
     write("documents")(docs)
 
-    // embeddings: per-(replica, component) deterministic sign flip — a
-    // diagonal orthogonal transform per replica (replica 0 verbatim)
+    // embeddings: per-replica SIGNED PERMUTATION — cyclic component shift
+    // (offset never 0 for replica ≥ 1) composed with deterministic sign
+    // flips; replica 0 verbatim. Still orthogonal, so within-replica inner
+    // products — planted near-dup pairs, IVF geometry — are exactly
+    // preserved. A sign-flip-only transform is NOT enough: the cosine of a
+    // vector against its own flipped copy is a signed sum of SQUARES
+    // (Σ±v_j²/|v|²), which doesn't concentrate near zero — measured ~0.5+
+    // self-copy cosines at N=100 polluted every ANN top-k. With the shift,
+    // cross-replica products mix DIFFERENT components and behave like
+    // independent random vectors (≈N(0, 1/d) per pair — note the extreme-
+    // value tail: at N× corpus the global brute-force top-k legitimately
+    // gains cross-replica neighbors; that is real data behavior, not an
+    // artifact).
     val emb = replicate(read("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("replica") * KeyOffset)
       .withColumn("embedding",
-        when(col("replica") === 0, col("embedding")).otherwise(
-          zip_with(col("embedding"),
-            sequence(lit(0), size(col("embedding")) - 1),
-            (x, j) => when(pmod(hash(col("replica"), j), lit(2)) === 0, x)
-              .otherwise(-x))))
+        when(col("replica") === 0, col("embedding")).otherwise {
+          val d = size(col("embedding"))
+          val shift = pmod(col("replica") - 1, d - 1) + 1
+          transform(sequence(lit(0), d - 1), j => {
+            val src = element_at(col("embedding"),
+              (pmod(j + shift, d) + 1).cast("int"))
+            when(pmod(hash(col("replica"), j), lit(2)) === 0, src)
+              .otherwise(-src).cast("float")
+          })
+        })
       .drop("replica")
     write("embeddings")(emb)
   }

@@ -308,6 +308,27 @@ class ExtSpec extends SparkTestBase {
     assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
   }
 
+  test("adaptive near-dup banding: oracle identity at fixture scale, bounded load + capture at 100x") {
+    // fixture scale must resolve to EXACTLY the oracle-proven 16x8 geometry
+    assert(Similarity.adaptiveNearDupBanding(5125, 0.9) ==
+      (Similarity.NearDupBands, Similarity.NearDupRowsPerBand))
+    // at 100x corpus the bucket keyspace must grow with the corpus (the
+    // fixed-keyspace collapse: 500k docs / 2^8 buckets = ~2k/bucket, all
+    // star-linked) while holding the 99% capture target at the threshold
+    val n = 512500L
+    val (b, r) = Similarity.adaptiveNearDupBanding(n, 0.9)
+    assert(r > Similarity.NearDupRowsPerBand, s"rows/band must widen, got $r")
+    val load = n.toDouble / (1L << r)
+    assert(load <= 2.0 * Similarity.TargetBucketLoad,
+      s"expected random bucket load $load exceeds target")
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val capture = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+    assert(capture >= 0.99, s"capture $capture below target at ($b, $r)")
+    // band count grows monotonically with corpus size (the n^rho law)
+    val b10x = Similarity.adaptiveNearDupBanding(10 * n, 0.9)._1
+    assert(b10x >= b)
+  }
+
   test("hot-path expressions stay off CodegenFallback (per-row interpreted dispatch)") {
     // CodegenFallback expressions still sit inside WholeStageCodegen spans —
     // the plan string can't catch a regression to interpreted dispatch, so
