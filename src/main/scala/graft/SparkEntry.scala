@@ -814,6 +814,18 @@ object SparkEntry {
           |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin, Seq("customer"))),
     "q58_timeseries_second_spine" -> ((s, dir) =>
       engine(s, dir).plan(Q.timeseriesSecondSpine)),
+    "q59_simhash128_dups" -> ((s, dir) => {
+      // 128-bit simhash near-dup pairs — the wide fingerprint that lifts
+      // the 64-bit family's banding scale ceiling (4 bands × 32 bits:
+      // pigeonhole-lossless for hamming ≤ 3, bucket load n/2^32). The
+      // hamming predicate needs the engine's seeded xxh64 simhash, which
+      // DuckDB cannot recompute → no oracleSql (driver rows-only check);
+      // the EXACT gate is ExtSpec's pigeonhole property: banded result ==
+      // brute-force all-pairs hamming, asserted set-equal.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Dedup.simhash128DupPairs(docs, "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     "q52_scan_throughput" -> ((s, dir) =>
       // headline raw-scan throughput: full-table aggregate, no filters
       roundCols(engine(s, dir).plan(

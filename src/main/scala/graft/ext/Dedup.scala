@@ -319,6 +319,18 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** 128-bit SimHash (array<long> of 2) — the wide fingerprint for corpora
+    * past the 64-bit family's banding ceiling (see `simhashDupPairsFromSigs`
+    * scaladoc): 4 bands of 32 bits keep pigeonhole capture for hamming ≤ 3
+    * with a 2^32 bucket keyspace per band. */
+  def simhash128(text: Column): Column =
+    graft.functions.TextHashFunctions.simhash128(array_distinct(tokens(text)))
+
+  /** Hamming distance between two 128-bit signatures (array<long> of 2). */
+  def hamming128(a: Column, b: Column): Column =
+    bit_count(element_at(a, 1).bitwiseXOR(element_at(b, 1))) +
+      bit_count(element_at(a, 2).bitwiseXOR(element_at(b, 2)))
+
   /** SimHash near-dup pairs: candidates share one of `bands` equal-width
     * bit-bands of the 64-bit signature, then verified by Hamming distance
     * <= maxHamming. Pigeonhole: banding is LOSSLESS for pairs with
@@ -341,6 +353,14 @@ object Dedup {
 
   /** Banding + Hamming verify over a pre-MATERIALIZED simhash frame — see
     * `minhashDupPairsFromSigs` for when to use the FromSigs form. */
+  /** SCALE CEILING: bucket keys are fingerprint bit-slices, so the
+    * keyspace is fixed at 2^(64/bands) per band — random bucket load is
+    * n/2^16 at the 4-band default, crossing `bucketCap` (star-link
+    * degradation, same failure mode the cosine family's adaptive banding
+    * fixed) at n ≈ cap·2^16 ≈ 16.7M docs. The pigeonhole guarantee needs
+    * bands > maxHamming, so bands can't grow at fixed width: past that
+    * corpus size the scale fix is a WIDER fingerprint (128-bit simhash →
+    * 4 bands of 32 bits, load n/2^32), not more bands of this one. */
   def simhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, bucketCap: Int = 256, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
@@ -356,6 +376,35 @@ object Dedup {
         sigCol -> "__sig")
       .select(col("id_a"), col("id_b"),
         hamming(col("__sig_a"), col("__sig_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** 128-bit SimHash near-dup pairs: 4 bands of 32 bits (pigeonhole-
+    * lossless for hamming ≤ 3), keys-only banding, exact hamming verify.
+    * The wide-fingerprint successor to `simhashDupPairs` for corpora past
+    * its ~16.7M-doc ceiling: random bucket load is n/2^32 per band, so the
+    * skew cap only ever engages on genuinely duplicated fingerprints
+    * (which the star-link handles), never on random load. */
+  def simhash128DupPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+    val sigs = materialize(
+      df.select(col(idCol).as("id"), simhash128(col(textCol)).as("sig")))
+    simhash128DupPairsFromSigs(sigs, "id", "sig", maxHamming, bucketCap)
+  }
+
+  /** Banding + hamming verify over a pre-materialized 128-bit frame. */
+  def simhash128DupPairsFromSigs(sigs: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+    val mask = (1L << 32) - 1
+    val banded = sigs.select(col(idCol).as("id"),
+      posexplode(array((0 until 4).map { b =>
+        val word = element_at(col(sigCol), b / 2 + 1)
+        shiftright(word, (b % 2) * 32).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "bucket")))
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+        sigCol -> "__sig")
+      .select(col("id_a"), col("id_b"),
+        hamming128(col("__sig_a"), col("__sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -103,6 +103,12 @@ object Similarity {
     * bits each; candidate pairs share any band bucket; exact cosine re-rank
     * keeps the top k per query. Recall < 1 by design (documented deviation
     * from the exact baseline; raise bands×rows for higher recall). */
+  /** NOTE on scale: bucket keys are sign bits, so the keyspace is fixed at
+    * 2^rowsPerBand — candidate volume per query grows as n/2^r·bands. That
+    * degrades COST toward brute-force (never correctness: the exact
+    * re-rank keeps emitted rows right). For big corpora either widen
+    * rowsPerBand (the `adaptiveNearDupBanding` law, trading recall) or use
+    * `ivfTopK` — the documented scale path for ANN search. */
   def lshTopK(queries: DataFrame, qidCol: String, qvecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       dim: Int, bands: Int = 8, rowsPerBand: Int = 8, seed: Long = 42L): DataFrame = {

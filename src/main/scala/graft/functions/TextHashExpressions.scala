@@ -180,6 +180,82 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 128-bit SimHash of a token array, as array<long> of 2 — the WIDE
+  * fingerprint that lifts the 64-bit family's banding scale ceiling
+  * (4 bands of 32 bits: pigeonhole capture for hamming ≤ 3 with a
+  * 2^32-value bucket keyspace per band, vs 2^16 at 64 bits — random
+  * bucket load stays trivial past billions of docs). Bits 0-63 come from
+  * the seed-42 token hash (IDENTICAL to SimHash64's bit assignment, so
+  * the low long of simhash128 == simhash64 for the same tokens); bits
+  * 64-127 from an independent seed-1337 hash. */
+case class SimHash128(child: Expression)
+    extends StringArrayExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](128)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val u = arr.getUTF8String(j)
+        val h1 = hash(u, 42L)
+        val h2 = hash(u, 1337L)
+        var b = 0
+        while (b < 64) {
+          if (((h1 >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+          if (((h2 >>> b) & 1L) == 1L) sums(64 + b) += 1 else sums(64 + b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) lo |= (1L << b)
+      if (sums(64 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(lo, hi))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val sums = ctx.freshName("sums")
+      val j = ctx.freshName("j"); val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2"); val b = ctx.freshName("b")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val u = ctx.freshName("u")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $sums = new int[128];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    UTF8String $u = $a.getUTF8String($j);
+         |    long $h1 = ${genHash(u, "42L")};
+         |    long $h2 = ${genHash(u, "1337L")};
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h1 >>> $b) & 1L) == 1L) $sums[$b]++; else $sums[$b]--;
+         |      if ((($h2 >>> $b) & 1L) == 1L) $sums[64 + $b]++; else $sums[64 + $b]--;
+         |    }
+         |  }
+         |}
+         |long $lo = 0L; long $hi = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($sums[$b] > 0) $lo |= (1L << $b);
+         |  if ($sums[64 + $b] > 0) $hi |= (1L << $b);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[]{$lo, $hi});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** LSH band keys of a long-array signature: key_b = hash of band slice
   * (band index mixed in). One pass, no JSON serialization. */
 case class SignatureBandKeys(child: Expression, bands: Int)
@@ -528,6 +604,9 @@ object TextHashFunctions {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  def simhash128(tokens: Column): Column =
+    GraftBridge.column(SimHash128(GraftBridge.expression(tokens)))
 
   def band_keys(signature: Column, bands: Int): Column =
     GraftBridge.column(SignatureBandKeys(GraftBridge.expression(signature), bands))

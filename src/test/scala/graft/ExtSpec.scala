@@ -308,6 +308,48 @@ class ExtSpec extends SparkTestBase {
     assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
   }
 
+  test("simhash128: banding EQUALS brute-force hamming pairs (pigeonhole-lossless)") {
+    // 4 bands of 32 bits with maxHamming=3: any pair at hamming <= 3 leaves
+    // >= 1 band untouched, so banded candidates + exact verify must equal
+    // the all-pairs hamming result EXACTLY (not a recall bound)
+    val sigs = docs.select(col("doc_id").as("id"),
+      Dedup.simhash128(col("text")).as("sig")).localCheckpoint(true)
+    val l = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+    val brute = l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .where(Dedup.hamming128(col("sig_a"), col("sig_b")) <= 3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val banded = Dedup.simhash128DupPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain hamming<=3 pairs")
+    assert(banded == brute)
+  }
+
+  test("simhash128 low long is exactly simhash64 (same seed-42 bit assignment)") {
+    val mismatches = docs.select(
+      Dedup.simhash(col("text")).as("s64"),
+      element_at(Dedup.simhash128(col("text")), 1).as("lo"))
+      .where(col("s64") =!= col("lo")).count()
+    assert(mismatches == 0L)
+    // and codegen'd eval agrees with interpreted eval
+    def run(mode: String) = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try docs.select(Dedup.simhash128(col("text"))).collect().toSeq
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    assert(run("CODEGEN_ONLY") == run("NO_CODEGEN"))
+  }
+
+  test("simhash128 clones: skew cap star-links without pair blowup") {
+    val clones = spark.range(0, 5000).toDF("id")
+      .withColumn("text", lit("all these documents share one identical text body"))
+    val pairs = Dedup.simhash128DupPairs(clones, "text", "id",
+      maxHamming = 3, bucketCap = 64)
+    assert(pairs.count() == 4999L) // star against the representative
+  }
+
   test("adaptive near-dup banding: oracle identity at fixture scale, bounded load + capture at 100x") {
     // fixture scale must resolve to EXACTLY the oracle-proven 16x8 geometry
     assert(Similarity.adaptiveNearDupBanding(5125, 0.9) ==
@@ -337,7 +379,8 @@ class ExtSpec extends SparkTestBase {
     import graft.functions._
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val hot = Seq(
-      classOf[MinHashSignature], classOf[SimHash64], classOf[SignatureBandKeys],
+      classOf[MinHashSignature], classOf[SimHash64], classOf[SimHash128],
+      classOf[SignatureBandKeys],
       classOf[MinHashJaccard], classOf[WhitespaceSplit], classOf[WordShingles],
       classOf[SetJaccard], classOf[CosineSimilarity], classOf[HyperplaneSignBits],
       classOf[PackBits])
