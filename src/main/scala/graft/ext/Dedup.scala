@@ -251,6 +251,15 @@ object Dedup {
     * (Binomial(64, 0.9) below 32/64). The floor costs nothing in capture
     * and removes the quadratic-ish junk the loose family lets through.
     * `sigs` must be pre-materialized (see `minhashDupPairsFromSigs`).
+    *
+    * CORPUS CEILING: the simhash arm inherits the 64-bit banding ceiling
+    * (see `simhashDupPairsFromSigs`) — measured at a 6.15M-doc corpus its
+    * hot buckets emit ~370M junk candidates whose est-floor payload join
+    * wants ~100 GB of spill. Past ~1M docs compose the families yourself:
+    * `minhashDupPairsFromSigs` UNION `simhash128DupPairsFromSigs` — the
+    * wide fingerprint's bucket load is n/2^32, so its candidates are
+    * ~only true pairs (replica-0 exactness proven at 6.15M docs in
+    * ScaleInvariants).
     * Output: distinct (id_a, id_b), id_a < id_b. */
   def multiFamilyDupCandidates(sigs: DataFrame, idCol: String,
       msigCol: String, ssigCol: String,
