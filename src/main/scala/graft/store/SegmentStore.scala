@@ -191,9 +191,42 @@ class SegmentStore(val root: String) {
 
   // -- write (index task core) ----------------------------------------------
 
+  /** Stage `withChunk` (already carrying `dt`) in ONE `partitionBy("dt")`
+    * job under a hidden dir next to the datasource, and return the staged
+    * `(chunk, partitionDir)` pairs. This is the whole point of the staging
+    * design: the source is scanned (and any rollup aggregation runs)
+    * exactly ONCE regardless of how many day chunks the frame spans — the
+    * per-chunk `where(dt === c)` loop it replaces recomputed the full
+    * read+rollup per chunk, O(chunks × corpus) at a 100-TB backfill. The
+    * chunk list then falls out of the staged directory layout, so not even
+    * a `distinct()` pre-scan is needed. Callers commit the staged dirs
+    * with metadata-only renames under the chunk locks and must delete
+    * `staging` when done (success or failure). */
+  private def stageByChunk(withChunk: DataFrame, staging: Path,
+      bloomFilterDims: Seq[String] = Seq.empty): Seq[(String, Path)] = {
+    Files.createDirectories(staging.getParent)
+    val writer = bloomFilterDims.foldLeft(
+      withChunk.write.mode(SaveMode.Overwrite).partitionBy("dt")) {
+      (w, d) => w.option(s"parquet.bloom.filter.enabled#$d", "true")
+    }
+    writer.parquet(staging.toString)
+    val s = Files.list(staging)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("dt="))
+      .map(p => (p.getFileName.toString.stripPrefix("dt="), p))
+      .toSeq.sortBy(_._1)
+    finally s.close()
+  }
+
   /** Ingest `df` (must carry `__time`) into day-chunked segments, optionally
     * rolled up to `queryGranularity` over `dims` with `metricAggs`.
     * Overwrites any existing version of the touched chunks.
+    *
+    * Single-pass: one `partitionBy("dt")` job into a staging dir, then a
+    * metadata-only rename per chunk into its new `v<N>` dir under the chunk
+    * locks (see `stageByChunk`). A same-chunk conflict is therefore
+    * detected at commit time, after the staged write — the loser's staging
+    * dir is cleaned up and nothing it wrote becomes visible.
     *
     * `bloomFilterDims`: high-cardinality dimensions to write Parquet bloom
     * filters for — the storage-side stand-in for Druid's per-column bitmap
@@ -218,35 +251,41 @@ class SegmentStore(val root: String) {
     }
 
     val withChunk = prepared.withColumn("dt", date_format(col("__time"), "yyyy-MM-dd"))
-    val chunks = withChunk.select("dt").distinct().collect().map(_.getString(0)).sorted
-
-    withChunkLocks(ds, chunks.toSeq) {
-      // read under the chunk locks: versions of OUR chunks can no longer move
-      val manifest = readManifest(ds)
-      val byChunk = chunks.map { c =>
-        val cur = manifest.segments.filter(_.chunk == c).map(_.version).maxOption.getOrElse(0)
-        val v = cur + 1
-        val dir = Paths.get(root, ds, s"dt=$c", s"v$v").toString
-        val part = withChunk.where(col("dt") === c).drop("dt")
-        val writer = bloomFilterDims.foldLeft(part.write.mode(SaveMode.Overwrite)) {
-          (w, d) => w.option(s"parquet.bloom.filter.enabled#$d", "true")
+    val staging = Paths.get(root, ds, s".staging-${System.nanoTime()}")
+    try {
+      val staged = stageByChunk(withChunk, staging, bloomFilterDims)
+      val chunks = staged.map(_._1)
+      withChunkLocks(ds, chunks) {
+        // read under the chunk locks: versions of OUR chunks can no longer move
+        val manifest = readManifest(ds)
+        val byChunk = staged.map { case (c, srcDir) =>
+          val cur = manifest.segments.filter(_.chunk == c).map(_.version).maxOption.getOrElse(0)
+          val v = cur + 1
+          val dir = Paths.get(root, ds, s"dt=$c", s"v$v")
+          Files.createDirectories(dir.getParent)
+          Files.move(srcDir, dir) // same-fs rename: metadata-only, no data pass
+          val rows = footerRows(dir.toString)
+          SegmentInfo(c, v, dir.toString, rows,
+            rollup.map(_ => "__rollup_count"), listParquet(dir.toString))
         }
-        writer.parquet(dir)
-        val rows = footerRows(dir)
-        SegmentInfo(c, v, dir, rows,
-          rollup.map(_ => "__rollup_count"), listParquet(dir))
+        val oldPaths = manifest.segments.filter(s => chunks.contains(s.chunk)).map(_.path)
+        val next = updateManifest(ds) { cur =>
+          cur.copy(segments = cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ byChunk)
+        }
+        deleteUnreferenced(next, oldPaths) // overshadowed versions
       }
-      val oldPaths = manifest.segments.filter(s => chunks.contains(s.chunk)).map(_.path)
-      val next = updateManifest(ds) { cur =>
-        cur.copy(segments = cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ byChunk)
-      }
-      deleteUnreferenced(next, oldPaths) // overshadowed versions
-    }
+    } finally deleteDir(staging)
   }
 
   /** Append-style micro-batch commit (streaming): new files into the
     * CURRENT version dir of each chunk; manifest row counts refreshed.
-    * Unlike `write`, existing data in the chunk is kept. */
+    * Unlike `write`, existing data in the chunk is kept.
+    *
+    * Single-pass like `write`: one staged `partitionBy("dt")` job, then the
+    * staged part-files are renamed into each chunk's live version dir (part
+    * names carry the job's UUID, so they cannot collide with files already
+    * there). Visibility is still solely the manifest flip — the pinned
+    * `files` list is captured only after every rename landed. */
   def appendBatch(df: DataFrame, ds: String, batchId: Option[Long] = None): Unit = {
     // replay protection: a retried micro-batch (crash between parquet
     // append and checkpoint commit) must not double-write its rows
@@ -254,24 +293,33 @@ class SegmentStore(val root: String) {
       if (readManifest(ds).lastBatchId.exists(_ >= id)) return
     }
     val withChunk = df.withColumn("dt", date_format(col("__time"), "yyyy-MM-dd"))
-    val chunks = withChunk.select("dt").distinct().collect().map(_.getString(0)).sorted
-    withChunkLocks(ds, chunks.toSeq) {
-      val manifest = readManifest(ds)
-      val updated = chunks.map { c =>
-        val existing = manifest.segments.find(_.chunk == c)
-        val v = existing.map(_.version).getOrElse(1)
-        val dir = Paths.get(root, ds, s"dt=$c", s"v$v").toString
-        withChunk.where(col("dt") === c).drop("dt")
-          .write.mode(SaveMode.Append).parquet(dir)
-        val rows = footerRows(dir)
-        SegmentInfo(c, v, dir, rows, existing.flatMap(_.rollupCountCol),
-          listParquet(dir))
+    val staging = Paths.get(root, ds, s".staging-${System.nanoTime()}")
+    try {
+      val staged = stageByChunk(withChunk, staging)
+      val chunks = staged.map(_._1)
+      withChunkLocks(ds, chunks) {
+        val manifest = readManifest(ds)
+        val updated = staged.map { case (c, srcDir) =>
+          val existing = manifest.segments.find(_.chunk == c)
+          val v = existing.map(_.version).getOrElse(1)
+          val dir = Paths.get(root, ds, s"dt=$c", s"v$v")
+          Files.createDirectories(dir)
+          val files = Files.list(srcDir)
+          // move data files AND their local-fs .crc siblings so the
+          // checksum layer stays consistent in the target dir
+          try files.iterator().asScala.toSeq.foreach { f =>
+            Files.move(f, dir.resolve(f.getFileName), StandardCopyOption.REPLACE_EXISTING)
+          } finally files.close()
+          val rows = footerRows(dir.toString)
+          SegmentInfo(c, v, dir.toString, rows, existing.flatMap(_.rollupCountCol),
+            listParquet(dir.toString))
+        }
+        updateManifest(ds) { cur =>
+          cur.copy(segments = cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ updated,
+            lastBatchId = batchId.orElse(cur.lastBatchId))
+        }
       }
-      updateManifest(ds) { cur =>
-        cur.copy(segments = cur.segments.filterNot(s => chunks.contains(s.chunk)) ++ updated,
-          lastBatchId = batchId.orElse(cur.lastBatchId))
-      }
-    }
+    } finally deleteDir(staging)
   }
 
   // -- segment-management tasks (reference submit-task.md:75-93) ------------

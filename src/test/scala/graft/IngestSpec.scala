@@ -159,6 +159,77 @@ class IngestSpec extends SparkTestBase {
     assert(rows.head.getAs[Double]("sv") == 42.0)
   }
 
+  test("multi-chunk ingest is a single pass: jobs don't scale with chunk count") {
+    // SegmentStore.write used to run one filtered write per chunk — a full
+    // source re-scan AND rollup recompute per day (O(chunks × corpus); at a
+    // 100-TB backfill over 365 chunks that is ~366 full passes). The
+    // single-pass design stages ONE partitionBy("dt") job and commits with
+    // metadata-only renames, so the Spark job count is a small constant
+    // regardless of how many chunks the frame spans.
+    val nChunks = 25
+    val wide = (1 to nChunks).flatMap { d =>
+      Seq((ts(f"2024-07-$d%02dT01:00:00Z"), "click", d.toDouble),
+        (ts(f"2024-07-$d%02dT02:00:00Z"), "view", d * 2.0))
+    }.toDF("__time", "event_type", "value")
+    val input = Files.createTempDirectory("graft-wide").toString
+    wide.write.mode("overwrite").parquet(input)
+    val src = spark.read.parquet(input)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def stableJobCount(): Int = {
+      // the listener bus is async — poll until the count stops moving
+      var last = -1; var cur = jobs.get(); var spins = 0
+      while (cur != last && spins < 100) {
+        last = cur; Thread.sleep(100); cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+
+    val store = freshStore()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.write(src, "wide", rollup = Some((Granularity.Simple("hour"),
+        Seq("event_type"), Seq(Aggregator.Sum("sv", "value", "double")))))
+      val writeJobs = stableJobCount()
+      // pre-fix this was ≥ nChunks+1 (a distinct() scan + one write per
+      // chunk); AQE may split the one staged query into a few stage-jobs
+      assert(writeJobs <= 4 && writeJobs >= 1,
+        s"rollup write of $nChunks chunks ran $writeJobs jobs — per-chunk re-scan is back")
+
+      jobs.set(0)
+      // rolled-shaped rows (same schema as the stored segments)
+      val extra = (1 to nChunks).map(d =>
+        (ts(f"2024-07-$d%02dT05:00:00Z"), "extra", 1.0, 1L))
+        .toDF("__time", "event_type", "sv", "__rollup_count")
+      store.appendBatch(extra, "wide")
+      val appendJobs = stableJobCount()
+      assert(appendJobs <= 4 && appendJobs >= 1,
+        s"append of $nChunks chunks ran $appendJobs jobs — per-chunk re-scan is back")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // and the committed state is exactly what the per-chunk writer produced
+    val m = store.readManifest("wide")
+    assert(m.segments.map(_.chunk).distinct.size == nChunks)
+    assert(m.segments.map(_.rowCount).sum == nChunks * 3L) // 2 rolled + 1 appended per day
+    import scala.jdk.CollectionConverters._
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(store.root, "wide"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith(".staging")) == 0,
+      "staging dirs must be cleaned up")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val total = engine.plan(
+      """{"queryType":"timeseries","dataSource":"wide",
+        |"intervals":["2024-07-01T00:00:00Z/2024-08-01T00:00:00Z"],
+        |"granularity":"all",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"sv"}]}""".stripMargin)
+      .collect().head.getAs[Double]("sv")
+    // rolled-up sv = Σd (d + 2d) = 3·Σd; appended rows add sv = 1 per day
+    assert(total == 3.0 * (1 to nChunks).sum + nChunks)
+  }
+
   test("append (compact) task preserves data, bumps version") {
     val store = freshStore()
     store.write(raw, "ev")
