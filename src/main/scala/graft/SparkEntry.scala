@@ -410,12 +410,16 @@ object SparkEntry {
       val frame = docs.select(col("doc_id").as("id"),
         graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
           .as("msig"),
-        graft.ext.Dedup.simhash(col("text")).as("ssig"),
+        graft.ext.Dedup.simhash128(col("text")).as("ssig"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
         .localCheckpoint(true)
       // both families band in ONE pass (simhash bands 16-19 after the 16
       // minhash bands): one skew-capped self-join instead of two, candidate
-      // capture a superset of the separate-pipelines union
+      // capture a superset of the separate-pipelines union. The frame
+      // carries the WIDE simhash: below the ~1M-doc ceiling the operator
+      // bands its low long (== simhash64, so this fixture's candidates are
+      // bit-for-bit the legacy ones); at corpus scale it self-routes to
+      // 4×32-bit banding instead of flooding the est-floor join
       val prefiltered = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.75, maxHamming = 3,
         sBands = 4)
@@ -815,15 +819,35 @@ object SparkEntry {
     "q58_timeseries_second_spine" -> ((s, dir) =>
       engine(s, dir).plan(Q.timeseriesSecondSpine)),
     "q59_simhash128_dups" -> ((s, dir) => {
-      // 128-bit simhash near-dup pairs — the wide fingerprint that lifts
-      // the 64-bit family's banding scale ceiling (4 bands × 32 bits:
-      // pigeonhole-lossless for hamming ≤ 3, bucket load n/2^32). The
-      // hamming predicate needs the engine's seeded xxh64 simhash, which
-      // DuckDB cannot recompute → no oracleSql (driver rows-only check);
-      // the EXACT gate is ExtSpec's pigeonhole property: banded result ==
-      // brute-force all-pairs hamming, asserted set-equal.
+      // The >1M-doc composition of q23, exercised at fixture scale: the
+      // multi-family candidate pass with the WIDE simhash arm FORCED
+      // (wideArmMinDocs=0) — 4 bands × 32 bits of the 128-bit fingerprint,
+      // pigeonhole-lossless for hamming ≤ 3, bucket load n/2^32 — then
+      // EXACT n-gram-Jaccard verification at 0.8. Capture at the verify bar
+      // comes from the minhash arm (est ≥ 0.65 after 16×4-row banding: miss
+      // ≈ 2e-4 per pair at j=0.8, ~4e-8 at the fixture's j≥0.9 dups), so
+      // the output is engine-independent — DuckDB brute-force exact Jaccard
+      // hash-matches it. The 128-bit BANDING itself stays pinned by
+      // ExtSpec's pigeonhole set-equality against brute-force hamming.
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      graft.ext.Dedup.simhash128DupPairs(docs, "text", "doc_id", maxHamming = 3)
+        .repartition(s.sparkContext.defaultParallelism)
+      val frame = docs.select(col("doc_id").as("id"),
+        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+          .as("msig"),
+        graft.ext.Dedup.simhash128(col("text")).as("ssig"),
+        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
+      val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
+        "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3,
+        wideArmMinDocs = 0L)
+      cand
+        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
+            .as("__j"))
+        .where(col("__j") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "q52_scan_throughput" -> ((s, dir) =>
@@ -1337,6 +1361,26 @@ object SparkEntry {
         |SELECT spine.__time AS __time, coalesce(c, 0) AS cnt,
         |  coalesce(su, 0) AS sum_uid
         |FROM spine LEFT JOIN agg USING (__time) ORDER BY 1""".stripMargin,
+    // q59: brute-force EXACT word-3-gram Jaccard at 0.8 — the wide-arm
+    // (simhash128-banded) composition must reproduce this exactly; the
+    // minhash arm guarantees capture at the verify bar, so the banding
+    // family under test cannot change the output
+    "q59_simhash128_dups" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1),
+        |             j -> array_to_string(t[j:j+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q52_scan_throughput" ->
       """SELECT TIMESTAMP '1990-01-01' AS __time, count(*) AS cnt,
         |  round(sum(l_extendedprice), 1) AS sum_price,

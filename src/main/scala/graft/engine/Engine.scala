@@ -478,8 +478,10 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     datasources.foreach(n => catalog.table(spark, n).createOrReplaceTempView(n))
     graft.functions.GraftFunctionRegistry.registerAll(spark)
     // LOOKUP('key', 'name') over the catalog's registered lookups — only
-    // built when the statement can actually reference them
-    if (catalog.lookupNames.nonEmpty && sql.toLowerCase.contains("lookup")) {
+    // built when the statement actually CALLS the function (parsed-plan
+    // check, not a substring probe: a column named `lookup_count` must not
+    // trigger driver-side lookup materialization)
+    if (catalog.lookupNames.nonEmpty && sqlCallsLookup(sql)) {
       val lkps = catalog.lookupNames.flatMap { n =>
         val version = catalog.versionToken(n)
         catalog.lookupTable(spark, n).map { df =>
@@ -500,6 +502,25 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         graft.functions.GraftFunctionRegistry.registerLookups(spark, lkps)
     }
     spark.sql(sql)
+  }
+
+  /** Whether the statement CALLS the `lookup` function, via Spark's own
+    * parser: any `UnresolvedFunction` named `lookup` anywhere in the parsed
+    * plan, including expression subqueries. Parse failures yield false —
+    * the statement then fails in `spark.sql` with the parser's own error,
+    * and registering lookups for it would have been pointless anyway. */
+  private def sqlCallsLookup(sql: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case NonFatal(_) => return false }
+    plan.collectWithSubqueries {
+      case p => p.expressions.exists(_.exists {
+        case f: UnresolvedFunction =>
+          f.nameParts.size == 1 && f.nameParts.head.equalsIgnoreCase("lookup")
+        case _ => false
+      })
+    }.exists(identity)
   }
 
   /** Single-part table identifiers a statement references, via Spark's own

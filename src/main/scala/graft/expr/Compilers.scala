@@ -584,13 +584,23 @@ object Compilers {
       case Cardinality(_, fields, byRow) =>
         val base =
           if (fields.size == 1) col(fields.head)
-          else if (byRow)
+          else if (byRow) {
             // canonical delimited encoding, not struct(): the sketch hashes
             // non-primitive inputs via toString, and InternalRow renderings
-            // differ between Unsafe/Generic rows. \u0001 joins fields,
-            // \u0000 marks null so ("a",null) hashes apart from ("a","").
-            concat_ws("\u0001",
-              fields.map(c => coalesce(col(c).cast(StringType), lit("\u0000"))): _*)
+            // differ between Unsafe/Generic rows. Each non-null field is
+            // LENGTH-PREFIXED ("<len>:<value>") so the encoding is
+            // injective even when a value contains the \u0001 joiner or
+            // equals the \u0000 null marker: ("a\u0001b") encodes
+            // "3:a\u0001b", apart from ("a","b") = "1:a\u00011:b"; the
+            // prefix pins each field's extent, so distinct tuples can no
+            // longer hash together and deflate the estimate.
+            val encoded = fields.map { c =>
+              val s = col(c).cast(StringType)
+              when(s.isNull, lit("\u0000"))
+                .otherwise(concat(length(s).cast(StringType), lit(":"), s))
+            }
+            concat_ws("\u0001", encoded: _*)
+          }
           else concat_ws("", fields.map(c => col(c).cast(StringType)): _*)
         val in = pred.map(p => when(p, base)).getOrElse(base)
         graft.functions.HllFunctions.hll_sketch_estimate(

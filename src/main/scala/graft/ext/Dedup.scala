@@ -252,34 +252,58 @@ object Dedup {
     * and removes the quadratic-ish junk the loose family lets through.
     * `sigs` must be pre-materialized (see `minhashDupPairsFromSigs`).
     *
-    * CORPUS CEILING: the simhash arm inherits the 64-bit banding ceiling
-    * (see `simhashDupPairsFromSigs`) — measured at a 6.15M-doc corpus its
-    * hot buckets emit ~370M junk candidates whose est-floor payload join
-    * wants ~100 GB of spill. Past ~1M docs compose the families yourself:
-    * `minhashDupPairsFromSigs` UNION `simhash128DupPairsFromSigs` — the
-    * wide fingerprint's bucket load is n/2^32, so its candidates are
-    * ~only true pairs (replica-0 exactness proven at 6.15M docs in
-    * ScaleInvariants).
+    * CORPUS CEILING, ROUTED AROUND: a 64-bit simhash arm's bucket keys are
+    * fixed 2^(64/sBands)-value bit-slices, so past ~bucketCap·2^16 ≈ 1M
+    * docs its random bucket load floods the est-floor join (measured at a
+    * 6.15M-doc corpus: ~370M junk candidates, ~100 GB of spill). Like the
+    * cosine family's `adaptiveNearDupBanding`, the operator now sizes its
+    * own geometry instead of making callers know the ceiling: pass the
+    * 128-bit `simhash128` signature (array<long>; its LOW long IS
+    * `simhash64`, same seed — ExtSpec-proven) and the simhash arm bands
+    *  - BELOW `wideArmMinDocs`: `sBands` slices of the low long — bit-for-
+    *    bit the legacy 64-bit behavior (small corpora keep their oracle);
+    *  - AT/ABOVE it (corpus count read from the materialized frame; set 0
+    *    to force): 4 slices of 32 bits over the full fingerprint — bucket
+    *    load n/2^32, pigeonhole-lossless for hamming ≤ 3 over 128 bits —
+    *    with the hamming fast-path verified over all 128 bits.
+    * A plain LONG `ssigCol` keeps the legacy fixed 64-bit arm (no count).
     * Output: distinct (id_a, id_b), id_a < id_b. */
   def multiFamilyDupCandidates(sigs: DataFrame, idCol: String,
       msigCol: String, ssigCol: String,
       mBands: Int, estThreshold: Double, maxHamming: Int,
-      sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5): DataFrame = {
-    require(64 % sBands == 0, "sBands must divide 64")
-    val width = 64 / sBands
-    val mask = if (width == 64) -1L else (1L << width) - 1
+      sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5,
+      wideArmMinDocs: Long = 1000000L): DataFrame = {
+    val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
+    val useWide = wideSig && (wideArmMinDocs <= 0L || sigs.count() >= wideArmMinDocs)
+    if (useWide) require(maxHamming <= 3,
+      "the 4x32-bit wide arm is pigeonhole-lossless only for maxHamming <= 3")
+    // the 64-bit arm of a wide signature reads its low long (== simhash64)
+    val s64: Column = if (wideSig) element_at(col(ssigCol), 1) else col(ssigCol)
+    val sKeyCols: Seq[Column] =
+      if (useWide) (0 until 4).map { b =>
+        val word = element_at(col(ssigCol), b / 2 + 1)
+        shiftright(word, (b % 2) * 32).bitwiseAND((1L << 32) - 1)
+      }
+      else {
+        require(64 % sBands == 0, "sBands must divide 64")
+        val width = 64 / sBands
+        val mask = if (width == 64) -1L else (1L << width) - 1
+        (0 until sBands).map(b => shiftright(s64, b * width).bitwiseAND(mask))
+      }
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(concat(
         graft.functions.TextHashFunctions.band_keys(col(msigCol), mBands),
-        array((0 until sBands).map(b =>
-          shiftright(col(ssigCol), b * width).bitwiseAND(mask)): _*)))
+        array(sKeyCols: _*)))
         .as(Seq("band", "bucket")))
+    val ham =
+      if (useWide) hamming128(col("__s_a"), col("__s_b"))
+      else if (wideSig) hamming(element_at(col("__s_a"), 1), element_at(col("__s_b"), 1))
+      else hamming(col("__s_a"), col("__s_b"))
     joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
         msigCol -> "__m", ssigCol -> "__s")
       .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
       .where(col("__est") >= estThreshold ||
-        (hamming(col("__s_a"), col("__s_b")) <= maxHamming &&
-          col("__est") >= estFloor))
+        (ham <= maxHamming && col("__est") >= estFloor))
       .select("id_a", "id_b")
   }
 
@@ -401,9 +425,15 @@ object Dedup {
     simhash128DupPairsFromSigs(sigs, "id", "sig", maxHamming, bucketCap)
   }
 
-  /** Banding + hamming verify over a pre-materialized 128-bit frame. */
+  /** Banding + hamming verify over a pre-materialized 128-bit frame.
+    * maxHamming is capped at 3: with 4 bands the pigeonhole guarantee
+    * (some band untouched) needs bands > maxHamming — at 4+ flipped bits
+    * the banding would silently return a SUBSET (recall < 1). */
   def simhash128DupPairsFromSigs(sigs: DataFrame, idCol: String,
       sigCol: String, maxHamming: Int = 3, bucketCap: Int = 256): DataFrame = {
+    require(maxHamming <= 3,
+      "4x32-bit banding is pigeonhole-lossless only for maxHamming <= 3; " +
+        "recall would silently drop at maxHamming >= 4")
     val mask = (1L << 32) - 1
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(array((0 until 4).map { b =>

@@ -256,7 +256,12 @@ object Similarity {
       seed: Long = NearDupSeed, bucketCap: Int = NearDupBucketCap): DataFrame = {
     // bands/rowsPerBand < 0 → size the banding to the corpus (one
     // column-pruned count scan; the corpus is about to be scanned for
-    // signatures anyway). Explicit values pin the geometry for tests.
+    // signatures anyway). Explicit values pin the geometry for tests —
+    // both must be given: silently discarding a half-specified geometry
+    // would change the emitted pair set with no error.
+    require((bands > 0) == (rowsPerBand > 0),
+      s"bands=$bands rowsPerBand=$rowsPerBand: specify BOTH to pin the " +
+        "banding geometry, or neither to size it to the corpus")
     val (bandsR, rowsR) =
       if (bands > 0 && rowsPerBand > 0) (bands, rowsPerBand)
       else adaptiveNearDupBanding(df.count(), threshold)

@@ -553,7 +553,7 @@ object SetJaccard {
   * Digit runs are rewritten to (0-padded-length-prefix + digits) so plain
   * string ordering of the key equals alphanumeric ordering of the input. */
 case class AlphanumericSortKey(child: Expression)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with Serializable {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -563,8 +563,19 @@ case class AlphanumericSortKey(child: Expression)
 
   override def dataType: DataType = StringType
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(v: Any): Any =
+    AlphanumericSortKey.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.AlphanumericSortKey.compute($s);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AlphanumericSortKey {
+  def compute(v: UTF8String): UTF8String = {
+    val s = v.toString
     val sb = new java.lang.StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {
@@ -594,8 +605,6 @@ case class AlphanumericSortKey(child: Expression)
     }
     UTF8String.fromString(sb.toString)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object TextHashFunctions {

@@ -101,12 +101,19 @@ object ScaleUp {
       .drop("replica"))
 
     // documents: suffix every token with the replica id (replica 0 verbatim),
-    // so cross-replica shingle sets are disjoint; n_chars tracks the new text
+    // so cross-replica shingle sets are disjoint; n_chars tracks the new text.
+    // Tokenize with the SAME \s+ semantics as the dedup path (split_ws after
+    // trim): splitting on a single space would turn whitespace runs in base
+    // docs into empty-token "_r" artifacts and silently normalize replica
+    // whitespace — replica tokenization would then differ from the base
+    // corpus, breaking the within-replica-structure-identical invariant
+    // ScaleInvariants relies on.
     val docs = replicate(read("documents"))
       .withColumn("doc_id", col("doc_id") + col("replica") * KeyOffset)
       .withColumn("text",
         when(col("replica") === 0, col("text")).otherwise(
-          concat_ws(" ", transform(split(col("text"), " "),
+          concat_ws(" ", transform(
+            graft.functions.TextHashFunctions.split_ws(trim(col("text"))),
             w => concat(w, lit("_"), col("replica"))))))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("replica")

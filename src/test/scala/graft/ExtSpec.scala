@@ -120,6 +120,66 @@ class ExtSpec extends SparkTestBase {
     assert(multi == separate)
   }
 
+  test("multi-family wide arm: engages past the doc threshold, same verified pairs as the hand-composed union") {
+    import org.apache.spark.sql.DataFrame
+    // the frame q23/q59 build: wide (128-bit) simhash signature
+    val frame = docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3).as("msig"),
+      Dedup.simhash128(col("text")).as("ssig"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+      .localCheckpoint(true)
+    def verified(cand: DataFrame): Set[(Long, Long)] = cand
+      .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+      .where(col("j") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // below the threshold the operator bands the LOW long — the legacy
+    // 64-bit geometry (16-bit slices, mask 65535) must appear in the plan
+    val low = Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
+      mBands = 16, estThreshold = 0.75, maxHamming = 3,
+      wideArmMinDocs = 1000000L)
+    assert(low.queryExecution.analyzed.toString.contains("65535") &&
+      !low.queryExecution.analyzed.toString.contains("4294967295"),
+      "sub-threshold corpus must band the legacy 16-bit slices of the low long")
+
+    // past the threshold (forced here via a tiny wideArmMinDocs, and via 0)
+    // the 4×32-bit slices of the full fingerprint band instead
+    val wide = Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
+      mBands = 16, estThreshold = 0.75, maxHamming = 3, wideArmMinDocs = 100L)
+    assert(wide.queryExecution.analyzed.toString.contains("4294967295"),
+      "past the doc threshold the wide 32-bit-slice arm must engage")
+
+    // verified output equals the hand-composed union the scaladoc used to
+    // prescribe: minhash pairs ∪ (simhash128 hamming pairs ∩ est floor)
+    val est = Dedup.minhashJaccard _
+    val handComposed =
+      Dedup.minhashDupPairsFromSigs(frame, "id", "msig", bands = 16, threshold = 0.75)
+        .select("id_a", "id_b")
+        .union(Dedup.simhash128DupPairsFromSigs(frame, "id", "ssig", maxHamming = 3)
+          .join(frame.select(col("id").as("id_a"), col("msig").as("__m_a")), "id_a")
+          .join(frame.select(col("id").as("id_b"), col("msig").as("__m_b")), "id_b")
+          .where(est(col("__m_a"), col("__m_b")) >= 0.5)
+          .select("id_a", "id_b"))
+        .distinct()
+    val multiSet = verified(wide)
+    assert(multiSet.nonEmpty, "fixture should contain verified near-dup pairs")
+    assert(multiSet == verified(handComposed))
+    // and the arms agree after verification (the low arm's oracle parity)
+    assert(multiSet == verified(low))
+  }
+
+  test("simhash128 banding refuses maxHamming >= 4 (pigeonhole guarantee bound)") {
+    val frame = docs.limit(10).select(col("doc_id").as("id"),
+      Dedup.simhash128(col("text")).as("sig")).localCheckpoint(true)
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhash128DupPairsFromSigs(frame, "id", "sig", maxHamming = 4))
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("materialize modes agree: persist(MEMORY_AND_DISK) matches localCheckpoint") {
     // cluster-safe mode for preemptible executors: same pair set, and the
     // persisted frame keeps its lineage (recompute instead of query failure)
@@ -383,10 +443,21 @@ class ExtSpec extends SparkTestBase {
       classOf[SignatureBandKeys],
       classOf[MinHashJaccard], classOf[WhitespaceSplit], classOf[WordShingles],
       classOf[SetJaccard], classOf[CosineSimilarity], classOf[HyperplaneSignBits],
-      classOf[PackBits])
+      classOf[PackBits], classOf[AlphanumericSortKey])
     val fallen = hot.filter(classOf[CodegenFallback].isAssignableFrom(_))
     assert(fallen.isEmpty,
       s"hot-path expressions regressed to CodegenFallback: ${fallen.map(_.getSimpleName)}")
+    // codegen/interpreted agreement for the sort key (the others are pinned
+    // by the dedicated generated-code test above)
+    val in = Seq("file2", "file10", "a01b2", "x#5y", "z", "00", "9a10")
+      .toDF("s").repartition(2)
+    val viaPlan = in.select(TextHashFunctions.alphanumeric_sort_key(col("s")))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val direct = Seq("file2", "file10", "a01b2", "x#5y", "z", "00", "9a10")
+      .map(s => AlphanumericSortKey.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString)
+      .sorted
+    assert(viaPlan == direct)
   }
 
   test("multimodal decode is deterministic and handles nulls/empties") {

@@ -164,6 +164,44 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("SQL lookup registration is gated on the PARSED call, not a substring") {
+    // a statement merely touching an identifier containing "lookup" (e.g. a
+    // column alias `lookup_count`) must not trigger driver-side lookup
+    // materialization; an actual LOOKUP('k','name') call must
+    val lkp = Seq(("click", "CLICK!"), ("view", "VIEW!")).toDF("key", "value")
+    val catalog = new MapCatalog(Map("ev" -> events)) {
+      override def lookupNames: Seq[String] = Seq("et_name")
+      override def lookupTable(spark: org.apache.spark.sql.SparkSession,
+          name: String): Option[org.apache.spark.sql.DataFrame] =
+        if (name == "et_name") Some(lkp) else None
+    }
+    val engine = new Engine(spark, catalog)
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def lookupMisses(): Long = {
+        val m = client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/druid/v2/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        om.readTree(m.body()).get("cache").get("lookupCacheMisses").asLong()
+      }
+      val noCall = post(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS lookup_count FROM ev"}""")
+      assert(noCall.statusCode() == 200)
+      assert(om.readTree(noCall.body()).get(0).get("lookup_count").asLong() == 2L)
+      assert(lookupMisses() == 0L,
+        "an identifier containing 'lookup' must not materialize lookup tables")
+
+      val call = post(s"$base/druid/v2/sql",
+        """{"query":"SELECT lookup(event_type, 'et_name') AS nm, count(*) AS n FROM ev GROUP BY 1 ORDER BY 1"}""")
+      assert(call.statusCode() == 200)
+      assert(om.readTree(call.body()).get(0).get("nm").asText() == "CLICK!")
+      assert(lookupMisses() == 1L, "a real LOOKUP() call must register (one build)")
+    } finally srv.stop()
+  }
+
   test("context.stream=true → chunked transfer with the same body") {
     val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
     val srv = new HttpServer(engine)
