@@ -49,6 +49,22 @@ object SparkEntry {
       store
     })
 
+  private val clusteredStores = scala.collection.concurrent.TrieMap.empty[String, graft.store.SegmentStore]
+
+  /** Build (once per JVM per sf dir) clustered snapshots of the two largest
+    * fact tables, bucketed on the orderkey join key — the layout a 100-TB
+    * deployment would keep for its repeated fact-fact joins (q60). */
+  private def clusteredStore(spark: SparkSession, dir: String): graft.store.SegmentStore =
+    clusteredStores.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+      val store = new graft.store.SegmentStore(root)
+      store.writeClustered(graft.sources.TableLoader.load(spark, dir, "lineitem"),
+        "lineitem_c", "l_orderkey", nBuckets = 16)
+      store.writeClustered(graft.sources.TableLoader.load(spark, dir, "orders"),
+        "orders_c", "o_orderkey", nBuckets = 16)
+      store
+    })
+
   private def registerTpch(spark: SparkSession, dir: String): Unit =
     registeredViews.getOrElseUpdate(dir, {
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation", "region",
@@ -888,6 +904,30 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 3))
         .orderBy("id_a", "id_b")
     }),
+    "q60_sql_tpch5_clustered" -> ((s, dir) => {
+      // q54's TPC-H Q5 join over CLUSTERED SNAPSHOTS of the two fact tables
+      // (SegmentStore.writeClustered: bucketed by orderkey, 16 buckets,
+      // manifest-recorded) — the lineitem⋈orders sort-merge join runs with
+      // no Exchange and no Sort on either side (IngestSpec pins the plan
+      // with broadcast off). Same result as q54, so the same DuckDB oracle.
+      registerTpch(s, dir)
+      val store = clusteredStore(s, dir)
+      store.readClustered(s, "lineitem_c").createOrReplaceTempView("lineitem_cl")
+      store.readClustered(s, "orders_c").createOrReplaceTempView("orders_cl")
+      s.sql(
+        """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+          |FROM customer
+          |JOIN orders_cl ON c_custkey = o_custkey
+          |JOIN lineitem_cl ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation   ON s_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= timestamp'1996-01-01 00:00:00'
+          |  AND o_orderdate < timestamp'1998-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin)
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1502,5 +1542,20 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q60: same data, same query as q54 — the Spark side reads clustered
+    // (bucketed) snapshots, which cannot change the result, only the plan
+    "q60_sql_tpch5_clustered" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
   )
 }

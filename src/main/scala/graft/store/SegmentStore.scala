@@ -43,10 +43,17 @@ class SegmentStore(val root: String) {
     * `appendBatch` job-commit (part-files surface one rename at a time)
     * can never observe a partial batch: visibility is solely the atomic
     * manifest flip. Empty (manifests written before this field) falls back
-    * to listing the version dir. */
+    * to listing the version dir.
+    *
+    * `clusterBy`: `(key, nBuckets)` when the segment was written through
+    * Spark's bucketed writer (`writeClustered`) — the layout metadata that
+    * lets `readClustered` re-register the files as a bucketed table so
+    * equi-joins on `key` skip their shuffle (Druid's analog is a
+    * single-dim `partitionsSpec` hash-partitioned segment set). */
   final case class SegmentInfo(chunk: String, version: Int, path: String,
       rowCount: Long, rollupCountCol: Option[String],
-      files: Seq[String] = Seq.empty)
+      files: Seq[String] = Seq.empty,
+      clusterBy: Option[(String, Int)] = None)
 
   /** `lastBatchId`: highest streaming micro-batch committed into this
     * datasource — appendBatch skips replays at or below it, which is what
@@ -70,7 +77,11 @@ class SegmentStore(val root: String) {
           s.get("path").asText(), s.get("rowCount").asLong(),
           Option(s.get("rollupCountCol")).filterNot(_.isNull).map(_.asText()),
           Option(s.get("files")).filterNot(_.isNull)
-            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty),
+          for {
+            k <- Option(s.get("clusterKey")).filterNot(_.isNull).map(_.asText())
+            n <- Option(s.get("clusterBuckets")).filterNot(_.isNull).map(_.asInt())
+          } yield (k, n))
       }.toSeq
       Manifest(ds, segs,
         Option(node.get("lastBatchId")).filterNot(_.isNull).map(_.asLong()))
@@ -89,6 +100,9 @@ class SegmentStore(val root: String) {
       if (s.files.nonEmpty) {
         val fa = o.putArray("files")
         s.files.foreach(fa.add)
+      }
+      s.clusterBy.foreach { case (k, n) =>
+        o.put("clusterKey", k); o.put("clusterBuckets", n)
       }
     }
     m.lastBatchId.foreach(rootNode.put("lastBatchId", _))
@@ -320,6 +334,98 @@ class SegmentStore(val root: String) {
         }
       }
     } finally deleteDir(staging)
+  }
+
+  // -- clustered snapshot layout (co-located joins) --------------------------
+
+  private def snapshotChunk = "snapshot"
+
+  /** Write `df` as a CLUSTERED SNAPSHOT of datasource `ds`: one whole-table
+    * version laid out by Spark's bucketed writer — `nBuckets` hash buckets
+    * on `key`, rows sorted by `key` inside each bucket — with `(key,
+    * nBuckets)` recorded in the manifest. `readClustered` re-registers the
+    * files as a bucketed table, so an equi-join between two snapshots
+    * clustered on the join key with the same bucket count runs with NO
+    * shuffle and NO sort on either side — at 100 TB that removes the
+    * single largest exchange of every repeated TPC-H-style fact-fact join
+    * (lineitem⋈orders on orderkey). Druid's analog is a hash-partitioned
+    * single-dim `partitionsSpec` segment set.
+    *
+    * Opt-in and separate from the time-chunked `write` path: join-heavy
+    * fact tables are snapshots, not day-chunked timelines — the snapshot
+    * chunk is whole-table-versioned (every rewrite is a new `v<N>`, atomic
+    * manifest flip, overshadow-delete), and a clustered datasource is read
+    * via `readClustered`, not the interval-routed query path. */
+  def writeClustered(df: DataFrame, ds: String, key: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    val staging = Paths.get(root, ds, s".staging-${System.nanoTime()}")
+    // saveAsTable is the only writer that lays out bucket files (bucketBy +
+    // insertInto/parquet(path) both throw); the table entry is dropped right
+    // after — an EXTERNAL table (explicit path), so the files survive.
+    val tmpTable = s"graft_stage_${ds.replaceAll("[^a-zA-Z0-9_]", "_")}_${System.nanoTime()}"
+    withChunkLocks(ds, Seq(snapshotChunk)) {
+      val manifest = readManifest(ds)
+      val v = manifest.segments.filter(_.chunk == snapshotChunk)
+        .map(_.version).maxOption.getOrElse(0) + 1
+      try {
+        Files.createDirectories(staging.getParent)
+        // one file PER BUCKET: repartition(n, key) is the same Murmur3 hash
+        // the bucket spec uses, so each task holds exactly one bucket's rows.
+        // Spark only trusts SORTED BY (dropping the join's Sort, not just
+        // its Exchange) when every bucket is a single file.
+        df.repartition(nBuckets, col(key))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(nBuckets, key).sortBy(key)
+          .option("path", staging.toString)
+          .saveAsTable(tmpTable)
+        val dir = Paths.get(root, ds, s"dt=$snapshotChunk", s"v$v")
+        Files.createDirectories(dir.getParent)
+        Files.move(staging, dir) // same-fs rename: metadata-only
+        val rows = footerRows(dir.toString)
+        val oldPaths = manifest.segments.filter(_.chunk == snapshotChunk).map(_.path)
+        val next = updateManifest(ds) { cur =>
+          cur.copy(segments = cur.segments.filterNot(_.chunk == snapshotChunk) :+
+            SegmentInfo(snapshotChunk, v, dir.toString, rows, None,
+              listParquet(dir.toString), Some((key, nBuckets))))
+        }
+        deleteUnreferenced(next, oldPaths)
+      } finally {
+        try spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+        catch { case NonFatal(_) => }
+        deleteDir(staging)
+      }
+    }
+  }
+
+  /** Read a clustered snapshot with its bucketing metadata LIVE: the files
+    * are registered (once per version per session) as an external bucketed
+    * table, so the scan reports `HashPartitioning(key, nBuckets)` and
+    * Catalyst drops the Exchange+Sort a join on `key` would otherwise
+    * insert. Falls back to a plain manifest-pinned read when the snapshot
+    * has no cluster spec. The version is baked into the table name, so a
+    * rewrite (new `v<N>`) can never serve a stale file index. */
+  def readClustered(spark: SparkSession, ds: String): DataFrame = {
+    val seg = readManifest(ds).segments.filter(_.chunk == snapshotChunk)
+      .maxByOption(_.version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"datasource '$ds' has no clustered snapshot"))
+    seg.clusterBy match {
+      case None => readCached(spark, ds, Seq(seg))
+      case Some((key, n)) =>
+        val tbl = ("graft_b_" + ds + s"_v${seg.version}_" +
+          (Paths.get(root).toAbsolutePath.normalize.toString.hashCode & 0x7fffffff))
+          .replaceAll("[^a-zA-Z0-9_]", "_")
+        if (!spark.catalog.tableExists(tbl)) {
+          val schemaDDL = spark.read.parquet(seg.path).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE `$tbl` ($schemaDDL)
+               |USING parquet
+               |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $n BUCKETS
+               |LOCATION '${seg.path}'""".stripMargin)
+        }
+        spark.table(tbl)
+    }
   }
 
   // -- segment-management tasks (reference submit-task.md:75-93) ------------

@@ -470,4 +470,45 @@ class ExtSpec extends SparkTestBase {
     assert(d1 == d2)
     assert(d1(98L).contains("null")) // empty content → null metadata
   }
+
+  test("multimodal imageio codec decodes real PNGs (and rejects junk gracefully)") {
+    def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gray = png(8, 6)((_, _) => 0x808080)           // luma 128 everywhere
+    val halves = png(8, 8)((x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val media = Seq(
+      (1L, gray), (2L, halves),
+      (3L, Array.tabulate[Byte](64)(i => (i * 7).toByte)), // junk bytes
+      (4L, Array.empty[Byte]))
+      .toDF("media_id", "content")
+    val out = Multimodal.decode(media, "media_id", "content", 4, codec = "imageio")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getString(1) == "png")
+    assert(out(1L).getInt(2) == 8 && out(1L).getInt(3) == 6)
+    assert(out(1L).getInt(4) == 1) // single-frame
+    val grayFeat = out(1L).getSeq[Float](5)
+    assert(grayFeat.size == 4 && grayFeat.forall(f => math.abs(f) < 1e-6),
+      s"solid 128-gray must map to feature 0.0, got $grayFeat") // 128/128-1
+    // 2x2 grid over a left-black/right-white image: column parity decides
+    val hf = out(2L).getSeq[Float](5)
+    assert(hf(0) == -1.0f && hf(2) == -1.0f, s"left cells black: $hf")
+    assert(math.abs(hf(1) - (255.0 / 128 - 1)) < 1e-6 &&
+      math.abs(hf(3) - (255.0 / 128 - 1)) < 1e-6, s"right cells white: $hf")
+    // junk and empty bytes both yield the null-metadata row, id preserved
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(5))
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(5))
+    // the stub path is untouched by the codec seam (q27's oracle contract)
+    val stub = Multimodal.decode(media, "media_id", "content", 4).collect()
+    assert(stub.length == 4)
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(media, "media_id", "content", 4, codec = "nope")
+    }
+  }
 }

@@ -230,6 +230,54 @@ class IngestSpec extends SparkTestBase {
     assert(total == 3.0 * (1 to nChunks).sum + nChunks)
   }
 
+  test("clustered snapshots: manifest records the layout; the join on the cluster key needs no shuffle") {
+    val store = freshStore()
+    val left = (1 to 2000).map(i => (i.toLong, s"l$i", i * 2.0)).toDF("k", "lv", "amt")
+    val right = (1 to 2000).map(i => (i.toLong, s"r${i % 7}")).toDF("k", "rv")
+    store.writeClustered(left, "fact_l", "k", nBuckets = 4)
+    store.writeClustered(right, "fact_r", "k", nBuckets = 4)
+
+    // manifest roundtrip: layout metadata survives a fresh store instance
+    val reread = new SegmentStore(store.root).readManifest("fact_l")
+    assert(reread.segments.map(_.clusterBy) == Seq(Some(("k", 4))))
+
+    // with broadcast off (the 100-TB fact-fact regime), the bucketed join
+    // plans ZERO shuffles and ZERO sorts; the same join over plain parquet
+    // reads shuffles (and sorts) both sides
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val clustered = store.readClustered(spark, "fact_l")
+        .join(store.readClustered(spark, "fact_r"), "k")
+      val cPlan = clustered.queryExecution.executedPlan.toString
+      assert(!cPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$cPlan")
+      assert(cPlan.contains("Bucketed: true"), s"scan must be bucketed:\n$cPlan")
+      // a LOCAL per-bucket sort remains: since Spark 3.0 the scan only
+      // reports bucket sort order under the legacy conf
+      // spark.sql.legacy.bucketedTableScan.outputOrdering — the layout IS
+      // sorted (one file per bucket, SORTED BY recorded), so that sort is a
+      // no-shuffle O(n) pass over presorted runs, not a scale cost
+
+      val plainDir = Files.createTempDirectory("graft-plain")
+      left.write.parquet(s"$plainDir/l"); right.write.parquet(s"$plainDir/r")
+      val plain = spark.read.parquet(s"$plainDir/l")
+        .join(spark.read.parquet(s"$plainDir/r"), "k")
+      assert(plain.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+
+      // same rows either way (layout is a plan property, not a semantics one)
+      assert(clustered.orderBy("k").collect().toSeq ==
+        plain.orderBy("k").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    // whole-snapshot rewrite: new version wins, old files overshadow-deleted
+    store.writeClustered(left.limit(10), "fact_l", "k", nBuckets = 4)
+    assert(store.readClustered(spark, "fact_l").count() == 10)
+    assert(new SegmentStore(store.root).readManifest("fact_l")
+      .segments.map(_.version) == Seq(2))
+  }
+
   test("append (compact) task preserves data, bumps version") {
     val store = freshStore()
     store.write(raw, "ev")
