@@ -160,7 +160,36 @@ object Bench {
     val canaryJson =
       ",\"canary_sec\":[" + canary1.map(fmt).mkString(",") + "]" +
         ",\"canary_par_sec\":[" + canaryN.map(fmt).mkString(",") + "]"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"query-major+pass-major"$canaryJson$errorsJson}""")
+
+    // Flag contended pass columns: a pass-major pass is one wall-clock
+    // window, so a co-tenant CPU spike inflates that COLUMN uniformly
+    // across queries (BENCH_r07's 5th column ran 3-7x hot). Make that
+    // machine-readable instead of leaving it to eyeball archaeology: a
+    // column whose cross-query median exceeds 2x the best column's is
+    // contended. min/median stats already exclude such windows by
+    // construction (min) or dilute them (median over 2*passes).
+    val nCols = 2 * passes
+    val colMedians = (0 until nCols).map { c =>
+      median(names.flatMap(n => acc(n).lift(c).collect { case (t, true) => t }))
+    }
+    val contended = colMedians.zipWithIndex
+      .filter(_._1 > 2 * colMedians.min).map(_._2)
+    val contendedJson =
+      ",\"col_medians_sec\":[" + colMedians.map(fmt).mkString(",") + "]" +
+        ",\"contended_pass_cols\":[" + contended.mkString(",") + "]"
+
+    // The driver captures only a bounded stdout tail, so the line printed
+    // here must stay SMALL enough to survive intact (BENCH_r06/r07 lost all
+    // per-query numbers to mid-line truncation). stdout gets the compact
+    // contract line (medians only); the complete artifact — per-pass
+    // arrays, mins, canaries, contention flags — goes to a file.
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"query-major+pass-major"$canaryJson$contendedJson$errorsJson}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("bench_full.json").getAbsolutePath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full results written to $outPath")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"sf":"$sfDir","passes":$passes,"detail":"$outPath"$errorsJson}""")
     spark.stop()
   }
 }
