@@ -928,6 +928,35 @@ object SparkEntry {
           |GROUP BY n_name
           |ORDER BY revenue DESC, n_name""".stripMargin)
     }),
+    "q61_sequence_pack" -> ((s, dir) => {
+      // deterministic token-budget sequence packing (training-batch
+      // construction): shard by id, fill 512-token packs in id order; a
+      // pack overflows by at most one document. Pure window composition —
+      // one shuffle, per-shard sort — so DuckDB replays it exactly.
+      import graft.ext.{Curation, TextAnalysis}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      Curation.sequencePack(docs, "doc_id", "n_tokens",
+        budgetTokens = 512, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pack"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q62_domain_cap" -> ((s, dir) => {
+      // per-language quota cap (domain balancing): top-20 docs per lang by
+      // quality score. The salted pre-prune (4 buckets on doc_id) bounds
+      // the per-group sort at scale and is provably exact — the oracle
+      // computes the unsalted rank and must hash-match.
+      import graft.ext.{Curation, TextAnalysis}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      Curation.capPerGroup(docs, Seq("lang"),
+        Seq(col("quality").desc, col("doc_id").asc), k = 20,
+        saltPrune = Some((col("doc_id"), 4)))
+        .select(col("lang"), col("rk"), col("doc_id"), col("quality"))
+        .orderBy("lang", "rk")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1557,5 +1586,43 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q61_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS pack,
+        |  n_tokens
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // q62: the oracle computes the UNSALTED per-lang rank — hash-matching
+    // it proves the salted pre-prune on the Spark side is exact
+    "q62_domain_cap" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+        |            WHEN length(text) < 100 THEN length(text) / 100.0
+        |            ELSE 20000.0 / length(text) END) * 0.4 +
+        |      (CASE WHEN nt = 0 THEN 0.0
+        |            ELSE least(np / greatest(nt, 1.0) * 5.0, 1.0) END) * 0.2 +
+        |      least(ns / greatest(nt, 1.0) * 20.0, 1.0) * 0.2 +
+        |      (CASE WHEN nt > 0 AND length(text) / nt >= 3.0
+        |                 AND length(text) / nt <= 12.0 THEN 1.0
+        |            ELSE 0.5 END) * 0.2, 6) AS quality
+        |  FROM (SELECT doc_id, lang, text,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nt,
+        |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
+        |      CAST(CAST((length(' ' || lower(text) || ' ') -
+        |        length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+        |        AS BIGINT) AS DOUBLE) AS ns
+        |    FROM documents))
+        |SELECT lang, rk, doc_id, quality FROM (
+        |  SELECT lang, doc_id, quality,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
   )
 }

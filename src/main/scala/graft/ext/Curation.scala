@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sequence packing (token-budget batching) and per-group quota capping
+  * (domain/language balancing). Both are pure DataFrame compositions —
+  * window functions over one hash-partition shuffle — so Catalyst/Tungsten
+  * own the physical plan and both have engine-independent semantics a SQL
+  * oracle can replay exactly.
+  */
+object Curation {
+
+  /** Assign each document to a fixed-token-budget pack, deterministically.
+    *
+    * Contiguous bin packing: documents are sharded by `pmod(id, shards)`,
+    * ordered by id within a shard, and a document goes to pack
+    * `floor(cumulative_tokens_before_it / budgetTokens)` — i.e. packs are
+    * filled left-to-right and a pack may overflow the budget by at most one
+    * document (the standard greedy batching used to build training
+    * sequences; splitting a document across packs is the tokenizer's job,
+    * not the planner's).
+    *
+    * Scale shape: ONE shuffle (hash on the shard key), then a per-shard
+    * sort that Spark's window exchange spills as needed. `shards` bounds
+    * per-task state: at 100 TB pick shards so a shard's documents fit one
+    * task's spill budget (e.g. 10k shards ≈ 10 GB/shard); packing quality
+    * is unaffected since every shard packs independently. The output is a
+    * pure function of (id, tokens, budget, shards) — re-running on a
+    * re-partitioned, differently-ordered copy of the corpus yields
+    * bit-identical packs, which is what makes training runs reproducible.
+    *
+    * Output: input columns + `shard` and `pack` (both long; a global pack
+    * key is the pair).
+    */
+  def sequencePack(df: DataFrame, idCol: String, tokensCol: String,
+      budgetTokens: Long, shards: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(shards > 0, s"shards must be positive: $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .withColumn("__cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("pack",
+        floor((col("__cum_tokens") - col(tokensCol)) /
+          lit(budgetTokens.toDouble)).cast("long"))
+      .drop("__cum_tokens")
+  }
+
+  /** Keep at most `k` rows per group, by rank under `orderCols` — the
+    * per-domain / per-language quota cap that keeps one giant domain from
+    * dominating a training mix. `orderCols` must be a total order (end it
+    * with a unique tiebreak column) or the kept set is nondeterministic.
+    *
+    * Skew shape: a bare `row_number` window sorts EVERY row of a group on
+    * one task — at 100 TB a hot domain (one host with 10^9 pages) becomes
+    * the straggler. `saltPrune = (saltCol, buckets)` bounds that: a first
+    * window ranks within (group, pmod(saltCol, buckets)) and keeps only k
+    * per bucket, so the final per-group sort sees at most buckets*k rows.
+    * The prune is EXACT, not approximate: any row in a group's global
+    * top-k is also in the top-k of whichever bucket holds it (fewer than k
+    * bucket-mates outrank it), so the bucket survivors are a superset of
+    * the answer. Output: input columns + `rk` (1-based rank within group).
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+      k: Int, saltPrune: Option[(Column, Int)] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(groupCols.nonEmpty, "capPerGroup needs at least one group column")
+    val pruned = saltPrune match {
+      case Some((saltCol, buckets)) if buckets > 1 =>
+        val wLocal = Window
+          .partitionBy(groupCols.map(col) :+ pmod(saltCol, lit(buckets)): _*)
+          .orderBy(orderCols: _*)
+        df.withColumn("__local_rk", row_number().over(wLocal))
+          .where(col("__local_rk") <= k).drop("__local_rk")
+      case _ => df
+    }
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    pruned.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+}

@@ -511,4 +511,58 @@ class ExtSpec extends SparkTestBase {
       Multimodal.decode(media, "media_id", "content", 4, codec = "nope")
     }
   }
+
+  test("sequencePack: greedy contiguous packing, budget overflow by at most one doc") {
+    import graft.ext.Curation
+    // one shard so packing is fully hand-checkable
+    val docs = Seq((0L, 300L), (1L, 300L), (2L, 100L), (3L, 500L), (4L, 10L))
+      .toDF("doc_id", "n_tokens")
+    val packed = Curation.sequencePack(docs, "doc_id", "n_tokens",
+        budgetTokens = 512, shards = 1)
+      .select("doc_id", "pack").as[(Long, Long)].collect().toMap
+    // cum-before: 0,300,600,700,1200 → packs 0,0,1,1,2
+    assert(packed == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+
+    // invariants at a larger, multi-shard corpus: pack ids are dense and
+    // nondecreasing in id order within a shard, and a pack's token total
+    // never exceeds budget + its last doc's tokens (overflow ≤ one doc)
+    val n = 5000
+    val corpus = spark.range(n.toLong).toDF("doc_id")
+      .withColumn("n_tokens", (pmod(col("doc_id") * 37 + 11, lit(200)) + 1))
+    val out = Curation.sequencePack(corpus, "doc_id", "n_tokens", 1000, 16)
+    val packTotals = out.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("maxDoc"))
+      .where(col("tot") > lit(1000) + col("maxDoc")).count()
+    assert(packTotals == 0, "some pack overflows budget by more than one doc")
+    assert(out.count() == n.toLong)
+    // determinism under physical reordering: a repartitioned, reverse-
+    // sorted copy of the corpus must produce the identical assignment
+    val shuffled = Curation.sequencePack(
+      corpus.repartition(7).sortWithinPartitions(col("doc_id").desc),
+      "doc_id", "n_tokens", 1000, 16)
+    assert(out.select("doc_id", "shard", "pack").except(
+      shuffled.select("doc_id", "shard", "pack")).count() == 0)
+  }
+
+  test("capPerGroup: salted pre-prune is exact (matches unsalted) and caps k") {
+    import graft.ext.Curation
+    val n = 3000
+    // skewed groups: ~2/3 of rows land in group g0
+    val rows = spark.range(n.toLong).toDF("id")
+      .withColumn("grp", when(pmod(col("id"), lit(3)) < 2, "g0")
+        .otherwise(concat(lit("g"), pmod(col("id"), lit(5)))))
+      .withColumn("score", pmod(col("id") * 131 + 17, lit(1000)).cast("double"))
+    val order = Seq(col("score").desc, col("id").asc)
+    val plain = Curation.capPerGroup(rows, Seq("grp"), order, k = 25)
+    val salted = Curation.capPerGroup(rows, Seq("grp"), order, k = 25,
+      saltPrune = Some((col("id"), 8)))
+    assert(plain.select("grp", "rk", "id").except(
+      salted.select("grp", "rk", "id")).count() == 0)
+    assert(salted.select("grp", "rk", "id").except(
+      plain.select("grp", "rk", "id")).count() == 0)
+    val perGroup = salted.groupBy("grp").count().as[(String, Long)].collect()
+    assert(perGroup.forall(_._2 <= 25))
+    // ranks are 1..k dense within each group
+    assert(salted.where(col("rk") < 1 || col("rk") > 25).count() == 0)
+  }
 }
