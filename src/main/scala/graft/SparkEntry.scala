@@ -957,6 +957,36 @@ object SparkEntry {
         .select(col("lang"), col("rk"), col("doc_id"), col("quality"))
         .orderBy("lang", "rk")
     }),
+    "q63_incremental_dedup" -> ((s, dir) => {
+      // O(Δ) daily-batch dedup: new docs (id % 10 == 0) against the
+      // standing corpus via a prebuilt band index — the corpus text is
+      // never re-hashed, only its compact (band, bucket, id) index and
+      // per-candidate signature fetches participate. Candidates → EXACT
+      // n-gram Jaccard ≥ 0.5, so DuckDB brute-force over the same split
+      // hash-checks the whole incremental path (same 32×2 banding as q22:
+      // capture ≥ 1-1e-4 at the 0.5 bar).
+      import graft.ext.Dedup
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      val frame = docs.select(col("doc_id").as("id"),
+        Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+          .as("sig"),
+        Dedup.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
+      val inc = frame.where(col("id") % 10 === 0)
+      val corpus = frame.where(col("id") % 10 =!= 0)
+      val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)
+      Dedup.incrementalMinhashDupPairs(inc, index, corpus,
+          "id", "sig", bands = 32, threshold = 0.35)
+        .join(frame.select(col("id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
+        .join(frame.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+        .select(col("inc_id"), col("corpus_id"),
+          graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
+            .as("__j"))
+        .where(col("__j") >= 0.5)
+        .select(col("inc_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
+        .orderBy("inc_id", "corpus_id")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1624,5 +1654,24 @@ object SparkEntry {
         |      ORDER BY quality DESC, doc_id) AS BIGINT) AS rk
         |  FROM scored)
         |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    // q63: brute-force exact Jaccard across the increment/corpus split —
+    // the incremental band-index path must reproduce it exactly
+    "q63_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |      ELSE list_transform(range(1, len(t) - 1),
+        |             j -> array_to_string(t[j:j+2], ' ')) END) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents))
+        |SELECT a.doc_id AS inc_id, b.doc_id AS corpus_id,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |ORDER BY inc_id, corpus_id""".stripMargin,
   )
 }

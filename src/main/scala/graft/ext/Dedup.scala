@@ -235,6 +235,67 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** Persistent LSH band index over a corpus signature frame: one row per
+    * (band, bucket, id), at most `bucketCap` members per bucket (lowest
+    * ids win — deterministic). This is the table an incremental pipeline
+    * WRITES ONCE per corpus version (store it partitioned/bucketed by
+    * band) and then joins every new batch against: ~(bands × 20 bytes) per
+    * document instead of the document text, and no re-hashing of the
+    * corpus per increment. The cap bounds the index's worst bucket the
+    * same way banding's star-link cap does: an increment doc colliding
+    * with an over-full bucket still meets that bucket's `bucketCap`
+    * retained members — and has `bands` independent chances overall — so
+    * pathological buckets (boilerplate shingles) degrade capture
+    * gracefully instead of exploding the join. */
+  def minhashBandIndex(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, bucketCap: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = sigs.select(col(idCol).as("id"),
+      posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
+        .as(Seq("band", "bucket")))
+    banded
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("band", "bucket").orderBy(col("id"))))
+      .where(col("__rk") <= bucketCap)
+      .select("band", "bucket", "id")
+  }
+
+  /** Near-duplicate pairs between a NEW increment and an EXISTING corpus —
+    * the O(Δ)-shaped daily-batch dedup that makes a 100-TB corpus
+    * maintainable. The full self-join pipeline re-reads and re-hashes the
+    * whole corpus per run (O(N + Δ) at best); here the corpus appears only
+    * as its band index (compact keys, built once per corpus version via
+    * `minhashBandIndex`) and its signature frame (fetched per candidate).
+    * Per increment the work is: hash Δ docs, explode Δ×bands keys, one
+    * (band, bucket) equi-join against the index — Spark broadcasts the
+    * banded increment when Δ is small, so the corpus index streams through
+    * a map-side hash join with NO corpus shuffle — then an id-keyed fetch
+    * of signatures for the surviving candidate pairs only.
+    *
+    * `incSigs`/`corpusSigs` must be materialized by the caller (same
+    * contract as `minhashDupPairsFromSigs`). Geometry (`bands` over the
+    * signature width) must match the index's. Output: (inc_id, corpus_id,
+    * est_jaccard) with est ≥ `threshold`, one row per pair.
+    */
+  def incrementalMinhashDupPairs(incSigs: DataFrame, corpusIndex: DataFrame,
+      corpusSigs: DataFrame, idCol: String, sigCol: String, bands: Int,
+      threshold: Double): DataFrame = {
+    val incBanded = incSigs.select(col(idCol).as("inc_id"),
+      posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
+        .as(Seq("band", "bucket")))
+    val cand = incBanded
+      .join(corpusIndex.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .where(col("inc_id") =!= col("corpus_id"))
+      .select("inc_id", "corpus_id").distinct()
+    val a = incSigs.select(col(idCol).as("inc_id"), col(sigCol).as("__sig_a"))
+    val b = corpusSigs.select(col(idCol).as("corpus_id"), col(sigCol).as("__sig_b"))
+    cand.join(a, "inc_id").join(b, "corpus_id")
+      .select(col("inc_id"), col("corpus_id"),
+        minhashJaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
   /** Candidate pairs from BOTH hash families in ONE banding pass: minhash
     * band keys and simhash bit-slices explode together (simhash bands
     * indexed after the minhash ones, so the (band, bucket) keyspaces stay

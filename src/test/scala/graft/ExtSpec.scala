@@ -512,6 +512,47 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup: band-index path equals the full self-join's cross-split pairs") {
+    import graft.ext.Dedup
+    // synthetic corpus with planted near-dups: base docs + every 5th doc
+    // duplicated with a small tail edit (high but non-1.0 jaccard)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docs = (0 until 200).map { i =>
+      val body = (0 until 30).map(j => words((i * 7 + j * 3) % 10)).mkString(" ")
+      (i.toLong, if (i % 5 == 0) body + " tail" else body)
+    }.toDF("doc_id", "text")
+    val frame = docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), 64, 3).as("sig"))
+      .localCheckpoint(true)
+    val inc = frame.where(col("id") % 10 === 0)
+    val corpus = frame.where(col("id") % 10 =!= 0)
+
+    val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)
+    val incPairs = Dedup.incrementalMinhashDupPairs(inc, index, corpus,
+        "id", "sig", bands = 32, threshold = 0.35)
+      .select("inc_id", "corpus_id").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+
+    // ground truth: the full self-join pipeline on the UNION, restricted
+    // to pairs that straddle the split
+    val fullPairs = Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+        bands = 32, threshold = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(incPairs == fullPairs,
+      s"incremental != full cross-split: only-inc=${incPairs -- fullPairs} only-full=${fullPairs -- incPairs}")
+    assert(incPairs.nonEmpty, "fixture must plant at least one cross-split dup")
+
+    // index bucket cap: lowest ids retained, bucket size bounded
+    val capped = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32,
+      bucketCap = 1)
+    val overCap = capped.groupBy("band", "bucket").count()
+      .where(col("count") > 1).count()
+    assert(overCap == 0, "bucketCap must bound index bucket membership")
+  }
+
   test("sequencePack: greedy contiguous packing, budget overflow by at most one doc") {
     import graft.ext.Curation
     // one shard so packing is fully hand-checkable
