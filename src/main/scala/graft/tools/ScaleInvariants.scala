@@ -129,6 +129,106 @@ object ScaleInvariants {
         s"(nProbe=7/8 on near-random data; base-SF recall is 1.0 by oracle)")
     }
 
+    // q61 sequencePack at scale: the assignment is a pure function of
+    // (id, tokens, budget, shards) — identical on a repartitioned,
+    // reverse-sorted copy — and no pack overflows by more than one doc.
+    if (wanted("q61")) {
+      import graft.ext.{Curation, TextAnalysis}
+      val docs = spark.read.parquet(s"$scaled/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      val t0 = System.nanoTime()
+      val packed = Curation.sequencePack(docs, "doc_id", "n_tokens", 4096, 1024)
+      val total = packed.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val overflow = packed.groupBy("shard", "pack")
+        .agg(sum("n_tokens").as("tot"), max("n_tokens").as("maxDoc"))
+        .where(col("tot") > lit(4096) + col("maxDoc")).count()
+      val rePacked = Curation.sequencePack(
+        docs.repartition(97).sortWithinPartitions(col("doc_id").desc),
+        "doc_id", "n_tokens", 4096, 1024)
+      val drift = packed.select("doc_id", "shard", "pack")
+        .except(rePacked.select("doc_id", "shard", "pack")).count()
+      check("q61_pack_deterministic_at_scale")(
+        overflow == 0 && drift == 0 && total == docs.count(),
+        f"docs=$total overflowPacks=$overflow reorderDrift=$drift ${secs}%.1fs")
+    }
+
+    // q62 capPerGroup at scale: language groups are ~corpus/5 rows each —
+    // the hot-domain regime — and the salted pre-prune must still be
+    // EXACTLY the unsalted answer while sorting only buckets*k per group.
+    if (wanted("q62")) {
+      import graft.ext.{Curation, TextAnalysis}
+      val docs = spark.read.parquet(s"$scaled/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .localCheckpoint(true)
+      val order = Seq(col("quality").desc, col("doc_id").asc)
+      def run(salt: Option[(org.apache.spark.sql.Column, Int)]): (Set[(String, Long)], Double) = {
+        val t0 = System.nanoTime()
+        val out = Curation.capPerGroup(docs, Seq("lang"), order, 100, salt)
+          .select("lang", "doc_id").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        (out, (System.nanoTime() - t0) / 1e9)
+      }
+      val (plain, tPlain) = run(None)
+      val (salted, tSalted) = run(Some((col("doc_id"), 64)))
+      check("q62_salted_prune_exact_at_scale")(plain == salted && plain.nonEmpty,
+        f"kept=${plain.size} unsalted=${tPlain}%.1fs salted=${tSalted}%.1fs")
+    }
+
+    // q63 incremental dedup at scale: the band-index path must equal the
+    // full self-join pipeline's cross-split pairs at a corpus the DuckDB
+    // oracle cannot brute-force, and its wall-time measures the O(Δ)
+    // claim (the full pipeline re-bands the corpus; the incremental run
+    // only bands the increment and streams the prebuilt index).
+    if (wanted("q63")) {
+      import graft.ext.Dedup
+      val docs = spark.read.parquet(s"$scaled/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true) // charge parquet IO to neither side
+      def sigsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("doc_id").as("id"),
+          Dedup.minhashSignature(col("text"), 64, 3).as("sig"))
+      // FULL pipeline cost = re-hash the whole corpus + self-join banding
+      // (what a daily re-run pays today)
+      val tHashAll0 = System.nanoTime()
+      val frame = sigsOf(docs).localCheckpoint(true)
+      val tHashAll = (System.nanoTime() - tHashAll0) / 1e9
+      // INCREMENTAL cost = hash ONLY the increment + join the stored
+      // index; corpus signatures/index are loaded, never recomputed —
+      // checkpoints stand in for the parquet artifacts a store would hold
+      val corpus = frame.where(col("id") % 10 =!= 0).localCheckpoint(true)
+      val tIncHash0 = System.nanoTime()
+      val inc = sigsOf(docs.where(col("doc_id") % 10 === 0))
+        .localCheckpoint(true)
+      val tIncHash = (System.nanoTime() - tIncHash0) / 1e9
+      val tIdx0 = System.nanoTime()
+      val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)
+        .localCheckpoint(true)
+      val tIdx = (System.nanoTime() - tIdx0) / 1e9
+      val t0 = System.nanoTime()
+      val incPairs = Dedup.incrementalMinhashDupPairs(inc, index, corpus,
+          "id", "sig", bands = 32, threshold = 0.35)
+        .select("inc_id", "corpus_id").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val tInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val fullPairs = Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+          bands = 32, threshold = 0.35)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val tFull = (System.nanoTime() - t1) / 1e9
+      check("q63_incremental_equals_full_at_scale")(incPairs == fullPairs,
+        f"pairs=${incPairs.size} onlyInc=${(incPairs -- fullPairs).size} " +
+          f"onlyFull=${(fullPairs -- incPairs).size} " +
+          f"incRun=${tIncHash + tInc}%.1fs (hash=${tIncHash}%.1fs+join=${tInc}%.1fs) " +
+          f"vs fullRun=${tHashAll + tFull}%.1fs (hash=${tHashAll}%.1fs+band=${tFull}%.1fs); " +
+          f"amortized index build=${tIdx}%.1fs")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
