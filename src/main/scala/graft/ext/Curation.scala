@@ -54,15 +54,22 @@ object Curation {
     * dominating a training mix. `orderCols` must be a total order (end it
     * with a unique tiebreak column) or the kept set is nondeterministic.
     *
-    * Skew shape: a bare `row_number` window sorts EVERY row of a group on
-    * one task — at 100 TB a hot domain (one host with 10^9 pages) becomes
-    * the straggler. `saltPrune = (saltCol, buckets)` bounds that: a first
-    * window ranks within (group, pmod(saltCol, buckets)) and keeps only k
-    * per bucket, so the final per-group sort sees at most buckets*k rows.
-    * The prune is EXACT, not approximate: any row in a group's global
-    * top-k is also in the top-k of whichever bucket holds it (fewer than k
-    * bucket-mates outrank it), so the bucket survivors are a superset of
-    * the answer. Output: input columns + `rk` (1-based rank within group).
+    * Skew shape: Catalyst already guards the hot-group straggler here —
+    * `row_number` + `rk <= k` rewrites to `WindowGroupLimit`, a partial
+    * top-k per input partition BEFORE the shuffle, so the per-group sort
+    * sees at most partitions*k rows no matter how hot the group
+    * (plan-gated in PlanQualitySpec; measured on a 100M-row single group:
+    * bare window 2.8s vs salted two-window 11.5s). The bare form is
+    * therefore the scale-safe default. `saltPrune = (saltCol, buckets)`
+    * remains as an explicit fallback for rank-function/engine combinations
+    * where that rewrite doesn't fire: a first window ranks within
+    * (group, pmod(saltCol, buckets)) and keeps only k per bucket, bounding
+    * the final sort at buckets*k rows per group. The prune is EXACT, not
+    * approximate: any row in a group's global top-k is also in the top-k
+    * of whichever bucket holds it (fewer than k bucket-mates outrank it),
+    * so the bucket survivors are a superset of the answer — proven at
+    * scale by ScaleInvariants' salted==unsalted set equality. Output:
+    * input columns + `rk` (1-based rank within group).
     */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
       k: Int, saltPrune: Option[(Column, Int)] = None): DataFrame = {

@@ -176,6 +176,35 @@ object ScaleInvariants {
         f"kept=${plain.size} unsalted=${tPlain}%.1fs salted=${tSalted}%.1fs")
     }
 
+    // q62 hot-group regime (synthetic; no disk corpus needed): ONE group
+    // holding 100M rows — the straggler case. FINDING (kept measured
+    // here): Catalyst's WindowGroupLimit already bounds the bare window
+    // (partial top-k per input partition before the shuffle), so the
+    // plain form BEATS the salted two-window prune at any size; the salt
+    // remains an exactness-proven fallback for rewrite-less engines.
+    // Asserted: identical kept-sets, and the bare window staying ahead.
+    if (wanted("q62skew")) {
+      import graft.ext.Curation
+      // no checkpoint: spark.range is pure/deterministic, so both runs see
+      // identical data without materializing 100M rows in block storage
+      val rows = spark.range(100000000L).toDF("id")
+        .withColumn("grp", lit("hot"))
+        .withColumn("score", pmod(col("id") * 131 + 17, lit(1000000L)).cast("double"))
+      val order = Seq(col("score").desc, col("id").asc)
+      def run(salt: Option[(org.apache.spark.sql.Column, Int)]): (Set[Long], Double) = {
+        val t0 = System.nanoTime()
+        val kept = Curation.capPerGroup(rows, Seq("grp"), order, 100, salt)
+          .select("id").collect().map(_.getLong(0)).toSet
+        (kept, (System.nanoTime() - t0) / 1e9)
+      }
+      val (plain, tPlain) = run(None)
+      val (salted, tSalted) = run(Some((col("id"), 256)))
+      check("q62skew_hot_group")(
+        plain == salted && plain.size == 100 && tPlain <= tSalted * 1.5,
+        f"kept=${plain.size} bareWindow=${tPlain}%.1fs saltedPrune=${tSalted}%.1fs " +
+          "(WindowGroupLimit makes the bare window the scale-safe default)")
+    }
+
     // q63 incremental dedup at scale: the band-index path must equal the
     // full self-join pipeline's cross-split pairs at a corpus the DuckDB
     // oracle cannot brute-force, and its wall-time measures the O(Δ)
