@@ -75,10 +75,19 @@ object ScaleUp {
     // LongType code path (Catalog's raw-nanos pushdown, TableLoader's
     // div-1000 conversion) the driver's fixtures exercise.
     def read(t: String) = graft.sources.TableLoader.loadRaw(spark, src, t)
-    def write(t: String)(df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
-      System.err.println(s"[scaleup] $t done")
-    }
+    // SPARK_GRAFT_SCALE_TABLES=documents,embeddings scales only those
+    // tables — a 1000x documents-only corpus for the dedup/curation
+    // invariants doesn't need 600M lineitem rows on disk
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def write(t: String)(df: => DataFrame): Unit =
+      if (only.nonEmpty && !only(t))
+        System.err.println(s"[scaleup] $t skipped (SPARK_GRAFT_SCALE_TABLES)")
+      else {
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+        System.err.println(s"[scaleup] $t done")
+      }
 
     // dims: verbatim copy
     Seq("region", "nation").foreach(t => write(t)(read(t)))
