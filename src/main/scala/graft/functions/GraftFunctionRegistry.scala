@@ -103,8 +103,18 @@ object GraftFunctionRegistry {
       es => MinHashSignature(es(0), intArg(es(1), "numHashes"), intArg(es(2), "shingleN"))),
     ("simhash64", "64-bit SimHash of a token array",
       es => SimHash64(es(0))),
+    ("simhash128", "128-bit SimHash of a token array (array of 2 longs)",
+      es => SimHash128(es(0))),
     ("band_keys", "LSH band bucket keys of a signature array",
       es => SignatureBandKeys(es(0), intArg(es(1), "bands"))),
+    ("minhash_jaccard", "estimated Jaccard from two minhash signatures",
+      es => MinHashJaccard(es(0), es(1))),
+    ("split_ws", "whitespace-split a string into a token array",
+      es => WhitespaceSplit(es(0))),
+    ("word_shingles", "distinct word n-gram shingles of a token array",
+      es => WordShingles(es(0), intArg(es(1), "shingleN"))),
+    ("set_jaccard", "exact Jaccard of two arrays treated as sets",
+      es => SetJaccard(es(0), es(1))),
     ("hll_sketch_build", "aggregate values into a mergeable HLL sketch",
       es => HllSketchAgg(es.head, mergeSketches = false)),
     ("hll_sketch_merge", "merge pre-built HLL sketches",

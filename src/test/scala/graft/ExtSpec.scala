@@ -512,6 +512,21 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("SQL surface exposes the text-hash scalar family") {
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT
+        |  set_jaccard(word_shingles(split_ws('a b c d'), 3),
+        |              word_shingles(split_ws('a b c e'), 3)) AS j,
+        |  minhash_jaccard(minhash_signature(split_ws('x y z w'), 64, 3),
+        |                  minhash_signature(split_ws('x y z w'), 64, 3)) AS mj,
+        |  size(simhash128(split_ws('a b c'))) AS w128""".stripMargin).head()
+    // shingles: {"a b c","b c d"} vs {"a b c","b c e"} → 1 of 3
+    assert(math.abs(r.getDouble(0) - 1.0 / 3) < 1e-9, s"set_jaccard ${r.getDouble(0)}")
+    assert(r.getDouble(1) == 1.0, "identical docs must estimate jaccard 1.0")
+    assert(r.getInt(2) == 2, "simhash128 is an array of 2 longs")
+  }
+
   test("incremental dedup: band-index path equals the full self-join's cross-split pairs") {
     import graft.ext.Dedup
     // synthetic corpus with planted near-dups: base docs + every 5th doc
