@@ -566,6 +566,18 @@ class ExtSpec extends SparkTestBase {
     val overCap = capped.groupBy("band", "bucket").count()
       .where(col("count") > 1).count()
     assert(overCap == 0, "bucketCap must bound index bucket membership")
+
+    // the advertised persistence shape: write the index partitioned by
+    // band, reload it cold, and get the identical pair set — what a daily
+    // pipeline does between corpus versions
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
+    index.write.mode("overwrite").partitionBy("band").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val reloadedPairs = Dedup.incrementalMinhashDupPairs(inc, reloaded, corpus,
+        "id", "sig", bands = 32, threshold = 0.35)
+      .select("inc_id", "corpus_id").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(reloadedPairs == incPairs, "persisted index must round-trip")
   }
 
   test("sequencePack: greedy contiguous packing, budget overflow by at most one doc") {
