@@ -987,6 +987,26 @@ object SparkEntry {
         .select(col("inc_id"), col("corpus_id"), round(col("__j"), 4).as("jaccard"))
         .orderBy("inc_id", "corpus_id")
     }),
+    "q64_incremental_cosine" -> ((s, dir) => {
+      // O(Δ) embedding dedup: the PLANTED perturbed vectors (q28's corpus,
+      // ids ≥ 1e6) arrive as a new batch and are deduped against the
+      // standing original corpus via a prebuilt hyperplane band index —
+      // same 16×8 geometry, 3σ agreement cut, and exact-cosine verify as
+      // q28, so DuckDB brute-force over the cross split hash-checks the
+      // whole incremental path.
+      import graft.ext.Similarity
+      val sigs = Similarity.nearDupSignatures(
+        q28PlantedUnion(s, dir), "vec_id", "embedding",
+        dim = 64, bands = 16, rowsPerBand = 8).localCheckpoint(true)
+      val inc = sigs.where(col("id") >= 1000000L)
+      val corpus = sigs.where(col("id") < 1000000L)
+      val index = Similarity.cosineBandIndex(corpus, bands = 16)
+      Similarity.incrementalCosineNearDupPairs(inc, index, corpus,
+          threshold = 0.9, bands = 16, rowsPerBand = 8)
+        .select(col("corpus_id").as("id_a"), col("inc_id").as("id_b"),
+          round(col("cosine"), 3).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1673,5 +1693,21 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
         |ORDER BY inc_id, corpus_id""".stripMargin,
+    // q64: brute-force exact cosine across the original/planted split —
+    // the incremental hyperplane-index path must reproduce it
+    "q64_incremental_cosine" ->
+      """WITH planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, emb2 AS embedding FROM (
+        |    SELECT vec_id,
+        |      list_transform(embedding, (x, j) ->
+        |        CAST(CAST(x AS DOUBLE)
+        |          + ((vec_id*31 + (j-1)) % 7 - 3) * 0.01::DOUBLE AS FLOAT)) AS emb2
+        |    FROM embeddings WHERE vec_id % 4 = 0))
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 3)
+        |    AS cosine
+        |FROM embeddings a JOIN planted b ON true
+        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -301,4 +301,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  // -------------------------------------------------------------------------
+  // Incremental (batch-vs-corpus) embedding near-dup — the cosine twin of
+  // Dedup.minhashBandIndex / incrementalMinhashDupPairs
+  // -------------------------------------------------------------------------
+
+  /** Signature frame for the incremental cosine path: (id, vec, __sig,
+    * __sigbits). The caller materializes it (`Dedup.materialize`) and keeps
+    * the geometry (bands × rowsPerBand, seed) IDENTICAL between the stored
+    * corpus artifacts and every increment — size it once at index build
+    * with `adaptiveNearDupBanding(corpusCount, threshold)`. */
+  def nearDupSignatures(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bands: Int, rowsPerBand: Int,
+      seed: Long = NearDupSeed): DataFrame = {
+    val nBits = bands * rowsPerBand
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshSignature(col(vecCol), seed, nBits, dim).as("__sig"))
+      .withColumn("__sigbits",
+        graft.functions.VectorFunctions.pack_bits(col("__sig")))
+  }
+
+  /** Persistent hyperplane band index: (band, bucket, id), at most
+    * `bucketCap` members per bucket (lowest ids, deterministic) — written
+    * once per corpus version (partition by band), then joined by every new
+    * embedding batch. Same degraded-capture cap semantics as
+    * `Dedup.minhashBandIndex`. */
+  def cosineBandIndex(sigs: DataFrame, bands: Int,
+      bucketCap: Int = NearDupBucketCap): DataFrame = {
+    val banded = sigs.select(col("id"),
+      posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
+        .as(Seq("band", "bucket")))
+    banded.withColumn("__rk", row_number().over(
+        Window.partitionBy("band", "bucket").orderBy(col("id"))))
+      .where(col("__rk") <= bucketCap)
+      .select("band", "bucket", "id")
+  }
+
+  /** Near-dup pairs between a NEW embedding batch and an EXISTING corpus in
+    * O(Δ)-shaped work: hash Δ vectors, explode Δ×bands keys, one
+    * (band, bucket) equi-join against the stored index (the small banded
+    * increment broadcasts; the corpus is never re-hashed or shuffled), then
+    * the same 3σ bit-agreement prefilter and exact-cosine verify as
+    * `cosineNearDupPairs`, fetched per candidate from the corpus signature
+    * frame. Output: (inc_id, corpus_id, cosine), cosine ≥ `threshold`. */
+  def incrementalCosineNearDupPairs(incSigs: DataFrame, corpusIndex: DataFrame,
+      corpusSigs: DataFrame, threshold: Double, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val nBits = bands * rowsPerBand
+    // The increment's packed bits ride ALONG the banding explode (a few
+    // longs per row on the already-small broadcast side), so the agreement
+    // cut runs BEFORE any wide payload moves: raw bucket collisions are
+    // ~bands × bucketLoad per increment row, and joining 64-float vectors
+    // to all of them dominated the first cut of this operator (measured
+    // 48s vs 26s for the full pipeline at a 500k corpus — the prefilter
+    // order, not the index idea, was the regression). Vectors are fetched
+    // only for agreement survivors.
+    val minAgree = math.max(0,
+      math.floor(nBits * (1.0 - math.acos(threshold) / math.Pi)
+        - 3.0 * math.sqrt(nBits * 0.25)).toInt)
+    val incBanded = incSigs.select(col("id").as("inc_id"),
+      col("__sigbits").as("__bits_a"),
+      posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
+        .as(Seq("band", "bucket")))
+    val cand = incBanded
+      .join(corpusIndex.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .where(col("inc_id") =!= col("corpus_id"))
+      .select("inc_id", "corpus_id", "__bits_a").distinct()
+    val agreed = cand
+      .join(corpusSigs.select(col("id").as("corpus_id"),
+        col("__sigbits").as("__bits_b")), "corpus_id")
+      .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
+        col("__bits_a"), col("__bits_b")) >= minAgree)
+      .select("inc_id", "corpus_id")
+    val va = incSigs.select(col("id").as("inc_id"), col("vec").as("vec_a"))
+    val vb = corpusSigs.select(col("id").as("corpus_id"), col("vec").as("vec_b"))
+    agreed.join(va, "inc_id").join(vb, "corpus_id")
+      .select(col("inc_id"), col("corpus_id"),
+        cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
 }

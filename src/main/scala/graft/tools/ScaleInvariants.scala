@@ -258,6 +258,59 @@ object ScaleInvariants {
           f"amortized index build=${tIdx}%.1fs")
     }
 
+    // q64 incremental cosine at scale: same cross-split equality for the
+    // embedding family, with the geometry ADAPTIVELY sized to the corpus
+    // (what an index build at this scale would do) and pinned identically
+    // on both paths so the sets must match exactly.
+    if (wanted("q64")) {
+      import graft.ext.Similarity
+      // the scaled corpus has no natural ≥0.9 pairs (replicas are signed
+      // permutations ≈ random cross-replica), so plant q28's closed-form
+      // perturbation of every 40th vector as the ARRIVING batch — the
+      // cross-split pair set is then exactly the planted pairs, non-empty
+      // and structure-checked, not a trivial ∅==∅
+      val IncOffset = 10000000000000L // clears 1000×KeyOffset ids
+      val emb = spark.read.parquet(s"$scaled/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val baseN = emb.count()
+      val plantedInc = emb.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, j) =>
+            (x.cast("double") +
+              (pmod(col("vec_id") * 31 + j.cast("long"), lit(7L)) - 3) * 0.01)
+              .cast("float")).as("embedding"))
+        .select((col("vec_id") + IncOffset).as("vec_id"), col("embedding"))
+      val union = emb.unionByName(plantedInc)
+      val (bands, rows) = Similarity.adaptiveNearDupBanding(baseN, 0.9)
+      val sigs = Similarity.nearDupSignatures(union, "vec_id", "embedding",
+        dim, bands, rows).localCheckpoint(true)
+      val inc = sigs.where(col("id") >= IncOffset).localCheckpoint(true)
+      val corpus = sigs.where(col("id") < IncOffset).localCheckpoint(true)
+      val index = Similarity.cosineBandIndex(corpus, bands).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val incPairs = Similarity.incrementalCosineNearDupPairs(inc, index,
+          corpus, 0.9, bands, rows)
+        .select("inc_id", "corpus_id").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val tInc = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val fullPairs = Similarity.cosineNearDupPairs(union,
+          "vec_id", "embedding", dim, 0.9, bands, rows)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (a >= IncOffset) != (b >= IncOffset) }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val tFull = (System.nanoTime() - t1) / 1e9
+      check("q64_incremental_cosine_equals_full_at_scale")(
+        incPairs == fullPairs && incPairs.nonEmpty,
+        f"pairs=${incPairs.size} onlyInc=${(incPairs -- fullPairs).size} " +
+          f"onlyFull=${(fullPairs -- incPairs).size} geometry=${bands}x$rows " +
+          f"incremental=${tInc}%.1fs full=${tFull}%.1fs")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

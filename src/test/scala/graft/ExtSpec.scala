@@ -580,6 +580,40 @@ class ExtSpec extends SparkTestBase {
     assert(reloadedPairs == incPairs, "persisted index must round-trip")
   }
 
+  test("incremental cosine: index path equals the full self-join's cross-split pairs") {
+    import graft.ext.{Dedup, Similarity}
+    // deterministic corpus with planted near-dups: base vectors + slightly
+    // perturbed copies (ids offset by 10000)
+    val dim = 16
+    val base = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(j =>
+        (math.sin(i * 31 + j * 7) * 2).toFloat))
+    }
+    val planted = base.filter(_._1 % 3 == 0).map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, j) =>
+        x + ((id * 13 + j) % 5 - 2) * 0.01f })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val sigs = Similarity.nearDupSignatures(
+      df, "vec_id", "embedding", dim, bands = 16, rowsPerBand = 8)
+      .localCheckpoint(true)
+    val inc = sigs.where(col("id") >= 10000L)
+    val corpus = sigs.where(col("id") < 10000L)
+    val index = Similarity.cosineBandIndex(corpus, bands = 16)
+    val incPairs = Similarity.incrementalCosineNearDupPairs(inc, index, corpus,
+        threshold = 0.9, bands = 16, rowsPerBand = 8)
+      .select("inc_id", "corpus_id").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val fullPairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        dim, threshold = 0.9, bands = 16, rowsPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a >= 10000L) != (b >= 10000L) }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(incPairs == fullPairs,
+      s"incremental != full cross-split: onlyInc=${incPairs -- fullPairs} onlyFull=${fullPairs -- incPairs}")
+    assert(incPairs.nonEmpty, "fixture must plant at least one cross-split near-dup")
+  }
+
   test("sequencePack: greedy contiguous packing, budget overflow by at most one doc") {
     import graft.ext.Curation
     // one shard so packing is fully hand-checkable
