@@ -1007,6 +1007,30 @@ object SparkEntry {
           round(col("cosine"), 3).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q65_curation_pipeline" -> ((s, dir) => {
+      // the operators composed as a real training-data pipeline, one
+      // oracle-checked query: language filter → exact dedup (keep lowest
+      // id per content hash) → quality gate → per-source quota cap (bare
+      // window: the WindowGroupLimit-safe default) → token-budget packing.
+      // Every stage is deterministic, so DuckDB replays the whole chain.
+      import graft.ext.{Curation, TextAnalysis}
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val en = docs.where(col("lang") === "en")
+      val deduped = en.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(en, "doc_id")
+      val scored = deduped.select(col("doc_id"), col("source"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+        .where(col("quality") >= 0.45)
+      val capped = Curation.capPerGroup(scored, Seq("source"),
+        Seq(col("quality").desc, col("doc_id").asc), k = 50)
+      Curation.sequencePack(capped, "doc_id", "n_tokens",
+          budgetTokens = 512, shards = 4)
+        .select(col("doc_id"), col("source"), col("quality"),
+          col("shard"), col("pack"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1709,5 +1733,41 @@ object SparkEntry {
         |FROM embeddings a JOIN planted b ON true
         |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // q65: the full curation chain replayed stage by stage — same quality
+    // SQL as q62, same packing window as q61
+    "q65_curation_pipeline" ->
+      """WITH en AS (SELECT * FROM documents WHERE lang = 'en'),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text)),
+        |base AS (SELECT e.* FROM en e JOIN keep k ON e.doc_id = k.doc_id),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    round(
+        |      (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0
+        |            WHEN length(text) < 100 THEN length(text) / 100.0
+        |            ELSE 20000.0 / length(text) END) * 0.4 +
+        |      (CASE WHEN nt = 0 THEN 0.0
+        |            ELSE least(np / greatest(nt, 1.0) * 5.0, 1.0) END) * 0.2 +
+        |      least(ns / greatest(nt, 1.0) * 20.0, 1.0) * 0.2 +
+        |      (CASE WHEN nt > 0 AND length(text) / nt >= 3.0
+        |                 AND length(text) / nt <= 12.0 THEN 1.0
+        |            ELSE 0.5 END) * 0.2, 6) AS quality,
+        |    CAST(nt AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, source, text,
+        |      CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nt,
+        |      CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
+        |      CAST(CAST((length(' ' || lower(text) || ' ') -
+        |        length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+        |        AS BIGINT) AS DOUBLE) AS ns
+        |    FROM base)),
+        |capped AS (SELECT doc_id, source, quality, n_tokens FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS rk
+        |  FROM scored WHERE quality >= 0.45) WHERE rk <= 50)
+        |SELECT doc_id, source, quality, doc_id % 4 AS shard,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY doc_id % 4
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+        |    AS BIGINT) AS pack,
+        |  n_tokens
+        |FROM capped ORDER BY doc_id""".stripMargin,
   )
 }
