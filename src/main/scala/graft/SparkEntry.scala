@@ -1031,6 +1031,21 @@ object SparkEntry {
           col("shard"), col("pack"), col("n_tokens"))
         .orderBy("doc_id")
     }),
+    "q66_markup_strip" -> ((s, dir) => {
+      // markup→text over a synthetic deterministic HTML wrapping (script
+      // block, attributes, entities) so the strip is genuinely exercised —
+      // both engines construct the identical HTML and must normalize to
+      // the identical plain text
+      import graft.ext.TextAnalysis
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val html = concat(
+        lit("<div class=\"doc\" id=\""), col("doc_id").cast("string"),
+        lit("\"><script type=\"text/javascript\">var x = 1 < 2;</script><p>"),
+        col("text"), lit("</p><br/>&amp;joined &lt;tail&gt;</div>"))
+      docs.select(col("doc_id"),
+          TextAnalysis.stripMarkup(html).as("clean"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1769,5 +1784,25 @@ object SparkEntry {
         |    AS BIGINT) AS pack,
         |  n_tokens
         |FROM capped ORDER BY doc_id""".stripMargin,
+    // q66: identical synthetic HTML built in SQL, identical strip chain
+    // (per-block-tag passes — RE2 has no backreferences, so the operator
+    // avoids them by design)
+    "q66_markup_strip" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            '<div class="doc" id="' || doc_id ||
+        |            '"><script type="text/javascript">var x = 1 < 2;</script><p>'
+        |            || text || '</p><br/>&amp;joined &lt;tail&gt;</div>',
+        |            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

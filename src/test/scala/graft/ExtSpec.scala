@@ -512,6 +512,25 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("stripMarkup: block tags with contents, entities, double-escapes") {
+    import graft.ext.TextAnalysis
+    val cases = Seq(
+      ("<p>hello <b>world</b></p>", "hello world"),
+      ("<script>if (a<b) {x}</script>after", "after"),
+      ("<style type=\"a\">p { color: red }</style>text", "text"),
+      ("a &amp;amp; b", "a &amp; b"), // double-escape stays literal (amp last)
+      ("&lt;not a tag&gt; &quot;q&quot; &#39;s&#39;", "<not a tag> \"q\" 's'"),
+      ("  spaced\n\nout\ttext  ", "spaced out text"),
+      ("<ScRiPt>x</sCrIpT>done", "done")) // case-insensitive block match
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }
+      .toDF("i", "html")
+    val got = df.select(col("i"), TextAnalysis.stripMarkup(col("html")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"stripMarkup('$in') = '${got(i)}', want '$want'")
+    }
+  }
+
   test("SQL surface exposes the text-hash scalar family") {
     graft.functions.GraftFunctionRegistry.registerAll(spark)
     val r = spark.sql(
