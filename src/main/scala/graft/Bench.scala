@@ -161,21 +161,33 @@ object Bench {
       ",\"canary_sec\":[" + canary1.map(fmt).mkString(",") + "]" +
         ",\"canary_par_sec\":[" + canaryN.map(fmt).mkString(",") + "]"
 
-    // Flag contended pass columns: a pass-major pass is one wall-clock
-    // window, so a co-tenant CPU spike inflates that COLUMN uniformly
-    // across queries (BENCH_r07's 5th column ran 3-7x hot). Make that
-    // machine-readable instead of leaving it to eyeball archaeology: a
-    // column whose cross-query median exceeds 2x the best column's is
-    // contended. min/median stats already exclude such windows by
-    // construction (min) or dilute them (median over 2*passes).
+    // Flag contended pass columns. Only the pass-major sweep (columns
+    // passes..2*passes-1) has the column==wall-clock-window property: in
+    // the query-major sweep query A's pass 0 runs long before query Z's,
+    // so a column there is NOT a shared window and flagging it would be
+    // meaningless. In the pass-major half a co-tenant CPU spike inflates
+    // one COLUMN uniformly across queries (BENCH_r07's 5th column ran
+    // 3-7x hot); a column whose cross-query median exceeds 2x the best
+    // pass-major column's is contended. min/median stats already exclude
+    // such windows by construction (min) or dilute them (median).
+    // A column can be sample-free (e.g. a pinned single query erroring
+    // every pass) — its median is null and it never enters the compare.
     val nCols = 2 * passes
-    val colMedians = (0 until nCols).map { c =>
-      median(names.flatMap(n => acc(n).lift(c).collect { case (t, true) => t }))
+    val colMedians: Seq[Option[Double]] = (0 until nCols).map { c =>
+      val good = names.flatMap(n => acc(n).lift(c).collect { case (t, true) => t })
+      if (good.isEmpty) None else Some(median(good))
     }
-    val contended = colMedians.zipWithIndex
-      .filter(_._1 > 2 * colMedians.min).map(_._2)
+    val passMajor = colMedians.zipWithIndex.drop(passes)
+      .collect { case (Some(m), i) => (m, i) }
+    val contended =
+      if (passMajor.isEmpty) Seq.empty[Int]
+      else {
+        val best = passMajor.map(_._1).min
+        passMajor.filter(_._1 > 2 * best).map(_._2)
+      }
     val contendedJson =
-      ",\"col_medians_sec\":[" + colMedians.map(fmt).mkString(",") + "]" +
+      ",\"col_medians_sec\":[" +
+        colMedians.map(_.map(fmt).getOrElse("null")).mkString(",") + "]" +
         ",\"contended_pass_cols\":[" + contended.mkString(",") + "]"
 
     // The driver captures only a bounded stdout tail, so the line printed

@@ -29,6 +29,112 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  // -------------------------------------------------------------------------
+  // observable LSH runtime stats + candidate budget
+  // -------------------------------------------------------------------------
+
+  /** One observable LSH measurement: either a pre-execution candidate
+    * estimate for a banding self-join (`kind` = "minhash"/"simhash"/...)
+    * or a band-index build's bucket-cap truncation report
+    * (`kind` ends in "-index"). `estCandidates` for an index build is the
+    * estimate of a full self-join over the same banded keys — a capacity
+    * signal, not work the index itself performs. */
+  final case class LshStat(kind: String, buckets: Long, overflowBuckets: Long,
+      droppedMembers: Long, maxBucket: Long, estCandidates: Long)
+
+  private val lshStatsRing =
+    new java.util.concurrent.ConcurrentLinkedDeque[LshStat]()
+
+  private def recordLshStat(s: LshStat): Unit = {
+    lshStatsRing.addLast(s)
+    while (lshStatsRing.size() > 64) lshStatsRing.pollFirst()
+  }
+
+  /** Recent LSH stats, newest last — the observable signal (ADVICE r8) that
+    * bucket caps are truncating (capture degradation) or that a banding
+    * self-join is about to emit a pathological candidate volume. Surfaced
+    * for servers to republish (e.g. alongside an engine metrics ring). */
+  def lshStats: Seq[LshStat] = {
+    import scala.jdk.CollectionConverters._
+    lshStatsRing.iterator().asScala.toSeq
+  }
+
+  /** Candidate budget for banding self-joins: estimates past this refuse to
+    * execute (`spark.graft.lsh.candidateBudget`; `0` disables the check and
+    * the estimate pass entirely). 2e9 pairs ≈ tens of GB of candidate
+    * shuffle — past any sane single-query volume; a plan that big is a
+    * mis-sized banding geometry, not a workload. */
+  val DefaultCandidateBudget: Long = 2000000000L
+
+  /** One cheap agg over a keys-only banded frame: per-(band,bucket) loads →
+    * (bucket count, overflow count, members dropped by the cap, max load,
+    * capped candidate estimate). The estimate mirrors the skew-cap algebra
+    * exactly: m(m-1)/2 pairs for buckets within `bucketCap`, m-1 star pairs
+    * past it. Runs on (band, bucket) only — payload columns prune away. */
+  private[ext] def bandedStats(banded: DataFrame, bucketCap: Int,
+      kind: String): LshStat = {
+    val per = banded.groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+    val r = per.agg(
+      count(lit(1)).as("buckets"),
+      coalesce(sum(when(col("m") > bucketCap, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("m") > bucketCap, col("m") - bucketCap)
+        .otherwise(0L)), lit(0L)),
+      coalesce(max(col("m")), lit(0L)),
+      coalesce(sum(when(col("m") > bucketCap, col("m") - 1)
+        .otherwise(shiftright(col("m") * (col("m") - 1), 1))), lit(0L))).head()
+    LshStat(kind, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))
+  }
+
+  /** Pre-execution candidate-volume gate for the banding self-joins: one
+    * keys-only agg (the banded frame derives from a materialized signature
+    * frame in every caller, so this re-explodes cached blocks — no corpus
+    * re-scan), recorded in `lshStats` + logged, then REFUSED past the
+    * configured budget with sizing guidance. Turns the documented geometry
+    * ceilings (64-bit simhash past ~1M docs, hyperplane banding on
+    * structure-less vectors) from scaladoc caveats into runtime protection. */
+  private def guardCandidates(banded: DataFrame, bucketCap: Int,
+      kind: String): Unit = {
+    val budget = banded.sparkSession.conf
+      .getOption("spark.graft.lsh.candidateBudget").map(_.toLong)
+      .getOrElse(DefaultCandidateBudget)
+    if (budget > 0) {
+      val st = bandedStats(banded, bucketCap, kind)
+      recordLshStat(st)
+      System.err.println(s"[graft-lsh] $kind banding: buckets=${st.buckets} " +
+        s"overflow=${st.overflowBuckets} maxBucket=${st.maxBucket} " +
+        s"estCandidates=${st.estCandidates} budget=$budget")
+      if (st.estCandidates > budget)
+        throw new IllegalStateException(
+          s"LSH $kind banding would emit ~${st.estCandidates} candidate " +
+            s"pairs (budget $budget): the banding geometry is mis-sized for " +
+            "this corpus (fixed-keyspace bands flooded, or near-random " +
+            "signatures). Use a wider fingerprint / adaptive banding, raise " +
+            "spark.graft.lsh.candidateBudget, or set it to 0 to disable " +
+            "this check.")
+    }
+  }
+
+  /** Index-build truncation report: counts buckets that hit `bucketCap`
+    * (whose members past the cap were DROPPED from the index — capture
+    * degradation the cap trades for boundedness), recorded in `lshStats`
+    * and logged so degradation is detectable instead of silent (ADVICE r8).
+    * One keys-only agg per index build — index builds are rare,
+    * corpus-version events, not per-query work. */
+  private[ext] def reportIndexTruncation(banded: DataFrame, bucketCap: Int,
+      kind: String): Unit = {
+    val st = bandedStats(banded, bucketCap, kind)
+    recordLshStat(st)
+    val lvl = if (st.overflowBuckets > 0) "WARN" else "info"
+    System.err.println(s"[graft-lsh] $lvl $kind build: buckets=${st.buckets} " +
+      s"atCap=${st.overflowBuckets} droppedMembers=${st.droppedMembers} " +
+      s"maxBucket=${st.maxBucket}" +
+      (if (st.overflowBuckets > 0)
+        " — capture degrades for members past the cap; raise bucketCap or " +
+          "widen the banding keyspace if droppedMembers is material"
+      else ""))
+  }
+
   /** Materialize a signature frame once so downstream self-joins read
     * cached blocks instead of re-deriving it from the corpus.
     *
@@ -113,6 +219,7 @@ object Dedup {
   private[ext] def cappedBucketPairs(banded: DataFrame, idCol: String,
       payloadCol: String, bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    guardCandidates(banded.select("band", "bucket"), bucketCap, "payload-banding")
     // Per-bucket size + representative via WINDOW functions, not a separate
     // groupBy+join branch — one fewer shuffle.
     val byBucket = Window.partitionBy("band", "bucket")
@@ -151,6 +258,7 @@ object Dedup {
   private[ext] def cappedBucketPairIds(banded: DataFrame, idCol: String,
       bucketCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    guardCandidates(banded.select("band", "bucket"), bucketCap, "keys-banding")
     val byBucket = Window.partitionBy("band", "bucket")
     val flagged = banded
       .withColumn("__n", count(lit(1)).over(byBucket))
@@ -246,13 +354,19 @@ object Dedup {
     * with an over-full bucket still meets that bucket's `bucketCap`
     * retained members — and has `bands` independent chances overall — so
     * pathological buckets (boilerplate shingles) degrade capture
-    * gracefully instead of exploding the join. */
+    * gracefully instead of exploding the join. Truncation is OBSERVABLE,
+    * not silent: each build records a bucket-cap report in `lshStats`
+    * (buckets at cap, members dropped) and WARN-logs when any bucket
+    * overflowed, so boilerplate-heavy corpora that degrade capture are
+    * detectable at build time (ADVICE r8). */
   def minhashBandIndex(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int, bucketCap: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
         .as(Seq("band", "bucket")))
+    reportIndexTruncation(banded.select("band", "bucket"), bucketCap,
+      "minhash-index")
     banded
       .withColumn("__rk", row_number().over(
         Window.partitionBy("band", "bucket").orderBy(col("id"))))
@@ -436,13 +550,45 @@ object Dedup {
     * 2^(64/bands) values, so corpora beyond ~bucketCap · 2^(64/bands) docs
     * trip the cap on random data alone. With bands=16 that is ~4k docs
     * (16 bucket values/band); prefer few wide bands (bands=4 → 65k values)
-    * and a low maxHamming, or raise bucketCap knowingly. */
+    * and a low maxHamming, or raise bucketCap knowingly.
+    *
+    * CORPUS-SIZE GUARD: above `wideArmMinDocs` documents (corpus size from
+    * parquet footers when the plan allows — no counting job — else one
+    * columnless count) the fixed 2^(64/bands) keyspace floods on random
+    * load alone (measured: ~370M junk candidates, ~100 GB of spill at a
+    * 6.15M-doc corpus), so the call AUTO-ROUTES to `simhash128DupPairs`
+    * (4×32-bit banding, bucket load n/2^32) instead of silently building
+    * the pathological plan — same auto-switch `multiFamilyDupCandidates`
+    * performs. The wide arm needs maxHamming ≤ 3 (pigeonhole); a larger
+    * maxHamming on a too-large corpus fails fast with guidance rather
+    * than flooding. Set `wideArmMinDocs = Long.MaxValue` to pin the
+    * legacy 64-bit arm knowingly. */
   def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bucketCap: Int = 256, bands: Int = 4): DataFrame = {
-    // one corpus scan + hash pass, reused by both self-join sides
-    val sigs = materialize(
-      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
-    simhashDupPairsFromSigs(sigs, "id", "sig", maxHamming, bucketCap, bands)
+      maxHamming: Int = 3, bucketCap: Int = 256, bands: Int = 4,
+      wideArmMinDocs: Long = 1000000L): DataFrame = {
+    val n =
+      if (wideArmMinDocs <= 0L) Long.MaxValue // force the wide arm
+      else if (wideArmMinDocs == Long.MaxValue) 0L // pinned legacy: skip count
+      else Similarity.parquetFooterRowCount(df).getOrElse(df.count())
+    if (n >= wideArmMinDocs) {
+      if (maxHamming > 3)
+        throw new IllegalArgumentException(
+          s"simhashDupPairs: corpus has $n docs (>= wideArmMinDocs=" +
+            s"$wideArmMinDocs) — the 64-bit banding keyspace floods at this " +
+            "size and the 128-bit wide arm is pigeonhole-lossless only for " +
+            s"maxHamming <= 3 (got $maxHamming). Lower maxHamming, or pin " +
+            "the 64-bit arm with wideArmMinDocs = Long.MaxValue if you " +
+            "accept the candidate flood.")
+      System.err.println(s"[graft-lsh] simhashDupPairs: $n docs >= " +
+        s"$wideArmMinDocs — routing to the 128-bit wide arm (4x32-bit " +
+        "banding); pin wideArmMinDocs = Long.MaxValue to force 64-bit")
+      simhash128DupPairs(df, textCol, idCol, maxHamming, bucketCap)
+    } else {
+      // one corpus scan + hash pass, reused by both self-join sides
+      val sigs = materialize(
+        df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
+      simhashDupPairsFromSigs(sigs, "id", "sig", maxHamming, bucketCap, bands)
+    }
   }
 
   /** Banding + Hamming verify over a pre-MATERIALIZED simhash frame — see

@@ -326,12 +326,16 @@ object Similarity {
     * `bucketCap` members per bucket (lowest ids, deterministic) — written
     * once per corpus version (partition by band), then joined by every new
     * embedding batch. Same degraded-capture cap semantics as
-    * `Dedup.minhashBandIndex`. */
+    * `Dedup.minhashBandIndex` — and the same observable truncation report:
+    * each build records buckets-at-cap / dropped members in
+    * `Dedup.lshStats` and WARN-logs on overflow (ADVICE r8). */
   def cosineBandIndex(sigs: DataFrame, bands: Int,
       bucketCap: Int = NearDupBucketCap): DataFrame = {
     val banded = sigs.select(col("id"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
         .as(Seq("band", "bucket")))
+    Dedup.reportIndexTruncation(banded.select("band", "bucket"), bucketCap,
+      "cosine-index")
     banded.withColumn("__rk", row_number().over(
         Window.partitionBy("band", "bucket").orderBy(col("id"))))
       .where(col("__rk") <= bucketCap)

@@ -15,10 +15,14 @@ import org.apache.spark.sql.streaming.Trigger
   * visibility guarantees the batch rehearsal pins:
   *
   *  - SUSTAINED THROUGHPUT: at a fixed trigger interval, committed rows/s
-  *    must track the offered rate (no unbounded batch backlog). Reported
-  *    per rate step; the first step where committed/offered falls under
-  *    0.95 is the measured ceiling. On a cluster the sink parallelism is
-  *    the executor count — this measures the per-box share.
+  *    must track the offered rate (no unbounded batch backlog). Throughput
+  *    is REPORTED for every rate step; only the LOWEST step is asserted,
+  *    at `SustainedFraction` (0.7×) of the offered rate — the lowest step
+  *    must be comfortably sustainable while the higher steps exist to
+  *    measure the ceiling, read off as the first step whose
+  *    committed/offered ratio falls under `SustainedFraction`. On a
+  *    cluster the sink parallelism is the executor count — this measures
+  *    the per-box share.
   *  - EXACT ROW ACCOUNTING: after stopping at a processed-offsets barrier,
   *    segment rows == the rate source's delivered row range (exactly-once
   *    through appendBatch's batchId replay guard).
@@ -30,6 +34,12 @@ import org.apache.spark.sql.streaming.Trigger
   * (defaults 50k/200k/800k rows/s, 15s per step).
   */
 object StreamRehearsal {
+  /** Single source of truth for the sustained-throughput contract (see
+    * scaladoc): the lowest rate step must commit at least this fraction
+    * of the offered rate; higher steps only report, and a step falling
+    * under this ratio marks the measured ceiling. */
+  val SustainedFraction = 0.7
+
   def main(args: Array[String]): Unit = {
     val rates: Seq[Long] =
       if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(50000L, 200000L, 800000L)
@@ -86,7 +96,7 @@ object StreamRehearsal {
 
       val committed = store.read(spark, "stream_events").count()
       val throughput = committed / wallSecs
-      val sustained = throughput >= 0.7 * rate
+      val sustained = throughput >= SustainedFraction * rate
       // exact accounting: the rate source delivers a contiguous value
       // range; committed rows must be exactly that range, once each
       val agg = store.read(spark, "stream_events")

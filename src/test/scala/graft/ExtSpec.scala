@@ -686,4 +686,74 @@ class ExtSpec extends SparkTestBase {
     // ranks are 1..k dense within each group
     assert(salted.where(col("rk") < 1 || col("rk") > 25).count() == 0)
   }
+
+  test("simhashDupPairs corpus-size guard routes large corpora to the 128-bit wide arm") {
+    // wideArmMinDocs=1: every corpus is "large" — the direct entry point
+    // must take the wide arm (plan carries simhash128, not simhash64) and
+    // return exactly simhash128DupPairs' result
+    // the signature frame is checkpointed (lineage truncated), so the arm
+    // is read off the VERIFY expression: the wide arm's 128-bit hamming
+    // unpacks the two signature words with element_at; the 64-bit arm's is
+    // a single bit_count over longs with no element_at
+    val routed = Dedup.simhashDupPairs(docs, "text", "doc_id",
+      maxHamming = 3, wideArmMinDocs = 1L)
+    assert(routed.queryExecution.analyzed.toString.contains("element_at"),
+      "guard must route to the wide arm above the corpus ceiling")
+    val wide = Dedup.simhash128DupPairs(docs, "text", "doc_id", maxHamming = 3)
+    assert(routed.select("id_a", "id_b").except(
+      wide.select("id_a", "id_b")).count() == 0)
+    assert(wide.select("id_a", "id_b").except(
+      routed.select("id_a", "id_b")).count() == 0)
+
+    // pinned legacy arm stays 64-bit (no corpus count, no simhash128)
+    val pinned = Dedup.simhashDupPairs(docs, "text", "doc_id",
+      maxHamming = 3, wideArmMinDocs = Long.MaxValue)
+    assert(!pinned.queryExecution.analyzed.toString.contains("element_at"))
+
+    // a too-loose maxHamming cannot silently flood OR silently lose recall:
+    // past the ceiling with maxHamming > 3 the call must fail with guidance
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashDupPairs(docs, "text", "doc_id",
+        maxHamming = 4, wideArmMinDocs = 1L)
+    }
+    assert(e.getMessage.contains("maxHamming"))
+  }
+
+  test("LSH candidate budget: pathological banding refused before execution") {
+    // 10k clones at the DEFAULT bucketCap (256) — every bucket holds all 10k
+    // rows, star-capped to ~20 bands x 9999 candidates ≈ 200k, which a tiny
+    // budget must refuse at plan-build time (no banding job runs)
+    val clones = spark.range(0, 10000).toDF("doc_id")
+      .withColumn("text", lit("the same boilerplate sentence repeated in every document of this corpus"))
+    spark.conf.set("spark.graft.lsh.candidateBudget", "1000")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.minhashDupPairs(clones, "text", "doc_id", threshold = 0.5)
+      }
+      assert(e.getMessage.contains("candidate"))
+      // the estimate that triggered the refusal is observable in the ring
+      val st = Dedup.lshStats.last
+      assert(st.estCandidates > 1000L && st.overflowBuckets > 0L)
+    } finally spark.conf.set("spark.graft.lsh.candidateBudget",
+      Dedup.DefaultCandidateBudget.toString)
+    // at the default budget the same corpus executes fine (star cap)
+    assert(Dedup.minhashDupPairs(clones, "text", "doc_id", threshold = 0.5)
+      .count() == 9999L)
+  }
+
+  test("band-index truncation is observable: buckets at cap recorded in lshStats") {
+    val clones = spark.range(0, 500).toDF("doc_id")
+      .withColumn("text", lit("identical boilerplate every document shares word for word"))
+    val sigs = clones.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), 64, 3).as("sig")).localCheckpoint(true)
+    val idx = Dedup.minhashBandIndex(sigs, "id", "sig", bands = 16, bucketCap = 8)
+    val st = Dedup.lshStats.reverse.find(_.kind == "minhash-index").get
+    assert(st.overflowBuckets > 0L, "500 clones at cap 8 must overflow")
+    assert(st.droppedMembers > 0L)
+    assert(st.maxBucket == 500L)
+    // the index itself is still bounded at the cap
+    val loads = idx.groupBy("band", "bucket").count()
+      .agg(max("count")).head().getLong(0)
+    assert(loads <= 8L)
+  }
 }
