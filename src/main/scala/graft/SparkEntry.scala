@@ -1046,6 +1046,25 @@ object SparkEntry {
           TextAnalysis.stripMarkup(html).as("clean"))
         .orderBy("doc_id")
     }),
+    "q67_bound_alphanumeric" -> ((s, dir) =>
+      // bound filter with ordering=alphanumeric over an extracted "v<uid>"
+      // tag: ("v3", "v12"] keeps uids 4..12 under the exact digit-run
+      // comparator, while lexicographic keeps NOTHING ("v4".."v9" exceed
+      // "v12"; "v10".."v12" fall below "v3") — the oracle pins the exact arm
+      engine(s, dir).plan(
+        """{"queryType":"groupBy","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          |"granularity":"all",
+          |"dimensions":[{"type":"extraction","dimension":"user_id",
+          |  "outputName":"tag",
+          |  "extractionFn":{"type":"stringFormat","format":"v%s"}}],
+          |"filter":{"type":"bound","dimension":"user_id",
+          |  "lower":"v3","upper":"v12","lowerStrict":true,
+          |  "ordering":"alphanumeric",
+          |  "extractionFn":{"type":"stringFormat","format":"v%s"}},
+          |"aggregations":[{"type":"count","name":"cnt"}],
+          |"limitSpec":{"type":"default","columns":[{"dimension":"tag",
+          |  "direction":"ascending","dimensionOrder":"alphanumeric"}]}}""".stripMargin)),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1804,5 +1823,13 @@ object SparkEntry {
         |      '&#39;', ''''), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q67: the alphanumeric bound ("v3","v12"] on tag "v"||uid is exactly
+    // uid in (3, 12] — DuckDB expresses the digit-run comparison numerically
+    "q67_bound_alphanumeric" ->
+      """SELECT 'v' || CAST(user_id AS VARCHAR) AS tag, count(*) AS cnt
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  AND user_id > 3 AND user_id <= 12
+        |GROUP BY 1 ORDER BY length(tag), tag""".stripMargin,
   )
 }

@@ -430,6 +430,14 @@ object Compilers {
               case "strlen" =>
                 rangePred(length(x.cast(StringType)).cast(LongType),
                   s => lit(s.length.toLong))
+              case "alphanumeric" =>
+                // exact alphanumeric: same native sort key as limitSpec's
+                // comparator; the literal side constant-folds at optimize time
+                rangePred(
+                  graft.functions.TextHashFunctions.alphanumeric_sort_key(
+                    x.cast(StringType)),
+                  s => graft.functions.TextHashFunctions.alphanumeric_sort_key(
+                    lit(s)))
               case _ =>
                 rangePred(x.cast(StringType), s => lit(s))
             }
@@ -445,7 +453,16 @@ object Compilers {
               }
             case "strlen" => (length(base.cast(StringType)).cast(LongType),
               (s: String) => lit(s.length.toLong))
-            case _ => // lexicographic (and alphanumeric approximated as such)
+            case "alphanumeric" =>
+              // exact Druid alphanumeric ordering: compare the same native
+              // sort keys limitSpec's comparator uses (embedded digit runs
+              // compare numerically — "9" < "10"); the literal side is
+              // deterministic and constant-folds at optimize time
+              (graft.functions.TextHashFunctions.alphanumeric_sort_key(
+                base.cast(StringType)),
+                (s: String) => graft.functions.TextHashFunctions
+                  .alphanumeric_sort_key(lit(s)))
+            case _ => // lexicographic
               fieldType(schema, dim) match {
                 case Some(_: StringType) if exOpt.isEmpty => (base, (s: String) => lit(s))
                 case _ => (base.cast(StringType), (s: String) => lit(s))

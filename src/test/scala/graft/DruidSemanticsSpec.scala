@@ -648,4 +648,24 @@ class DruidSemanticsSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("all_cnt") == 3L)
     assert(rows.head.getAs[Double]("view_sv") == 40.0)
   }
+
+  test("bound filter ordering=alphanumeric is exact (digit runs numeric), not lexicographic") {
+    // values where the two orderings disagree: lexicographically
+    // "10" < "100" < "2" < "30" < "9"; alphanumerically 2 < 9 < 10 < 30 < 100
+    val df = Seq("2", "9", "10", "30", "100")
+      .map(v => (ts("2024-03-01T01:00:00Z"), v)).toDF("__time", "v")
+    val eng = new Engine(spark, new MapCatalog(Map("av" -> df)))
+    def cnt(ordering: String): Long = eng.plan(
+      s"""{"queryType":"timeseries","dataSource":"av",
+         |"intervals":["2024-03-01T00:00:00Z/2024-03-02T00:00:00Z"],
+         |"granularity":"all",
+         |"filter":{"type":"bound","dimension":"v","lower":"2","upper":"30",
+         |  "ordering":"$ordering"},
+         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      .collect().head.getAs[Long]("cnt")
+    // [2, 30] alphanumeric keeps {2, 9, 10, 30}; lexicographic keeps only
+    // {"2", "30"} ("10"/"100" sort below "2", "9" sorts above "30")
+    assert(cnt("alphanumeric") == 4L)
+    assert(cnt("lexicographic") == 2L)
+  }
 }
