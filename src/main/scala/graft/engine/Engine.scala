@@ -552,19 +552,54 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   def executeSqlJson(sql: String, datasources: Seq[String]): String =
     executeSqlJsonStream(sql, datasources).mkString
 
+  /** The datasource names a statement touches: the explicit list when
+    * given, else every bare identifier in the parsed plan that resolves in
+    * the catalog. Shared by execution and the etag so both see the SAME
+    * names (an etag over different names than execution uses would pin the
+    * wrong version tokens). */
+  private def resolvedSqlNames(sql: String, datasources: Seq[String]): Seq[String] =
+    if (datasources.nonEmpty) datasources
+    else sqlTableReferences(sql).filter { n =>
+      try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
+    }
+
+  /** Cache key / HTTP etag for a SQL statement against current datasource
+    * versions — the SQL twin of `etag` (same SHA-256/128-bit shape, domain-
+    * separated so a SQL key can never collide with a native-query key). Any
+    * segment change in a referenced datasource changes its version token
+    * and thus the etag, so staleness is impossible by construction. */
+  def sqlEtag(sql: String, datasources: Seq[String] = Seq.empty): String = {
+    val versions = resolvedSqlNames(sql, datasources)
+      .map(n => s"$n=${catalog.versionToken(n)}").mkString(";")
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update("sql".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte) // domain separator vs native-query etags
+    md.update(sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(0.toByte)
+    md.update(versions.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+
   /** Streaming variant: result chunks arrive while the statement executes
     * partition-at-a-time — a big `SELECT *` through SQL never materializes
     * on the driver (same O(chunk) contract as the native query path,
     * reference `query/query-internal-procedure.md:152-189`). Completion and
     * failure land in the metrics ring once the stream is drained. */
   def executeSqlJsonStream(sql: String, datasources: Seq[String]): Iterator[String] = {
-    val names =
-      if (datasources.nonEmpty) datasources
-      else sqlTableReferences(sql).filter { n =>
-        try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
-      }
+    val names = resolvedSqlNames(sql, datasources)
     val queryId = "sql-" + UUID.randomUUID().toString
     val t0 = System.nanoTime()
+    // result cache, same store + invalidation as the native path: key =
+    // (statement, datasource version tokens). A hit returns the buffered
+    // result as one chunk — no Spark job, recorded as a cached metric.
+    val cacheKey = sqlEtag(sql, names)
+    cacheLookup(cacheKey) match {
+      case Some(hit) =>
+        record(QueryMetric(queryId, "Sql", 0L,
+          success = true, cached = true, bytes = hit.length.toLong))
+        return Iterator.single(hit)
+      case None => ()
+    }
     // clear stale thread state FIRST, then set this statement's group/tag
     // BEFORE planning — the preparatory jobs executeSql runs (lookup
     // collects, file listings) must fall under the same cancellation
@@ -578,10 +613,16 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     val inner = ResultEncoder.encodeRowsStream(df)
     new Iterator[String] with AutoCloseable {
       private var bytes = 0L
+      // populate the result cache on a SUCCESSFUL full drain only: chunks
+      // accumulate up to the cache's own byte budget (past it the entry
+      // could never be stored — stop buffering, don't blow the driver)
+      private val acc = new java.lang.StringBuilder
+      private var accFits = true
       private def done(success: Boolean): Unit = {
         record(QueryMetric(queryId, "Sql",
           (System.nanoTime() - t0) / 1000000L,
           success = success, cached = false, bytes = math.max(bytes, 0L)))
+        if (success && accFits) cachePut(cacheKey, acc.toString)
         bytes = -1L // record once
         spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
         spark.sparkContext.clearJobGroup() // don't leave the thread in a dead group
@@ -599,7 +640,15 @@ class Engine(spark: SparkSession, catalog: Catalog) {
         more
       }
       def next(): String =
-        try { val s = inner.next(); bytes += s.length; s }
+        try {
+          val s = inner.next(); bytes += s.length
+          if (accFits) {
+            if (2L * (acc.length() + s.length) <= resultCacheMaxBytes)
+              acc.append(s)
+            else { accFits = false; acc.setLength(0) }
+          }
+          s
+        }
         catch { case NonFatal(e) => if (bytes >= 0L) done(false); throw e }
     }
   }

@@ -100,9 +100,19 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
             val dss = Option(node.get("datasources")).map { arr =>
               (0 until arr.size()).map(arr.get(_).asText())
             }.getOrElse(Seq.empty)
-            if (!streamPermits.tryAcquire()) capacityExceeded(ex)
+            // etag / If-None-Match parity with the native endpoint: the
+            // SQL etag keys on (statement, datasource version tokens), so
+            // 304s stay valid exactly until a referenced datasource changes
+            val tag = engine.sqlEtag(sql, dss)
+            val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+            if (ifNoneMatch.contains(tag)) {
+              ex.getResponseHeaders.add("ETag", tag)
+              ex.sendResponseHeaders(304, -1)
+              ex.close()
+            } else if (!streamPermits.tryAcquire()) capacityExceeded(ex)
             else try {
               val stream = engine.executeSqlJsonStream(sql, dss)
+              ex.getResponseHeaders.add("ETag", tag)
               ex.getResponseHeaders.add("Content-Type", "application/json")
               ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
               val os = ex.getResponseBody

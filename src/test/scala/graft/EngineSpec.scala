@@ -48,6 +48,38 @@ class EngineSpec extends SparkTestBase {
     assert(r3.contains("\"cnt\":2")) // 05-02 now has 2 events
   }
 
+  test("SQL result cache: same statement + same segments → cache hit; write invalidates") {
+    val store = new SegmentStore(Files.createTempDirectory("graft-sqlcache").toString)
+    store.write(raw, "ev")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val stmt = "SELECT event_type, count(*) AS cnt FROM ev GROUP BY 1 ORDER BY 1"
+
+    val r1 = engine.executeSqlJson(stmt, Seq("ev"))
+    val etag1 = engine.sqlEtag(stmt, Seq("ev"))
+    val missesAfterFirst = engine.cacheStats("resultCacheMisses")
+    val hitsBefore = engine.cacheStats("resultCacheHits")
+    val r2 = engine.executeSqlJson(stmt, Seq("ev"))
+    assert(r1 == r2)
+    assert(engine.cacheStats("resultCacheHits") == hitsBefore + 1,
+      "identical re-statement must be served from the result cache")
+    // the hit lands in the metrics ring as cached with zero millis
+    assert(engine.metrics.last.cached && engine.metrics.last.queryType == "Sql")
+
+    // new data → new version token → etag changes, cache misses, fresh rows
+    store.appendBatch(Seq((ts("2024-05-02T04:00:00Z"), "click", 1.0))
+      .toDF("__time", "event_type", "value"), "ev")
+    val etag2 = engine.sqlEtag(stmt, Seq("ev"))
+    assert(etag1 != etag2)
+    val r3 = engine.executeSqlJson(stmt, Seq("ev"))
+    assert(r3 != r1)
+    assert(engine.cacheStats("resultCacheMisses") > missesAfterFirst)
+
+    // the etag must also key on the STATEMENT, and resolve names from the
+    // parsed plan when no explicit datasource list is given
+    assert(engine.sqlEtag(stmt + " LIMIT 1", Seq("ev")) != etag2)
+    assert(engine.sqlEtag(stmt) == etag2)
+  }
+
   test("result cache evicts by byte budget, least-recently-used first") {
     spark.conf.set("spark.graft.resultCache.maxBytes", "600")
     try {

@@ -161,6 +161,34 @@ class HttpServerSpec extends SparkTestBase {
         """{"query":"SELECT count(*) AS n FROM ev WHERE event_type IN (SELECT event_type FROM ev2)"}""")
       assert(subq.statusCode() == 200)
       assert(om.readTree(subq.body()).get(0).get("n").asLong() == 2L)
+
+      // etag round-trip, native-path parity: repeat with If-None-Match → 304
+      val stmt = """{"query":"SELECT count(*) AS n FROM ev"}"""
+      val first = post(s"$base/druid/v2/sql", stmt)
+      val tag = first.headers().firstValue("ETag").orElse("")
+      assert(tag.nonEmpty, "SQL responses must carry an ETag")
+      val second = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/druid/v2/sql"))
+          .header("If-None-Match", tag)
+          .POST(HttpRequest.BodyPublishers.ofString(stmt)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(second.statusCode() == 304)
+      // a DIFFERENT statement's tag must not 304 this one
+      val other = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/druid/v2/sql"))
+          .header("If-None-Match", tag)
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query":"SELECT count(*) AS n FROM ev2"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(other.statusCode() == 200)
+      // a full re-POST (no If-None-Match) is served from the result cache
+      val rerun = post(s"$base/druid/v2/sql", stmt)
+      assert(rerun.statusCode() == 200 && rerun.body() == first.body())
+      val hits = om.readTree(client.send(HttpRequest.newBuilder(
+          URI.create(s"$base/druid/v2/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body())
+        .get("cache").get("resultCacheHits").asLong()
+      assert(hits >= 1L)
     } finally srv.stop()
   }
 
