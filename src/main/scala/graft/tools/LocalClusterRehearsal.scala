@@ -1,0 +1,199 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.SparkEntry
+import graft.store.SegmentStore
+import graft.streaming.RealtimeIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Multi-JVM rehearsal: the whole query surface + ingest + streaming under
+  * `local-cluster[2,16,8192]` — two REAL executor JVMs under this driver,
+  * talking over RPC. Every other artifact in this repo runs single-JVM
+  * `local[32]`, which structurally cannot surface closure-serialization
+  * failures, non-serializable captures, broadcast transport, or
+  * executor-side classpath issues — the highest-probability remaining bug
+  * class for a many-executor cluster target. This main is that gate.
+  *
+  * Modes:
+  *  - full (default): every `SparkEntry.queries` entry at the target SF
+  *    (one warmup pass at sf0.001, one measured pass), plus the ingest
+  *    write/read cycle and a streaming commit with exact row accounting.
+  *    Writes a Bench-shaped JSON artifact (SPARK_GRAFT_BENCH_OUT, default
+  *    BENCH_r9_localcluster.json) and exits nonzero on ANY error.
+  *  - spec: a fast representative subset on sf0.001 under a small
+  *    2-JVM cluster — run by LocalClusterSpec as a subprocess so `sbt
+  *    test` always carries a cross-JVM assertion.
+  *
+  * Requires SPARK_SCALA_VERSION=2.13 in the environment (the release-dist
+  * worker launcher cannot infer the Scala version without it; the callers
+  * set it). Executors are handed this JVM's full classpath explicitly —
+  * they are launched from SPARK_HOME and do not inherit sbt's classpath.
+  */
+object LocalClusterRehearsal {
+  def main(args: Array[String]): Unit = {
+    val specMode = args.contains("spec")
+    val sfDir = args.filterNot(_ == "spec").headOption
+      .getOrElse(if (specMode) "/root/testdata/sf0.001" else "/root/testdata/sf0.1")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      if (specMode) "local-cluster[2,4,2048]" else "local-cluster[2,16,8192]")
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "set SPARK_SCALA_VERSION=2.13: the dist-layout executor launcher " +
+        "needs it and fails with 'Cannot find any build directories' otherwise")
+
+    val spark = SparkSession.builder()
+      .master(master)
+      // the master-string memory is the WORKER's capacity; executors still
+      // size their heap from spark.executor.memory (default 1g — which
+      // OOM-killed the sf0.1 sweep, exit 143). Claim most of the worker.
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM",
+          if (specMode) "1600m" else "7g"))
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      // don't schedule until BOTH executors registered — with one 16-core
+      // executor up first, a 16-task probe fits entirely on it and the
+      // two-JVM gate below false-fails
+      .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+      .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // hard gate: this run is only evidence if tasks really span TWO JVMs.
+    // Retry briefly — executor registration is asynchronous.
+    def probeExecs(): Seq[String] = spark.sparkContext
+      .parallelize(1 to 256, 64)
+      .map(_ => org.apache.spark.SparkEnv.get.executorId).distinct().collect().toSeq
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    var execs = probeExecs()
+    while (execs.length < 2 && System.nanoTime() < deadline) {
+      Thread.sleep(1000); execs = probeExecs()
+    }
+    require(execs.length >= 2 && !execs.contains("driver"),
+      s"expected >=2 remote executors, got ${execs.mkString(",")}")
+    println(s"[local-cluster] master=$master executors=${execs.sorted.mkString(",")}")
+
+    var failures = 0
+    def check(label: String)(ok: => Boolean, detail: => String): Unit = {
+      val pass = try ok catch { case e: Throwable =>
+        System.err.println(s"[local-cluster] ERROR $label: $e"); false }
+      if (!pass) failures += 1
+      println(s"[local-cluster] ${if (pass) "PASS" else "FAIL"} $label: $detail")
+    }
+
+    // ---- query surface -----------------------------------------------------
+    val names =
+      if (specMode) Seq("q01_timeseries_day", "q05_groupby_day",
+        "q22_minhash_dups", "q47_ivf_ann")
+        .filter(SparkEntry.queries.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
+    require(names.nonEmpty, "query subset resolved empty")
+
+    if (!specMode) // JIT/codegen/listing warmup off the measured pass
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      val r: Either[Throwable, Long] =
+        try Right(SparkEntry.queries(n)(spark, sfDir).count())
+        catch { case e: Throwable => Left(e) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      r match {
+        case Right(rows) =>
+          println(f"[local-cluster] ok $n%-28s $sec%7.3fs rows=$rows")
+          (n, sec, rows, None: Option[String])
+        case Left(e) =>
+          System.err.println(s"[local-cluster] FAIL $n: $e")
+          (n, sec, -1L, Some(e.toString.take(200)))
+      }
+    }
+    val errs = results.filter(_._4.isDefined)
+    check("query_surface")(errs.isEmpty,
+      s"${results.size - errs.size}/${results.size} queries ok" +
+        (if (errs.nonEmpty) s"; failed: ${errs.map(_._1).mkString(",")}" else ""))
+    // a query can be legitimately empty at tiny SFs (e.g. a HAVING cut),
+    // so the gate is "most queries produce rows", not "all"
+    val zeroRows = results.filter(r => r._4.isEmpty && r._3 == 0L).map(_._1)
+    check("rows_present")(
+      results.map(_._3).filter(_ > 0L).sum > 0L &&
+        zeroRows.size * 2 < results.size,
+      s"${results.size - zeroRows.size}/${results.size} queries non-empty" +
+        (if (zeroRows.nonEmpty) s" (empty: ${zeroRows.mkString(",")})" else ""))
+
+    // ---- ingest write/read across JVMs ------------------------------------
+    locally {
+      val root = Files.createTempDirectory("graft_lc_ingest").toString
+      val store = new SegmentStore(root)
+      val src = spark.range(0, 200000L, 1, 32).toDF("event_id")
+        .withColumn("__time", expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,event_id % 86400)"))
+        .withColumn("value", ($"event_id" % 1000).cast("double"))
+      store.write(src, "lc_events")
+      val back = store.read(spark, "lc_events")
+      check("ingest_roundtrip")(back.count() == 200000L &&
+        back.agg(sum($"value")).head().getDouble(0) ==
+          src.agg(sum($"value")).head().getDouble(0),
+        "200k rows written by executors, read back bit-equal aggregate")
+    }
+
+    // ---- streaming commit with exact row accounting ------------------------
+    locally {
+      val root = Files.createTempDirectory("graft_lc_stream").toString
+      val ckpt = Files.createTempDirectory("graft_lc_stream_ckpt").toString
+      val store = new SegmentStore(root)
+      val rate = if (specMode) 20000L else 100000L
+      val stream = spark.readStream.format("rate")
+        .option("rowsPerSecond", rate).option("numPartitions", 4).load()
+        .select(col("timestamp").as("__time"), col("value").as("event_id"),
+          (col("value") % 97).as("user_id"),
+          (col("value") % 1000).cast("double").as("value"))
+      val q = RealtimeIngest.start(stream, store, "lc_stream",
+        watermark = None, checkpointDir = ckpt,
+        trigger = Trigger.ProcessingTime("2 seconds"))
+      val t0 = System.nanoTime()
+      val runMs = if (specMode) 8000L else 15000L
+      while ((System.nanoTime() - t0) / 1e6 < runMs && q.isActive)
+        Thread.sleep(500)
+      q.stop(); q.awaitTermination()
+      val agg = store.read(spark, "lc_stream")
+        .agg(count(lit(1)), countDistinct(col("event_id")),
+          min(col("event_id")), max(col("event_id"))).head()
+      val (cnt, dist, lo, hi) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+      check("stream_exactly_once")(cnt > 0 && cnt == dist && lo == 0L && cnt == hi + 1,
+        s"rows=$cnt distinct=$dist range=[$lo,$hi] — whole committed batches, once each")
+    }
+
+    // ---- artifact ----------------------------------------------------------
+    if (!specMode) {
+      def fmt(d: Double): String =
+        String.format(java.util.Locale.ROOT, "%.4f", d)
+      val qs = results.map(r => "\"" + r._1 + "\":" +
+        (if (r._4.isEmpty) fmt(r._2) else "null")).mkString("{", ",", "}")
+      val errJson =
+        if (errs.isEmpty) ""
+        else ",\"errors\":" + errs.map(r => "\"" + r._1 + "\":" +
+          "\"" + r._4.get.replace("\"", "'") + "\"").mkString("{", ",", "}")
+      val total = results.filter(_._4.isEmpty).map(_._2).sum
+      val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","executors":${execs.length},"passes":1$errJson}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_r9_localcluster.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[local-cluster] artifact written to $out")
+    }
+
+    println(s"[local-cluster] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -311,6 +311,48 @@ object ScaleInvariants {
           f"incremental=${tInc}%.1fs full=${tFull}%.1fs")
     }
 
+    // q65 curation pipeline at scale. Replica-0 exactness does NOT hold
+    // here by design: token suffixing shifts replica quality scores
+    // (suffixed stopwords stop matching), so replicas legitimately compete
+    // with base docs for the per-source top-50. What MUST hold at any
+    // corpus size: the per-source cap, pack token budgets, and — the
+    // whole-pipeline gate — bit-identical output when the input arrives
+    // with a different partitioning/order (every stage deterministic).
+    if (wanted("q65")) {
+      val run1 = graft.SparkEntry.queries("q65_curation_pipeline")(spark, scaled)
+        .collect().map(_.toString).toSet
+      val run2 = graft.SparkEntry.queries("q65_curation_pipeline")(spark, scaled)
+        .collect().map(_.toString).toSet
+      val df = graft.SparkEntry.queries("q65_curation_pipeline")(spark, scaled)
+      val perSourceMax = df.groupBy("source").count()
+        .agg(max("count")).head().getLong(0)
+      // budget holds per (shard, pack) except single-doc oversize packs
+      val badPacks = df.groupBy("shard", "pack")
+        .agg(sum("n_tokens").as("t"), count(lit(1)).as("m"))
+        .where(col("t") > 512 && col("m") > 1).count()
+      check("q65_pipeline_at_scale")(
+        run1 == run2 && run1.nonEmpty && perSourceMax <= 50 && badPacks == 0,
+        s"rows=${run1.size} deterministic=${run1 == run2} " +
+          s"perSourceMax=$perSourceMax overBudgetMultiDocPacks=$badPacks")
+    }
+
+    // q66 markup strip at scale: the strip is a pure per-row transform, so
+    // the scaled output is exactly N x base rows and the replica-0 slice
+    // (doc_id < KeyOffset) must be BIT-IDENTICAL to the base output —
+    // replica suffixing never touches replica 0.
+    if (wanted("q66")) {
+      val b = graft.SparkEntry.queries("q66_markup_strip")(spark, base)
+        .collect().map(_.toString).toSet
+      val sDf = graft.SparkEntry.queries("q66_markup_strip")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = sDf.where(col("doc_id") < ScaleUp.KeyOffset)
+        .collect().map(_.toString).toSet
+      check("q66_strip_replica0_exact")(
+        sCount == n.toLong * b.size && s0 == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b}")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
