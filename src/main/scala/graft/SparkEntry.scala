@@ -1065,6 +1065,33 @@ object SparkEntry {
           |"aggregations":[{"type":"count","name":"cnt"}],
           |"limitSpec":{"type":"default","columns":[{"dimension":"tag",
           |  "direction":"ascending","dimensionOrder":"alphanumeric"}]}}""".stripMargin)),
+    "q68_repetition_stats" -> ((s, dir) => {
+      // Gopher-style repetition quality signals, one native single-pass
+      // expression per row (zero shuffle — the scale story IS the plan:
+      // a pure map over the two-column corpus scan)
+      import graft.ext.TextAnalysis
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          round(col("r.dup_token_frac"), 6).as("dup_token_frac"),
+          round(col("r.top_bigram_frac"), 6).as("top_bigram_frac"),
+          round(col("r.dup_trigram_frac"), 6).as("dup_trigram_frac"))
+        .orderBy("doc_id")
+    }),
+    "q69_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing a word 4-gram with the
+      // pretend benchmark slice (doc_id % 17 == 3; the fixture's planted
+      // duplicate docs make the overlap real). 4-grams because the fixture
+      // docs are ~50-token small-vocab soup; production uses 8–13 via the
+      // same parameter. Benchmark side broadcast — the corpus never shuffles
+      // before the (tiny) hit aggregation.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Decontaminate.contaminationHits(
+          docs.where(col("doc_id") % 17 =!= 3),
+          docs.where(col("doc_id") % 17 === 3),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1831,5 +1858,50 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
         |  AND user_id > 3 AND user_id <= 12
         |GROUP BY 1 ORDER BY length(tag), tag""".stripMargin,
+    // q68: same tokenization (\s+ on trimmed text), same three signal
+    // definitions with 0.0 on degenerate denominators
+    "q68_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS m FROM toks),
+        |bi AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM base, unnest(generate_series(1, m-1)) AS u(i) WHERE m >= 2),
+        |bistat AS (
+        |  SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_bi
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM base, unnest(generate_series(1, m-2)) AS u(i) WHERE m >= 3),
+        |tristat AS (
+        |  SELECT doc_id, 1 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS dup_tri
+        |  FROM tri GROUP BY 1)
+        |SELECT b.doc_id,
+        |  round(CASE WHEN m <= 0 THEN 0
+        |    ELSE 1 - CAST(len(list_distinct(t)) AS DOUBLE) / m END, 6)
+        |    AS dup_token_frac,
+        |  round(coalesce(top_bi, 0), 6) AS top_bigram_frac,
+        |  round(coalesce(dup_tri, 0), 6) AS dup_trigram_frac
+        |FROM base b LEFT JOIN bistat USING (doc_id)
+        |  LEFT JOIN tristat USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q69: WordShingles semantics — distinct 4-grams per doc, docs under 4
+    // tokens collapse to one whole-doc gram; n_hits = distinct overlap
+    "q69_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(t)-3),
+        |         i -> array_to_string(t[i:i+3], ' '))) END AS gs
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 17 = 3),
+        |cand AS (SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 17 <> 3)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM cand JOIN bench USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -61,6 +61,16 @@ object TextAnalysis {
     round((lenScore * 0.4 + punctScore * 0.2 + stopScore * 0.2 + tokScore * 0.2), 6)
   }
 
+  /** Repetition-quality signals (the "Gopher rules" family) as one struct
+    * column `{dup_token_frac, top_bigram_frac, dup_trigram_frac}` — a
+    * single-pass native expression over the whitespace tokenization (see
+    * [[graft.functions.RepetitionStats]]). Boilerplate-heavy and
+    * template-generated documents score high on all three; use as a cheap
+    * per-row gate BEFORE the (shuffling) dedup family. */
+  def repetitionStats(text: Column): Column =
+    graft.functions.TextHashFunctions.repetition_stats(
+      graft.functions.TextHashFunctions.split_ws(trim(text)))
+
   /** Stable 128-bit content fingerprint of normalized text (casefold +
     * whitespace collapse) — md5 so it matches any other engine's md5. */
   def fingerprintMd5(text: Column): Column =

@@ -115,6 +115,9 @@ object GraftFunctionRegistry {
       es => WordShingles(es(0), intArg(es(1), "shingleN"))),
     ("set_jaccard", "exact Jaccard of two arrays treated as sets",
       es => SetJaccard(es(0), es(1))),
+    ("repetition_stats",
+      "repetition-quality signals of a token array (dup_token_frac, top_bigram_frac, dup_trigram_frac)",
+      es => RepetitionStats(es(0))),
     ("hll_sketch_build", "aggregate values into a mergeable HLL sketch",
       es => HllSketchAgg(es.head, mergeSketches = false)),
     ("hll_sketch_merge", "merge pre-built HLL sketches",

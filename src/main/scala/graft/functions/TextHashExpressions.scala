@@ -607,6 +607,83 @@ object AlphanumericSortKey {
   }
 }
 
+/** Repetition-quality signals of a token array in one pass — the classic
+  * cheap pre-training repetition filters (the "Gopher rules" family):
+  *
+  *  - `dup_token_frac`:   1 − distinct(tokens)/|tokens|
+  *  - `top_bigram_frac`:  count(most frequent word 2-gram) / (|tokens|−1)
+  *  - `dup_trigram_frac`: 1 − distinct(3-grams)/(|tokens|−2)
+  *
+  * Degenerate denominators (|tokens| < 2 resp. < 3, or empty input) yield
+  * 0.0 for that signal. One pass, one HashMap + two HashSets per row —
+  * a native expression because the HOF formulation (mode of an array via
+  * `transform`/`filter`) is interpreted AND O(tokens²) per document. Part
+  * of the LLM-pipeline quality-scoring surface (driver mandate), next to
+  * [[graft.ext.TextAnalysis.qualityScore]].
+  */
+case class RepetitionStats(child: Expression)
+    extends StringArrayExpression {
+
+  override def dataType: DataType = RepetitionStats.Schema
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStats.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RepetitionStats.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RepetitionStats {
+  val Schema: StructType = StructType(Seq(
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_trigram_frac", DoubleType, nullable = false)))
+
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Static so generated code stays a one-line call (JIT inline budget). */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = arr.numElements()
+    val toks = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val distinctTok = new java.util.HashSet[UTF8String]
+    i = 0
+    while (i < m) { distinctTok.add(toks(i)); i += 1 }
+    var maxBi = 0
+    if (m >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Integer]
+      i = 0
+      while (i < m - 1) {
+        val g = UTF8String.concatWs(Sep, toks(i), toks(i + 1))
+        val c: Int = counts.merge(g, 1, (a, b) => a + b)
+        if (c > maxBi) maxBi = c
+        i += 1
+      }
+    }
+    var distinctTri = 0
+    if (m >= 3) {
+      val tri = new java.util.HashSet[UTF8String]
+      i = 0
+      while (i < m - 2) {
+        tri.add(UTF8String.concatWs(Sep, toks(i), toks(i + 1), toks(i + 2)))
+        i += 1
+      }
+      distinctTri = tri.size
+    }
+    new GenericInternalRow(Array[Any](
+      if (m <= 0) 0.0 else 1.0 - distinctTok.size.toDouble / m,
+      if (m < 2) 0.0 else maxBi.toDouble / (m - 1),
+      if (m < 3) 0.0 else 1.0 - distinctTri.toDouble / (m - 2)))
+  }
+}
+
 object TextHashFunctions {
   def minhash_signature(tokens: Column, numHashes: Int, shingleN: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), numHashes, shingleN))
@@ -635,4 +712,7 @@ object TextHashFunctions {
 
   def set_jaccard(a: Column, b: Column): Column =
     GraftBridge.column(SetJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def repetition_stats(tokens: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(tokens)))
 }

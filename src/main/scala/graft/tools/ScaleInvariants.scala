@@ -353,6 +353,43 @@ object ScaleInvariants {
           s"replica0Match=${s0 == b}")
     }
 
+    // q68 repetition stats at scale: replica suffixing is a BIJECTION on
+    // tokens ("w" -> "w_k"), so every repetition signal (distinct fraction,
+    // top-bigram share, trigram dup fraction) is invariant per replica —
+    // the scaled output is exactly N x base with per-doc stats equal to the
+    // base doc's (fold doc_id mod KeyOffset).
+    if (wanted("q68")) {
+      val b = graft.SparkEntry.queries("q68_repetition_stats")(spark, base)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      val sDf = graft.SparkEntry.queries("q68_repetition_stats")(spark, scaled)
+      val sCount = sDf.count()
+      val folded = sDf
+        .withColumn("doc_id", col("doc_id") % ScaleUp.KeyOffset)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      check("q68_stats_invariant_under_suffix_bijection")(
+        sCount == n.toLong * b.size && folded == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"foldedMatch=${folded == b}")
+    }
+
+    // q69 decontamination at scale: cross-replica shingle sets are DISJOINT
+    // (suffixing), and replica 0 is verbatim with the identical benchmark
+    // id selection — so the replica-0 slice of the scaled run must equal
+    // the base run BIT-FOR-BIT while the corpus underneath is N x larger
+    // (the broadcast-side set grows with every replica's benchmark slice).
+    if (wanted("q69")) {
+      val b = graft.SparkEntry.queries("q69_decontaminate")(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sDf = graft.SparkEntry.queries("q69_decontaminate")(spark, scaled)
+      val s0 = sDf.where(col("doc_id") < ScaleUp.KeyOffset)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      check("q69_decontaminate_replica0_exact")(
+        b.nonEmpty && s0 == b,
+        s"base=${b.size} replica0=${s0.size} match=${s0 == b}")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
