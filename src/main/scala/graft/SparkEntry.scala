@@ -1092,6 +1092,17 @@ object SparkEntry {
           "doc_id", "text", n = 4)
         .orderBy("doc_id")
     }),
+    "q70_tfidf_topterms" -> ((s, dir) => {
+      // corpus TF-IDF, top-5 terms per doc: per-row native term counts (no
+      // (doc,term) groupBy shuffle), vocabulary-sized df table broadcast,
+      // WindowGroupLimit-truncated per-doc top-k — the only corpus shuffle
+      // carries ≤ 5 rows per document
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Vocabulary.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1903,5 +1914,33 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits
         |FROM cand JOIN bench USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q70: same tokenization; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    // tf = termCount/docLen; ties broken by term ascending. The arithmetic
+    // is written with the same association ((tc/len) * idf) so the doubles
+    // are bit-identical before the 6-decimal round.
+    "q70_tfidf_topterms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, len(t) AS len, unnest(t) AS term FROM toks),
+        |perterm AS (
+        |  SELECT doc_id, term, count(*) AS tc, any_value(len) AS len
+        |  FROM tf GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id, p.term,
+        |    (CAST(p.tc AS DOUBLE) / p.len) *
+        |      (ln(((SELECT count(*) FROM documents) + 1.0) / (d.df + 1.0))
+        |        + 1.0) AS tfidf
+        |  FROM perterm p JOIN dfreq d ON p.term = d.term),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
   )
 }

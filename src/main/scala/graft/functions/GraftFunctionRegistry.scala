@@ -118,6 +118,8 @@ object GraftFunctionRegistry {
     ("repetition_stats",
       "repetition-quality signals of a token array (dup_token_frac, top_bigram_frac, dup_trigram_frac)",
       es => RepetitionStats(es(0))),
+    ("token_counts", "per-row term counts of a token array (array<struct<term,cnt>>)",
+      es => TokenCounts(es(0))),
     ("hll_sketch_build", "aggregate values into a mergeable HLL sketch",
       es => HllSketchAgg(es.head, mergeSketches = false)),
     ("hll_sketch_merge", "merge pre-built HLL sketches",

@@ -684,6 +684,52 @@ object RepetitionStats {
   }
 }
 
+/** Per-row term counts of a token array: `array<struct<term,cnt>>` in
+  * first-occurrence order, one HashMap pass. Exploding THIS instead of the
+  * raw token array removes the corpus-scale `(doc, term)` groupBy shuffle
+  * from TF-style pipelines — aggregation happens inside the row, so what
+  * reaches the first exchange is already distinct-term-sized. */
+case class TokenCounts(child: Expression)
+    extends StringArrayExpression {
+
+  override def dataType: DataType = ArrayType(TokenCounts.Entry, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    TokenCounts.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenCounts.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenCounts {
+  val Entry: StructType = StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+
+  def compute(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long]
+    var i = 0
+    while (i < m) {
+      val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      counts.merge(t, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextHashFunctions {
   def minhash_signature(tokens: Column, numHashes: Int, shingleN: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), numHashes, shingleN))
@@ -715,4 +761,7 @@ object TextHashFunctions {
 
   def repetition_stats(tokens: Column): Column =
     GraftBridge.column(RepetitionStats(GraftBridge.expression(tokens)))
+
+  def token_counts(tokens: Column): Column =
+    GraftBridge.column(TokenCounts(GraftBridge.expression(tokens)))
 }

@@ -390,6 +390,27 @@ object ScaleInvariants {
         s"base=${b.size} replica0=${s0.size} match=${s0 == b}")
     }
 
+    // q70 TF-IDF at scale: replicas are structurally identical corpora over
+    // disjoint suffixed vocabularies (df("w_k") in the scaled corpus ==
+    // df_base("w"), doc lengths unchanged, one shared N) — so every
+    // replica's top-k, after stripping the suffix and folding ids, must be
+    // IDENTICAL to the replica-0 slice, and the total exactly N x it.
+    // (Absolute tfidf values legitimately differ from the base run: N in
+    // the smoothed idf is corpus-wide. Tie-break survives suffixing because
+    // '_' sorts below lowercase letters.)
+    if (wanted("q70")) {
+      val sDf = graft.SparkEntry.queries("q70_tfidf_topterms")(spark, scaled)
+        .withColumn("doc_id", col("doc_id") % ScaleUp.KeyOffset)
+        .withColumn("term", regexp_replace(col("term"), "_\\d+$", ""))
+      val total = sDf.count()
+      val r0count = total / n
+      val distinctFolded = sDf.distinct().count()
+      val perReplicaOk = distinctFolded == r0count
+      check("q70_tfidf_replica_isomorphism")(
+        total == n.toLong * r0count && perReplicaOk && total > 0,
+        s"total=$total foldedDistinct=$distinctFolded expectedPerReplica=$r0count")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

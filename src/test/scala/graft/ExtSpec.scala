@@ -803,4 +803,40 @@ class ExtSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark n-gram set should broadcast:\n$plan")
   }
+
+  test("tfidf: hand-checked corpus, idf broadcast, WindowGroupLimit top-k") {
+    // 3 docs, tiny vocab: "common" in all docs, "rare" in one
+    val tiny = Seq(
+      (1L, "common rare common"),
+      (2L, "common x"),
+      (3L, "common y common y")).toDF("doc_id", "text")
+    val out = graft.ext.Vocabulary.tfidfTopTerms(tiny, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    def idf(df: Long) = math.log(4.0 / (df + 1.0)) + 1.0
+    // doc 1: common 2/3*idf(3)=0.667 beats rare 1/3*idf(1)=0.564 — tf wins
+    // over idf here because "common" appears twice in a 3-token doc
+    assert(out(0) == ((1L, 1, "common", 2.0 / 3 * idf(3))))
+    assert(out(1) == ((1L, 2, "rare", 1.0 / 3 * idf(1))))
+    // doc 2: x (1/2)*idf(1) vs common (1/2)*idf(3) — x wins on idf
+    assert(out(2)._3 == "x" && out(3)._3 == "common")
+    // doc 3: y 2/4*idf(1) > common 2/4*idf(3)
+    assert(out(4)._3 == "y" && out(5)._3 == "common")
+    // scale shape: idf joins via broadcast; the per-doc top-k window is
+    // map-side truncated (WindowGroupLimit) so the shuffle carries <= k
+    // rows per doc
+    val plan = graft.ext.Vocabulary.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"idf join should broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-k should pre-truncate:\n$plan")
+  }
+
+  test("tokenCounts: counts with first-occurrence order and empty handling") {
+    val got = Seq(("b a b a b", 0)).toDF("text", "i")
+      .select(graft.functions.TextHashFunctions.token_counts(
+        graft.functions.TextHashFunctions.split_ws(trim(col("text")))).as("tc"))
+      .selectExpr("inline(tc)")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("b", 3L), ("a", 2L)))
+  }
 }
