@@ -86,32 +86,54 @@ object Dedup {
       r.getLong(4))
   }
 
-  /** Pre-execution candidate-volume gate for the banding self-joins: one
-    * keys-only agg (the banded frame derives from a materialized signature
-    * frame in every caller, so this re-explodes cached blocks — no corpus
-    * re-scan), recorded in `lshStats` + logged, then REFUSED past the
-    * configured budget with sizing guidance. Turns the documented geometry
-    * ceilings (64-bit simhash past ~1M docs, hyperplane banding on
-    * structure-less vectors) from scaladoc caveats into runtime protection. */
+  /** Pre-execution candidate-volume gate for the banding self-joins,
+    * recorded in `lshStats` + logged, then REFUSED past the configured
+    * budget with sizing guidance. Turns the documented geometry ceilings
+    * (64-bit simhash past ~1M docs, hyperplane banding on structure-less
+    * vectors) from scaladoc caveats into runtime protection.
+    *
+    * TWO-TIER COST: the skew cap bounds what any ONE banded row can emit —
+    * ≤ (bucketCap−1)/2 small-bucket pairs amortized, or one star link — so
+    * `rows · bucketCap/2` bounds post-cap candidates for EVERY possible
+    * bucket distribution. That bound needs only a count over the banded
+    * frame (cached signature blocks — one cheap scan-only job), and at any
+    * sane corpus size it clears the budget, so the common path never pays
+    * the per-bucket histogram. The exact 2-stage histogram agg runs ONLY
+    * when the bound crosses the budget — corpora within a factor of
+    * bucketCap of a genuine flood — where its cost is noise against the
+    * work it may refuse. (Round-9 lesson: running the histogram
+    * unconditionally cost 0.5–0.6 s of fixed job overhead per dedup query,
+    * 30–60% of whole-query time at bench SFs.) */
   private def guardCandidates(banded: DataFrame, bucketCap: Int,
       kind: String): Unit = {
     val budget = banded.sparkSession.conf
       .getOption("spark.graft.lsh.candidateBudget").map(_.toLong)
       .getOrElse(DefaultCandidateBudget)
     if (budget > 0) {
-      val st = bandedStats(banded, bucketCap, kind)
-      recordLshStat(st)
-      System.err.println(s"[graft-lsh] $kind banding: buckets=${st.buckets} " +
-        s"overflow=${st.overflowBuckets} maxBucket=${st.maxBucket} " +
-        s"estCandidates=${st.estCandidates} budget=$budget")
-      if (st.estCandidates > budget)
-        throw new IllegalStateException(
-          s"LSH $kind banding would emit ~${st.estCandidates} candidate " +
-            s"pairs (budget $budget): the banding geometry is mis-sized for " +
-            "this corpus (fixed-keyspace bands flooded, or near-random " +
-            "signatures). Use a wider fingerprint / adaptive banding, raise " +
-            "spark.graft.lsh.candidateBudget, or set it to 0 to disable " +
-            "this check.")
+      val t0 = System.nanoTime()
+      val rows = banded.count()
+      val ubound = rows * math.max(bucketCap, 2) / 2
+      if (ubound <= budget) {
+        System.err.println(s"[graft-lsh] $kind banding: rows=$rows " +
+          s"postCapBound=$ubound budget=$budget (within budget for any " +
+          f"bucket distribution; histogram skipped) boundSec=${
+            (System.nanoTime() - t0) / 1e9}%.2f")
+      } else {
+        val st = bandedStats(banded, bucketCap, kind)
+        recordLshStat(st)
+        System.err.println(s"[graft-lsh] $kind banding: buckets=${st.buckets} " +
+          s"overflow=${st.overflowBuckets} maxBucket=${st.maxBucket} " +
+          s"estCandidates=${st.estCandidates} budget=$budget " +
+          f"statsSec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        if (st.estCandidates > budget)
+          throw new IllegalStateException(
+            s"LSH $kind banding would emit ~${st.estCandidates} candidate " +
+              s"pairs (budget $budget): the banding geometry is mis-sized for " +
+              "this corpus (fixed-keyspace bands flooded, or near-random " +
+              "signatures). Use a wider fingerprint / adaptive banding, raise " +
+              "spark.graft.lsh.candidateBudget, or set it to 0 to disable " +
+              "this check.")
+      }
     }
   }
 
