@@ -137,15 +137,31 @@ object Dedup {
     }
   }
 
-  /** Index-build truncation report: counts buckets that hit `bucketCap`
-    * (whose members past the cap were DROPPED from the index — capture
-    * degradation the cap trades for boundedness), recorded in `lshStats`
-    * and logged so degradation is detectable instead of silent (ADVICE r8).
-    * One keys-only agg per index build — index builds are rare,
-    * corpus-version events, not per-query work. */
-  private[ext] def reportIndexTruncation(banded: DataFrame, bucketCap: Int,
-      kind: String): Unit = {
-    val st = bandedStats(banded, bucketCap, kind)
+  /** Index-build truncation report from a MATERIALIZED capped index frame
+    * that still carries the build window's `__rk` (rank in bucket) and
+    * `__n` (pre-cap bucket size) columns: counts buckets that hit
+    * `bucketCap` (whose members past the cap were DROPPED from the index —
+    * capture degradation the cap trades for boundedness), recorded in
+    * `lshStats` and logged so degradation is detectable instead of silent
+    * (ADVICE r8). Rows with `__rk == 1` stand in for buckets, so the whole
+    * report is ONE cheap agg over cached index blocks — it shares the
+    * build's window pass instead of running a second groupBy histogram
+    * over the full banded frame (which doubled small-corpus build cost). */
+  private[ext] def reportCappedIndexTruncation(matCapped: DataFrame,
+      bucketCap: Int, kind: String): Unit = {
+    val first = col("__rk") === 1
+    val over = col("__n") > bucketCap
+    val r = matCapped.agg(
+      coalesce(sum(when(first, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(first && over, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(first && over, col("__n") - bucketCap)
+        .otherwise(0L)), lit(0L)),
+      coalesce(max(col("__n")), lit(0L)),
+      coalesce(sum(when(first, when(over, col("__n") - 1)
+        .otherwise(shiftright(col("__n") * (col("__n") - 1), 1)))
+        .otherwise(0L)), lit(0L))).head()
+    val st = LshStat(kind, r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
     recordLshStat(st)
     val lvl = if (st.overflowBuckets > 0) "WARN" else "info"
     System.err.println(s"[graft-lsh] $lvl $kind build: buckets=${st.buckets} " +
@@ -387,13 +403,17 @@ object Dedup {
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
         .as(Seq("band", "bucket")))
-    reportIndexTruncation(banded.select("band", "bucket"), bucketCap,
-      "minhash-index")
-    banded
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("band", "bucket").orderBy(col("id"))))
-      .where(col("__rk") <= bucketCap)
-      .select("band", "bucket", "id")
+    // ONE window pass computes both the cap rank and the pre-cap bucket
+    // size; the frame materializes eagerly (it is the artifact a pipeline
+    // persists per corpus version) and the truncation report reads the
+    // cached blocks — no second histogram pass over the banded frame
+    val byBucket = Window.partitionBy("band", "bucket")
+    val mat = materialize(banded
+      .withColumn("__rk", row_number().over(byBucket.orderBy(col("id"))))
+      .withColumn("__n", count(lit(1)).over(byBucket))
+      .where(col("__rk") <= bucketCap))
+    reportCappedIndexTruncation(mat, bucketCap, "minhash-index")
+    mat.select("band", "bucket", "id")
   }
 
   /** Near-duplicate pairs between a NEW increment and an EXISTING corpus —

@@ -334,12 +334,16 @@ object Similarity {
     val banded = sigs.select(col("id"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bands))
         .as(Seq("band", "bucket")))
-    Dedup.reportIndexTruncation(banded.select("band", "bucket"), bucketCap,
-      "cosine-index")
-    banded.withColumn("__rk", row_number().over(
-        Window.partitionBy("band", "bucket").orderBy(col("id"))))
-      .where(col("__rk") <= bucketCap)
-      .select("band", "bucket", "id")
+    // one window pass (cap rank + pre-cap bucket size), materialized, with
+    // the truncation report read off the cached blocks — see
+    // Dedup.minhashBandIndex for the cost rationale
+    val byBucket = Window.partitionBy("band", "bucket")
+    val mat = Dedup.materialize(banded
+      .withColumn("__rk", row_number().over(byBucket.orderBy(col("id"))))
+      .withColumn("__n", count(lit(1)).over(byBucket))
+      .where(col("__rk") <= bucketCap))
+    Dedup.reportCappedIndexTruncation(mat, bucketCap, "cosine-index")
+    mat.select("band", "bucket", "id")
   }
 
   /** Near-dup pairs between a NEW embedding batch and an EXISTING corpus in
