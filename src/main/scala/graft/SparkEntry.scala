@@ -1103,6 +1103,56 @@ object SparkEntry {
           col("term"), round(col("tfidf"), 6).as("tfidf"))
         .orderBy("doc_id", "rank")
     }),
+    "q71_dup_clusters" -> ((s, dir) => {
+      // duplicate CLUSTERS (connected components over a near-dup pair
+      // frame): min-label propagation, one keys-only shuffle per round,
+      // rounds = graph diameter (3 on this corpus). The pair frame is the
+      // exact n-gram Jaccard set at a low threshold so the graph has
+      // multi-node components worth clustering.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 150)
+      val pairs = graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.02)
+      val clusters = graft.ext.Dedup.dupClusters(pairs)
+      val sizes = clusters.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      clusters.join(sizes, "cluster")
+        .select(col("id").as("doc_id"), col("cluster"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+    "q72_mixture_sample" -> ((s, dir) => {
+      // deterministic language-mixture resampling: en down to 0.25x, zh up
+      // to 1.5x, es doubled, fr dropped, everything else kept — a pure
+      // narrow map (zero shuffles), replayable by any engine from
+      // (doc_id, rates, salt)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Curation.mixtureSample(docs, "doc_id", "lang",
+          Map("en" -> 0.25, "zh" -> 1.5, "es" -> 2.0, "fr" -> 0.0),
+          defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+    "q73_boilerplate_strip" -> ((s, dir) => {
+      // cross-document boilerplate removal over a derived paragraph corpus:
+      // every doc = [own text, its decade-leader's text, a fixed footer].
+      // The footer (df = corpus) and the leader paragraphs (df = 10) fall
+      // to minDocFreq = 5; a non-leader doc keeps exactly its own
+      // paragraph, a leader doc (its own text IS a leader paragraph)
+      // empties out — exercising the all-boilerplate path.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val leaders = docs.select(col("doc_id").as("__lid"),
+        col("text").as("__ltext"))
+      val derived = docs
+        .join(leaders,
+          docs("doc_id") - pmod(docs("doc_id"), lit(10L)) === leaders("__lid"))
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"), col("__ltext"),
+            lit("standard license footer")).as("text"))
+      graft.ext.TextAnalysis.stripBoilerplate(derived, "doc_id", "text",
+          minDocFreq = 5)
+        .orderBy("doc_id")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -1942,5 +1992,87 @@ object SparkEntry {
         |SELECT doc_id, rank, term, round(tfidf, 6) AS tfidf
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+    // q71: the q24 pair derivation at threshold 0.02, then connected
+    // components as a recursive transitive closure labeled by min id —
+    // the declarative ground truth for dupClusters' label propagation
+    "q71_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    END) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(n, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT reach.n, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |cc AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT cc.doc_id, cc.cluster, sz.cluster_size
+        |FROM cc JOIN sz USING (cluster)
+        |ORDER BY doc_id""".stripMargin,
+    // q72: same iterated Lehmer stream (three x -> x*48271 mod (2^31-1)
+    // rounds, seed id*48271 + 11) — pure int64 arithmetic, so the kept
+    // set replays bit-exactly in any engine
+    "q72_mixture_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 1.5
+        |      WHEN 'es' THEN 2.0 WHEN 'fr' THEN 0.0 ELSE 1.0 END
+        |      AS DOUBLE) AS rate,
+        |    CAST((((doc_id * 48271 + 11) % 2147483647) * 48271 % 2147483647)
+        |        * 48271 % 2147483647 AS DOUBLE)
+        |      / 2147483647.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(rate) AS BIGINT) +
+        |      CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS copies
+        |  FROM base)
+        |SELECT doc_id, lang,
+        |  unnest(generate_series(1, copies)) AS copy
+        |FROM c WHERE copies >= 1
+        |ORDER BY doc_id, copy""".stripMargin,
+    // q73: identical derived corpus (own text + decade-leader text + fixed
+    // footer), paragraph df over distinct docs, rebuild in paragraph order
+    "q73_boilerplate_strip" ->
+      """WITH docs0 AS (SELECT doc_id, text FROM documents),
+        |derived AS (
+        |  SELECT d.doc_id,
+        |    concat_ws(chr(10)||chr(10), d.text, l.text,
+        |      'standard license footer') AS text
+        |  FROM docs0 d JOIN docs0 l ON d.doc_id - (d.doc_id % 10) = l.doc_id),
+        |parts AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10)||chr(10))) AS part,
+        |    unnest(generate_series(1,
+        |      len(string_split(text, chr(10)||chr(10))))) AS pos
+        |  FROM derived),
+        |bp AS (
+        |  SELECT part FROM (SELECT DISTINCT part, doc_id FROM parts)
+        |  GROUP BY part HAVING count(*) >= 5),
+        |kept AS (
+        |  SELECT p.doc_id, p.part, p.pos FROM parts p
+        |  LEFT JOIN bp ON p.part = bp.part WHERE bp.part IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |    string_agg(part, chr(10)||chr(10) ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+        |FROM derived d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -695,4 +695,69 @@ object Dedup {
         hamming128(col("__sig_a"), col("__sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  // -------------------------------------------------------------------------
+  // duplicate clustering (connected components over a pair frame)
+  // -------------------------------------------------------------------------
+
+  /** Group a duplicate-PAIR frame (`id_a`, `id_b` — the output shape of
+    * every `*DupPairs` operator here) into duplicate CLUSTERS: the
+    * connected components of the undirected pair graph, labeled by each
+    * component's minimum id. `minhashSurvivors`' greedy drop-the-larger-id
+    * rule keeps a doc whose only link is to an already-dropped doc;
+    * cluster-then-keep-one is the transitive-closure-correct decision a
+    * curation pipeline needs ("keep ONE doc per duplicate set").
+    *
+    * Algorithm: distributed min-label propagation — every node repeatedly
+    * takes the min of its own label and its neighbors' (one shuffle join +
+    * one `groupBy(id).min` per round), converging in DIAMETER rounds.
+    * Near-dup graphs are star/clique-shaped (LSH buckets star-link via
+    * `cappedBucketPairIds`, so a bucket's diameter is ≤ 2), making the
+    * practical round count 2–5 even at corpus scale; the O(log n)
+    * large-star/small-star scheme only pays on adversarial long chains.
+    * Each round `materialize`s the label frame (lineage truncation — the
+    * round-k plan must not replay rounds 1..k-1) and convergence is read
+    * from a checksum aggregate (labels only decrease, so the label sum is
+    * strictly monotone until the fixed point) instead of a change-count
+    * join. Shuffle volume per round is O(|E|) longs — payload-free.
+    *
+    * Returns (`id`, `cluster`) for every id that appears in a pair;
+    * unpaired corpus ids are their own singleton clusters and are not
+    * emitted (join back with a left join + coalesce to label a corpus).
+    * Throws after `maxIter` non-converged rounds rather than returning a
+    * partially-propagated (silently wrong) labeling. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = materialize(
+      pairs.select(col("id_a").cast(LongType).as("src"),
+          col("id_b").cast(LongType).as("dst"))
+        .union(pairs.select(col("id_b").cast(LongType).as("src"),
+          col("id_a").cast(LongType).as("dst")))
+        .distinct())
+    def checksum(labels: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = labels.agg(count(lit(1)), sum(col("label").cast(DecimalType(38, 0))))
+        .head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    var prev = checksum(labels)
+    var iter = 0
+    while (iter < maxIter) {
+      val next = materialize(
+        edges.join(labels.hint("shuffle_hash"),
+            edges("dst") === labels("id"))
+          .select(edges("src").as("id"), col("label"))
+          .union(labels)
+          .groupBy("id").agg(min("label").as("label")))
+      val cur = checksum(next)
+      labels = next
+      if (cur == prev) return labels.select(col("id"), col("label").as("cluster"))
+      prev = cur
+      iter += 1
+    }
+    throw new IllegalStateException(
+      s"dupClusters did not converge within $maxIter rounds — the pair " +
+        "graph has a path longer than maxIter; raise maxIter (rounds " +
+        "needed = graph diameter) or pre-split the input")
+  }
 }

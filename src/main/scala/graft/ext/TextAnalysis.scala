@@ -137,4 +137,45 @@ object TextAnalysis {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Cross-document boilerplate removal: drop every paragraph (a
+    * `sep`-delimited block) that occurs verbatim in at least `minDocFreq`
+    * DISTINCT documents, then reconstruct each document's remaining text
+    * in original paragraph order. This is the corpus-level complement of
+    * the intra-document repetition signals: nav bars, cookie banners, and
+    * license footers repeat ACROSS documents, not within one.
+    *
+    * Scale shape: two shuffles over paragraph-sized rows —
+    * (1) `(paragraph, doc)` distinct + count keyed on the paragraph text
+    * (map-side partial dedup bounds the shuffle at distinct paragraphs
+    * per partition), (2) the rebuild keyed on doc id carrying only
+    * surviving paragraphs. The boilerplate list joins as a left-anti;
+    * it is high-df by construction (each entry repeats ≥ minDocFreq
+    * times in the corpus, so there are ≤ corpus_paragraphs/minDocFreq of
+    * them) and AQE downgrades the anti join to broadcast when it fits.
+    * Documents whose every paragraph is boilerplate survive with empty
+    * text — dropping rows is a separate policy decision
+    * (`where(length(text_clean) > 0)`).
+    *
+    * Output: (`idCol`, `text_clean`), one row per input document. */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minDocFreq: Int, sep: String = "\n\n")
+      : org.apache.spark.sql.DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val parts = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__part")))
+    val boilerplate = parts.select(col("__part"), col(idCol)).distinct()
+      .groupBy("__part").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("__part").as("__bp"))
+    val kept = parts.join(boilerplate, parts("__part") === boilerplate("__bp"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__part")))),
+        x => x.getField("__part")), sep).as("text_clean"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -839,4 +839,106 @@ class ExtSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("b", 3L), ("a", 2L)))
   }
+
+  test("dupClusters: known graph labels components by min id; chains converge") {
+    // components: {1,2,3,4} (chain through 2-3), {10,11}, singleton 99 unseen
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+
+    // a 30-node path needs 29 propagation rounds end to end — the
+    // convergence guard must throw, not return a half-propagated labeling
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val full = Dedup.dupClusters(chain, maxIter = 40).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(full.sameElements(Array(0L)), "one component labeled by min id")
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(chain, maxIter = 5)
+    }
+  }
+
+  test("dupClusters agrees with brute-force components on the fixture pair graph") {
+    val pairs = Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 150),
+      "text", "doc_id", shingleN = 3, threshold = 0.02)
+      .select("id_a", "id_b")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find as the oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
+  test("mixtureSample: per-group rates, deterministic copies, zero-rate drop") {
+    import graft.ext.Curation
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", when(col("id") % 4 === 0, "down")
+        .when(col("id") % 4 === 1, "up")
+        .when(col("id") % 4 === 2, "drop").otherwise("other"))
+    val out = Curation.mixtureSample(df, "id", "g",
+      Map("down" -> 0.25, "up" -> 2.5, "drop" -> 0.0), defaultRate = 1.0)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byG.contains("drop"))
+    // 250 ids per group: expected 62.5 / 625 / 250 — Lehmer stream is
+    // uniform enough that ±15% holds deterministically for this fixture
+    assert(byG("down") > 40 && byG("down") < 85, s"down=${byG("down")}")
+    assert(byG("up") > 530 && byG("up") < 720, s"up=${byG("up")}")
+    assert(byG("other") == 250L)
+    // every "up" id gets at least floor(2.5)=2 copies, numbered from 1
+    val upCopies = out.where(col("g") === "up").groupBy("id")
+      .agg(count(lit(1)).as("n"), min("copy").as("lo"), max("copy").as("hi"))
+      .collect()
+    assert(upCopies.length == 250)
+    upCopies.foreach { r =>
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 3)
+      assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1))
+    }
+    // bit-deterministic: same input → same kept multiset, any partitioning
+    val again = Curation.mixtureSample(df.repartition(7), "id", "g",
+      Map("down" -> 0.25, "up" -> 2.5, "drop" -> 0.0), defaultRate = 1.0)
+    assert(again.select("id", "copy").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      out.select("id", "copy").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // zero-shuffle plan: a narrow map over the scan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "mixtureSample must not shuffle")
+  }
+
+  test("stripBoilerplate: cross-doc paragraphs removed, order kept, empty-doc path") {
+    import graft.ext.TextAnalysis
+    val sep = "\n\n"
+    val df = Seq(
+      (1L, Seq("unique one", "COMMON", "tail one").mkString(sep)),
+      (2L, Seq("COMMON", "unique two").mkString(sep)),
+      (3L, Seq("unique three", "COMMON").mkString(sep)),
+      (4L, "COMMON"), // all-boilerplate doc → empty text survives
+      (5L, Seq("solo five", "also five").mkString(sep))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplate(df, "doc_id", "text", minDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> s"unique one${sep}tail one",
+      2L -> "unique two",
+      3L -> "unique three",
+      4L -> "",
+      5L -> s"solo five${sep}also five"))
+    // below the df threshold nothing is removed
+    val loose = TextAnalysis.stripBoilerplate(df, "doc_id", "text", minDocFreq = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose(1L) == Seq("unique one", "COMMON", "tail one").mkString(sep))
+  }
 }
