@@ -1153,6 +1153,41 @@ object SparkEntry {
           minDocFreq = 5)
         .orderBy("doc_id")
     }),
+    "q74_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style cluster-scoped semantic dedup over the q28 planted
+      // corpus: assignment to 8 fixed seed centroids (the first 8 base
+      // embeddings — deterministic, oracle-replayable), exact cosine pairs
+      // within clusters only. Planted near-identical copies land in their
+      // original's cluster, so cluster-scoping captures them.
+      val corpus = q28PlantedUnion(s, dir)
+      val cents = graft.sources.TableLoader.load(s, dir, "embeddings")
+        .where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      graft.ext.Similarity.semanticDupPairs(corpus, "vec_id", "embedding",
+          cents, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), col("cluster").cast("long").as("cluster"),
+          round(col("cosine"), 3).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+    "q75_quantize_int8" -> ((s, dir) => {
+      // symmetric int8 embedding quantization (4 bytes/dim -> 1 byte/dim)
+      // with reconstruction-error probes; every step is plain arithmetic
+      // (floor(x+0.5), not banker's rounding) so the oracle replays the
+      // codes bit-exactly. Pure map over the scan — zero shuffles.
+      import graft.functions.VectorFunctions._
+      val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
+      emb.select(col("vec_id"), col("embedding"),
+          quantize_int8(col("embedding")).as("__q"))
+        .withColumn("__deq", dequantize_int8(col("__q")))
+        .select(col("vec_id"),
+          round(col("__q.scale"), 6).as("scale"),
+          round(vector_max_abs_diff(col("embedding"), col("__deq")), 6)
+            .as("max_err"),
+          round(graft.ext.Similarity.cosine(col("embedding"), col("__deq")), 6)
+            .as("cos_sim"))
+        .orderBy("vec_id")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -2074,5 +2109,69 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
         |FROM derived d LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q74: q28's planted-union corpus; assignment = argmax over
+    // dot(v, c)/|c| (ties to the lower centroid id, matching the stable
+    // argmax in NearestCentroids), pairs scoped to equal clusters
+    "q74_semantic_dedup" ->
+      """WITH planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, emb2 AS embedding FROM (
+        |    SELECT vec_id,
+        |      list_transform(embedding, (x, j) ->
+        |        CAST(CAST(x AS DOUBLE)
+        |          + ((vec_id*31 + (j-1)) % 7 - 3) * 0.01::DOUBLE AS FLOAT)) AS emb2
+        |    FROM embeddings WHERE vec_id % 4 = 0)),
+        |all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |cents AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_dot_product(list_transform(v.embedding,
+        |      x -> CAST(x AS DOUBLE)), c.cv) / c.nrm AS score
+        |  FROM all_v v, cents c),
+        |best AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        |    FROM assign) WHERE rn = 1)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ba.cluster,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+        |    AS DOUBLE), 3) AS cosine
+        |FROM all_v a
+        |JOIN best ba ON a.vec_id = ba.vec_id
+        |JOIN best bb ON ba.cluster = bb.cluster
+        |JOIN all_v b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+        |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding)
+        |  AS DOUBLE) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q75: identical arithmetic chain (max|v|/127, floor(x/scale + 0.5)
+    // clamped, deq = q*scale) in doubles — codes and errors replay
+    // bit-exactly; only the cosine needs the 6-decimal round
+    "q75_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM base),
+        |qd AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CASE WHEN scale > 0 THEN
+        |      greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale
+        |      ELSE 0.0 END) AS deq
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max(list_transform(v, (x, i) -> abs(x - deq[i]))), 6)
+        |    AS max_err,
+        |  round(CAST(list_cosine_similarity(v, deq) AS DOUBLE), 6) AS cos_sim
+        |FROM qd
+        |ORDER BY vec_id""".stripMargin,
   )
 }

@@ -326,6 +326,133 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Symmetric int8 quantization of an embedding vector:
+  * `struct(scale double, q array<tinyint>)` with
+  * `scale = max|v| / 127` and `q[i] = clamp(floor(v[i]/scale + 0.5), -127, 127)`.
+  * `floor(x + 0.5)`, NOT round-half-even: the rule is one every engine
+  * (and the DuckDB oracle) reproduces exactly in plain arithmetic, which
+  * makes a quantized corpus re-derivable. An all-zero vector quantizes to
+  * scale 0 with all-zero codes. 4 bytes/dim → 1 byte/dim: the storage
+  * step an IVF-style index takes before shipping vectors to a shuffle. */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var maxAbs = 0.0; var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        if (x > maxAbs) maxAbs = x
+      }
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val q = new Array[Byte](n)
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          val c = math.floor(x / scale + 0.5)
+          q(i) = math.max(-127.0, math.min(127.0, c)).toByte
+        }
+        i += 1
+      }
+    }
+    InternalRow(scale, ArrayData.toArrayData(q))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Inverse of [[QuantizeInt8]]: `q[i] * scale` as `array<double>`. */
+case class DequantizeInt8(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(
+      StructField("scale", DoubleType, _, _),
+      StructField("q", ArrayType(ByteType, _), _, _))) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct<scale double, q array<tinyint>> input, " +
+        s"got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val scale = row.getDouble(0)
+    val q = row.getArray(1)
+    val n = q.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = q.getByte(i) * scale; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** max_i |a[i] - b[i]| over the common prefix — the reconstruction-error
+  * probe for quantization sweeps (codegen'd: runs inside the scan stage). */
+case class VectorMaxAbsDiff(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0.0; var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = math.abs(elemAt(a, left.dataType, i) - elemAt(b, right.dataType, i))
+        if (d > m) m = d
+      }
+      i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ga, gb) = (elemAccessor(left.dataType), elemAccessor(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = java.lang.Math.abs(
+         |      (double) $a.$ga($i) - (double) $b.$gb($i));
+         |    if ($d > ${ev.value}_m) ${ev.value}_m = $d;
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_m;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Column-API entry points for the native vector expressions. */
 object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
@@ -346,4 +473,14 @@ object VectorFunctions {
 
   def nearest_centroids(v: Column, centroids: Array[Array[Double]], probe: Int): Column =
     GraftBridge.column(NearestCentroids(GraftBridge.expression(v), centroids, probe))
+
+  def quantize_int8(v: Column): Column =
+    GraftBridge.column(QuantizeInt8(GraftBridge.expression(v)))
+
+  def dequantize_int8(q: Column): Column =
+    GraftBridge.column(DequantizeInt8(GraftBridge.expression(q)))
+
+  def vector_max_abs_diff(a: Column, b: Column): Column =
+    GraftBridge.column(VectorMaxAbsDiff(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -411,6 +411,85 @@ object ScaleInvariants {
         s"total=$total foldedDistinct=$distinctFolded expectedPerReplica=$r0count")
     }
 
+    // q71 duplicate clustering at scale: replica token-suffixing makes
+    // cross-replica shingle overlap ZERO, so the scaled pair graph is N
+    // disjoint isomorphic copies of the base graph and the components fold
+    // exactly: cluster labels mod KeyOffset equal the base labels, total
+    // rows exactly N x base. (The q71 ENTRY's doc_id < 150 filter would
+    // only see replica 0 at a scaled dir, so the invariant re-derives the
+    // pair graph with the per-replica filter doc_id % KeyOffset < 150.)
+    if (wanted("q71")) {
+      def clusters(dir: String, perReplica: Boolean) = {
+        val d = graft.sources.TableLoader.load(spark, dir, "documents")
+        val filtered =
+          if (perReplica) d.where(pmod(col("doc_id"), lit(ScaleUp.KeyOffset)) < 150)
+          else d.where(col("doc_id") < 150)
+        graft.ext.Dedup.dupClusters(graft.ext.Dedup.ngramJaccardPairs(
+          filtered, "text", "doc_id", shingleN = 3, threshold = 0.02))
+      }
+      val b = clusters(base, perReplica = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sDf = clusters(scaled, perReplica = true)
+      val sCount = sDf.count()
+      val folded = sDf.select(
+          pmod(col("id"), lit(ScaleUp.KeyOffset)).as("id"),
+          pmod(col("cluster"), lit(ScaleUp.KeyOffset)).as("cluster"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      check("q71_clusters_fold_exact")(
+        b.nonEmpty && sCount == n.toLong * b.size && folded == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"foldMatch=${folded == b}")
+    }
+
+    // q72 mixture sampling at scale: the kept set is a pure function of
+    // (id, rates, salt) — the replica-0 slice is bit-identical to the base
+    // run, integer-rate groups keep exactly rate x rows, and fractional
+    // groups concentrate around rate x n (law of large numbers: the band
+    // tightens as the corpus grows; 3 percentage points is ~12 sigma at
+    // 21.8k en docs).
+    if (wanted("q72")) {
+      val b = graft.SparkEntry.queries("q72_mixture_sample")(spark, base)
+        .collect().map(_.toString).toSet
+      val sDf = graft.SparkEntry.queries("q72_mixture_sample")(spark, scaled)
+      val s0 = sDf.where(col("doc_id") < ScaleUp.KeyOffset)
+        .collect().map(_.toString).toSet
+      val docs = graft.sources.TableLoader.load(spark, scaled, "documents")
+      val langN = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val gotN = sDf.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val deOk = gotN.getOrElse("de", 0L) == langN("de") // rate 1.0 exact
+      val frOk = !gotN.contains("fr")                    // rate 0.0 exact
+      val enFrac = gotN.getOrElse("en", 0L).toDouble / langN("en")
+      val esFrac = gotN.getOrElse("es", 0L).toDouble / langN("es")
+      val zhFrac = gotN.getOrElse("zh", 0L).toDouble / langN("zh")
+      check("q72_mixture_at_scale")(
+        s0 == b && deOk && frOk &&
+          math.abs(enFrac - 0.25) < 0.03 && math.abs(esFrac - 2.0) < 0.03 &&
+          math.abs(zhFrac - 1.5) < 0.03,
+        f"replica0Match=${s0 == b} de=$deOk fr=$frOk en=$enFrac%.4f " +
+          f"es=$esFrac%.4f zh=$zhFrac%.4f")
+    }
+
+    // q73 boilerplate strip at scale: the footer literal's df only GROWS
+    // with the corpus and leader paragraphs stay df=10 within each replica
+    // (suffixing prevents cross-replica paragraph collisions), so the
+    // boilerplate decision is replica-local: output = exactly N x base
+    // rows with the replica-0 slice bit-identical. KeyOffset % 10 == 0
+    // keeps the decade-leader derivation aligned per replica.
+    if (wanted("q73")) {
+      val b = graft.SparkEntry.queries("q73_boilerplate_strip")(spark, base)
+        .collect().map(_.toString).toSet
+      val sDf = graft.SparkEntry.queries("q73_boilerplate_strip")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = sDf.where(col("doc_id") < ScaleUp.KeyOffset)
+        .collect().map(_.toString).toSet
+      check("q73_strip_replica0_exact")(
+        sCount == n.toLong * b.size && s0 == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b}")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

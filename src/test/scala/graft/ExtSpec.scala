@@ -941,4 +941,71 @@ class ExtSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(loose(1L) == Seq("unique one", "COMMON", "tail one").mkString(sep))
   }
+
+  test("semanticDupPairs: cluster-scoped pairs cover the planted near-dups; budget guard") {
+    val corpus = graft.SparkEntry.q28PlantedUnion(spark, "/root/testdata/sf0.01")
+    val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val got = Similarity.semanticDupPairs(corpus, "vec_id", "embedding",
+      cents, threshold = 0.95)
+    val pairs = got.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: every planted copy pairs with its original at ~0.999
+    val planted = corpus.where(col("vec_id") >= 1000000L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expected = planted.map(p => (p - 1000000L, p))
+    val recall = expected.count(pairs.contains).toDouble / expected.size
+    // cluster-scoping loses boundary-straddling pairs. This fixture is the
+    // WORST case for that trade: random vectors sit near-equidistant from
+    // all 8 random centroids, so a ±0.03/component perturbation flips the
+    // argmax for ~18% of copies (measured 0.824 here). Real embeddings
+    // cluster by semantics with material top-2 score gaps — the regime the
+    // operator is for; the scaladoc documents the trade and
+    // cosineNearDupPairs remains the recall-1 banded alternative.
+    assert(recall >= 0.8, s"semantic recall $recall over ${expected.size} planted pairs")
+    // both ends of every reported pair share the reported cluster
+    val assigned = corpus.select(col("vec_id"),
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        col("embedding"), cents, 1), 1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.select("id_a", "id_b", "cluster").collect().foreach { r =>
+      assert(assigned(r.getLong(0)) == r.getInt(2) &&
+        assigned(r.getLong(1)) == r.getInt(2))
+    }
+    // pathological clustering (k=1 -> one quadratic cluster) trips the budget
+    intercept[IllegalStateException] {
+      Similarity.semanticDupPairs(corpus, "vec_id", "embedding",
+        cents.take(1), threshold = 0.95, maxPairBudget = 1000L).count()
+    }
+  }
+
+  test("quantizeInt8: known codes, zero vector, error bound, roundtrip shape") {
+    import graft.functions.VectorFunctions._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = df.select(col("id"), quantize_int8(col("v")).as("q"))
+      .select(col("id"), col("q.scale").as("scale"), col("q.q").as("codes"),
+        dequantize_int8(col("q")).as("deq"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Byte](2), r.getSeq[Double](3))).toMap
+    val (s1, c1, d1) = out(1L)
+    assert(math.abs(s1 - 1.0 / 127) < 1e-15)
+    // -0.5/scale = -63.5 -> floor(-63.0) = -63 (floor(x+0.5), not banker's)
+    assert(c1 == Seq[Byte](127, -63, 32, 0))
+    assert(math.abs(d1.head - 1.0) < 1e-12)
+    val (s2, c2, d2) = out(2L)
+    assert(s2 == 0.0 && c2.forall(_ == 0) && d2.forall(_ == 0.0))
+    // fixture-wide: reconstruction error never exceeds half a quantization
+    // step, and cosine fidelity stays near 1
+    val stats = graft.SparkEntry.queries("q75_quantize_int8")(
+      spark, "/root/testdata/sf0.01").collect()
+    stats.foreach { r =>
+      val (scale, maxErr, cos) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(maxErr <= scale * 0.5 + 1e-9, s"err $maxErr vs step $scale")
+      assert(cos > 0.999, s"cosine fidelity $cos")
+    }
+  }
 }
