@@ -418,11 +418,18 @@ object ScaleInvariants {
     // rows exactly N x base. (The q71 ENTRY's doc_id < 150 filter would
     // only see replica 0 at a scaled dir, so the invariant re-derives the
     // pair graph with the per-replica filter doc_id % KeyOffset < 150.)
+    // The pair derivation is the QUADRATIC exact-Jaccard helper (gated to
+    // small candidate sets by design), so the invariant folds over at most
+    // 10 replicas — fold-exactness at 10 disjoint copies proves the same
+    // structure-preservation as 100 without running a 225M-pair cartesian.
+    val foldReplicas = math.min(n, 10)
     if (wanted("q71")) {
       def clusters(dir: String, perReplica: Boolean) = {
         val d = graft.sources.TableLoader.load(spark, dir, "documents")
         val filtered =
-          if (perReplica) d.where(pmod(col("doc_id"), lit(ScaleUp.KeyOffset)) < 150)
+          if (perReplica)
+            d.where(pmod(col("doc_id"), lit(ScaleUp.KeyOffset)) < 150 &&
+              col("doc_id") < foldReplicas * ScaleUp.KeyOffset)
           else d.where(col("doc_id") < 150)
         graft.ext.Dedup.dupClusters(graft.ext.Dedup.ngramJaccardPairs(
           filtered, "text", "doc_id", shingleN = 3, threshold = 0.02))
@@ -436,9 +443,9 @@ object ScaleInvariants {
           pmod(col("cluster"), lit(ScaleUp.KeyOffset)).as("cluster"))
         .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       check("q71_clusters_fold_exact")(
-        b.nonEmpty && sCount == n.toLong * b.size && folded == b,
-        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
-          s"foldMatch=${folded == b}")
+        b.nonEmpty && sCount == foldReplicas.toLong * b.size && folded == b,
+        s"base=${b.size} scaled=$sCount " +
+          s"expected=${foldReplicas.toLong * b.size} foldMatch=${folded == b}")
     }
 
     // q72 mixture sampling at scale: the kept set is a pure function of
@@ -488,6 +495,66 @@ object ScaleInvariants {
         sCount == n.toLong * b.size && s0 == b,
         s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
           s"replica0Match=${s0 == b}")
+    }
+
+    // q74 semantic dedup at scale: per-row centroid assignment is
+    // independent of corpus size, so growing the corpus can only ADD pairs
+    // — the replica-0 slice of the scaled pair set must equal the base
+    // pair set exactly (replica transforms make cross-replica cosines
+    // ~random, far below the 0.95 threshold).
+    if (wanted("q74")) {
+      val b = graft.SparkEntry.queries("q74_semantic_dedup")(spark, base)
+        .collect().map(_.toString).toSet
+      // per-row assignment is corpus-size-independent, so growing the
+      // corpus only ADDS pairs: run over a 3-replica subset (8 fixed
+      // centroids over a larger corpus blow the quadratic cluster budget —
+      // asserted below as its own invariant; 3 replicas ≈ 18.7k vectors ≈
+      // 22M within-cluster pairs, inside the default budget)
+      val corpus = graft.SparkEntry.q28PlantedUnion(spark, scaled)
+        .where(col("vec_id") < math.min(n, 3) * ScaleUp.KeyOffset)
+      val cents = graft.sources.TableLoader.load(spark, scaled, "embeddings")
+        .where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val sDf = graft.ext.Similarity.semanticDupPairs(
+        corpus, "vec_id", "embedding", cents, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), col("cluster").cast("long").as("cluster"),
+          round(col("cosine"), 3).as("cosine"))
+      val sAll = sDf.count()
+      val s0 = sDf.where(col("id_a") < ScaleUp.KeyOffset &&
+        col("id_b") < ScaleUp.KeyOffset).collect().map(_.toString).toSet
+      val budgetFires =
+        try {
+          graft.ext.Similarity.semanticDupPairs(
+            graft.SparkEntry.q28PlantedUnion(spark, scaled),
+            "vec_id", "embedding", cents, threshold = 0.95).count()
+          n < 20 // at small N the full corpus legitimately fits the budget
+        } catch { case _: IllegalStateException => true }
+      check("q74_semantic_replica0_exact")(
+        b.nonEmpty && s0 == b && budgetFires,
+        s"base=${b.size} scaledSubset=$sAll replica0=${s0.size} " +
+          s"match=${s0 == b} budgetGuardAtFullScale=$budgetFires")
+    }
+
+    // q75 quantization at scale: a pure zero-shuffle map — replica-0 slice
+    // bit-identical to the base run, total exactly N x base rows, and the
+    // half-step error bound holds corpus-wide.
+    if (wanted("q75")) {
+      val b = graft.SparkEntry.queries("q75_quantize_int8")(spark, base)
+        .collect().map(_.toString).toSet
+      val sDf = graft.SparkEntry.queries("q75_quantize_int8")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = sDf.where(col("vec_id") < ScaleUp.KeyOffset)
+        .collect().map(_.toString).toSet
+      // 1e-6 slack, not 1e-9: the query emits max_err and scale ROUNDED to
+      // 6 decimals, so an exactly-at-half-step error can read up to ~7.5e-7
+      // over the rounded bound (probe-verified: the unrounded values
+      // violate nothing)
+      val badErr = sDf.where(col("max_err") > col("scale") * 0.5 + 1e-6).count()
+      check("q75_quantize_replica0_exact")(
+        sCount == n.toLong * b.size && s0 == b && badErr == 0,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b} overBoundRows=$badErr")
     }
 
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")

@@ -1004,7 +1004,9 @@ class ExtSpec extends SparkTestBase {
       spark, "/root/testdata/sf0.01").collect()
     stats.foreach { r =>
       val (scale, maxErr, cos) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
-      assert(maxErr <= scale * 0.5 + 1e-9, s"err $maxErr vs step $scale")
+      // 1e-6 slack: both columns are 6-decimal-rounded by the query, which
+      // can shift an at-half-step error ~7.5e-7 past the rounded bound
+      assert(maxErr <= scale * 0.5 + 1e-6, s"err $maxErr vs step $scale")
       assert(cos > 0.999, s"cosine fidelity $cos")
     }
   }
