@@ -85,6 +85,37 @@ object RealtimeIngest {
       .start()
   }
 
+  /** Exactly-once streaming ingest with CROSS-BATCH content dedup — the
+    * streaming face of `Dedup.exact`: rows whose `dedupKeys` (e.g. a
+    * content fingerprint) were already accepted within the watermark
+    * window are dropped before they ever reach a segment. Built on
+    * `dropDuplicatesWithinWatermark`, so the dedup state is
+    * checkpoint-backed (replay-consistent across restarts — the same
+    * guarantee chain as `start`'s batchId replay guard) and BOUNDED: state
+    * for a key is dropped once the event-time watermark passes it, which
+    * is what keeps state size ∝ keys-per-window instead of keys-ever-seen
+    * on an unbounded stream. The documented trade: a duplicate arriving
+    * later than `watermark` past its first occurrence re-enters — batch
+    * compaction's exact dedup is the backstop for that tail, exactly how
+    * a streaming+batch pipeline splits the work at scale. */
+  def startDeduped(stream: DataFrame, store: SegmentStore, datasource: String,
+      dedupKeys: Seq[String], watermark: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    require(dedupKeys.nonEmpty, "startDeduped needs at least one dedup key")
+    stream
+      .withWatermark("__time", watermark)
+      .dropDuplicatesWithinWatermark(dedupKeys)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId makes a post-crash replay a no-op (see start())
+        if (!batch.isEmpty) store.appendBatch(batch, datasource, Some(batchId))
+      }
+      .start()
+  }
+
   /** Windowed streaming aggregation with watermark-based late-data
     * handling: tumbling buckets of `granularity` (e.g. "1 hour"), rows
     * later than `watermark` past the max seen `__time` are dropped —

@@ -545,6 +545,42 @@ class IngestSpec extends SparkTestBase {
     assert(r.getAs[Timestamp]("maxTime") == ts("2024-06-01T12:00:00Z"))
   }
 
+  test("streaming dedup: cross-batch duplicate keys dropped, state survives restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val store = freshStore()
+    implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("__time", "fp", "value")
+
+    // data added BEFORE each AvailableNow start: a stateful AvailableNow
+    // query plans its batches from the offsets available at start
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    mem.addData((ts("2024-06-01T10:00:00Z"), "a", 1.0),
+      (ts("2024-06-01T10:01:00Z"), "b", 2.0),
+      (ts("2024-06-01T10:02:00Z"), "a", 3.0)) // within-batch duplicate
+    val q = graft.streaming.RealtimeIngest.startDeduped(stream, store, "sdedup",
+      Seq("fp"), watermark = "1 hour", checkpointDir = ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(store.read(spark, "sdedup").count() == 2)
+
+    // restart from the same checkpoint: the dedup state is durable, so a
+    // cross-RESTART duplicate is still dropped while a fresh key lands
+    mem.addData((ts("2024-06-01T10:03:00Z"), "a", 4.0), // cross-restart dup
+      (ts("2024-06-01T10:04:00Z"), "c", 5.0))
+    val q2 = graft.streaming.RealtimeIngest.startDeduped(stream, store, "sdedup",
+      Seq("fp"), watermark = "1 hour", checkpointDir = ckpt,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    val got = store.read(spark, "sdedup")
+    assert(got.count() == 3)
+    assert(got.select("fp").collect().map(_.getString(0)).sorted
+      .sameElements(Array("a", "b", "c")))
+    // the kept row for each key is its FIRST occurrence
+    assert(got.where(col("fp") === "a").select("value").head().getDouble(0) == 1.0)
+  }
+
   test("appendBatch replay protection: a retried batchId is a no-op") {
     val store = freshStore()
     def batch(h: Int) = Seq((ts(f"2024-06-01T$h%02d:00:00Z"), "click", 1.0))
