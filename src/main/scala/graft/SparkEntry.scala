@@ -546,6 +546,19 @@ object SparkEntry {
           |"granularity":{"type":"duration","duration":21600000},
           |"aggregations":[{"type":"count","name":"cnt"},
           |  {"type":"longMin","name":"min_ev","fieldName":"event_id"}]}""".stripMargin)),
+    "q76_period_origin" -> ((s, dir) =>
+      // month-period buckets anchored at a MID-MONTH origin instant
+      // (2024-01-05T03:00Z): bucket starts are origin + k months, NOT
+      // month-start truncations — the Druid PeriodGranularity origin
+      // semantics the engine now reproduces exactly
+      engine(s, dir).plan(
+        """{"queryType":"timeseries","dataSource":"events",
+          |"intervals":["2024-01-01T00:00:00Z/2024-02-01T00:00:00Z"],
+          |"granularity":{"type":"period","period":"P1M",
+          |  "origin":"2024-01-05T03:00:00Z"},
+          |"context":{"skipEmptyBuckets":"true"},
+          |"aggregations":[{"type":"count","name":"cnt"},
+          |  {"type":"longMin","name":"min_ev","fieldName":"event_id"}]}""".stripMargin)),
     "q33_sql_window" -> ((s, dir) => {
       // SQL-surface bonus: analytic window functions over detail rows
       registerTpch(s, dir)
@@ -2149,6 +2162,18 @@ object SparkEntry {
         |WHERE CAST(list_cosine_similarity(a.embedding, b.embedding)
         |  AS DOUBLE) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    // q76: within the queried window the only two origin-anchored month
+    // buckets are origin-1M and origin — the CASE enumerates exactly the
+    // boundaries origin + k months for this data range
+    "q76_period_origin" ->
+      """SELECT CASE WHEN ts >= TIMESTAMP '2024-01-05 03:00:00'
+        |  THEN TIMESTAMP '2024-01-05 03:00:00'
+        |  ELSE TIMESTAMP '2023-12-05 03:00:00' END AS __time,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(event_id) AS BIGINT) AS min_ev
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q75: identical arithmetic chain (max|v|/127, floor(x/scale + 0.5)
     // clamped, deq = q*scale) in doubles — codes and errors replay
     // bit-exactly; only the cosine needs the 6-decimal round

@@ -73,12 +73,17 @@ object Compilers {
     val monthP = "P(\\d+)M".r
     val yearP = "P(\\d+)Y".r
     (unitOpt, period) match {
-      case (Some(u), _) if tz == "UTC" => simpleTrunc(u, t)
-      case (Some(u), _) =>
+      // the simple-unit fast paths apply only with NO origin: Druid's
+      // PeriodGranularity anchors EVERY period at an explicit origin (e.g.
+      // P1D from origin 06:00 buckets at 06:00), so an origin routes month
+      // units to the anchored month arithmetic and fixed-length units to
+      // the origin-honoring duration paths below
+      case (Some(u), _) if origin.isEmpty && tz == "UTC" => simpleTrunc(u, t)
+      case (Some(u), _) if origin.isEmpty =>
         // shift into tz, truncate on the wall clock, shift back
         to_utc_timestamp(date_trunc(u, from_utc_timestamp(t, tz)), tz)
-      case (None, monthP(n)) => monthMultipleTrunc(t, n.toInt, tz, origin)
-      case (None, yearP(n))  => monthMultipleTrunc(t, n.toInt * 12, tz, origin)
+      case (_, monthP(n)) => monthMultipleTrunc(t, n.toInt, tz, origin)
+      case (_, yearP(n))  => monthMultipleTrunc(t, n.toInt * 12, tz, origin)
       case _ if tz != "UTC" && isDayBasedPeriod(period) =>
         // PnD/PnW in a timezone: Druid's PeriodGranularity steps day units
         // calendar-aware (Joda chronology), so a P2D bucket spanning a DST
@@ -112,19 +117,28 @@ object Compilers {
     java.time.LocalDateTime.ofInstant(i, zone)
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
 
-  /** PnM-style bucketing: floor the month distance from the origin month to
-    * a multiple of n, in the wall clock of `tz`. */
+  /** PnM-style bucketing, exact from ANY origin instant (Druid
+    * `PeriodGranularity` month stepping): bucket = origin + k·n months
+    * (calendar month addition with end-of-month day clamping — Spark's
+    * interval-month add, Joda's `addMonths`, and DuckDB's `+ INTERVAL n
+    * MONTH` all share it) for the largest multiple k·n whose bucket start
+    * is ≤ t, in the wall clock of `tz`. The candidate multiple comes from
+    * the year/month FIELD difference (which over- or equals the complete
+    * month count by at most one, since fields ignore day/time), then one
+    * conditional step down — no iteration, codegen-friendly. */
   private def monthMultipleTrunc(t: Column, n: Int, tz: String,
       origin: Option[Instant]): Column = {
-    val originMonth = origin
-      .map(o => truncSimple("month", o, ZoneId.of(tz)))
-      .getOrElse(Instant.EPOCH) // 1970-01-01, already a month boundary
-    val originWall = lit(java.sql.Timestamp.from(originMonth)) // as UTC wall
+    val originWall = lit(java.sql.Timestamp.from(
+      origin.getOrElse(Instant.EPOCH))) // as UTC wall
     val wall = if (tz == "UTC") t else from_utc_timestamp(t, tz)
     val originLocal = if (tz == "UTC") originWall else from_utc_timestamp(originWall, tz)
-    val m = floor(months_between(date_trunc("month", wall), date_trunc("month", originLocal)) / n) * n
-    val bucketWall = add_months(date_trunc("month", originLocal), m.cast(IntegerType))
-      .cast(TimestampType)
+    val fieldsDiff = (year(wall) - year(originLocal)) * 12 +
+      (month(wall) - month(originLocal))
+    val k0 = (floor(fieldsDiff.cast(DoubleType) / n) * n).cast(IntegerType)
+    def addM(k: Column): Column = originLocal +
+      make_interval(lit(0), k, lit(0), lit(0), lit(0), lit(0), lit(0))
+    val cand = addM(k0)
+    val bucketWall = when(cand <= wall, cand).otherwise(addM(k0 - n))
     if (tz == "UTC") bucketWall else to_utc_timestamp(bucketWall, tz)
   }
 
@@ -156,13 +170,15 @@ object Compilers {
         val monthP = "P(\\d+)M".r
         val yearP = "P(\\d+)Y".r
         p match {
-          case "P1D"  => truncSimple("day", i, zone)
-          case "PT1H" => truncSimple("hour", i, zone)
-          case "PT1M" => truncSimple("minute", i, zone)
-          case "P1W"  => truncSimple("week", i, zone)
-          case "P1M"  => truncSimple("month", i, zone)
-          case "P3M"  => truncSimple("quarter", i, zone)
-          case "P1Y"  => truncSimple("year", i, zone)
+          // simple fast paths only with NO origin — an origin anchors every
+          // period (mirrors periodTrunc's dispatch)
+          case "P1D" if origin.isEmpty  => truncSimple("day", i, zone)
+          case "PT1H" if origin.isEmpty => truncSimple("hour", i, zone)
+          case "PT1M" if origin.isEmpty => truncSimple("minute", i, zone)
+          case "P1W" if origin.isEmpty  => truncSimple("week", i, zone)
+          case "P1M" if origin.isEmpty  => truncSimple("month", i, zone)
+          case "P3M" if origin.isEmpty  => truncSimple("quarter", i, zone)
+          case "P1Y" if origin.isEmpty  => truncSimple("year", i, zone)
           case monthP(n) => truncMonthMultiple(i, n.toInt, zone, origin)
           case yearP(n)  => truncMonthMultiple(i, n.toInt * 12, zone, origin)
           case _ if zone != ZoneId.of("UTC") && isDayBasedPeriod(p) =>
@@ -181,13 +197,20 @@ object Compilers {
         }
     }
 
+  /** Driver twin of the column `monthMultipleTrunc`: largest origin+k·n
+    * months ≤ i (calendar add with day clamping). The while loops run at
+    * most one step each — the field-difference candidate is within one
+    * bucket of the answer — but stay loops for safety at the extremes. */
   private def truncMonthMultiple(i: Instant, n: Int, zone: ZoneId,
       origin: Option[Instant]): Instant = {
-    val o = origin.map(x => truncSimple("month", x, zone)).getOrElse(Instant.EPOCH)
-      .atZone(zone)
-    val z = truncSimple("month", i, zone).atZone(zone)
-    val months = (z.getYear * 12 + z.getMonthValue) - (o.getYear * 12 + o.getMonthValue)
-    o.plusMonths(Math.floorDiv(months, n).toLong * n).toInstant
+    val oZ = origin.getOrElse(Instant.EPOCH).atZone(zone)
+    val tZ = i.atZone(zone)
+    val fieldsDiff =
+      (tZ.getYear * 12 + tZ.getMonthValue) - (oZ.getYear * 12 + oZ.getMonthValue)
+    var k = Math.floorDiv(fieldsDiff.toLong, n.toLong) * n
+    while (oZ.plusMonths(k).toInstant.isAfter(i)) k -= n
+    while (!oZ.plusMonths(k + n).toInstant.isAfter(i)) k += n
+    oZ.plusMonths(k).toInstant
   }
 
   private def truncSimple(unit: String, i: Instant, tz: ZoneId): Instant = {
@@ -220,26 +243,43 @@ object Compilers {
     case Granularity.All | Granularity.NoneG => i.plusMillis(1)
     case Granularity.Simple(u) => stepSimple(u, i, ZoneId.of("UTC"))
     case Granularity.Duration(ms, _) => i.plusMillis(ms)
-    case Granularity.Period(p, tzS, _) =>
+    case Granularity.Period(p, tzS, origin) =>
       val zone = ZoneId.of(tzS.getOrElse("UTC"))
       val monthP = "P(\\d+)M".r
       val yearP = "P(\\d+)Y".r
       val dayP = "P(\\d+)D".r
       val weekP = "P(\\d+)W".r
       p match {
-        case "P1D"  => stepSimple("day", i, zone)
-        case "P1W"  => stepSimple("week", i, zone)
-        case "P1M"  => stepSimple("month", i, zone)
-        case "P3M"  => stepSimple("quarter", i, zone)
-        case "P1Y"  => stepSimple("year", i, zone)
-        case monthP(n) => i.atZone(zone).plusMonths(n.toInt.toLong).toInstant
-        case yearP(n)  => i.atZone(zone).plusMonths(n.toInt * 12L).toInstant
+        case "P1D" if origin.isEmpty => stepSimple("day", i, zone)
+        case "P1W" if origin.isEmpty => stepSimple("week", i, zone)
+        case "P1M" if origin.isEmpty => stepSimple("month", i, zone)
+        case "P3M" if origin.isEmpty => stepSimple("quarter", i, zone)
+        case "P1Y" if origin.isEmpty => stepSimple("year", i, zone)
+        case monthP(n) => stepMonths(i, n.toInt, zone, origin)
+        case yearP(n)  => stepMonths(i, n.toInt * 12, zone, origin)
         case dayP(n) if zone != ZoneId.of("UTC") =>
           i.atZone(zone).plusDays(n.toInt.toLong).toInstant
         case weekP(n) if zone != ZoneId.of("UTC") =>
           i.atZone(zone).plusWeeks(n.toInt.toLong).toInstant
         case _      => i.plusMillis(periodMillis(p))
       }
+  }
+
+  /** Advance one month-period bucket. Clamped month addition is NOT
+    * associative (Jan 31 → Feb 29 → iterated +1M gives Mar 29, but the
+    * origin-anchored 2-bucket boundary is Mar 31), so with an origin the
+    * next bucket is re-derived as origin + (k+n) months — k recovered from
+    * the year/month FIELDS of the current bucket start, which plusMonths
+    * preserves exactly (only the day clamps). */
+  private def stepMonths(i: Instant, n: Int, zone: ZoneId,
+      origin: Option[Instant]): Instant = origin match {
+    case Some(o) =>
+      val oZ = o.atZone(zone)
+      val bZ = i.atZone(zone)
+      val k =
+        (bZ.getYear * 12 + bZ.getMonthValue) - (oZ.getYear * 12 + oZ.getMonthValue)
+      oZ.plusMonths(k.toLong + n).toInstant
+    case None => i.atZone(zone).plusMonths(n.toLong).toInstant
   }
 
   private def stepSimple(unit: String, i: Instant, tz: ZoneId): Instant = {

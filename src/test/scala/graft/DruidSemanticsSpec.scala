@@ -381,6 +381,80 @@ class DruidSemanticsSpec extends SparkTestBase {
       ("2024-07-01T00:00:00Z", 0.0)))  // zero-filled
   }
 
+  test("P1M from a mid-month origin: bucket starts clamp at month ends") {
+    // Druid PeriodGranularity month stepping from origin 2024-01-31T06:00Z:
+    // bucket starts are origin + k months with END-OF-MONTH DAY CLAMPING —
+    // Jan 31 06:00, Feb 29 06:00 (leap clamp), Mar 31 06:00, Apr 30 06:00.
+    // The spine must re-derive each boundary FROM THE ORIGIN (iterating
+    // +1M from the clamped Feb 29 would drift to Mar 29).
+    val df = Seq(
+      (ts("2024-02-15T00:00:00Z"), 1.0), // [Jan31 06:00, Feb29 06:00)
+      (ts("2024-03-30T12:00:00Z"), 2.0), // [Feb29 06:00, Mar31 06:00)
+      (ts("2024-03-31T07:00:00Z"), 4.0), // [Mar31 06:00, Apr30 06:00)
+    ).toDF("__time", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-01-31T06:00:00Z/2024-05-01T00:00:00Z"],
+        |"granularity":{"type":"period","period":"P1M",
+        |  "origin":"2024-01-31T06:00:00Z"},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect()
+    val got = rows.map(r => (r.getAs[Timestamp]("__time").toInstant.toString,
+      r.getAs[Double]("sv"))).toSeq
+    assert(got == Seq(
+      ("2024-01-31T06:00:00Z", 1.0),
+      ("2024-02-29T06:00:00Z", 2.0),
+      ("2024-03-31T06:00:00Z", 4.0),
+      ("2024-04-30T06:00:00Z", 0.0))) // zero-fill ON the clamped spine
+  }
+
+  test("P2M from a mid-month origin buckets at origin+2k months") {
+    val df = Seq(
+      (ts("2024-02-01T00:00:00Z"), 1.0), // [Jan15, Mar15)
+      (ts("2024-03-14T23:00:00Z"), 2.0), // still [Jan15, Mar15)
+      (ts("2024-03-15T06:30:00Z"), 4.0), // [Mar15, May15) — 06:30 ≥ 06:00
+      (ts("2024-03-15T05:30:00Z"), 8.0), // 05:30 < origin time → [Jan15, Mar15)
+    ).toDF("__time", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-01-15T06:00:00Z/2024-06-01T00:00:00Z"],
+        |"granularity":{"type":"period","period":"P2M",
+        |  "origin":"2024-01-15T06:00:00Z"},
+        |"context":{"skipEmptyBuckets":"true"},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect()
+    val got = rows.map(r => (r.getAs[Timestamp]("__time").toInstant.toString,
+      r.getAs[Double]("sv"))).toSeq
+    assert(got == Seq(
+      ("2024-01-15T06:00:00Z", 11.0),
+      ("2024-03-15T06:00:00Z", 4.0)))
+  }
+
+  test("P1D with an origin honors the origin's time-of-day (fixed-length anchor)") {
+    // previously the simple-unit fast path ignored origin entirely: P1D
+    // from origin 06:00 must bucket at 06:00 boundaries, not midnight
+    val df = Seq(
+      (ts("2024-03-01T05:00:00Z"), 1.0), // [Feb29 06:00, Mar1 06:00)
+      (ts("2024-03-01T07:00:00Z"), 2.0), // [Mar1 06:00, Mar2 06:00)
+    ).toDF("__time", "v")
+    val e2 = new Engine(spark, new MapCatalog(Map("t" -> df)))
+    val rows = e2.plan(
+      """{"queryType":"timeseries","dataSource":"t",
+        |"intervals":["2024-02-29T00:00:00Z/2024-03-02T00:00:00Z"],
+        |"granularity":{"type":"period","period":"P1D",
+        |  "origin":"2024-03-01T06:00:00Z"},
+        |"context":{"skipEmptyBuckets":"true"},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"v"}]}""".stripMargin)
+      .collect()
+    val got = rows.map(r => (r.getAs[Timestamp]("__time").toInstant.toString,
+      r.getAs[Double]("sv"))).toSeq
+    assert(got == Seq(
+      ("2024-02-29T06:00:00Z", 1.0),
+      ("2024-03-01T06:00:00Z", 2.0)))
+  }
+
   test("duration granularity buckets by fixed millis with origin") {
     val df = Seq((ts("2024-03-01T00:10:00Z"), 1.0), (ts("2024-03-01T02:50:00Z"), 2.0))
       .toDF("__time", "v")
