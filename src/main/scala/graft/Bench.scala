@@ -51,7 +51,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_QUERIES=q74,q75 pins the sweep to matching names
+    // (substring match) — for targeted re-measurement without a full sweep
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+        case Some(want) if want.nonEmpty =>
+          val picked = all.filter(n => want.exists(n.contains))
+          require(picked.nonEmpty,
+            s"SPARK_GRAFT_BENCH_QUERIES matched nothing in ${all.size} queries")
+          picked
+        case _ => all
+      }
+    }
 
     // warmup: full query set at the smallest SF (JIT + codegen + listing),
     // then once at the target SF so one-time costs (rollup store build,

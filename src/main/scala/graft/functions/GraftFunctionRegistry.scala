@@ -120,6 +120,12 @@ object GraftFunctionRegistry {
       es => RepetitionStats(es(0))),
     ("token_counts", "per-row term counts of a token array (array<struct<term,cnt>>)",
       es => TokenCounts(es(0))),
+    ("quantize_int8", "symmetric int8 quantization: struct(scale, q array<tinyint>)",
+      es => QuantizeInt8(es(0))),
+    ("dequantize_int8", "inverse of quantize_int8: array<double>",
+      es => DequantizeInt8(es(0))),
+    ("vector_max_abs_diff", "max elementwise |a[i]-b[i]| of two arrays",
+      es => VectorMaxAbsDiff(es(0), es(1))),
     ("hll_sketch_build", "aggregate values into a mergeable HLL sketch",
       es => HllSketchAgg(es.head, mergeSketches = false)),
     ("hll_sketch_merge", "merge pre-built HLL sketches",

@@ -544,6 +544,16 @@ class ExtSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(0) - 1.0 / 3) < 1e-9, s"set_jaccard ${r.getDouble(0)}")
     assert(r.getDouble(1) == 1.0, "identical docs must estimate jaccard 1.0")
     assert(r.getInt(2) == 2, "simhash128 is an array of 2 longs")
+    // quantization family: SQL roundtrip recovers the max element exactly
+    val qv = spark.sql(
+      """SELECT
+        |  element_at(dequantize_int8(
+        |    quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT)))), 1) AS d1,
+        |  vector_max_abs_diff(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                      array(CAST(1.0 AS FLOAT), CAST(0.25 AS FLOAT))) AS md
+        |""".stripMargin).head()
+    assert(math.abs(qv.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(qv.getDouble(1) - 0.25) < 1e-9)
   }
 
   test("incremental dedup: band-index path equals the full self-join's cross-split pairs") {
