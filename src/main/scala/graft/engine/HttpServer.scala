@@ -212,6 +212,18 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               st.bytes.foreach(o.put("bytes", _))
               o.put("durationMs", st.durationMs)
             }
+            // LSH family: the dedup/near-dup observability ring — candidate
+            // estimates and bucket-cap truncation reports (capture
+            // degradation is detectable here instead of silent)
+            val larr = root.putArray("lsh")
+            graft.ext.Dedup.lshStats.foreach { s =>
+              val o = larr.addObject()
+              o.put("kind", s.kind); o.put("buckets", s.buckets)
+              o.put("overflowBuckets", s.overflowBuckets)
+              o.put("droppedMembers", s.droppedMembers)
+              o.put("maxBucket", s.maxBucket)
+              o.put("estCandidates", s.estCandidates)
+            }
             respond(ex, 200, mapper.writeValueAsString(root))
           case ("DELETE", path) if path.startsWith("/druid/v2/") =>
             val queryId = path.stripPrefix("/druid/v2/")

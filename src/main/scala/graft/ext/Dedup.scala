@@ -33,12 +33,15 @@ object Dedup {
   // observable LSH runtime stats + candidate budget
   // -------------------------------------------------------------------------
 
-  /** One observable LSH measurement: either a pre-execution candidate
-    * estimate for a banding self-join (`kind` = "minhash"/"simhash"/...)
-    * or a band-index build's bucket-cap truncation report
-    * (`kind` ends in "-index"). `estCandidates` for an index build is the
-    * estimate of a full self-join over the same banded keys — a capacity
-    * signal, not work the index itself performs. */
+  /** One observable LSH measurement: a pre-execution candidate estimate
+    * for a banding self-join (`kind` = "minhash"/"simhash"/...), the
+    * closed-form cheap tier of the same guard (`kind` ends in "-bound";
+    * histogram fields are -1 = not measured, `estCandidates` is the
+    * any-distribution post-cap upper bound), or a band-index build's
+    * bucket-cap truncation report (`kind` ends in "-index").
+    * `estCandidates` for an index build is the estimate of a full
+    * self-join over the same banded keys — a capacity signal, not work
+    * the index itself performs. */
   final case class LshStat(kind: String, buckets: Long, overflowBuckets: Long,
       droppedMembers: Long, maxBucket: Long, estCandidates: Long)
 
@@ -114,6 +117,11 @@ object Dedup {
       val rows = banded.count()
       val ubound = rows * math.max(bucketCap, 2) / 2
       if (ubound <= budget) {
+        // record the closed-form tier too (zero extra jobs — the count is
+        // already paid): kind gets a "-bound" suffix and the unmeasured
+        // histogram fields are -1, so the observability ring reflects
+        // EVERY banding execution, not only the near-budget ones
+        recordLshStat(LshStat(kind + "-bound", rows, -1L, -1L, -1L, ubound))
         System.err.println(s"[graft-lsh] $kind banding: rows=$rows " +
           s"postCapBound=$ubound budget=$budget (within budget for any " +
           f"bucket distribution; histogram skipped) boundSec=${

@@ -100,6 +100,23 @@ class HttpServerSpec extends SparkTestBase {
       assert(last.get("queryType").asText() == "TimeBoundary")
       assert(last.get("success").asBoolean())
       assert(mroot.get("cache").has("resultCacheHits"))
+
+      // LSH observability family: run a banded dedup, then the ring entry
+      // (kind + bucket/candidate stats) must surface at the endpoint
+      import spark.implicits._
+      val docs = (0L until 50L).map(i => (i, s"doc $i text body ${i % 7}"))
+        .toDF("doc_id", "text")
+      graft.ext.Dedup.minhashDupPairs(docs, "text", "doc_id",
+        threshold = 0.9).count()
+      val m2 = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val lsh = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(m2.body()).get("lsh")
+      assert(lsh.isArray && lsh.size() > 0, "lsh ring missing from metrics")
+      val entry = lsh.get(lsh.size() - 1)
+      assert(entry.has("kind") && entry.has("estCandidates") &&
+        entry.has("overflowBuckets"))
     } finally srv.stop()
   }
 
