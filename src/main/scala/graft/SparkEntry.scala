@@ -1166,6 +1166,20 @@ object SparkEntry {
           minDocFreq = 5)
         .orderBy("doc_id")
     }),
+    "q77_lm_score" -> ((s, dir) => {
+      // CCNet-style reference-LM quality scoring: Laplace bigram model
+      // counted over the even-id half of the corpus, odd-id docs scored by
+      // mean negative log-likelihood. Closed-form from counts — the oracle
+      // replays the model exactly; no trained artifact.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Vocabulary.lmScore(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_neg_logp"), 6).as("avg_neg_logp"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
     "q74_semantic_dedup" -> ((s, dir) => {
       // SemDeDup-style cluster-scoped semantic dedup over the q28 planted
       // corpus: assignment to 8 fixed seed centroids (the first 8 base
@@ -2174,6 +2188,44 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q77: same tokenization as q70 (whitespace split of trim(text), no
+    // case folding); bigrams via zipped list slices; Laplace bigram
+    // ln((c2+1)/(c1+V)) with unigram backoff ln((c1(w2)+1)/(T+V)) for
+    // out-of-vocabulary contexts — doubles throughout, only avg/exp round
+    "q77_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |refbi AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM tok WHERE doc_id % 2 = 0 AND len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM refbi GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS w1 FROM tok WHERE doc_id % 2 = 0)
+        |  GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v, sum(c1) AS tt FROM c1),
+        |dbi AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM tok WHERE doc_id % 2 = 1 AND len(t) >= 2),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN k1.c1 IS NOT NULL THEN
+        |      ln((coalesce(c2.c2, 0) + 1.0) /
+        |         (k1.c1 + (SELECT v FROM vocab)))
+        |    ELSE
+        |      ln((coalesce(k2.c1, 0) + 1.0) /
+        |         (CAST((SELECT tt FROM vocab) AS DOUBLE)
+        |          + (SELECT v FROM vocab)))
+        |    END AS logp
+        |  FROM dbi d
+        |  LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+        |  LEFT JOIN c1 k1 ON d.w1 = k1.w1
+        |  LEFT JOIN c1 k2 ON d.w2 = k2.w1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-logp), 6) AS avg_neg_logp,
+        |  round(exp(avg(-logp)), 4) AS perplexity
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // q75: identical arithmetic chain (max|v|/127, floor(x/scale + 0.5)
     // clamped, deq = q*scale) in doubles — codes and errors replay
     // bit-exactly; only the cosine needs the 6-decimal round

@@ -71,4 +71,71 @@ object Vocabulary {
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
+
+  /** Reference-corpus language-model scoring (the CCNet-style quality
+    * signal): a Laplace-smoothed bigram model with unigram backoff is
+    * counted over `ref`, and each document in `docs` is scored by its mean
+    * negative log-likelihood under it —
+    * `logp(w2|w1) = ln((c(w1,w2) + 1) / (c(w1) + V))` when the context
+    * `w1` is in the reference vocabulary, else the unigram backoff
+    * `ln((c(w2) + 1) / (T + V))` (`V` = reference vocabulary size, `T` =
+    * reference token count). The backoff matters: without it an
+    * out-of-vocabulary CONTEXT degenerates to `ln(1/V)` — tiny-vocabulary
+    * denominator, often BETTER than a seen context's `ln(·/(c1+V))` — and
+    * garbled text outscores reference-like text (caught by the spec's
+    * vowel-mangling property before this backoff existed). Low scores ≈
+    * reference-like, high ≈ out-of-domain — the corpus-filtering axis.
+    * Every quantity is closed-form from counts, so any engine reproduces
+    * the scores from (ref, docs) exactly; no trained artifact needed.
+    *
+    * Scale shape: two count shuffles over the reference (bigram-keyed and
+    * unigram-keyed, both map-side combined), then the scoring join keyed
+    * on the bigram string. The model tables are vocabulary-sized, not
+    * corpus-sized — language bigram vocabularies plateau while corpora
+    * grow — so AQE downgrades the scoring joins to broadcast when they
+    * fit; otherwise they are plain shuffle joins on uniform text keys.
+    * Documents with fewer than 2 tokens have no bigrams and are omitted.
+    *
+    * Output: (idCol, n_bigrams, avg_neg_logp, perplexity), one row per
+    * scored document with ≥ 1 bigram. */
+  def lmScore(ref: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def bigrams(textC: org.apache.spark.sql.Column) = {
+      val t = tokens(textC)
+      // guard BEFORE sequence(): sequence(1, 0) yields the DESCENDING
+      // [1, 0], whose element_at(t, 2) then faults on a 1-token doc
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    val refBi = ref
+      .select(explode(bigrams(col(textCol))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = ref
+      .select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vt = c1.agg(count(lit(1)), coalesce(sum("c1"), lit(0L))).head()
+    val v = vt.getLong(0) // reference vocabulary size
+    val t = vt.getLong(1) // reference token count
+    val scored = docs
+      .select(col(idCol), explode(bigrams(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(c1.select(col("w1").as("w2"), col("c1").as("__c1w2")),
+        Seq("w2"), "left")
+      .withColumn("__logp",
+        when(col("c1").isNotNull,
+          log((coalesce(col("c2"), lit(0L)) + 1.0) /
+            (col("c1") + v.toDouble)))
+        .otherwise(
+          log((coalesce(col("__c1w2"), lit(0L)) + 1.0) /
+            (t.toDouble + v.toDouble))))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-col("__logp")).as("avg_neg_logp"))
+      .withColumn("perplexity", exp(col("avg_neg_logp")))
+  }
 }

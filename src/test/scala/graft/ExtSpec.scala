@@ -952,6 +952,36 @@ class ExtSpec extends SparkTestBase {
     assert(loose(1L) == Seq("unique one", "COMMON", "tail one").mkString(sep))
   }
 
+  test("lmScore: hand-checked Laplace bigram model; in-domain scores lower") {
+    import graft.ext.Vocabulary
+    // ref "a b a b": c1(a)=2, c1(b)=2, c2(a,b)=2, c2(b,a)=1, V=2, T=4
+    val ref = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c"), (2L, "z"), (3L, "q a")).toDF("doc_id", "text")
+    val got = Vocabulary.lmScore(ref, score, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // doc 1: logp(a->b)=ln(3/4), logp(b->c)=ln(1/4); doc 2 has no bigrams;
+    // doc 3: context q unseen -> unigram backoff ln((c1(a)+1)/(T+V))=ln(1/2)
+    val expectAvg = -(math.log(0.75) + math.log(0.25)) / 2
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L)._1 == 2L)
+    assert(math.abs(got(1L)._2 - expectAvg) < 1e-12)
+    assert(math.abs(got(1L)._3 - math.exp(expectAvg)) < 1e-9)
+    assert(math.abs(got(3L)._2 - (-math.log(0.5))) < 1e-12)
+
+    // fixture property: text drawn from the reference distribution scores
+    // lower (more reference-like) than shuffled-vocabulary noise
+    val ref2 = docs.where(col("doc_id") % 2 === 0)
+    val inDomain = docs.where(col("doc_id") % 2 === 1)
+    val noise = inDomain.select(col("doc_id"),
+      regexp_replace(col("text"), "[aeiou]", "x").as("text"))
+    def meanPpl(d: org.apache.spark.sql.DataFrame) =
+      Vocabulary.lmScore(ref2, d, "doc_id", "text")
+        .agg(avg("avg_neg_logp")).head().getDouble(0)
+    assert(meanPpl(inDomain) < meanPpl(noise),
+      "reference-like text must score lower than vowel-mangled noise")
+  }
+
   test("semanticDupPairs: cluster-scoped pairs cover the planted near-dups; budget guard") {
     val corpus = graft.SparkEntry.q28PlantedUnion(spark, "/root/testdata/sf0.01")
     val cents = emb.where(col("vec_id") < 8).orderBy("vec_id")
