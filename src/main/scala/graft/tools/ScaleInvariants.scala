@@ -557,6 +557,26 @@ object ScaleInvariants {
           s"replica0Match=${s0 == b} overBoundRows=$badErr")
     }
 
+    // q77 LM scoring at scale: replicas are isomorphic corpora over
+    // disjoint suffixed vocabularies sharing ONE model (V and T are
+    // corpus-wide), so after folding doc ids every replica must produce
+    // IDENTICAL rounded scores — and the total exactly N x the folded set.
+    // (KeyOffset is even, so the even/odd ref-vs-scored split is
+    // replica-stable.) Absolute scores legitimately differ from a base-dir
+    // run: V and T in the smoothing denominators grow with the corpus.
+    if (wanted("q77")) {
+      val sDf = graft.SparkEntry.queries("q77_lm_score")(spark, scaled)
+        .withColumn("doc_id", pmod(col("doc_id"), lit(ScaleUp.KeyOffset)))
+      val total = sDf.count()
+      val distinctFolded = sDf.distinct().count()
+      val perReplica = total / n
+      check("q77_lm_replica_isomorphism")(
+        total > 0 && total == n.toLong * perReplica &&
+          distinctFolded == perReplica,
+        s"total=$total foldedDistinct=$distinctFolded " +
+          s"expectedPerReplica=$perReplica")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
