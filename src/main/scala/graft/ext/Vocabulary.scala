@@ -98,17 +98,26 @@ object Vocabulary {
     *
     * Output: (idCol, n_bigrams, avg_neg_logp, perplexity), one row per
     * scored document with ≥ 1 bigram. */
-  def lmScore(ref: DataFrame, docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    def bigrams(textC: org.apache.spark.sql.Column) = {
-      val t = tokens(textC)
-      // guard BEFORE sequence(): sequence(1, 0) yields the DESCENDING
-      // [1, 0], whose element_at(t, 2) then faults on a 1-token doc
-      when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    }
+  private def bigrams(textC: org.apache.spark.sql.Column) = {
+    val t = tokens(textC)
+    // guard BEFORE sequence(): sequence(1, 0) yields the DESCENDING
+    // [1, 0], whose element_at(t, 2) then faults on a 1-token doc
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** A counted reference LM — the persistable unit (write `c1`/`c2` next
+    * to a corpus snapshot and score every future batch without re-reading
+    * the reference; at 100 TB the model tables are vocabulary-sized while
+    * the reference scan they replace is corpus-sized). */
+  final case class LmModel(c2: DataFrame, c1: DataFrame,
+      vocabSize: Long, tokenCount: Long)
+
+  /** Count the Laplace-bigram model over a reference corpus: one
+    * tokenize pass feeding two map-side-combined count shuffles. */
+  def lmModel(ref: DataFrame, textCol: String): LmModel = {
     val refBi = ref
       .select(explode(bigrams(col(textCol))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
@@ -117,8 +126,17 @@ object Vocabulary {
       .select(explode(tokens(col(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vt = c1.agg(count(lit(1)), coalesce(sum("c1"), lit(0L))).head()
-    val v = vt.getLong(0) // reference vocabulary size
-    val t = vt.getLong(1) // reference token count
+    LmModel(c2, c1, vt.getLong(0), vt.getLong(1))
+  }
+
+  def lmScore(ref: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    lmScoreWith(lmModel(ref, textCol), docs, idCol, textCol)
+
+  /** Score against a precomputed (possibly reloaded) [[LmModel]]. */
+  def lmScoreWith(model: LmModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val LmModel(c2, c1, v, t) = model
     val scored = docs
       .select(col(idCol), explode(bigrams(col(textCol))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))

@@ -980,6 +980,20 @@ class ExtSpec extends SparkTestBase {
         .agg(avg("avg_neg_logp")).head().getDouble(0)
     assert(meanPpl(inDomain) < meanPpl(noise),
       "reference-like text must score lower than vowel-mangled noise")
+
+    // model persistence: parquet-roundtripped count tables score
+    // identically to the inline derivation (the persist-next-to-snapshot
+    // path that avoids re-reading the reference corpus per batch)
+    val m = Vocabulary.lmModel(ref2, "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    m.c1.write.parquet(s"$dir/c1"); m.c2.write.parquet(s"$dir/c2")
+    val reloaded = Vocabulary.LmModel(spark.read.parquet(s"$dir/c2"),
+      spark.read.parquet(s"$dir/c1"), m.vocabSize, m.tokenCount)
+    val a = Vocabulary.lmScore(ref2, inDomain, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val b = Vocabulary.lmScoreWith(reloaded, inDomain, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
   }
 
   test("semanticDupPairs: cluster-scoped pairs cover the planted near-dups; budget guard") {
