@@ -562,6 +562,27 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Directed n-gram CONTAINMENT pairs: `|sh(a) ∩ sh(b)| / |sh(a)|` ≥
+    * threshold, emitted per ordered pair (a contained-in b). Symmetric
+    * Jaccard misses the quote/forward/superset shape — a short doc fully
+    * embedded in a long one scores `|a|/|b|` Jaccard (tiny) but
+    * containment 1.0. Quadratic like [[ngramJaccardPairs]] — gate the
+    * input or feed it LSH candidates (minhash banding still recalls
+    * these pairs when the contained doc is a material fraction of the
+    * container; for tiny-fragment detection band the FRAGMENT's shingles
+    * only). */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    l.crossJoin(r).where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(col("sh_a"))).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------

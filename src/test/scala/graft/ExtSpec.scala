@@ -850,6 +850,27 @@ class ExtSpec extends SparkTestBase {
     assert(got == Seq(("b", 3L), ("a", 2L)))
   }
 
+  test("ngramContainmentPairs: asymmetric - fragment in superset scores 1.0") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // superset
+      (2L, "a b c d e"),     // fully contained fragment
+      (3L, "x y z w q")      // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(df, "text", "doc_id",
+      shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // frag→superset: all 3 of frag's trigrams appear in the superset's 5
+    assert(got((2L, 1L)) == 1.0)
+    // superset→frag: only 3 of its 5 trigrams are in the fragment
+    assert(math.abs(got((1L, 2L)) - 0.6) < 1e-12)
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // threshold prunes the weak direction
+    val strict = Dedup.ngramContainmentPairs(df, "text", "doc_id",
+      shingleN = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((2L, 1L)))
+  }
+
   test("dupClusters: known graph labels components by min id; chains converge") {
     // components: {1,2,3,4} (chain through 2-3), {10,11}, singleton 99 unseen
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
