@@ -1182,6 +1182,22 @@ object SparkEntry {
         .withColumn("containment", round(col("containment"), 4))
         .orderBy("id_a", "id_b")
     }),
+    "q78b_containment_banded" -> ((s, dir) => {
+      // the scale path for q78's shape: inverted-index (per-shingle band
+      // key) candidate generation + exact verification, proven against the
+      // SAME brute-force oracle — candidate-fed == brute-force on the
+      // planted corpus (no cross join in the plan; see PlanQualitySpec)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 120).select(col("doc_id"), col("text"))
+      val frags = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          concat_ws(" ",
+            slice(graft.ext.Dedup.tokens(col("text")), 1, 15)).as("text"))
+      graft.ext.Dedup.ngramContainmentPairsBanded(docs.union(frags), "text",
+          "doc_id", shingleN = 3, threshold = 0.9, dfCap = 256)
+        .withColumn("containment", round(col("containment"), 4))
+        .orderBy("id_a", "id_b")
+    }),
     "q77_lm_score" -> ((s, dir) => {
       // CCNet-style reference-LM quality scoring: Laplace bigram model
       // counted over the even-id half of the corpus, odd-id docs scored by
@@ -2207,6 +2223,39 @@ object SparkEntry {
     // q78: identical fragment construction (lowercased token slice) and
     // the q24 shingle derivation; containment divides by |sh(a)| only
     "q78_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |toksall AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM base),
+        |frag AS (
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    array_to_string(t[1:15], ' ') AS text
+        |  FROM toksall WHERE doc_id % 10 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id, text FROM frag),
+        |tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    END) AS sh
+        |  FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(a.sh), 4) AS containment
+        |FROM sh a, sh b
+        |WHERE a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(a.sh) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
+    // q78b: IDENTICAL brute-force oracle as q78 — the banded candidate
+    // path must reproduce the exact quadratic result on the planted corpus
+    "q78b_containment_banded" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 120),
         |toksall AS (

@@ -628,15 +628,19 @@ object Compilers {
             graft.functions.HllFunctions.hll_sketch_estimate(
               graft.functions.HllFunctions.hll_sketch_merge(in))
           case _ =>
-            // raw column: BUILD the same sketch ingest-time rollup builds,
-            // then estimate — one estimator (p=11, ~2.3% rsd, linear
-            // counting under 2.5m registers) whether the segment is rolled
-            // up or raw. Spark's approx_count_distinct (default rsd 0.05)
-            // broke the documented ±5% accuracy band in exactly the common
-            // regime n ≈ register count: at sf0.1 (1500 uniques/bucket) it
-            // missed the band on every single bucket.
-            graft.functions.HllFunctions.hll_sketch_estimate(
-              graft.functions.HllFunctions.hll_sketch_build(in))
+            // raw column in a single query: the built-in HLL++ (codegen'd,
+            // partial-aggregated, no per-row sketch object churn) at rsd
+            // 0.023 — the same precision as the engine's p=11 sketch
+            // (1.04/sqrt(2^11)); Spark picks p=11 from that rsd and its
+            // bias correction holds the documented ±5% band in the
+            // n ≈ register-count regime where the DEFAULT rsd 0.05 missed
+            // it on every bucket (measured at both verify SFs). The
+            // engine's own sketch (HllSketchAgg) remains the path for
+            // sketch-typed columns above and for rollup segment storage,
+            // where MERGEABILITY across segments is the point — in a
+            // one-shot query it buys nothing (round-9 verdict: 3.6x cost
+            // drift vs this built-in).
+            approx_count_distinct(in, 0.023)
         }
       case Cardinality(_, fields, byRow) =>
         val base =
@@ -660,8 +664,10 @@ object Compilers {
           }
           else concat_ws("", fields.map(c => col(c).cast(StringType)): _*)
         val in = pred.map(p => when(p, base)).getOrElse(base)
-        graft.functions.HllFunctions.hll_sketch_estimate(
-          graft.functions.HllFunctions.hll_sketch_build(in))
+        // raw-input cardinality: same built-in HLL++ routing (and rsd) as
+        // raw-column hyperUnique above — cardinality never reads sketch
+        // columns, so there is no mergeable-sketch case to preserve here
+        approx_count_distinct(in, 0.023)
       case Filtered(f, agg) =>
         val p = filterCol(f, schema)
         inner(agg, pred.map(_ && p).orElse(Some(p)))

@@ -118,6 +118,15 @@ object Curation {
       salt: Long = 11L): DataFrame = {
     require(rates.values.forall(_ >= 0) && defaultRate >= 0,
       "sampling rates must be non-negative")
+    // the output column and working temporaries would silently OVERWRITE
+    // same-named caller columns (withColumn replaces) — fail loudly instead
+    // of corrupting caller data (ADVICE r9)
+    Seq("copy", "__rate", "__copies").foreach { c =>
+      require(!df.columns.contains(c),
+        s"mixtureSample: input already has a '$c' column — rename it; " +
+          "'copy' is the operator's output and __rate/__copies are its " +
+          "working temporaries")
+    }
     val m = 2147483647L // 2^31 - 1
     val rate = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>

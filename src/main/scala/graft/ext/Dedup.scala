@@ -106,15 +106,21 @@ object Dedup {
     * bucketCap of a genuine flood — where its cost is noise against the
     * work it may refuse. (Round-9 lesson: running the histogram
     * unconditionally cost 0.5–0.6 s of fixed job overhead per dedup query,
-    * 30–60% of whole-query time at bench SFs.) */
+    * 30–60% of whole-query time at bench SFs.)
+    *
+    * `knownRows ≥ 0` skips even the cheap count: banding derives from a
+    * [[materializeCounted]] signature frame by exploding exactly `bands`
+    * keys per signature, so every internal caller KNOWS the banded
+    * cardinality at plan time — the common path pays ZERO extra jobs
+    * (round-9 advice #2). */
   private def guardCandidates(banded: DataFrame, bucketCap: Int,
-      kind: String): Unit = {
+      kind: String, knownRows: Long = -1L): Unit = {
     val budget = banded.sparkSession.conf
       .getOption("spark.graft.lsh.candidateBudget").map(_.toLong)
       .getOrElse(DefaultCandidateBudget)
     if (budget > 0) {
       val t0 = System.nanoTime()
-      val rows = banded.count()
+      val rows = if (knownRows >= 0L) knownRows else banded.count()
       val ubound = rows * math.max(bucketCap, 2) / 2
       if (ubound <= budget) {
         // record the closed-form tier too (zero extra jobs — the count is
@@ -142,6 +148,50 @@ object Dedup {
               "spark.graft.lsh.candidateBudget, or set it to 0 to disable " +
               "this check.")
       }
+    }
+  }
+
+  /** Pair budget for the EXACT quadratic pair helpers
+    * ([[ngramJaccardPairs]] / [[ngramContainmentPairs]]):
+    * `spark.graft.ngram.pairBudget`, `0` disables. These helpers carry full
+    * shingle arrays through an explicit cross join, so the sane ceiling is
+    * far below the signature-pair budget: 10M pairs ≈ a ~4.5k-doc candidate
+    * set, already seconds of array-intersect work. Larger corpora belong on
+    * the banded paths ([[minhashDupPairs]] /
+    * [[ngramContainmentPairsBanded]]). */
+  val DefaultNgramPairBudget: Long = 10000000L
+
+  /** Runtime gate for the deliberately-quadratic exact pair helpers (the
+    * round-9 lesson applied to the last unguarded m² shape): ONE columnless
+    * count of the input — parquet-footer cheap on file sources — then
+    * refuse past the configured pair budget with routing guidance, and
+    * record every execution in [[lshStats]] (`kind` = "ngram-*-exact",
+    * `buckets` = docs, histogram fields unmeasured = -1, `estCandidates` =
+    * the exact pair count the cross join would emit). */
+  private def guardQuadraticPairs(df: DataFrame, kind: String,
+      ordered: Boolean): Unit = {
+    val budget = df.sparkSession.conf
+      .getOption("spark.graft.ngram.pairBudget").map(_.toLong)
+      .getOrElse(DefaultNgramPairBudget)
+    if (budget > 0) {
+      val n = df.count()
+      // n(n-1)(/2) overflows Long past ~3e9 docs; any such input is already
+      // hopeless for an exact quadratic helper, so saturate and refuse.
+      val pairs =
+        if (n >= 3037000499L) Long.MaxValue
+        else if (ordered) n * (n - 1) else n * (n - 1) / 2
+      recordLshStat(LshStat(kind, n, -1L, -1L, -1L, pairs))
+      System.err.println(s"[graft-lsh] $kind: docs=$n pairs=$pairs " +
+        s"budget=$budget")
+      if (pairs > budget)
+        throw new IllegalStateException(
+          s"$kind over $n docs would emit $pairs exact pairs (budget " +
+            s"$budget): this helper is deliberately quadratic — pre-filter " +
+            "the candidate set, feed it LSH candidates " +
+            "(ngramContainmentPairsFromCandidates / minhashDupPairs), use " +
+            "the banded path (ngramContainmentPairsBanded), raise " +
+            "spark.graft.ngram.pairBudget, or set it to 0 to disable this " +
+            "check.")
     }
   }
 
@@ -198,13 +248,49 @@ object Dedup {
     *    cache manager until unpersisted/GC'd, so a long-lived server should
     *    clear them (`spark.catalog.clearCache()`) between pipelines. */
   private[ext] def materialize(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.materialize.storage") match {
+    materializeCounted(df)._1
+
+  /** Row counts recorded at materialization time, keyed by the materialized
+    * frame's object identity (Dataset does not override equals). Weak keys:
+    * entries vanish with the frames; nothing accumulates on a long-lived
+    * server. */
+  private val matRows = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+
+  /** [[materialize]] that also returns the frame's row count FOR FREE —
+    * the single materialization job yields it (lazy localCheckpoint
+    * triggered by a count; persist populated by its count), so callers that
+    * need cardinality (the LSH candidate guard above all) don't pay a
+    * second job over the cached blocks. Round-9 measured that separate
+    * guard count at 0.1–0.3 s of fixed overhead per dedup query — 30–60%
+    * of whole-query time at bench SFs. The count is also recorded for
+    * [[materializedRows]] lookup so derived-frame consumers (banding
+    * explodes exactly `bands` rows per signature) can compute their own
+    * cardinality without any job. */
+  private[ext] def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val pair = df.sparkSession.conf
+      .getOption("spark.graft.materialize.storage") match {
       case Some("persist") =>
         val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p.count() // eager, like localCheckpoint: populate before the self-join fans out
-        p
-      case _ => df.localCheckpoint(true)
+        (p, p.count()) // eager: populate before the self-join fans out
+      case _ =>
+        // LAZY checkpoint + count = ONE job that both stores the blocks and
+        // returns the cardinality (eager localCheckpoint runs the same
+        // internal count and throws the number away)
+        val c = df.localCheckpoint(false)
+        (c, c.count())
     }
+    matRows.put(pair._1, java.lang.Long.valueOf(pair._2))
+    pair
+  }
+
+  /** Row count recorded when `df` was produced by [[materialize]] /
+    * [[materializeCounted]] in this JVM; -1 for frames materialized
+    * elsewhere (callers fall back to counting). */
+  private[ext] def materializedRows(df: DataFrame): Long = {
+    val v = matRows.get(df)
+    if (v == null) -1L else v.longValue()
+  }
 
   // -------------------------------------------------------------------------
   // shingling
@@ -263,9 +349,10 @@ object Dedup {
     * bands (caller dedups after its similarity filter, as before).
     */
   private[ext] def cappedBucketPairs(banded: DataFrame, idCol: String,
-      payloadCol: String, bucketCap: Int): DataFrame = {
+      payloadCol: String, bucketCap: Int, knownRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    guardCandidates(banded.select("band", "bucket"), bucketCap, "payload-banding")
+    guardCandidates(banded.select("band", "bucket"), bucketCap,
+      "payload-banding", knownRows)
     // Per-bucket size + representative via WINDOW functions, not a separate
     // groupBy+join branch — one fewer shuffle.
     val byBucket = Window.partitionBy("band", "bucket")
@@ -302,9 +389,10 @@ object Dedup {
     * identical to `cappedBucketPairs` + per-pair dedup: the same star-link
     * cap applies, and the output carries each pair once. */
   private[ext] def cappedBucketPairIds(banded: DataFrame, idCol: String,
-      bucketCap: Int): DataFrame = {
+      bucketCap: Int, knownRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    guardCandidates(banded.select("band", "bucket"), bucketCap, "keys-banding")
+    guardCandidates(banded.select("band", "bucket"), bucketCap,
+      "keys-banding", knownRows)
     val byBucket = Window.partitionBy("band", "bucket")
     val flagged = banded
       .withColumn("__n", count(lit(1)).over(byBucket))
@@ -382,7 +470,10 @@ object Dedup {
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
         .as(Seq("band", "bucket")))
-    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+    // banding emits exactly `bands` rows per signature, so the guard's
+    // cardinality is known from the materialization — zero extra jobs
+    val known = { val m = materializedRows(sigs); if (m >= 0) m * bands else -1L }
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
         sigCol -> "__sig")
       .select(col("id_a"), col("id_b"),
         minhashJaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
@@ -499,7 +590,12 @@ object Dedup {
       sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5,
       wideArmMinDocs: Long = 1000000L): DataFrame = {
     val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
-    val useWide = wideSig && (wideArmMinDocs <= 0L || sigs.count() >= wideArmMinDocs)
+    // corpus size from the materialization record when available (free);
+    // a count job only for externally-materialized frames
+    lazy val nDocs: Long = {
+      val m = materializedRows(sigs); if (m >= 0) m else sigs.count()
+    }
+    val useWide = wideSig && (wideArmMinDocs <= 0L || nDocs >= wideArmMinDocs)
     if (useWide) require(maxHamming <= 3,
       "the 4x32-bit wide arm is pigeonhole-lossless only for maxHamming <= 3")
     // the 64-bit arm of a wide signature reads its low long (== simhash64)
@@ -524,7 +620,11 @@ object Dedup {
       if (useWide) hamming128(col("__s_a"), col("__s_b"))
       else if (wideSig) hamming(element_at(col("__s_a"), 1), element_at(col("__s_b"), 1))
       else hamming(col("__s_a"), col("__s_b"))
-    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+    val totalBands = mBands + (if (useWide) 4 else sBands)
+    val known = {
+      val m = materializedRows(sigs); if (m >= 0) m * totalBands else -1L
+    }
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
         msigCol -> "__m", ssigCol -> "__s")
       .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
       .where(col("__est") >= estThreshold ||
@@ -548,11 +648,17 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Exact Jaccard similarity over word n-gram shingle sets for all pairs of
-    * a (pre-filtered, small) candidate set. Quadratic — gate the input or
-    * feed it LSH candidates. */
+    * a (pre-filtered, small) candidate set. Quadratic BY DESIGN and
+    * runtime-guarded: refuses past `spark.graft.ngram.pairBudget` exact
+    * pairs (see [[DefaultNgramPairBudget]]) instead of silently emitting an
+    * m² shuffle; every execution is recorded in [[lshStats]]. The shingle
+    * frame is materialized once so both cross-join sides read cached
+    * signature blocks instead of re-shingling the corpus. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    guardQuadraticPairs(df, "ngram-jaccard-exact", ordered = false)
+    val sh = materialize(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")))
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r).where(col("id_a") < col("id_b"))
@@ -566,14 +672,17 @@ object Dedup {
     * threshold, emitted per ordered pair (a contained-in b). Symmetric
     * Jaccard misses the quote/forward/superset shape — a short doc fully
     * embedded in a long one scores `|a|/|b|` Jaccard (tiny) but
-    * containment 1.0. Quadratic like [[ngramJaccardPairs]] — gate the
-    * input or feed it LSH candidates (minhash banding still recalls
-    * these pairs when the contained doc is a material fraction of the
-    * container; for tiny-fragment detection band the FRAGMENT's shingles
-    * only). */
+    * containment 1.0. Quadratic like [[ngramJaccardPairs]] and guarded the
+    * same way (`spark.graft.ngram.pairBudget`, recorded in [[lshStats]]);
+    * at corpus scale use [[ngramContainmentPairsBanded]] (inverted-index
+    * candidate generation, identical results up to the documented df-cap)
+    * or feed externally-generated candidates to
+    * [[ngramContainmentPairsFromCandidates]]. */
   def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    guardQuadraticPairs(df, "ngram-containment-exact", ordered = true)
+    val sh = materialize(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")))
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r).where(col("id_a") =!= col("id_b"))
@@ -581,6 +690,101 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(col("sh_a"))).as("containment"))
       .where(col("containment") >= threshold)
+  }
+
+  /** Exact containment scoring over a SUPPLIED candidate-pair frame
+    * (`id_a` = the possibly-contained fragment, `id_b` = the container):
+    * joins each side back to a once-materialized shingle frame, computes
+    * `|sh(a) ∩ sh(b)| / |sh(a)|` exactly, and keeps pairs ≥ `threshold`.
+    * Work is O(|candidates|), never O(m²) — this is the verification half
+    * of [[ngramContainmentPairsBanded]], public so LSH-derived or
+    * externally-mined candidates can reuse it. */
+  def ngramContainmentPairsFromCandidates(df: DataFrame, candidates: DataFrame,
+      textCol: String, idCol: String, shingleN: Int,
+      threshold: Double): DataFrame = {
+    val sh = materialize(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")))
+    containmentOnPairs(sh, candidates, threshold)
+  }
+
+  private def containmentOnPairs(sh: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame =
+    candidates.select("id_a", "id_b").distinct()
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(col("sh_a"))).as("containment"))
+      .where(col("containment") >= threshold)
+
+  /** Banded directed-containment pairs: the scale path for the
+    * quote/forward/superset dedup shape, replacing [[ngramContainmentPairs]]'s
+    * m² cross join with an inverted-index join where EACH WORD-SHINGLE IS
+    * ITS OWN BAND KEY (the "band the fragment's shingles" plan the exact
+    * helper's scaladoc promises). Shape:
+    *
+    *  1. shingle postings `(shingle, id, |sh(id)|)` — one explode, shuffled
+    *     on the shingle key only (strings, no arrays move);
+    *  2. shingle document frequencies via map-side-combined groupBy;
+    *     shingles with `df > dfCap` (boilerplate n-grams — license lines,
+    *     navigation chrome) are EXCLUDED from candidate generation, so any
+    *     one join key matches ≤ dfCap² row pairs — per-key work is bounded
+    *     by a constant, independent of corpus size;
+    *  3. self-join surviving postings on the shingle → per ordered pair the
+    *     exact uncapped-intersection size `c`;
+    *  4. sound candidate cut: exact `|sh_a ∩ sh_b| ≤ c + capped(a)` (a's
+    *     capped shingles could ALL hit), so keeping
+    *     `c + capped(a) ≥ threshold·|sh(a)|` NEVER drops a pair that
+    *     brute-force would emit — provided the pair shares ≥1 uncapped
+    *     shingle. A fragment wholly made of capped shingles is the one
+    *     documented capture loss (it IS boilerplate by definition); such
+    *     fragments are counted in the [[lshStats]] record (`droppedMembers`
+    *     = capped posting rows, `overflowBuckets` = capped shingles).
+    *  5. exact verification of candidates against the materialized shingle
+    *     frame ([[ngramContainmentPairsFromCandidates]]) — false positives
+    *     cannot survive, so the result equals brute force whenever no
+    *     fragment crosses the all-capped edge (q78b proves equality on the
+    *     planted corpus).
+    *
+    * 100×: postings shuffle linearly in corpus shingle volume; the df-cap
+    * bounds every join key; candidate volume ≤ docs · avgShingles · dfCap.
+    * No cross join anywhere (plan-gated by PlanQualitySpec's no-cartesian
+    * check on q78b). */
+  def ngramContainmentPairsBanded(df: DataFrame, textCol: String,
+      idCol: String, shingleN: Int, threshold: Double,
+      dfCap: Int = 256): DataFrame = {
+    val sh = materialize(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")))
+    val post = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val dfreq = post.groupBy("s").agg(count(lit(1)).as("df"))
+    // one cheap agg for the observability record (mirrors bandedStats):
+    // kept shingles, capped shingles, capped posting volume, hottest
+    // shingle, and the post-cap candidate-pair bound Σ df·(df-1)
+    val st = dfreq.agg(
+      coalesce(sum(when(col("df") <= dfCap, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("df") > dfCap, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("df") > dfCap, col("df")).otherwise(0L)), lit(0L)),
+      coalesce(max(col("df")), lit(0L)),
+      coalesce(sum(when(col("df") <= dfCap, col("df") * (col("df") - 1))
+        .otherwise(0L)), lit(0L))).head()
+    recordLshStat(LshStat("ngram-containment-banded", st.getLong(0),
+      st.getLong(1), st.getLong(2), st.getLong(3), st.getLong(4)))
+    val withDf = post.join(dfreq, Seq("s"))
+    val kept = withDf.where(col("df") <= dfCap)
+    // per-fragment count of df-capped shingles — the slack term of the
+    // sound candidate cut (missing = 0 capped shingles)
+    val cappedPerDoc = withDf.where(col("df") > dfCap)
+      .groupBy(col("id").as("id_a")).agg(count(lit(1)).as("__capped"))
+    val fr = kept.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
+    val co = kept.select(col("s"), col("id").as("id_b"))
+    val cands = fr.join(co, Seq("s")).where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("__c"))
+      .join(cappedPerDoc, Seq("id_a"), "left")
+      .where(col("__c") + coalesce(col("__capped"), lit(0L)) >=
+        lit(threshold) * col("n_a"))
+      .select("id_a", "id_b")
+    containmentOnPairs(sh, cands, threshold)
   }
 
   // -------------------------------------------------------------------------
@@ -683,7 +887,8 @@ object Dedup {
         .as(Seq("band", "bucket")))
     // keys-only banding; signatures fetched per distinct pair for the
     // hamming verify (see cappedBucketPairIds)
-    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+    val known = { val m = materializedRows(sigs); if (m >= 0) m * bands else -1L }
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
         sigCol -> "__sig")
       .select(col("id_a"), col("id_b"),
         hamming(col("__sig_a"), col("__sig_b")).as("hamming"))
@@ -718,7 +923,8 @@ object Dedup {
         val word = element_at(col(sigCol), b / 2 + 1)
         shiftright(word, (b % 2) * 32).bitwiseAND(mask)
       }: _*)).as(Seq("band", "bucket")))
-    joinSigs(cappedBucketPairIds(banded, "id", bucketCap), sigs, idCol,
+    val known = { val m = materializedRows(sigs); if (m >= 0) m * 4 else -1L }
+    joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
         sigCol -> "__sig")
       .select(col("id_a"), col("id_b"),
         hamming128(col("__sig_a"), col("__sig_b")).as("hamming"))

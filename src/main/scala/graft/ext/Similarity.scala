@@ -168,10 +168,15 @@ object Similarity {
   }
 
   /** IVF (inverted-file) index: deterministic k-means-lite centroids —
-    * seeded by the first `nClusters` sample vectors (by id), refined by one
-    * Lloyd iteration over the sample — collected to the driver
-    * (nClusters × dim doubles, tiny) and baked into a native assignment
-    * expression.
+    * seeded by the first `nClusters` sample vectors (by id), refined by
+    * `lloydIters` Lloyd iterations over the sample — collected to the
+    * driver (nClusters × dim doubles, tiny) and baked into a native
+    * assignment expression. Each iteration is one cheap job over the
+    * cached sample blocks, so a few of them are nearly free relative to
+    * the corpus-side work they improve: on clustered corpora the
+    * assignment boundaries settle (ExtSpec pins recall ≥ 0.95 on the
+    * clustered fixture), where a single update left seeds from a dense
+    * region pulling neighboring clusters' mass.
     *
     * At 100 TB the whole build is ONE bounded sample scan: the sample is
     * sized from parquet footer row counts (driver-side metadata, no
@@ -182,7 +187,8 @@ object Similarity {
     * with limit() as the exact-size backstop. Search then touches only
     * `nProbe`/`nClusters` of the corpus via a cluster-keyed join. */
   def buildIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nClusters: Int, maxSample: Int = 100000): Array[Array[Double]] = {
+      nClusters: Int, maxSample: Int = 100000,
+      lloydIters: Int = 3): Array[Array[Double]] = {
     val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
     val n = parquetFooterRowCount(corpus).getOrElse(corpus.count())
     val sample = Dedup.materialize(
@@ -196,15 +202,23 @@ object Similarity {
     val init: Array[Array[Double]] = sample.orderBy(col("__id")).limit(nClusters)
       .select(col("__vec")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val assigned = sample.select(
-      element_at(graft.functions.VectorFunctions.nearest_centroids(
-        col("__vec"), init, 1), 1).as("cluster"),
-      posexplode(col("__vec")).as(Seq("pos", "x")))
-    val means = assigned.groupBy("cluster", "pos").agg(avg("x").as("m"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-    val out = init.map(_.clone())
-    means.foreach { case (c, p, m) => if (c < out.length && p < out(c).length) out(c)(p) = m }
-    out
+    var cents = init
+    var iter = 0
+    while (iter < lloydIters) {
+      val assigned = sample.select(
+        element_at(graft.functions.VectorFunctions.nearest_centroids(
+          col("__vec"), cents, 1), 1).as("cluster"),
+        posexplode(col("__vec")).as(Seq("pos", "x")))
+      val means = assigned.groupBy("cluster", "pos").agg(avg("x").as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val out = cents.map(_.clone())
+      means.foreach { case (c, p, m) =>
+        if (c < out.length && p < out(c).length) out(c)(p) = m
+      }
+      cents = out
+      iter += 1
+    }
+    cents
   }
 
   /** ANN top-k via IVF: probe the `nProbe` closest clusters per query,
@@ -289,7 +303,11 @@ object Similarity {
     // skew-capped candidates (Dedup.cappedBucketPairs): oversize buckets —
     // e.g. zero/constant vectors — star-link to a representative instead of
     // emitting m²/2 pairs in one task
-    val survivors = Dedup.cappedBucketPairs(banded, "id", "__sigbits", bucketCap)
+    val knownBanded = {
+      val m = Dedup.materializedRows(sigs); if (m >= 0) m * bandsR else -1L
+    }
+    val survivors = Dedup.cappedBucketPairs(banded, "id", "__sigbits",
+        bucketCap, knownBanded)
       .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
         col("payload_a"), col("payload_b")) >= minAgree)
       .select("id_a", "id_b").distinct()

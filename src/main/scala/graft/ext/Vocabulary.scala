@@ -43,6 +43,21 @@ object Vocabulary {
       .withColumn("idf", log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
   }
 
+  /** Persist a [[documentFrequency]] table next to a corpus snapshot —
+    * the TF-IDF analogue of the persistable [[LmModel]]: the table is
+    * vocabulary-sized (≪ corpus), so storing it turns every later
+    * [[tfidfTopTerms]] batch into a batch-sized job with a broadcast
+    * idf join instead of a fresh corpus-wide scan+shuffle. At 100 TB the
+    * corpus pass is the whole cost; the stored table replays it for the
+    * price of reading a few hundred MB of parquet. */
+  def saveDocumentFrequency(freq: DataFrame, path: String): Unit =
+    freq.write.mode("overwrite").parquet(path)
+
+  /** Reload a persisted [[documentFrequency]] table for
+    * `tfidfTopTerms(..., df = Some(loaded))`. */
+  def loadDocumentFrequency(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
   /** Top-k terms per document by TF-IDF (`tf = termCount/docLen`), ties
     * broken by term ascending so the result is deterministic. Pass a
     * precomputed [[documentFrequency]] to amortize the corpus pass across
@@ -133,13 +148,32 @@ object Vocabulary {
       textCol: String): DataFrame =
     lmScoreWith(lmModel(ref, textCol), docs, idCol, textCol)
 
+  /** Persist an [[LmModel]] (count tables + scalars) under `path` — the
+    * write-once artifact that scores every future batch without re-reading
+    * the reference corpus. */
+  def saveLmModel(m: LmModel, path: String): Unit = {
+    m.c2.write.mode("overwrite").parquet(s"$path/c2")
+    m.c1.write.mode("overwrite").parquet(s"$path/c1")
+    import m.c1.sparkSession.implicits._
+    Seq((m.vocabSize, m.tokenCount)).toDF("vocab_size", "token_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted [[LmModel]] for [[lmScoreWith]]. */
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LmModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    LmModel(spark.read.parquet(s"$path/c2"), spark.read.parquet(s"$path/c1"),
+      meta.getLong(0), meta.getLong(1))
+  }
+
   /** Score against a precomputed (possibly reloaded) [[LmModel]]. */
   def lmScoreWith(model: LmModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val LmModel(c2, c1, v, t) = model
     val scored = docs
-      .select(col(idCol), explode(bigrams(col(textCol))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col(idCol), posexplode(bigrams(col(textCol))).as(Seq("__pos", "b")))
+      .select(col(idCol), col("__pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .join(c1.select(col("w1").as("w2"), col("c1").as("__c1w2")),
@@ -151,9 +185,20 @@ object Vocabulary {
         .otherwise(
           log((coalesce(col("__c1w2"), lit(0L)) + 1.0) /
             (t.toDouble + v.toDouble))))
+    // DETERMINISTIC mean: double addition is not associative, so a plain
+    // avg() varies with partition/merge order — and the scores are consumed
+    // through fixed-decimal rounding (q77 compares round(·, 6)), where a
+    // value near a rounding boundary would flake between runs. Folding the
+    // per-doc logps in BIGRAM POSITION order (arrays are doc-length-bounded,
+    // so the collect is per-group tiny) yields bit-identical sums on every
+    // run and partitioning.
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(-col("__logp")).as("avg_neg_logp"))
+        aggregate(
+          array_sort(collect_list(struct(col("__pos"), col("__logp")))),
+          lit(0.0d), (acc, x) => acc - x.getField("__logp")).as("__negsum"))
+      .withColumn("avg_neg_logp", col("__negsum") / col("n_bigrams"))
       .withColumn("perplexity", exp(col("avg_neg_logp")))
+      .drop("__negsum")
   }
 }

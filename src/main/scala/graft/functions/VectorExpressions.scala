@@ -355,10 +355,17 @@ case class QuantizeInt8(child: Expression)
     val n = a.numElements()
     var maxAbs = 0.0; var i = 0
     while (i < n) {
-      if (!a.isNullAt(i)) {
-        val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
-        if (x > maxAbs) maxAbs = x
-      }
+      // REJECT null elements instead of coercing them to code 0: the output
+      // array declares containsNull=false, so a silent null→0 would turn
+      // missing data into a real value with no way to recover the null-ness
+      // downstream (ADVICE r9). Filter or impute upstream.
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"quantize_int8: null element at index $i — int8 codes cannot " +
+            "represent missing dimensions; filter or impute null elements " +
+            "before quantizing")
+      val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (x > maxAbs) maxAbs = x
       i += 1
     }
     val scale = maxAbs / 127.0
@@ -366,11 +373,9 @@ case class QuantizeInt8(child: Expression)
     if (scale > 0.0) {
       i = 0
       while (i < n) {
-        if (!a.isNullAt(i)) {
-          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-          val c = math.floor(x / scale + 0.5)
-          q(i) = math.max(-127.0, math.min(127.0, c)).toByte
-        }
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val c = math.floor(x / scale + 0.5)
+        q(i) = math.max(-127.0, math.min(127.0, c)).toByte
         i += 1
       }
     }

@@ -259,7 +259,10 @@ class ExtSpec extends SparkTestBase {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall >= 0.9, s"IVF recall $recall on clustered data")
+    // 0.95 bound (raised from 0.9 with the multi-iteration Lloyd build):
+    // on well-separated clusters the settled centroids must recover nearly
+    // all true neighbors at nProbe=2
+    assert(recall >= 0.95, s"IVF recall $recall on clustered data")
   }
 
   test("language ID classifies constructed en/es/zh text") {
@@ -871,6 +874,58 @@ class ExtSpec extends SparkTestBase {
     assert(strict == Set((2L, 1L)))
   }
 
+  test("quadratic n-gram helpers refuse past the pair budget and record lshStats") {
+    // 500 docs -> 124,750 unordered / 249,500 ordered pairs; a budget of
+    // 1000 must trip BOTH helpers before any cross join executes
+    spark.conf.set("spark.graft.ngram.pairBudget", "1000")
+    try {
+      val eJ = intercept[IllegalStateException] {
+        Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.7)
+      }
+      assert(eJ.getMessage.contains("ngram.pairBudget"))
+      val eC = intercept[IllegalStateException] {
+        Dedup.ngramContainmentPairs(docs, "text", "doc_id", 3, 0.9)
+      }
+      assert(eC.getMessage.contains("quadratic"))
+      val stats = Dedup.lshStats.filter(_.kind.startsWith("ngram-"))
+      assert(stats.exists(s => s.kind == "ngram-jaccard-exact" &&
+        s.buckets == 500L && s.estCandidates == 124750L))
+      assert(stats.exists(s => s.kind == "ngram-containment-exact" &&
+        s.estCandidates == 249500L))
+      // 0 disables the guard (and its count job) entirely
+      spark.conf.set("spark.graft.ngram.pairBudget", "0")
+      assert(Dedup.ngramJaccardPairs(docs.where(col("doc_id") < 5), "text",
+        "doc_id", 3, 0.9).count() >= 0L)
+    } finally spark.conf.unset("spark.graft.ngram.pairBudget")
+  }
+
+  test("banded containment == brute-force containment (fixture corpus + planted fragments)") {
+    val base = docs.where(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val frags = base.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 15)).as("text"))
+    val corpus = base.union(frags)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        math.round(r.getDouble(2) * 1e9)).toMap
+    val brute = key(Dedup.ngramContainmentPairs(corpus, "text", "doc_id", 3, 0.9))
+    val banded = key(Dedup.ngramContainmentPairsBanded(corpus, "text",
+      "doc_id", 3, 0.9, dfCap = 256))
+    assert(brute.nonEmpty, "planted fragments must produce containment pairs")
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    // the banded build records its df-cap observability stat
+    assert(Dedup.lshStats.exists(_.kind == "ngram-containment-banded"))
+    // verification half standalone: feeding the brute-force pair set (plus
+    // junk) through FromCandidates reproduces exactly the scored pairs
+    val cands = corpus.select(col("doc_id").as("id_a"))
+      .crossJoin(corpus.select(col("doc_id").as("id_b")))
+      .where(col("id_a") =!= col("id_b") && col("id_a") % 3 === 0)
+    val fed = key(Dedup.ngramContainmentPairsFromCandidates(corpus, cands,
+      "text", "doc_id", 3, 0.9))
+    val expect = brute.filter { case ((a, _), _) => a % 3 == 0 }
+    assert(fed == expect)
+  }
+
   test("dupClusters: known graph labels components by min id; chains converge") {
     // components: {1,2,3,4} (chain through 2-3), {10,11}, singleton 99 unseen
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
@@ -949,6 +1004,18 @@ class ExtSpec extends SparkTestBase {
       "mixtureSample must not shuffle")
   }
 
+  test("mixtureSample refuses inputs whose columns collide with its output/temporaries") {
+    val base = Seq((1L, "g", "x")).toDF("id", "g", "copy")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Curation.mixtureSample(base, "id", "g", Map("g" -> 1.0))
+    }
+    assert(e.getMessage.contains("copy"))
+    intercept[IllegalArgumentException] {
+      graft.ext.Curation.mixtureSample(
+        Seq((1L, "g", 0.5)).toDF("id", "g", "__rate"), "id", "g", Map("g" -> 1.0))
+    }
+  }
+
   test("stripBoilerplate: cross-doc paragraphs removed, order kept, empty-doc path") {
     import graft.ext.TextAnalysis
     val sep = "\n\n"
@@ -1013,6 +1080,37 @@ class ExtSpec extends SparkTestBase {
     val a = Vocabulary.lmScore(ref2, inDomain, "doc_id", "text")
       .collect().map(_.toString).sorted
     val b = Vocabulary.lmScoreWith(reloaded, inDomain, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("tfidf with a parquet-persisted df table scores identically to inline") {
+    import graft.ext.Vocabulary
+    val corpus = docs.where(col("doc_id") < 200)
+    val batch = docs.where(col("doc_id") < 50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-df").toString
+    Vocabulary.saveDocumentFrequency(
+      Vocabulary.documentFrequency(corpus, "text"), dir)
+    val reloaded = Vocabulary.loadDocumentFrequency(spark, dir)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).sortBy(t => (t._1, t._2))
+    val inline = key(Vocabulary.tfidfTopTerms(batch, "doc_id", "text", 5,
+      df = Some(Vocabulary.documentFrequency(corpus, "text"))))
+    val persisted = key(Vocabulary.tfidfTopTerms(batch, "doc_id", "text", 5,
+      df = Some(reloaded)))
+    assert(inline.nonEmpty && inline.sameElements(persisted),
+      "persisted-df TF-IDF must be bit-identical to the inline derivation")
+    // LmModel save/load helper: same guarantee for the LM artifact
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val m = Vocabulary.lmModel(ref, "text")
+    val lmDir = java.nio.file.Files.createTempDirectory("graft-lm2").toString
+    Vocabulary.saveLmModel(m, lmDir)
+    val m2 = Vocabulary.loadLmModel(spark, lmDir)
+    assert(m2.vocabSize == m.vocabSize && m2.tokenCount == m.tokenCount)
+    val a = Vocabulary.lmScoreWith(m, batch, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val b = Vocabulary.lmScoreWith(m2, batch, "doc_id", "text")
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
@@ -1084,5 +1182,35 @@ class ExtSpec extends SparkTestBase {
       assert(maxErr <= scale * 0.5 + 1e-6, s"err $maxErr vs step $scale")
       assert(cos > 0.999, s"cosine fidelity $cos")
     }
+  }
+
+  test("quantizeInt8 rejects null vector elements instead of coercing them to 0") {
+    import graft.functions.VectorFunctions._
+    val df = Seq((1L, Array[java.lang.Float](1.0f, null, 0.5f)))
+      .toDF("id", "v")
+    val e = intercept[Throwable] {
+      df.select(quantize_int8(col("v"))).collect()
+    }
+    // declared output is containsNull=false; a silent null→0 would make
+    // missing data unrecoverable — the expression must fail loudly
+    // (raw IllegalArgumentException in driver-local eval, task-wrapped in
+    // a distributed run — accept either surface)
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("null element"), msg)
+  }
+
+  test("lmScore is bit-deterministic across partitionings (ordered logp fold)") {
+    import graft.ext.Vocabulary
+    val ref = docs.where(col("doc_id") % 2 === 0)
+    val tgt = docs.where(col("doc_id") % 2 === 1 && col("doc_id") < 101)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Vocabulary.lmScore(ref, d, "doc_id", "text")
+        .select("doc_id", "avg_neg_logp").collect()
+        .map(r => r.getLong(0) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+    val a = run(tgt)
+    val b = run(tgt.repartition(17))
+    assert(a.nonEmpty && a == b,
+      "avg_neg_logp must be bit-identical under repartitioning")
   }
 }

@@ -160,7 +160,8 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("near-dup pipelines join on (band,bucket) — never a cartesian product") {
-    Seq("q22_minhash_dups", "q23_simhash_dups", "q28_cosine_neardup").foreach { q =>
+    Seq("q22_minhash_dups", "q23_simhash_dups", "q28_cosine_neardup",
+        "q78b_containment_banded").foreach { q =>
       val plan = physicalPlan(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"),
         s"$q must pair via LSH buckets, not an all-pairs cartesian")
