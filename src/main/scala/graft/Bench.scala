@@ -9,11 +9,17 @@ import org.apache.spark.sql.SparkSession
   * footer costs don't land on whichever sf-target query happens to run
   * first; the measured pass then reflects steady-state engine performance.
   *
-  * Measurement runs TWO sweeps of n passes each:
+  * Measurement runs in FIXED-SIZE SHARDS (default 13 queries), each with
+  * its own target-SF warmup pass — the round-9 suite-dilution fix: at 78
+  * queries a full-suite sweep destroys per-query warmth between repeats
+  * (Spark's generated-class cache holds 100 entries by default — raised
+  * below — and 77 intervening queries evict codegen/JIT/file-listing
+  * state), inflating EVERY number ~1.2-1.4x while the pure-CPU canary
+  * stays flat. Within a shard each query runs TWO sweeps of n passes:
   *  - query-major (one query's passes back-to-back, GC+settle barrier
   *    between queries): immune to heavy-neighbor contamination — a query
   *    never pays a neighbor's GC debt;
-  *  - pass-major (the whole query set per pass): immune to a single
+  *  - pass-major (the whole shard per pass): immune to a single
   *    contended wall-clock window — a transient CPU thief poisons at most
   *    one pass of each query instead of ALL passes of one query (which is
   *    how BENCH_r04 reported q22 at 25s when its clean time is ~1.6s).
@@ -48,6 +54,11 @@ object Bench {
       // carry no liveness signal worth dying for.
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      // static conf, default 100: a 78-query suite generates far more
+      // codegen'd classes than that, so every repeat recompiled its
+      // whole-stage classes through janino — a uniform per-query tax the
+      // canary can't see. Size the cache to hold the full suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -66,14 +77,14 @@ object Bench {
       }
     }
 
-    // warmup: full query set at the smallest SF (JIT + codegen + listing),
-    // then once at the target SF so one-time costs (rollup store build,
-    // view registration, file listing) don't land inside the measurement
-    Seq("/root/testdata/sf0.001", sfDir).foreach { d =>
-      names.foreach { n =>
-        try SparkEntry.queries(n)(spark, d).count()
-        catch { case _: Throwable => () }
-      }
+    // global warmup: full query set at the smallest SF (JIT + engine code
+    // paths + one-time costs like rollup store build / view registration).
+    // Target-SF warmth is re-established PER SHARD below, right before
+    // each shard's measurement — a single up-front target-SF pass is
+    // stale by the time the 70th query measures (suite dilution).
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
     }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
@@ -118,18 +129,29 @@ object Bench {
       .empty[(Double, Boolean)]).toMap
 
     sampleCanary()
-    // sweep 1: query-major with a GC+settle barrier between queries
-    names.foreach { n =>
-      settle()
-      (1 to passes).foreach(_ => acc(n) += runOne(n))
+    // sharded measurement: each shard re-warms at the TARGET SF, then runs
+    // both sweeps while its codegen/JIT/listing state is hot — repeats of
+    // a query are at most shardSize-1 queries apart instead of 77
+    val shardSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD_SIZE", "13").toInt
+    require(shardSize > 0, s"shard size must be positive: $shardSize")
+    val shards = names.grouped(shardSize).toSeq
+    shards.foreach { shard =>
+      shard.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+      // sweep 1: query-major with a GC+settle barrier between queries
+      shard.foreach { n =>
+        settle()
+        (1 to passes).foreach(_ => acc(n) += runOne(n))
+      }
+      // sweep 2: pass-major over the shard, GC barrier between passes
+      (1 to passes).foreach { _ =>
+        settle()
+        shard.foreach(n => acc(n) += runOne(n))
+      }
+      sampleCanary()
     }
-    sampleCanary()
-    // sweep 2: pass-major, GC barrier between whole passes
-    (1 to passes).foreach { _ =>
-      settle()
-      names.foreach(n => acc(n) += runOne(n))
-    }
-    sampleCanary()
     if (canarySink == 42L) System.err.println("[bench] canary sink (never prints)")
 
     def median(xs: Seq[Double]): Double = {
@@ -178,37 +200,41 @@ object Bench {
     // passes..2*passes-1) has the column==wall-clock-window property: in
     // the query-major sweep query A's pass 0 runs long before query Z's,
     // so a column there is NOT a shared window and flagging it would be
-    // meaningless. In the pass-major half a co-tenant CPU spike inflates
-    // one COLUMN uniformly across queries (BENCH_r07's 5th column ran
-    // 3-7x hot); a column whose cross-query median exceeds 2x the best
-    // pass-major column's is contended. min/median stats already exclude
-    // such windows by construction (min) or dilute them (median).
-    // A column can be sample-free (e.g. a pinned single query erroring
-    // every pass) — its median is null and it never enters the compare.
+    // meaningless. With sharding, a pass-major column is a shared window
+    // only WITHIN a shard, so detection runs per shard: a column whose
+    // cross-query median exceeds 2x the shard's best pass-major column's
+    // is contended (BENCH_r07's 5th column ran 3-7x hot). min/median
+    // stats already exclude such windows by construction (min) or dilute
+    // them (median). A column can be sample-free (a query erroring every
+    // pass) — its median is null and never enters the compare.
     val nCols = 2 * passes
     val colMedians: Seq[Option[Double]] = (0 until nCols).map { c =>
       val good = names.flatMap(n => acc(n).lift(c).collect { case (t, true) => t })
       if (good.isEmpty) None else Some(median(good))
     }
-    val passMajor = colMedians.zipWithIndex.drop(passes)
-      .collect { case (Some(m), i) => (m, i) }
-    val contended =
-      if (passMajor.isEmpty) Seq.empty[Int]
+    val contended: Seq[String] = shards.zipWithIndex.flatMap { case (shard, si) =>
+      val passMajor = (passes until nCols).flatMap { c =>
+        val good = shard.flatMap(n => acc(n).lift(c).collect { case (t, true) => t })
+        if (good.isEmpty) None else Some((median(good), c))
+      }
+      if (passMajor.isEmpty) Seq.empty
       else {
         val best = passMajor.map(_._1).min
-        passMajor.filter(_._1 > 2 * best).map(_._2)
+        passMajor.filter(_._1 > 2 * best).map { case (_, c) => s"s$si:c$c" }
       }
+    }
     val contendedJson =
       ",\"col_medians_sec\":[" +
         colMedians.map(_.map(fmt).getOrElse("null")).mkString(",") + "]" +
-        ",\"contended_pass_cols\":[" + contended.mkString(",") + "]"
+        ",\"contended_pass_cols\":[" +
+        contended.map("\"" + _ + "\"").mkString(",") + "]"
 
     // The driver captures only a bounded stdout tail, so the line printed
     // here must stay SMALL enough to survive intact (BENCH_r06/r07 lost all
     // per-query numbers to mid-line truncation). stdout gets the compact
     // contract line (medians only); the complete artifact — per-pass
     // arrays, mins, canaries, contention flags — goes to a file.
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"query-major+pass-major"$canaryJson$contendedJson$errorsJson}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$canaryJson$contendedJson$errorsJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_full.json").getAbsolutePath)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

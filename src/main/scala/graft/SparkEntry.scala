@@ -320,6 +320,39 @@ object SparkEntry {
     "q14_search" -> ((s, dir) => engine(s, dir).plan(Q.search)),
     "q15_select_page" -> ((s, dir) => engine(s, dir).plan(Q.select)),
     "q16_scan" -> ((s, dir) => engine(s, dir).plan(Q.scan)),
+    "q16b_scan_compacted" -> ((s, dir) => {
+      import s.implicits._
+      // compactedList + batchSize JSON framing round-trip: the encoded
+      // scan surface (batched columnar row arrays) is decoded back into
+      // rows and compared against the SAME SQL oracle as q16 — proving the
+      // encoder emits every value, once, in order, across batch boundaries.
+      // Driver-side decode is bounded by the query's own limit (500) — this
+      // proves the HTTP framing, it is not a data path.
+      val json = engine(s, dir).executeJson(
+        """{"queryType":"scan","dataSource":"events",
+          |"intervals":["2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"],
+          |"columns":["__time","event_type","value","event_id"],
+          |"filter":{"type":"bound","dimension":"value","lower":"50","ordering":"numeric"},
+          |"order":"ascending","limit":500,
+          |"resultFormat":"compactedList","batchSize":64}""".stripMargin)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(json)
+      val buf = Seq.newBuilder[(java.sql.Timestamp, String, Double, Long)]
+      var i = 0
+      while (i < root.size()) {
+        val ev = root.get(i).get("events")
+        var j = 0
+        while (j < ev.size()) {
+          val e = ev.get(j)
+          buf += ((java.sql.Timestamp.from(
+              java.time.Instant.parse(e.get(0).asText())),
+            e.get(1).asText(), e.get(2).asDouble(), e.get(3).asLong()))
+          j += 1
+        }
+        i += 1
+      }
+      buf.result().toDF("__time", "event_type", "value", "event_id")
+    }),
     "q17_union_timeseries" -> ((s, dir) => engine(s, dir).plan(Q.unionTimeseries)),
     "q18_sql_tpch1" -> ((s, dir) => {
       registerTpch(s, dir)
@@ -1406,6 +1439,14 @@ object SparkEntry {
         |ORDER BY ts, event_type, value, event_id
         |OFFSET 100 LIMIT 50""".stripMargin,
     "q16_scan" ->
+      """SELECT ts AS __time, event_type, value, event_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+        |  AND value >= 50
+        |ORDER BY ts LIMIT 500""".stripMargin,
+    // q16b: identical oracle as q16 — the compactedList JSON framing must
+    // round-trip the exact same rows
+    "q16b_scan_compacted" ->
       """SELECT ts AS __time, event_type, value, event_id
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'

@@ -925,20 +925,41 @@ object ResultEncoder {
             },
             () => gen.writeEndArray())
 
-        case _: Query.Scan =>
-          (() => {
-            gen.writeStartArray(); gen.writeStartObject()
+        case sc: Query.Scan =>
+          // Druid scan framing: a sequence of {columns, events} result
+          // objects of at most `batchSize` events each; `resultFormat`
+          // picks the event shape — objects (list, the default) or
+          // positional row arrays (compactedList). Batching is pure
+          // encoder state over the same partition-at-a-time iteration —
+          // no extra pass, O(chunk) driver memory unchanged.
+          val compact = sc.resultFormat == "compactedList"
+          var inBatch = 0
+          def openScanObj(): Unit = {
+            gen.writeStartObject()
             gen.writeFieldName("columns"); gen.writeStartArray()
             fieldNames.foreach(gen.writeString)
             gen.writeEndArray()
             gen.writeFieldName("events"); gen.writeStartArray()
-          },
+          }
+          def closeScanObj(): Unit = { gen.writeEndArray(); gen.writeEndObject() }
+          (() => { gen.writeStartArray(); openScanObj() },
             (row: Row) => {
-              gen.writeStartArray()
-              fieldNames.indices.foreach(i => writeVal(gen, row.get(i)))
-              gen.writeEndArray()
+              if (inBatch == sc.batchSize) {
+                closeScanObj(); openScanObj(); inBatch = 0
+              }
+              if (compact) {
+                gen.writeStartArray()
+                fieldNames.indices.foreach(i => writeVal(gen, row.get(i)))
+                gen.writeEndArray()
+              } else {
+                gen.writeStartObject()
+                fieldNames.indices.foreach(i =>
+                  writeField(gen, fieldNames(i), row.get(i)))
+                gen.writeEndObject()
+              }
+              inBatch += 1
             },
-            () => { gen.writeEndArray(); gen.writeEndObject(); gen.writeEndArray() })
+            () => { closeScanObj(); gen.writeEndArray() })
 
         case sel: Query.Select =>
           // keyset cursor state: rows seen, last __time, #rows at exactly it;
@@ -986,10 +1007,23 @@ object ResultEncoder {
                 incoming.keys.forall(k =>
                   !k.startsWith(QueryPlanner.CursorKeyPrefix) &&
                     !QueryPlanner.SegmentPaging.isSegmentKey(k))
+              // Druid 0.12 emits NEGATIVE offsets for descending selects
+              // (-k = k rows consumed from the top of the descending
+              // order); the engine's native shape is positive consumed-row
+              // counts in both directions (documented deviation). The
+              // context flag opts a byte-faithful Druid client into the
+              // negative shape — magnitudes are identical, and the planner
+              // reads cursors by magnitude, so pages round-trip in either
+              // shape.
+              val negPaging = sel.descending &&
+                sel.context.get("druidNegativePagingIdentifiers")
+                  .exists(_.equalsIgnoreCase("true"))
+              val sign = if (negPaging) -1 else 1
               gen.writeFieldName("pagingIdentifiers"); gen.writeStartObject()
               if (legacyOffset) {
                 // legacy global-offset clients keep cumulative offset semantics
-                gen.writeFieldName("offset"); gen.writeNumber(incoming.values.max + n)
+                gen.writeFieldName("offset")
+                gen.writeNumber(sign * (incoming.values.map(math.abs).max + n))
               } else if (n == 0) {
                 // exhausted: echo the incoming cursor unchanged (clients
                 // detect the end by an empty events array)
@@ -1007,7 +1041,8 @@ object ResultEncoder {
                       .toInstant.getEpochSecond * 1000000L
                     val key = idFor(dayUs)
                     gen.writeFieldName(key)
-                    gen.writeNumber(incoming.getOrElse(key, 0) + cnt)
+                    gen.writeNumber(
+                      sign * (math.abs(incoming.getOrElse(key, 0)) + cnt))
                   }
                 case None =>
                   // keyset cursor (`t:<epochMicros> -> k`): rows consumed at
@@ -1015,7 +1050,8 @@ object ResultEncoder {
                   // continues inside the same timestamp
                   val key = QueryPlanner.cursorKey(lastTsMicros)
                   gen.writeFieldName(key)
-                  gen.writeNumber(incoming.getOrElse(key, 0) + countAtLastTs)
+                  gen.writeNumber(
+                    sign * (math.abs(incoming.getOrElse(key, 0)) + countAtLastTs))
               }
               gen.writeEndObject()
               gen.writeEndObject(); gen.writeEndObject(); gen.writeEndArray()

@@ -167,9 +167,11 @@ object Dedup {
     * refuse past the configured pair budget with routing guidance, and
     * record every execution in [[lshStats]] (`kind` = "ngram-*-exact",
     * `buckets` = docs, histogram fields unmeasured = -1, `estCandidates` =
-    * the exact pair count the cross join would emit). */
+    * the exact pair count the cross join would emit). Returns the counted
+    * doc count (-1 when the guard is disabled) so the caller can size its
+    * own plan from the already-paid job. */
   private def guardQuadraticPairs(df: DataFrame, kind: String,
-      ordered: Boolean): Unit = {
+      ordered: Boolean): Long = {
     val budget = df.sparkSession.conf
       .getOption("spark.graft.ngram.pairBudget").map(_.toLong)
       .getOrElse(DefaultNgramPairBudget)
@@ -192,8 +194,17 @@ object Dedup {
             "the banded path (ngramContainmentPairsBanded), raise " +
             "spark.graft.ngram.pairBudget, or set it to 0 to disable this " +
             "check.")
-    }
+      n
+    } else -1L
   }
+
+  /** Materialize the quadratic helpers' shingle frame only when the input
+    * is big enough that re-shingling both cross-join sides costs more than
+    * a checkpoint job: under ~5k docs (the regime these helpers are FOR)
+    * the shingle pass is microseconds and the extra job is pure overhead.
+    * Unknown size (guard disabled) takes the safe big-corpus default. */
+  private def materializeIfBig(sh: DataFrame, nDocs: Long): DataFrame =
+    if (nDocs >= 0L && nDocs < 5000L) sh else materialize(sh)
 
   /** Index-build truncation report from a MATERIALIZED capped index frame
     * that still carries the build window's `__rk` (rank in bucket) and
@@ -656,9 +667,9 @@ object Dedup {
     * signature blocks instead of re-shingling the corpus. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    guardQuadraticPairs(df, "ngram-jaccard-exact", ordered = false)
-    val sh = materialize(df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh")))
+    val n = guardQuadraticPairs(df, "ngram-jaccard-exact", ordered = false)
+    val sh = materializeIfBig(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")), n)
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r).where(col("id_a") < col("id_b"))
@@ -680,9 +691,9 @@ object Dedup {
     * [[ngramContainmentPairsFromCandidates]]. */
   def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    guardQuadraticPairs(df, "ngram-containment-exact", ordered = true)
-    val sh = materialize(df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh")))
+    val n = guardQuadraticPairs(df, "ngram-containment-exact", ordered = true)
+    val sh = materializeIfBig(df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")), n)
     val l = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val r = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     l.crossJoin(r).where(col("id_a") =!= col("id_b"))

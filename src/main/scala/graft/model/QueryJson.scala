@@ -358,9 +358,14 @@ object QueryJson {
         Query.Select(ds, intervals(n), boolOpt(n, "descending", dflt = false),
           strSeq(n, "dimensions"), strSeq(n, "metrics"), paging, filterOpt(n), context(n))
       case "scan" =>
+        val fmt = strOpt(n, "resultFormat").getOrElse("list")
+        if (fmt != "list" && fmt != "compactedList")
+          fail(s"unknown scan resultFormat '$fmt' (list | compactedList)")
+        val batchSize = opt(n, "batchSize").map(_.asInt()).getOrElse(20480)
+        if (batchSize <= 0) fail(s"scan batchSize must be positive: $batchSize")
         Query.Scan(ds, intervals(n), strSeq(n, "columns"),
           opt(n, "limit").map(_.asLong()), strOpt(n, "order").getOrElse("none"),
-          filterOpt(n), context(n))
+          filterOpt(n), fmt, batchSize, context(n))
       case t => fail(s"unknown queryType '$t'")
     }
   }

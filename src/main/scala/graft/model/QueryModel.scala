@@ -344,7 +344,12 @@ object Query {
       filter: Option[Filter],
       context: Map[String, String] = Map.empty) extends Query
 
-  /** order: none | ascending | descending */
+  /** order: none | ascending | descending.
+    * resultFormat: list (events as objects, the Druid default) |
+    * compactedList (events as positional row arrays matching `columns`).
+    * batchSize: max events per result object — the encoder opens a fresh
+    * {columns, events} object each time a batch fills, Druid's framing
+    * for streaming consumers. */
   final case class Scan(
       dataSource: DataSource,
       intervals: Seq[Interval],
@@ -352,5 +357,7 @@ object Query {
       limit: Option[Long],
       order: String,
       filter: Option[Filter],
+      resultFormat: String = "list",
+      batchSize: Int = 20480,
       context: Map[String, String] = Map.empty) extends Query
 }

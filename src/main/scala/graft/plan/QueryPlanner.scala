@@ -717,11 +717,14 @@ object QueryPlanner {
   /** Cursor key for a page ending at the given __time (epoch micros). */
   def cursorKey(epochMicros: Long): String = CursorKeyPrefix + epochMicros
 
-  /** Parse a keyset cursor out of pagingIdentifiers, if present. */
+  /** Parse a keyset cursor out of pagingIdentifiers, if present. Values
+    * are read by MAGNITUDE: a client echoing the opt-in Druid-shaped
+    * negative descending offsets (context `druidNegativePagingIdentifiers`)
+    * resumes identically to the native positive shape. */
   def selectCursor(pagingIdentifiers: Map[String, Int]): Option[(Long, Int)] =
     pagingIdentifiers.collectFirst {
       case (k, v) if k.startsWith(CursorKeyPrefix) =>
-        (k.stripPrefix(CursorKeyPrefix).toLong, v)
+        (k.stripPrefix(CursorKeyPrefix).toLong, math.abs(v))
     }
 
   /** Druid-client compat shim for per-segment `{segmentId: offset}` paging

@@ -564,6 +564,43 @@ object ScaleInvariants {
     // (KeyOffset is even, so the even/odd ref-vs-scored split is
     // replica-stable.) Absolute scores legitimately differ from a base-dir
     // run: V and T in the smoothing denominators grow with the corpus.
+    // q78b banded containment: per-replica token suffixing keeps each
+    // replica's containment structure identical to the base and makes
+    // cross-replica shingle overlap ZERO, so the banded pair set over N
+    // replicas folds (mod KeyOffset) EXACTLY onto the base pair set with
+    // count = N × base. KeyOffset % 10 == 0 keeps the fragment-selection
+    // (doc_id % 10) and fragment-id (+10000) construction replica-stable.
+    // The inverted-index path has no quadratic arm, so the invariant runs
+    // over ALL replicas, unlike q71's 10-replica quadratic cap.
+    if (wanted("q78b")) {
+      def pairs(dir: String, perReplica: Boolean) = {
+        val d = graft.sources.TableLoader.load(spark, dir, "documents")
+        val docs0 =
+          if (perReplica) d.where(pmod(col("doc_id"), lit(ScaleUp.KeyOffset)) < 120)
+          else d.where(col("doc_id") < 120)
+        val docs = docs0.select(col("doc_id"), col("text"))
+        val frags = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"),
+            concat_ws(" ",
+              slice(graft.ext.Dedup.tokens(col("text")), 1, 15)).as("text"))
+        graft.ext.Dedup.ngramContainmentPairsBanded(docs.union(frags),
+          "text", "doc_id", shingleN = 3, threshold = 0.9, dfCap = 256)
+          .select(col("id_a"), col("id_b"))
+      }
+      val b = pairs(base, perReplica = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sDf = pairs(scaled, perReplica = true)
+      val sCount = sDf.count()
+      val folded = sDf.select(
+          pmod(col("id_a"), lit(ScaleUp.KeyOffset)).as("id_a"),
+          pmod(col("id_b"), lit(ScaleUp.KeyOffset)).as("id_b"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      check("q78b_banded_containment_fold_exact")(
+        b.nonEmpty && sCount == n.toLong * b.size && folded == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"foldMatch=${folded == b}")
+    }
+
     if (wanted("q77")) {
       val sDf = graft.SparkEntry.queries("q77_lm_score")(spark, scaled)
         .withColumn("doc_id", pmod(col("doc_id"), lit(ScaleUp.KeyOffset)))

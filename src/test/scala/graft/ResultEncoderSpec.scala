@@ -71,6 +71,53 @@ class ResultEncoderSpec extends SparkTestBase {
     val o = root.get(0)
     assert(o.get("columns").size() == 2)
     assert(o.get("events").size() == 3)
+    // default resultFormat is Druid's `list`: each event is an OBJECT
+    assert(o.get("events").get(0).isObject)
+    assert(o.get("events").get(0).get("event_type").isTextual)
+  }
+
+  test("scan resultFormat compactedList: positional row arrays; batchSize frames result objects") {
+    val compact = engine.executeJson(
+      """{"queryType":"scan","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"columns":["__time","event_type"],"order":"ascending",
+        |"resultFormat":"compactedList"}""".stripMargin)
+    val root = mapper.readTree(compact)
+    assert(root.size() == 1)
+    val o = root.get(0)
+    assert(o.get("events").size() == 3)
+    // each event is a positional ARRAY matching `columns`
+    assert(o.get("events").get(0).isArray)
+    assert(o.get("events").get(0).size() == 2)
+    assert(o.get("events").get(0).get(1).isTextual) // event_type slot
+
+    // batchSize=2 over 3 rows → two {columns, events} result objects (2+1)
+    val batched = mapper.readTree(engine.executeJson(
+      """{"queryType":"scan","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"columns":["__time","event_type"],"order":"ascending",
+        |"resultFormat":"compactedList","batchSize":2}""".stripMargin))
+    assert(batched.size() == 2)
+    assert(batched.get(0).get("events").size() == 2)
+    assert(batched.get(1).get("events").size() == 1)
+    assert(batched.get(1).get("columns").size() == 2)
+    // batching preserves order and content vs the unbatched run
+    val flat = (0 until batched.size()).flatMap { i =>
+      val ev = batched.get(i).get("events")
+      (0 until ev.size()).map(j => ev.get(j).toString)
+    }
+    val flatRef = (0 until o.get("events").size()).map(j => o.get("events").get(j).toString)
+    assert(flat == flatRef)
+
+    // unknown formats fail loudly (the HTTP layer maps QueryError into the
+    // 5-code error JSON contract), never silently fall back to a shape
+    val err = intercept[graft.engine.Engine.QueryError] {
+      engine.executeJson(
+        """{"queryType":"scan","dataSource":"ev",
+          |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+          |"resultFormat":"valueVector"}""".stripMargin)
+    }
+    assert(err.getMessage.contains("resultFormat"))
   }
 
   test("select result: events + keyset paging cursor") {
@@ -188,6 +235,36 @@ class ResultEncoderSpec extends SparkTestBase {
     val r2 = mapper.readTree(json2).get(0).get("result")
     assert(r2.get("events").size() == 1)
     assert(r2.get("events").get(0).get("value").asDouble() == 10.0)
+  }
+
+  test("select: druidNegativePagingIdentifiers emits Druid's negative descending offsets") {
+    def page(ids: String) = mapper.readTree(engine.executeJson(
+      s"""{"queryType":"select","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"descending":true,
+        |"context":{"druidNegativePagingIdentifiers":"true"},
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"pagingSpec":{"pagingIdentifiers":{$ids},"threshold":2}}""".stripMargin))
+      .get(0).get("result")
+    val r = page("")
+    assert(r.get("events").size() == 2)
+    // Druid 0.12 shape: descending offsets are NEGATIVE; magnitude = rows
+    // consumed at the cursor key (same as the native positive shape)
+    val us2 = java.time.Instant.parse("2024-03-01T02:00:00Z").getEpochSecond * 1000000L
+    assert(r.get("pagingIdentifiers").get(s"t:$us2").asInt() == -1)
+    // echoing the negative cursor back resumes identically to positive
+    val r2 = page(s""""t:$us2":-1""")
+    assert(r2.get("events").size() == 1)
+    assert(r2.get("events").get(0).get("value").asDouble() == 10.0)
+    // ascending (or flag-less) queries keep positive identifiers
+    val asc = mapper.readTree(engine.executeJson(
+      """{"queryType":"select","dataSource":"ev",
+        |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+        |"context":{"druidNegativePagingIdentifiers":"true"},
+        |"dimensions":["event_type"],"metrics":["value"],
+        |"pagingSpec":{"pagingIdentifiers":{},"threshold":2}}""".stripMargin))
+      .get(0).get("result").get("pagingIdentifiers")
+    assert(asc.elements().next().asInt() > 0)
   }
 
   test("encodeStream is lazy: first chunks arrive before later partitions compute") {
