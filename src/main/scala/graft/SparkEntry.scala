@@ -1280,6 +1280,27 @@ object SparkEntry {
             .as("cos_sim"))
         .orderBy("vec_id")
     }),
+    "q79_dup_spans" -> ((s, dir) => {
+      // passage-level exact-substring dedup (the Lee et al. 2021 shape):
+      // maximal duplicated 10-token spans across the corpus — the planted
+      // near-dup docs share long verbatim runs, so each surfaces one long
+      // span. Hash mode is the scale default (8-byte window keys shuffle,
+      // never gram strings); ExtSpec pins hash mode == exact-gram mode and
+      // this oracle replays the exact-gram derivation.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
+        .orderBy("doc_id", "span_start")
+    }),
+    "q80_strip_dup_spans" -> ((s, dir) => {
+      // strip every duplicated 10-token passage corpus-wide and rebuild
+      // the text (whitespace-normalized token re-join); md5 keeps the
+      // comparison payload small. n_removed counts removed tokens.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Dedup.stripDuplicatedSpans(docs, "doc_id", "text", k = 10)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_md5"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** q28's corpus: embeddings ∪ deterministically perturbed copies of every
@@ -2389,5 +2410,71 @@ object SparkEntry {
         |  round(CAST(list_cosine_similarity(v, deq) AS DOUBLE), 6) AS cos_sim
         |FROM qd
         |ORDER BY vec_id""".stripMargin,
+    // q79: exact-gram replay of the hash-mode span derivation — same
+    // case-sensitive whitespace tokenization, 10-token windows, df >= 2
+    // over DISTINCT docs, gaps-and-islands merge of consecutive window
+    // starts into maximal [start, end) token ranges
+    "q79_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 9)) AS i, t
+        |  FROM tok WHERE len(t) >= 10),
+        |wg AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[i:i+9], ' ') AS gram
+        |  FROM wins),
+        |dup AS (
+        |  SELECT gram FROM wg GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT w.doc_id, w.pos FROM wg w JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos, pos - row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM hits)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 10 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // q80: same span derivation, then rebuild — tokens whose 0-based
+    // position falls inside any span are dropped, survivors re-join with
+    // single spaces (zipped unnest pairs each token with its ordinal)
+    "q80_strip_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 9)) AS i, t
+        |  FROM tok WHERE len(t) >= 10),
+        |wg AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[i:i+9], ' ') AS gram
+        |  FROM wins),
+        |dup AS (
+        |  SELECT gram FROM wg GROUP BY gram
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT w.doc_id, w.pos FROM wg w JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT DISTINCT h.doc_id, h.pos + g.o AS p
+        |  FROM hits h, generate_series(0, 9) AS g(o)),
+        |tokpos AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    unnest(generate_series(1, len(t))) AS i
+        |  FROM tok),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.tok, tp.i FROM tokpos tp
+        |  LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.i - 1 = c.p
+        |  WHERE c.p IS NULL),
+        |agg AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(tok ORDER BY i), ' ') AS text_clean,
+        |    count(*) AS kept_n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, md5(coalesce(a.text_clean, '')) AS clean_md5,
+        |  CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed
+        |FROM tok t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

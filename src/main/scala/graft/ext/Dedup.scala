@@ -1006,4 +1006,120 @@ object Dedup {
         "graph has a path longer than maxIter; raise maxIter (rounds " +
         "needed = graph diameter) or pre-split the input")
   }
+
+  // -------------------------------------------------------------------------
+  // passage-level exact substring dedup (duplicated k-token spans)
+  // -------------------------------------------------------------------------
+
+  /** Case-SENSITIVE whitespace tokens for passage dedup. [[tokens]]
+    * lowercases because fuzzy near-dup matching wants case folding;
+    * exact-substring dedup is byte-faithful, so passages keep case. */
+  private def exactTokens(text: Column): Column =
+    graft.functions.TextHashFunctions.split_ws(trim(text))
+
+  /** Maximal duplicated token spans — the passage-level exact-substring
+    * dedup shape (word-level variant of Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every `k`-token window
+    * whose exact content occurs in ≥ `minDf` DISTINCT documents is
+    * "duplicated"; per document, runs of consecutive duplicated window
+    * starts merge into maximal `[span_start, span_end)` token ranges
+    * (0-based, end-exclusive — a single duplicated window yields
+    * `span_end - span_start = k`).
+    *
+    * Scale shape (what survives 100 TB): by default each window is
+    * identified by its 64-bit token-hash chain (native
+    * [[graft.functions.WordWindowHashes]] — tokens byte-hashed once, no
+    * gram strings ever built), so the corpus-wide frequency count
+    * shuffles (id, pos, 8-byte key) rows instead of k-token gram strings
+    * (~k× corpus bytes). Two window-keyed shuffles (df count + the hits
+    * join-back, the [[graft.ext.TextAnalysis.stripBoilerplate]] shape)
+    * plus one doc-keyed shuffle for the island merge; nothing quadratic,
+    * no budget guard needed. `exactGrams = true` shuffles the literal
+    * gram strings instead — collision-free and replayable by any engine
+    * (the DuckDB oracle runs this mode); the spec pins both modes to
+    * identical spans on the fixture corpus.
+    *
+    * Tokenization is case-sensitive `split("\\s+")` of `trim(text)` —
+    * exact-substring dedup is byte-faithful (unlike the case-folded
+    * near-dup family). Documents under `k` tokens have no windows.
+    *
+    * Output: (`idCol`, `span_start`, `span_end`, `n_windows`), one row
+    * per maximal duplicated span. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Int = 2, exactGrams: Boolean = false): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2: $k")
+    require(minDf >= 2, s"minDf must be >= 2: $minDf")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("__id"), exactTokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+    // posexplode index = 0-based window start position
+    val wins =
+      if (exactGrams)
+        toks.select(col("__id"),
+          posexplode(transform(sequence(lit(0), size(col("__t")) - k),
+            i => concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))
+            .as(Seq("__pos", "__w")))
+      else
+        toks.select(col("__id"),
+          posexplode(graft.functions.TextHashFunctions
+            .word_window_hashes(col("__t"), k)).as(Seq("__pos", "__w")))
+    val dupKeys = wins.select(col("__w"), col("__id")).distinct()
+      .groupBy("__w").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDf)
+      .select("__w")
+    val hits = wins.join(dupKeys, "__w").select(col("__id"), col("__pos"))
+    val byDoc = Window.partitionBy("__id").orderBy("__pos")
+    val islands = hits.withColumn("__g",
+      col("__pos") - row_number().over(byDoc))
+    islands.groupBy(col("__id"), col("__g"))
+      .agg(min("__pos").cast(LongType).as("span_start"),
+        (max("__pos") + k).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Rebuild documents with the given `[span_start, span_end)` token
+    * ranges removed (a `spans` frame shaped like [[duplicatedSpans]]'
+    * output). Split out from [[stripDuplicatedSpans]] so removal POLICY
+    * composes: to keep one occurrence of each passage (the Lee et al.
+    * policy) filter the span frame down to non-keeper documents first,
+    * then strip. Spans per document are few (collect_list is bounded by
+    * spans-per-doc, not corpus size); the token filter is one O(tokens ×
+    * spans_per_doc) map. Output text is whitespace-normalized (tokens
+    * re-joined with single spaces); `n_removed` counts removed tokens.
+    * Documents with no spans pass through (re-joined) with
+    * `n_removed = 0`. */
+  def stripSpans(df: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spanArr = spans.groupBy(col(idCol).as("__sid"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    val toks = df.select(col(idCol), exactTokens(col(textCol)).as("__t"))
+    toks.join(spanArr, toks(idCol) === spanArr("__sid"), "left")
+      .select(col(idCol), col("__t"),
+        coalesce(col("__spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("__sp"))
+      .select(col(idCol),
+        array_join(filter(col("__t"), (tok, i) =>
+          !exists(col("__sp"), s =>
+            i.cast(LongType) >= s.getField("span_start") &&
+              i.cast(LongType) < s.getField("span_end"))), " ")
+          .as("text_clean"),
+        size(filter(col("__t"), (tok, i) =>
+          exists(col("__sp"), s =>
+            i.cast(LongType) >= s.getField("span_start") &&
+              i.cast(LongType) < s.getField("span_end"))))
+          .cast(LongType).as("n_removed"))
+  }
+
+  /** [[duplicatedSpans]] + [[stripSpans]]: every occurrence of every
+    * duplicated `k`-token passage removed corpus-wide (the
+    * boilerplate-strip policy; compose [[stripSpans]] with a filtered
+    * span frame for keep-one-occurrence semantics). */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Int = 2, exactGrams: Boolean = false): DataFrame =
+    stripSpans(df, duplicatedSpans(df, idCol, textCol, k, minDf, exactGrams),
+      idCol, textCol)
 }

@@ -495,6 +495,64 @@ object WordShingles {
   }
 }
 
+/** Per-position 64-bit hashes of every `windowK`-token window of a token
+  * array: output element `i` identifies tokens `[i, i+k)`. POSITIONAL
+  * semantics, deliberately unlike [[WordShingles]]: no distinct, and an
+  * array shorter than `k` yields an EMPTY array (a passage window needs k
+  * tokens; there is no collapse-to-one-shingle).
+  *
+  * Each token is byte-hashed once (O(tokens) byte passes); a window's
+  * identity is the XXH64 chain of its member token hashes, exactly
+  * [[MinHashSignature]]'s shingle-identity scheme — O(tokens·k) long
+  * mixes, zero string materialization. This is the scale path of
+  * passage-level dedup ([[graft.ext.Dedup.duplicatedSpans]]): the
+  * window frame shuffles 8-byte keys instead of k-token gram strings
+  * (~k× corpus bytes). Two distinct windows collide with probability
+  * ~2^-64; the exact-gram mode of `duplicatedSpans` exists for
+  * collision-free (and oracle-replayable) runs. */
+case class WordWindowHashes(child: Expression, windowK: Int)
+    extends StringArrayExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordWindowHashes.compute(v.asInstanceOf[ArrayData], windowK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordWindowHashes.compute($a, $windowK);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordWindowHashes {
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      th(j) =
+        if (arr.isNullAt(j)) 0L
+        else {
+          val s = arr.getUTF8String(j)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        }
+      j += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      var h = 42L
+      var t = s
+      while (t < s + k) { h = XXH64.hashLong(th(t), h); t += 1 }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Exact set Jaccard of two string arrays in one pass. Drop-in equal to
   * `size(array_intersect(a, b)) / size(array_union(a, b))` (distinct
   * semantics over possibly-duplicated inputs, NaN on two empty arrays)
@@ -755,6 +813,9 @@ object TextHashFunctions {
 
   def word_shingles(tokens: Column, shingleN: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(tokens), shingleN))
+
+  def word_window_hashes(tokens: Column, windowK: Int): Column =
+    GraftBridge.column(WordWindowHashes(GraftBridge.expression(tokens), windowK))
 
   def set_jaccard(a: Column, b: Column): Column =
     GraftBridge.column(SetJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))

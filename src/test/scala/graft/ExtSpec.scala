@@ -1213,4 +1213,57 @@ class ExtSpec extends SparkTestBase {
     assert(a.nonEmpty && a == b,
       "avg_neg_logp must be bit-identical under repartitioning")
   }
+
+  test("duplicatedSpans: hand-checked corpus, both modes, strip rebuild") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // windows: abc bcd cde def
+      (2L, "x a b c d y"),   // windows: xab abc bcd cdy
+      (3L, "q r s"),         // one window, unshared
+      (4L, "z z")            // under k tokens: no windows
+    ).toDF("doc_id", "text")
+    for (exactGrams <- Seq(false, true)) {
+      val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 3,
+          exactGrams = exactGrams)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // shared windows "a b c" + "b c d": doc 1 dup starts {0,1} -> [0,4),
+      // doc 2 dup starts {1,2} -> [1,5)
+      assert(spans == Set((1L, 0L, 4L, 2L), (2L, 1L, 5L, 2L)),
+        s"exactGrams=$exactGrams: $spans")
+      val stripped = Dedup.stripDuplicatedSpans(corpus, "doc_id", "text",
+          k = 3, exactGrams = exactGrams)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(stripped == Map(
+        1L -> ("e f", 4L), 2L -> ("x y", 4L),
+        3L -> ("q r s", 0L), 4L -> ("z z", 0L)),
+        s"exactGrams=$exactGrams: $stripped")
+    }
+  }
+
+  test("duplicatedSpans: hash mode == exact-gram mode on the fixture corpus") {
+    def spanSet(exactGrams: Boolean) =
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10,
+          exactGrams = exactGrams)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val hashed = spanSet(exactGrams = false)
+    assert(hashed.nonEmpty, "fixture should contain duplicated passages")
+    assert(hashed == spanSet(exactGrams = true))
+  }
+
+  test("stripSpans composes a keep-one-occurrence policy") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "doc_id", "text", k = 3)
+    // keep-first policy: the lowest doc id of each duplicated passage
+    // keeps its copy — here doc 1 is the keeper, so only doc 2 strips
+    val nonKeeper = spans.where(col("doc_id") =!= 1L)
+    val out = Dedup.stripSpans(corpus, nonKeeper, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> ("a b c d e f", 0L), 2L -> ("x y", 4L)))
+  }
 }
