@@ -1291,6 +1291,24 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
         .orderBy("doc_id", "span_start")
     }),
+    "q81_fuzzy_decontam" -> ((s, dir) => {
+      // FUZZY decontamination: the "benchmark" is a truncated copy (first
+      // 5 tokens dropped) of every 25th doc — the paraphrased-leak shape
+      // exact n-gram decontamination (q69) under-catches. MinHash banding
+      // against the BROADCAST benchmark keys, exact-Jaccard verify; the
+      // oracle brute-forces the same corpus × benchmark exact Jaccard, so
+      // LSH → verify must reproduce it exactly.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), graft.ext.Dedup.tokens(col("text")).as("__t"))
+        .select((col("doc_id") + 50000L).as("bench_id"),
+          concat_ws(" ", slice(col("__t"), lit(6), size(col("__t")))).as("text"))
+      graft.ext.Decontaminate.fuzzyContaminationHits(docs, bench,
+          "doc_id", "bench_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("doc_id", "bench_id")
+    }),
     "q80_strip_dup_spans" -> ((s, dir) => {
       // strip every duplicated 10-token passage corpus-wide and rebuild
       // the text (whitespace-normalized token re-join); md5 keeps the
@@ -2438,6 +2456,45 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q81: brute-force replay — identical benchmark construction
+    // (lowercased tokens, first 5 dropped, rejoined) and the q24/q78
+    // shingle derivation; Jaccard = |∩| / |distinct ∪|
+    "q81_fuzzy_decontam" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |btok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM base WHERE doc_id % 25 = 0),
+        |bench AS (
+        |  SELECT doc_id + 50000 AS bench_id,
+        |    array_to_string(t[6:len(t)], ' ') AS text
+        |  FROM btok),
+        |dtok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM base),
+        |dsh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    END) AS sh
+        |  FROM dtok),
+        |bt2 AS (
+        |  SELECT bench_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM bench),
+        |bsh AS (
+        |  SELECT bench_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    END) AS sh
+        |  FROM bt2)
+        |SELECT d.doc_id, b.bench_id,
+        |  round(CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(d.sh || b.sh)), 4) AS jaccard
+        |FROM dsh d, bsh b
+        |WHERE CAST(len(list_intersect(d.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(d.sh || b.sh)) >= 0.5
+        |ORDER BY d.doc_id, b.bench_id""".stripMargin,
     // q80: same span derivation, then rebuild — tokens whose 0-based
     // position falls inside any span are dropped, survivors re-join with
     // single spaces (zipped unnest pairs each token with its ordinal)

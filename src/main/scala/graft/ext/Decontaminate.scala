@@ -51,4 +51,68 @@ object Decontaminate {
     val hits = contaminationHits(docs, bench, idCol, textCol, n)
     docs.join(hits.select(col(idCol)), Seq(idCol), "left_anti")
   }
+
+  /** FUZZY decontamination — near-duplicate (not verbatim) benchmark
+    * leakage: training documents whose word-shingle Jaccard against some
+    * benchmark document reaches `threshold`, found via MinHash LSH
+    * banding and verified on EXACT n-gram Jaccard. [[contaminationHits]]
+    * catches verbatim n-gram overlap; this catches the
+    * truncated/reformatted/lightly-edited benchmark copy that shares few
+    * verbatim `n`-grams positionally but most of its shingle SET.
+    *
+    * Scale shape: the benchmark side is tiny (MBs vs TBs), so its banded
+    * signature keys BROADCAST and the corpus streams map-only through the
+    * (band, bucket) broadcast hash join — per corpus doc the work is one
+    * signature (native [[graft.functions.MinHashSignature]], one byte
+    * pass) and `bands` key probes; no corpus shuffle, no corpus shingle
+    * materialization. Only collision candidates (bounded by benchmark
+    * size × bucket collisions — vanishingly few by construction) proceed:
+    * candidate doc texts are fetched by a second corpus scan through a
+    * broadcast semi-join on the candidate ids, and exact verification
+    * shingles only those. Banding geometry defaults to 32 bands × 2 rows
+    * (q22's): capture ≥ 1-1e-4 for a true pair AT the 0.5 threshold and
+    * ~1 above it, so LSH → exact-verify reproduces the brute-force pair
+    * set (the q81 oracle proves it).
+    *
+    * Tokenization is the near-dup family's (lowercased whitespace
+    * tokens, distinct word shingles — [[Dedup.shingles]]).
+    *
+    * Output: (`idCol`, `benchIdCol`, `jaccard`), exact Jaccard ≥
+    * `threshold`. Anti-join `docs` on `idCol` to decontaminate, or use
+    * [[fuzzyDecontaminate]]. */
+  def fuzzyContaminationHits(docs: DataFrame, bench: DataFrame,
+      idCol: String, benchIdCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def banded(df: DataFrame, id: String) = df.select(col(id),
+      posexplode(TextHashFunctions.band_keys(
+        Dedup.minhashSignature(col(textCol), numHashes, shingleN), bands))
+        .as(Seq("band", "bucket")))
+    val cand = banded(docs, idCol)
+      .join(broadcast(banded(bench, benchIdCol)), Seq("band", "bucket"))
+      .select(col(idCol), col(benchIdCol)).distinct()
+    val hitDocs = docs.select(col(idCol), col(textCol))
+      .join(broadcast(cand), Seq(idCol))
+      .select(col(idCol), col(benchIdCol),
+        Dedup.shingles(col(textCol), shingleN).as("__sh_d"))
+    hitDocs
+      .join(broadcast(bench.select(col(benchIdCol),
+        Dedup.shingles(col(textCol), shingleN).as("__sh_b"))), Seq(benchIdCol))
+      .select(col(idCol), col(benchIdCol),
+        TextHashFunctions.set_jaccard(col("__sh_d"), col("__sh_b"))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** The corpus with fuzzily-contaminated documents removed (see
+    * [[fuzzyContaminationHits]]). */
+  def fuzzyDecontaminate(docs: DataFrame, bench: DataFrame,
+      idCol: String, benchIdCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+    val hits = fuzzyContaminationHits(docs, bench, idCol, benchIdCol,
+      textCol, shingleN, threshold, numHashes, bands)
+    docs.join(hits.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+  }
 }

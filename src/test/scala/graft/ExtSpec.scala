@@ -1252,6 +1252,45 @@ class ExtSpec extends SparkTestBase {
     assert(hashed == spanSet(exactGrams = true))
   }
 
+  test("fuzzy decontamination == brute-force exact Jaccard; broadcast plan") {
+    import graft.ext.Decontaminate
+    val base = docs.select(col("doc_id"), col("text"))
+    val bench = base.where(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("__t"))
+      .select((col("doc_id") + 50000L).as("bench_id"),
+        concat_ws(" ", slice(col("__t"), lit(6), size(col("__t")))).as("text"))
+    val found = Decontaminate.fuzzyContaminationHits(base, bench,
+      "doc_id", "bench_id", "text")
+    // plan gate: benchmark band keys and candidate ids broadcast; the
+    // corpus side must never cartesian or sort-merge against them
+    val plan = found.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), "corpus must not cross-join")
+
+    val foundSet = found.select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same split (25x smaller side — fine in a test)
+    val truth = base
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh_d"))
+      .crossJoin(bench.select(col("bench_id"),
+        Dedup.shingles(col("text"), 3).as("sh_b")))
+      .select(col("doc_id"), col("bench_id"),
+        graft.functions.TextHashFunctions.set_jaccard(col("sh_d"), col("sh_b"))
+          .as("j"))
+      .where(col("j") >= 0.5)
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "planted truncated copies must contaminate")
+    assert(foundSet == truth,
+      s"missed=${truth -- foundSet} extra=${foundSet -- truth}")
+
+    val clean = Decontaminate.fuzzyDecontaminate(base, bench,
+      "doc_id", "bench_id", "text")
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds == base.select("doc_id").collect().map(_.getLong(0)).toSet
+      -- truth.map(_._1))
+  }
+
   test("stripSpans composes a keep-one-occurrence policy") {
     val corpus = Seq(
       (1L, "a b c d e f"),
