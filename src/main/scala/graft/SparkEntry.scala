@@ -1291,6 +1291,37 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
         .orderBy("doc_id", "span_start")
     }),
+    "q82_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weighting: every-5th-doc slice as the TARGET
+      // distribution, the rest as the RAW corpus to score. Exact-feature
+      // mode (numBuckets = 0) so DuckDB replays the whole count → smooth
+      // → log-ratio → per-doc sum chain; the hashed-bucket scale mode is
+      // pinned equal in spirit by ExtSpec (same ranking on a split vocab).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val target = docs.where(col("doc_id") % 5 === 0)
+      val raw = docs.where(col("doc_id") % 5 =!= 0)
+      graft.ext.Vocabulary.dsirWeights(target, raw, "doc_id", "text",
+          numBuckets = 0)
+        .select(col("doc_id"), col("n_features"),
+          round(col("log_weight"), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+    "q83_dsir_resample" -> ((s, dir) => {
+      // deterministic Gumbel top-k importance resampling over the q82
+      // weights: the Gumbel draw comes from the q72 Lehmer stream, so the
+      // oracle replays the exact kept set (sampling-without-replacement
+      // ∝ exp(log_weight), reproducible from (id, model, salt))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val target = docs.where(col("doc_id") % 5 === 0)
+      val raw = docs.where(col("doc_id") % 5 =!= 0)
+      val model = graft.ext.Vocabulary.dsirModel(target, raw, "text",
+        numBuckets = 0)
+      graft.ext.Vocabulary.dsirResample(model, raw, "doc_id", "text",
+          n = 100)
+        .select(col("doc_id"), round(col("log_weight"), 4).as("log_weight"),
+          round(col("gumbel_key"), 4).as("gumbel_key"))
+        .orderBy("doc_id")
+    }),
     "q81_fuzzy_decontam" -> ((s, dir) => {
       // FUZZY decontamination: the "benchmark" is a truncated copy (first
       // 5 tokens dropped) of every 25th doc — the paraphrased-leak shape
@@ -2456,6 +2487,77 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q82: exact-feature DSIR replay — unigram+bigram streams for both
+    // corpora, Laplace-smoothed probabilities with D = distinct features
+    // across BOTH, per-doc sum of log ratios (sum rounded to 4 decimals:
+    // summation order differs between engines)
+    "q82_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, unnest(t || CASE WHEN len(t) >= 2
+        |    THEN list_transform(generate_series(1, len(t) - 1),
+        |      i -> concat_ws(' ', t[i], t[i+1]))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS f
+        |  FROM tok),
+        |tc AS (SELECT f, count(*) AS ct FROM feat
+        |  WHERE doc_id % 5 = 0 GROUP BY f),
+        |rc AS (SELECT f, count(*) AS cr FROM feat
+        |  WHERE doc_id % 5 <> 0 GROUP BY f),
+        |u AS (
+        |  SELECT coalesce(tc.f, rc.f) AS f, coalesce(ct, 0) AS ct,
+        |    coalesce(cr, 0) AS cr
+        |  FROM tc FULL JOIN rc ON tc.f = rc.f),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS d FROM u),
+        |r AS (
+        |  SELECT f, ln((ct + 1.0) / (tt + d)) - ln((cr + 1.0) / (tr + d)) AS lr
+        |  FROM u, tot)
+        |SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |  round(sum(r.lr), 4) AS log_weight
+        |FROM feat fe JOIN r USING (f)
+        |WHERE fe.doc_id % 5 <> 0
+        |GROUP BY fe.doc_id ORDER BY fe.doc_id""".stripMargin,
+    // q83: q82's weights + the q72 Lehmer stream feeding a Gumbel draw;
+    // top-100 by perturbed key, ties by id, re-ordered by id for compare
+    "q83_dsir_resample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, unnest(t || CASE WHEN len(t) >= 2
+        |    THEN list_transform(generate_series(1, len(t) - 1),
+        |      i -> concat_ws(' ', t[i], t[i+1]))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS f
+        |  FROM tok),
+        |tc AS (SELECT f, count(*) AS ct FROM feat
+        |  WHERE doc_id % 5 = 0 GROUP BY f),
+        |rc AS (SELECT f, count(*) AS cr FROM feat
+        |  WHERE doc_id % 5 <> 0 GROUP BY f),
+        |u AS (
+        |  SELECT coalesce(tc.f, rc.f) AS f, coalesce(ct, 0) AS ct,
+        |    coalesce(cr, 0) AS cr
+        |  FROM tc FULL JOIN rc ON tc.f = rc.f),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS d FROM u),
+        |r AS (
+        |  SELECT f, ln((ct + 1.0) / (tt + d)) - ln((cr + 1.0) / (tr + d)) AS lr
+        |  FROM u, tot),
+        |w AS (
+        |  SELECT fe.doc_id, sum(r.lr) AS lw
+        |  FROM feat fe JOIN r USING (f)
+        |  WHERE fe.doc_id % 5 <> 0
+        |  GROUP BY fe.doc_id),
+        |g AS (
+        |  SELECT doc_id, lw, lw - ln(-ln(
+        |    ((((doc_id * 48271 + 11) % 2147483647) * 48271 % 2147483647)
+        |      * 48271 % 2147483647 + 0.5) / 2147483647.0)) AS key
+        |  FROM w),
+        |top AS (
+        |  SELECT doc_id, lw, key FROM g
+        |  ORDER BY key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, round(lw, 4) AS log_weight,
+        |  round(key, 4) AS gumbel_key
+        |FROM top ORDER BY doc_id""".stripMargin,
     // q81: brute-force replay — identical benchmark construction
     // (lowercased tokens, first 5 dropped, rejoined) and the q24/q78
     // shingle derivation; Jaccard = |∩| / |distinct ∪|

@@ -201,4 +201,143 @@ object Vocabulary {
       .withColumn("perplexity", exp(col("avg_neg_logp")))
       .drop("__negsum")
   }
+
+  // -------------------------------------------------------------------------
+  // DSIR importance weighting (hashed n-gram features)
+  // -------------------------------------------------------------------------
+
+  /** The DSIR feature stream (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): unigrams + bigrams of
+    * the pipeline-wide whitespace tokens. `numBuckets > 0` hashes each
+    * feature into a fixed bucket id (`pmod(xxhash64(f), B)`) — the scale
+    * mode: the model tables are EXACTLY B rows no matter how the corpus
+    * vocabulary grows, so they always broadcast. `numBuckets = 0` keeps
+    * raw feature strings — collision-free and replayable by any engine
+    * (the q82 oracle mode); tables are vocabulary-sized (the
+    * [[documentFrequency]] regime). */
+  private def dsirFeatures(textC: org.apache.spark.sql.Column,
+      numBuckets: Int) = {
+    val t = tokens(textC)
+    val bi = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val all = concat(t, bi)
+    if (numBuckets > 0)
+      transform(all, f => pmod(xxhash64(f), lit(numBuckets.toLong)).cast("string"))
+    else all
+  }
+
+  /** A counted DSIR importance model: per-feature log probability ratio
+    * `ln p̂_target(f) − ln p̂_raw(f)` (Laplace-smoothed), plus the scalars
+    * needed to score features absent from both counts. Like [[LmModel]]
+    * this is the persistable unit — bucket mode is B rows, exact mode is
+    * vocabulary-sized; either ≪ corpus. */
+  final case class DsirModel(logRatio: DataFrame, targetTotal: Long,
+      rawTotal: Long, featureSpace: Long, numBuckets: Int) {
+    /** log ratio of a feature unseen in BOTH corpora (smoothing only). */
+    def oovLogRatio: Double =
+      math.log((rawTotal + featureSpace).toDouble) -
+        math.log((targetTotal + featureSpace).toDouble)
+  }
+
+  /** Count a [[DsirModel]] from a TARGET corpus (the distribution you
+    * want more of — curated text, a benchmark domain) and a RAW corpus
+    * sample (the distribution you are selecting from). Two feature-keyed
+    * map-side-combined count shuffles + one full-outer join of two
+    * model-sized tables; `p̂(f) = (c(f)+1) / (total+D)` with `D` = bucket
+    * count (bucket mode) or the number of distinct features observed
+    * across both corpora (exact mode). */
+  def dsirModel(target: DataFrame, raw: DataFrame, textCol: String,
+      numBuckets: Int = 65536): DsirModel = {
+    def cnt(df: DataFrame, n: String) = df
+      .select(explode(dsirFeatures(col(textCol), numBuckets)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as(n))
+    val joined = cnt(target, "__ct").join(cnt(raw, "__cr"), Seq("f"), "full_outer")
+      .select(col("f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val agg = joined.agg(coalesce(sum("__ct"), lit(0L)),
+      coalesce(sum("__cr"), lit(0L)), count(lit(1))).head()
+    val (tt, tr, seen) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val d = if (numBuckets > 0) numBuckets.toLong else seen
+    val ratio = joined.select(col("f"),
+      (log((col("__ct") + 1.0) / (tt + d).toDouble) -
+        log((col("__cr") + 1.0) / (tr + d).toDouble)).as("log_ratio"))
+    DsirModel(ratio, tt, tr, d, numBuckets)
+  }
+
+  /** Persist a [[DsirModel]] next to a corpus snapshot (the target/raw
+    * count pass runs once per model version, not per scored batch). */
+  def saveDsirModel(m: DsirModel, path: String): Unit = {
+    m.logRatio.write.mode("overwrite").parquet(s"$path/ratio")
+    import m.logRatio.sparkSession.implicits._
+    Seq((m.targetTotal, m.rawTotal, m.featureSpace, m.numBuckets))
+      .toDF("target_total", "raw_total", "feature_space", "num_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted [[DsirModel]]. */
+  def loadDsirModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): DsirModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    DsirModel(spark.read.parquet(s"$path/ratio"), meta.getLong(0),
+      meta.getLong(1), meta.getLong(2), meta.getInt(3))
+  }
+
+  /** Per-document DSIR log importance weight: `Σ_f ln p̂_target(f) − ln
+    * p̂_raw(f)` over the document's feature stream (duplicates count —
+    * it is a log-likelihood ratio, not a set overlap). High weight =
+    * looks like the target distribution; downstream selection keeps the
+    * top slice or samples ∝ weight ([[dsirResample]]).
+    *
+    * Scale shape: one corpus scan, the ratio join is model-keyed
+    * (broadcast in bucket mode — the table is exactly B rows), then one
+    * doc-keyed aggregation whose per-doc fold is POSITION-ORDERED (the
+    * [[lmScoreWith]] determinism rule: double addition is not
+    * associative, and the scores are consumed through fixed-decimal
+    * rounding). Output: (idCol, n_features, log_weight). */
+  def dsirWeightsWith(model: DsirModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    docs.select(col(idCol),
+        posexplode(dsirFeatures(col(textCol), model.numBuckets))
+          .as(Seq("__pos", "f")))
+      .join(model.logRatio, Seq("f"), "left")
+      .withColumn("__lr", coalesce(col("log_ratio"), lit(model.oovLogRatio)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        aggregate(array_sort(collect_list(struct(col("__pos"), col("__lr")))),
+          lit(0.0d), (acc, x) => acc + x.getField("__lr")).as("log_weight"))
+  }
+
+  /** [[dsirModel]] + [[dsirWeightsWith]] in one call. */
+  def dsirWeights(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, numBuckets: Int = 65536): DataFrame =
+    dsirWeightsWith(dsirModel(target, raw, textCol, numBuckets), raw,
+      idCol, textCol)
+
+  /** Deterministic Gumbel top-k importance resampling: keep the `n`
+    * documents with the largest `log_weight / temperature + Gumbel(id)`,
+    * where the Gumbel noise `-ln(-ln(u))` draws `u` from the SAME
+    * three-round int64 Lehmer stream as [[Curation.mixtureSample]] —
+    * any engine replays the exact kept set from (id, model, salt).
+    * Gumbel-perturbed top-k is exactly sampling-without-replacement
+    * ∝ exp(log_weight / temperature); `temperature → 0` degrades to
+    * plain top-k by weight. The selection is `orderBy.limit` —
+    * Catalyst's TakeOrderedAndProject (per-partition top-n, no full
+    * sort). Ties broken by id. */
+  def dsirResample(model: DsirModel, docs: DataFrame, idCol: String,
+      textCol: String, n: Int, temperature: Double = 1.0,
+      salt: Long = 11L): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0: $temperature")
+    val m = 2147483647L // 2^31 - 1
+    val x1 = pmod(col(idCol).cast("long") * 48271L + salt, lit(m))
+    val x2 = pmod(x1 * 48271L, lit(m))
+    val x3 = pmod(x2 * 48271L, lit(m))
+    val u = (x3.cast("double") + 0.5) / m.toDouble // (0,1): never ln(0)
+    dsirWeightsWith(model, docs, idCol, textCol)
+      .withColumn("gumbel_key",
+        col("log_weight") / temperature - log(-log(u)))
+      .orderBy(desc("gumbel_key"), col(idCol))
+      .limit(n)
+  }
 }

@@ -1291,6 +1291,74 @@ class ExtSpec extends SparkTestBase {
       -- truth.map(_._1))
   }
 
+  test("DSIR: hashed-bucket mode == exact mode up to the smoothing constant") {
+    import graft.ext.Vocabulary
+    val target = docs.where(col("doc_id") % 5 === 0)
+    val raw = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") < 101)
+    val exactM = Vocabulary.dsirModel(target, raw, "text", numBuckets = 0)
+    // B large enough that the fixture's ~1k-feature vocab is collision-free
+    // (xxhash64 is fixed, so this is deterministic, not flaky)
+    val hashedM = Vocabulary.dsirModel(target, raw, "text", numBuckets = 1 << 26)
+    def weights(m: Vocabulary.DsirModel) =
+      Vocabulary.dsirWeightsWith(m, raw, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+    val we = weights(exactM)
+    val wh = weights(hashedM)
+    assert(we.nonEmpty && we.keySet == wh.keySet)
+    // collision-free bucketing preserves every count; only the smoothing
+    // denominators (D = B vs D = seen) differ, which shifts each feature's
+    // log ratio by the same constant c — so w_h = w_e + c * n_features
+    def c(m: Vocabulary.DsirModel) =
+      math.log((m.targetTotal + m.featureSpace).toDouble) -
+        math.log((m.rawTotal + m.featureSpace).toDouble)
+    val shift = c(exactM) - c(hashedM)
+    we.foreach { case (id, (n, w)) =>
+      val (nh, whv) = wh(id)
+      assert(n == nh)
+      assert(math.abs(whv - (w + shift * n)) < 1e-8,
+        s"doc $id: hashed $whv vs exact-shifted ${w + shift * n}")
+    }
+  }
+
+  test("DSIR: target-like docs outscore off-distribution docs") {
+    import graft.ext.Vocabulary
+    val target = Seq.tabulate(20)(i => (1000L + i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma delta"),   // in-distribution
+      (2L, "zeta eta theta iota")       // off-distribution
+    ).toDF("doc_id", "text")
+    val w = Vocabulary.dsirWeights(target, raw, "doc_id", "text",
+        numBuckets = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L),
+      s"in-distribution ${w(1L)} must outscore off-distribution ${w(2L)}")
+  }
+
+  test("DSIR: resample is partition-independent; model save/load identical") {
+    import graft.ext.Vocabulary
+    val target = docs.where(col("doc_id") % 5 === 0)
+    val raw = docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") < 201)
+    val model = Vocabulary.dsirModel(target, raw, "text", numBuckets = 0)
+    def pick(d: org.apache.spark.sql.DataFrame) =
+      Vocabulary.dsirResample(model, d, "doc_id", "text", n = 40)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = pick(raw)
+    assert(a.size == 40)
+    assert(a == pick(raw.repartition(13)), "kept set must be deterministic")
+
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    Vocabulary.saveDsirModel(model, dir)
+    val loaded = Vocabulary.loadDsirModel(spark, dir)
+    def score(m: Vocabulary.DsirModel) =
+      Vocabulary.dsirWeightsWith(m, raw, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(2))).toMap
+    assert(score(model) == score(loaded),
+      "persisted model must score bit-identically")
+  }
+
   test("stripSpans composes a keep-one-occurrence policy") {
     val corpus = Seq(
       (1L, "a b c d e f"),
