@@ -1291,6 +1291,20 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
         .orderBy("doc_id", "span_start")
     }),
+    "q84_contaminated_spans" -> ((s, dir) => {
+      // SURGICAL decontamination: maximal token spans of the training
+      // side (doc_id % 7 != 3) appearing verbatim (8-token windows)
+      // anywhere in the benchmark slice (doc_id % 7 == 3) — strip the
+      // span, keep the document (q69 drops the whole doc). Hash-mode
+      // window keys against the broadcast benchmark key set; the oracle
+      // replays the exact-gram membership + island merge.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Decontaminate.contaminatedSpans(
+          docs.where(col("doc_id") % 7 =!= 3),
+          docs.where(col("doc_id") % 7 === 3),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    }),
     "q82_dsir_weights" -> ((s, dir) => {
       // DSIR importance weighting: every-5th-doc slice as the TARGET
       // distribution, the rest as the RAW corpus to score. Exact-feature
@@ -2484,6 +2498,33 @@ object SparkEntry {
         |  FROM hits)
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 10 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // q84: exact-gram replay of the benchmark-membership span rule —
+    // same case-sensitive tokenization and island merge as q79, with
+    // "gram in benchmark set" replacing the corpus df >= 2 rule
+    "q84_contaminated_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS i, t
+        |  FROM tok WHERE len(t) >= 8),
+        |wg AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[i:i+7], ' ') AS gram
+        |  FROM wins),
+        |bk AS (SELECT DISTINCT gram FROM wg WHERE doc_id % 7 = 3),
+        |hits AS (
+        |  SELECT w.doc_id, w.pos FROM wg w JOIN bk USING (gram)
+        |  WHERE w.doc_id % 7 <> 3),
+        |isl AS (
+        |  SELECT doc_id, pos, pos - row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM hits)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,

@@ -115,4 +115,45 @@ object Decontaminate {
       textCol, shingleN, threshold, numHashes, bands)
     docs.join(hits.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
   }
+
+  /** SURGICAL decontamination — maximal contaminated token SPANS instead
+    * of whole-document verdicts: every `k`-token window of a training
+    * document whose exact content occurs ANYWHERE in the benchmark set is
+    * a hit; consecutive hit starts merge into maximal `[span_start,
+    * span_end)` ranges ([[Dedup.duplicatedSpans]]' island merge, with
+    * benchmark MEMBERSHIP replacing corpus frequency as the hit rule).
+    * Dropping whole documents over one leaked sentence ([[decontaminate]])
+    * wastes the rest of the document; stripping just the spans
+    * ([[stripContaminatedSpans]]) keeps it.
+    *
+    * Scale shape: the benchmark window-key set is tiny and BROADCAST
+    * (the [[contaminationHits]] rule); the corpus side is map-only
+    * through the broadcast join — by default both sides key on the
+    * 64-bit token-hash chain ([[graft.functions.WordWindowHashes]]), so
+    * nothing string-shaped is built or shuffled; only hit positions
+    * (vanishingly few) reach the island merge's doc-keyed shuffle.
+    * `exactGrams = true` is the collision-free/oracle mode.
+    *
+    * Tokenization is case-sensitive `split("\\s+")` of `trim(text)`
+    * (the passage-dedup family's; [[contaminationHits]]' shingles share
+    * it). Output: (`idCol`, `span_start`, `span_end`, `n_windows`). */
+  def contaminatedSpans(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int, exactGrams: Boolean = false): DataFrame = {
+    val wins = Dedup.windowFrame(docs, idCol, textCol, k, exactGrams)
+    val benchKeys = Dedup.windowFrame(bench, idCol, textCol, k, exactGrams)
+      .select("__w").distinct()
+    val hits = wins.join(broadcast(benchKeys), Seq("__w"))
+      .select(col("__id"), col("__pos"))
+    Dedup.mergeWindowSpans(hits, k, idCol)
+  }
+
+  /** [[contaminatedSpans]] + [[Dedup.stripSpans]]: rebuild the corpus with
+    * contaminated passages removed, keeping the rest of each document.
+    * Output: (`idCol`, `text_clean`, `n_removed`). */
+  def stripContaminatedSpans(docs: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      exactGrams: Boolean = false): DataFrame =
+    Dedup.stripSpans(docs,
+      contaminatedSpans(docs, bench, idCol, textCol, k, exactGrams),
+      idCol, textCol)
 }

@@ -1047,31 +1047,48 @@ object Dedup {
     * per maximal duplicated span. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, minDf: Int = 2, exactGrams: Boolean = false): DataFrame = {
-    require(k >= 2, s"window size k must be >= 2: $k")
     require(minDf >= 2, s"minDf must be >= 2: $minDf")
-    import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("__id"), exactTokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= k)
-    // posexplode index = 0-based window start position
-    val wins =
-      if (exactGrams)
-        toks.select(col("__id"),
-          posexplode(transform(sequence(lit(0), size(col("__t")) - k),
-            i => concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))
-            .as(Seq("__pos", "__w")))
-      else
-        toks.select(col("__id"),
-          posexplode(graft.functions.TextHashFunctions
-            .word_window_hashes(col("__t"), k)).as(Seq("__pos", "__w")))
+    val wins = windowFrame(df, idCol, textCol, k, exactGrams)
     val dupKeys = wins.select(col("__w"), col("__id")).distinct()
       .groupBy("__w").agg(count(lit(1)).as("__df"))
       .where(col("__df") >= minDf)
       .select("__w")
     val hits = wins.join(dupKeys, "__w").select(col("__id"), col("__pos"))
+    mergeWindowSpans(hits, k, idCol)
+  }
+
+  /** Positional k-token window frame `(__id, __pos, __w)`: `__pos` is the
+    * 0-based window start, `__w` identifies the window content — literal
+    * gram string (`exactGrams`) or the 64-bit token-hash chain
+    * ([[graft.functions.WordWindowHashes]], the scale key). Shared by
+    * [[duplicatedSpans]] (corpus-frequency keys) and
+    * [[Decontaminate.contaminatedSpans]] (benchmark-membership keys). */
+  private[ext] def windowFrame(df: DataFrame, idCol: String, textCol: String,
+      k: Int, exactGrams: Boolean): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2: $k")
+    val toks = df.select(col(idCol).as("__id"), exactTokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k)
+    // posexplode index = 0-based window start position
+    if (exactGrams)
+      toks.select(col("__id"),
+        posexplode(transform(sequence(lit(0), size(col("__t")) - k),
+          i => concat_ws(" ", slice(col("__t"), i + 1, lit(k)))))
+          .as(Seq("__pos", "__w")))
+    else
+      toks.select(col("__id"),
+        posexplode(graft.functions.TextHashFunctions
+          .word_window_hashes(col("__t"), k)).as(Seq("__pos", "__w")))
+  }
+
+  /** Gaps-and-islands merge of matched window starts `(__id, __pos)` into
+    * maximal `[span_start, span_end)` token ranges (one doc-keyed window
+    * pass + aggregation). */
+  private[ext] def mergeWindowSpans(hits: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("__id").orderBy("__pos")
-    val islands = hits.withColumn("__g",
-      col("__pos") - row_number().over(byDoc))
-    islands.groupBy(col("__id"), col("__g"))
+    hits.withColumn("__g", col("__pos") - row_number().over(byDoc))
+      .groupBy(col("__id"), col("__g"))
       .agg(min("__pos").cast(LongType).as("span_start"),
         (max("__pos") + k).cast(LongType).as("span_end"),
         count(lit(1)).as("n_windows"))

@@ -614,6 +614,90 @@ object ScaleInvariants {
           s"expectedPerReplica=$perReplica")
     }
 
+    // q79/q80 passage dedup at scale: duplicated k-token windows are
+    // replica-LOCAL (per-replica token suffixing makes cross-replica grams
+    // disjoint; replica 0 is unmodified), so the span frame scales EXACTLY
+    // N× and replica 0 reproduces the base spans verbatim. A drift here
+    // would mean window keys collide across replicas (hash-mode collision
+    // regression) or the df count leaked across the suffix boundary.
+    if (wanted("q79")) {
+      def spanSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "span_start", "span_end", "n_windows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val b = spanSet(graft.SparkEntry.queries("q79_dup_spans")(spark, base))
+      val sDf = graft.SparkEntry.queries("q79_dup_spans")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = spanSet(sDf.where(col("doc_id") < ScaleUp.KeyOffset))
+      check("q79_spans_replica0_exact_and_Nx")(
+        b.nonEmpty && sCount == n.toLong * b.size && s0 == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b}")
+    }
+    if (wanted("q80")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val b = rows(graft.SparkEntry.queries("q80_strip_dup_spans")(spark, base))
+      val s0 = rows(graft.SparkEntry.queries("q80_strip_dup_spans")(spark, scaled)
+        .where(col("doc_id") < ScaleUp.KeyOffset))
+      check("q80_strip_replica0_exact")(b.nonEmpty && s0 == b,
+        s"base=${b.size} replica0=${s0.size} " +
+          s"onlyBase=${(b -- s0).size} onlyScaled=${(s0 -- b).size}")
+    }
+
+    // q81 fuzzy decontamination at scale: KeyOffset % 25 == 0 keeps the
+    // benchmark selection replica-stable, suffixing keeps hits
+    // replica-local, and the planted truncated copies sit at J≈0.9 where
+    // banding capture is ~1 — so the hit set scales exactly N× and
+    // replica 0 folds onto the base set.
+    if (wanted("q81")) {
+      def hitSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "bench_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = hitSet(graft.SparkEntry.queries("q81_fuzzy_decontam")(spark, base))
+      val sDf = graft.SparkEntry.queries("q81_fuzzy_decontam")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = hitSet(sDf.where(col("doc_id") < ScaleUp.KeyOffset &&
+        col("bench_id") < ScaleUp.KeyOffset))
+      check("q81_fuzzy_decontam_replica0_exact_and_Nx")(
+        b.nonEmpty && sCount == n.toLong * b.size && s0 == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b}")
+    }
+
+    // q82 DSIR at scale: replicas have disjoint suffixed vocabularies with
+    // identical counts, so Tt, Tr and D all scale by exactly N and the ln N
+    // shifts CANCEL in the per-feature log ratio — DSIR weights are
+    // replica-INVARIANT: a replica-0 doc scored against the 100× model must
+    // match its base-model score to float noise. (KeyOffset % 5 == 0 keeps
+    // the target/raw split replica-stable.) This pins the whole smoothing
+    // algebra at scale; a leaked denominator would shift every score.
+    if (wanted("q82")) {
+      // UNROUNDED weights (the q82 entry rounds to 4 decimals, which would
+      // turn float noise at a rounding boundary into a spurious mismatch)
+      def weights(dir: String) = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        graft.ext.Vocabulary.dsirWeights(
+          docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          numBuckets = 0)
+      }
+      val b = weights(base).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val sAll = weights(scaled)
+      val sCount = sAll.count()
+      val s0 = sAll.where(col("doc_id") < ScaleUp.KeyOffset).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val aligned = b.nonEmpty && s0.keySet == b.keySet && b.forall {
+        case (id, (nf, w)) =>
+          val (nf2, w2) = s0(id); nf2 == nf && math.abs(w2 - w) < 1e-6
+      }
+      check("q82_dsir_replica_invariance_and_Nx")(
+        aligned && sCount == n.toLong * b.size,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Aligned=$aligned")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)

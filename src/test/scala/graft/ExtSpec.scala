@@ -1291,6 +1291,31 @@ class ExtSpec extends SparkTestBase {
       -- truth.map(_._1))
   }
 
+  test("surgical decontamination: spans + strip on a hand-checked corpus") {
+    import graft.ext.Decontaminate
+    val bench = Seq((100L, "p q r s")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b p q r s c d"),  // windows (k=3): pqr @2, qrs @3 -> span [2,6)
+      (2L, "p q r s"),          // whole doc contaminated -> [0,4)
+      (3L, "a b c d e")         // clean
+    ).toDF("doc_id", "text")
+    for (exactGrams <- Seq(false, true)) {
+      val spans = Decontaminate.contaminatedSpans(docs, bench, "doc_id",
+          "text", k = 3, exactGrams = exactGrams)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(spans == Set((1L, 2L, 6L, 2L), (2L, 0L, 4L, 2L)),
+        s"exactGrams=$exactGrams: $spans")
+      val stripped = Decontaminate.stripContaminatedSpans(docs, bench,
+          "doc_id", "text", k = 3, exactGrams = exactGrams)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+      assert(stripped == Map(
+        1L -> ("a b c d", 4L), 2L -> ("", 4L), 3L -> ("a b c d e", 0L)),
+        s"exactGrams=$exactGrams: $stripped")
+    }
+  }
+
   test("DSIR: hashed-bucket mode == exact mode up to the smoothing constant") {
     import graft.ext.Vocabulary
     val target = docs.where(col("doc_id") % 5 === 0)
