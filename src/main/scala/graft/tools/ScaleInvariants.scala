@@ -665,6 +665,26 @@ object ScaleInvariants {
           s"replica0Match=${s0 == b}")
     }
 
+    // q84 surgical decontamination: KeyOffset % 7 != 0, so replica j
+    // selects a DIFFERENT benchmark subset — no N× count law. The sharp
+    // invariant: suffixing confines matches within a replica and replica 0
+    // is unmodified with the base benchmark subset, so the scaled result
+    // restricted to replica-0 ids must equal the base spans EXACTLY.
+    if (wanted("q84")) {
+      def spanSet(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "span_start", "span_end", "n_windows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val b = spanSet(
+        graft.SparkEntry.queries("q84_contaminated_spans")(spark, base))
+      val s0 = spanSet(
+        graft.SparkEntry.queries("q84_contaminated_spans")(spark, scaled)
+          .where(col("doc_id") < ScaleUp.KeyOffset))
+      check("q84_contaminated_spans_replica0_exact")(b.nonEmpty && s0 == b,
+        s"base=${b.size} replica0=${s0.size} " +
+          s"onlyBase=${(b -- s0).size} onlyScaled=${(s0 -- b).size}")
+    }
+
     // q82 DSIR at scale: replicas have disjoint suffixed vocabularies with
     // identical counts, so Tt, Tr and D all scale by exactly N and the ln N
     // shifts CANCEL in the per-feature log ratio — DSIR weights are
