@@ -215,18 +215,20 @@ object Vocabulary {
     * raw feature strings — collision-free and replayable by any engine
     * (the q82 oracle mode); tables are vocabulary-sized (the
     * [[documentFrequency]] regime). */
-  private def dsirFeatures(textC: org.apache.spark.sql.Column,
-      numBuckets: Int) = {
+  private def dsirFeatures(textC: org.apache.spark.sql.Column) = {
     val t = tokens(textC)
-    val bi = when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val all = concat(t, bi)
-    if (numBuckets > 0)
-      transform(all, f => pmod(xxhash64(f), lit(numBuckets.toLong)).cast("string"))
-    else all
+    // native positional n-grams (multiplicity preserved) — the HOF
+    // formulation was interpreted per element and dominated the suite
+    // (3-5 s/query); one compiled pass now
+    concat(t, TextHashFunctions.word_ngrams(t, 2))
   }
+
+  /** Bucketing happens AFTER the explode as a plain codegen'd column
+    * (`pmod(xxhash64(f), B)`) — hashing inside the array would be another
+    * interpreted `transform`. */
+  private def dsirBucket(f: org.apache.spark.sql.Column, numBuckets: Int) =
+    if (numBuckets > 0) pmod(xxhash64(f), lit(numBuckets.toLong)).cast("string")
+    else f
 
   /** A counted DSIR importance model: per-feature log probability ratio
     * `ln p̂_target(f) − ln p̂_raw(f)` (Laplace-smoothed), plus the scalars
@@ -251,11 +253,16 @@ object Vocabulary {
   def dsirModel(target: DataFrame, raw: DataFrame, textCol: String,
       numBuckets: Int = 65536): DsirModel = {
     def cnt(df: DataFrame, n: String) = df
-      .select(explode(dsirFeatures(col(textCol), numBuckets)).as("f"))
+      .select(explode(dsirFeatures(col(textCol))).as("__f0"))
+      .select(dsirBucket(col("__f0"), numBuckets).as("f"))
       .groupBy("f").agg(count(lit(1)).as(n))
-    val joined = cnt(target, "__ct").join(cnt(raw, "__cr"), Seq("f"), "full_outer")
-      .select(col("f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
-        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    // materialized: the totals aggregate AND the ratio projection both
+    // read the joined counts — without this the two corpus count passes
+    // run twice (once for the scalars, once when the ratio is consumed)
+    val joined = Dedup.materialize(
+      cnt(target, "__ct").join(cnt(raw, "__cr"), Seq("f"), "full_outer")
+        .select(col("f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+          coalesce(col("__cr"), lit(0L)).as("__cr")))
     val agg = joined.agg(coalesce(sum("__ct"), lit(0L)),
       coalesce(sum("__cr"), lit(0L)), count(lit(1))).head()
     val (tt, tr, seen) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
@@ -299,8 +306,9 @@ object Vocabulary {
   def dsirWeightsWith(model: DsirModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     docs.select(col(idCol),
-        posexplode(dsirFeatures(col(textCol), model.numBuckets))
-          .as(Seq("__pos", "f")))
+        posexplode(dsirFeatures(col(textCol))).as(Seq("__pos", "__f0")))
+      .select(col(idCol), col("__pos"),
+        dsirBucket(col("__f0"), model.numBuckets).as("f"))
       .join(model.logRatio, Seq("f"), "left")
       .withColumn("__lr", coalesce(col("log_ratio"), lit(model.oovLogRatio)))
       .groupBy(col(idCol))

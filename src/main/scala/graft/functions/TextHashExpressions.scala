@@ -495,6 +495,51 @@ object WordShingles {
   }
 }
 
+/** POSITIONAL (non-distinct) word n-gram strings of a token array —
+  * element `i` is tokens `[i, i+n)` joined by spaces; fewer than `n`
+  * tokens yields an EMPTY array. The multiplicity-preserving sibling of
+  * [[WordShingles]] (set semantics) for frequency-weighted consumers
+  * (DSIR counts every occurrence). Exists for the same reason as the
+  * rest of this file: the HOF formulation (`transform(sequence(...), i =>
+  * concat_ws(...element_at...))`) is interpreted per element and
+  * measured 3-5 s/query on the DSIR entries; this is one compiled pass. */
+case class WordNgrams(child: Expression, ngramN: Int)
+    extends StringArrayExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    WordNgrams.compute(v.asInstanceOf[ArrayData], ngramN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($a, $ngramN);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordNgrams {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var s = 0
+    while (s <= len - n) {
+      val w = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        w(i) = if (arr.isNullAt(s + i)) null else arr.getUTF8String(s + i)
+        i += 1
+      }
+      out(s) = UTF8String.concatWs(Sep, w: _*) // skips nulls, like ConcatWs
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-position 64-bit hashes of every `windowK`-token window of a token
   * array: output element `i` identifies tokens `[i, i+k)`. POSITIONAL
   * semantics, deliberately unlike [[WordShingles]]: no distinct, and an
@@ -816,6 +861,9 @@ object TextHashFunctions {
 
   def word_window_hashes(tokens: Column, windowK: Int): Column =
     GraftBridge.column(WordWindowHashes(GraftBridge.expression(tokens), windowK))
+
+  def word_ngrams(tokens: Column, ngramN: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), ngramN))
 
   def set_jaccard(a: Column, b: Column): Column =
     GraftBridge.column(SetJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))

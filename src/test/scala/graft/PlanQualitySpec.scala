@@ -170,6 +170,25 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("span operators key on window hashes — never a cartesian product") {
+    // q79/q80/q84: the window-frequency (and benchmark-membership) joins
+    // are equi-joins on the 64-bit window key; q84's benchmark key set
+    // must BROADCAST (corpus side map-only). A cartesian/nested-loop here
+    // would be the m² shape these operators exist to avoid.
+    Seq("q79_dup_spans", "q80_strip_dup_spans", "q84_contaminated_spans")
+      .foreach { q =>
+        val plan = physicalPlan(SparkEntry.queries(q)(spark, dir))
+        assert(!plan.contains("CartesianProduct"),
+          s"$q must join on window keys, not cross")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q must not fall back to a nested-loop join")
+      }
+    val q84 = physicalPlan(
+      SparkEntry.queries("q84_contaminated_spans")(spark, dir))
+    assert(q84.contains("BroadcastExchange"),
+      "q84 benchmark window keys must broadcast")
+  }
+
   test("near-dup pipelines materialize signatures: no parquet re-scan in the final plan") {
     // the pair operators localCheckpoint their signature frame (and the
     // entries their shingle frame), so the corpus parquet is read once per
