@@ -1291,6 +1291,19 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
         .orderBy("doc_id", "span_start")
     }),
+    "q85_knn_join" -> ((s, dir) => {
+      // approximate k-NN JOIN in exhaustive mode (nProbe = nClusters):
+      // provably the brute-force neighbor graph — a cartesian's RESULT
+      // without a cartesian's plan (cluster-keyed shuffle join +
+      // WindowGroupLimit top-k). The recall/cost trade at nProbe <
+      // nClusters is gated in ExtSpec on clustered vectors.
+      val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
+        .where(col("vec_id") < 200)
+      graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding", k = 5,
+          nClusters = 8, nProbe = 8)
+        .withColumn("cosine", round(col("cosine"), 3))
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
     "q84_contaminated_spans" -> ((s, dir) => {
       // SURGICAL decontamination: maximal token spans of the training
       // side (doc_id % 7 != 3) appearing verbatim (8-token windows)
@@ -2501,6 +2514,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q85: brute-force k-NN graph — with nProbe = nClusters the IVF join
+    // is exhaustive, so the oracle is the plain all-pairs top-5 (cosine
+    // desc, neighbor id asc ties), independent of centroid placement
+    "q85_knn_join" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |sc AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE) AS c
+        |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+        |rk AS (
+        |  SELECT query_id, neighbor_id, c, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rn
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, round(c, 3) AS cosine
+        |FROM rk WHERE rn <= 5
+        |ORDER BY query_id, c DESC, neighbor_id""".stripMargin,
     // q84: exact-gram replay of the benchmark-membership span rule —
     // same case-sensitive tokenization and island merge as q79, with
     // "gram in benchmark set" replacing the corpus df >= 2 rule

@@ -298,6 +298,72 @@ object Similarity {
       .drop("__rank")
   }
 
+  /** Approximate k-NN JOIN — every document's `k` nearest neighbors
+    * within ONE table: the kNN-graph builder behind semantic clustering,
+    * graph-based dedup, and diversity-aware curation. [[ivfTopK]]
+    * broadcasts a small query side; here BOTH sides are the corpus, so
+    * the meeting point is a (cluster)-keyed shuffle join: vectors are
+    * assigned to their nearest IVF centroid once (materialized — built
+    * once, read by the join), every doc probes its `nProbe` nearest
+    * clusters, and a candidate pair meets exactly once (the neighbor's
+    * single home cluster either is or isn't probed — no dedup pass
+    * needed). Exact cosine re-ranks candidates; the per-query top-k is a
+    * `row_number` window Catalyst pre-truncates map-side
+    * (`WindowGroupLimit`), so at most k rows per query reach the final
+    * shuffle.
+    *
+    * Guarded like [[semanticDupPairs]]: the exact join volume
+    * Σ_c m_assigned(c) · m_probed(c) is computed from cluster sizes
+    * BEFORE the join (two narrow count passes) and the operator refuses
+    * pathological geometry with re-clustering guidance instead of
+    * launching a quadratic blob. Recall < 1 when `nProbe < nClusters`
+    * (the IVF cost/recall trade, spec-gated on clustered data);
+    * `nProbe = nClusters` is exhaustive and provably reproduces the
+    * brute-force graph regardless of centroid quality — that is the q85
+    * oracle mode, a cartesian's RESULT without a cartesian's plan.
+    *
+    * Output: (`query_id`, `neighbor_id`, `cosine`), k rows per query,
+    * ties broken by ascending neighbor id. */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4,
+      maxPairBudget: Long = 200000000L): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nProbe >= 1 && nProbe <= nClusters,
+      s"nProbe must be in [1, nClusters]: $nProbe vs $nClusters")
+    val cents = buildIvfCentroids(df, idCol, vecCol, nClusters)
+    val assigned = Dedup.materialize(df.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cvec"),
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        col(vecCol), cents, 1), 1).as("cluster")))
+    val probed = df.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qvec"),
+      explode(graft.functions.VectorFunctions.nearest_centroids(
+        col(vecCol), cents, nProbe)).as("cluster"))
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__m"))
+    val probeSizes = df
+      .select(explode(graft.functions.VectorFunctions.nearest_centroids(
+        col(vecCol), cents, nProbe)).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("__p"))
+    val vol = sizes.join(probeSizes, "cluster")
+      .agg(coalesce(sum((col("__m") * col("__p")).cast(LongType)), lit(0L)))
+      .head().getLong(0)
+    if (vol > maxPairBudget)
+      throw new IllegalStateException(
+        f"knnJoin: cluster-join candidate volume $vol%,d exceeds budget " +
+          f"$maxPairBudget%,d — increase nClusters (k ~ corpus/" +
+          "targetClusterSize), lower nProbe, or raise maxPairBudget " +
+          "knowingly")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    assigned.join(probed, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qvec"), col("__cvec")).as("cosine"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within one table: pairs with
     * cosine >= threshold, found via LSH candidates.
     *

@@ -265,6 +265,43 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.95, s"IVF recall $recall on clustered data")
   }
 
+  test("knnJoin: exhaustive mode == brute-force graph; recall + budget guard") {
+    // exhaustive (nProbe = nClusters) must equal brute force regardless of
+    // centroid placement — the q85 oracle property, checked here on the
+    // fixture embeddings with self-joined brute force as truth
+    val corpus = emb.where($"vec_id" < 150).select($"vec_id", $"embedding")
+    def graph(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graph(Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", k = 4))
+    val exhaustive = graph(Similarity.knnJoin(corpus, "vec_id", "embedding",
+      k = 4, nClusters = 8, nProbe = 8))
+    assert(exact.nonEmpty && exhaustive == exact,
+      s"missed=${(exact -- exhaustive).size} extra=${(exhaustive -- exact).size}")
+
+    // recall trade on clustered vectors at nProbe << nClusters
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8, 16)(rnd.nextGaussian() * 10)
+    val clustered = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val truth = graph(Similarity.bruteForceTopK(clustered, "vec_id",
+      "embedding", clustered, "vec_id", "embedding", k = 5))
+    val approx = graph(Similarity.knnJoin(clustered, "vec_id", "embedding",
+      k = 5, nClusters = 8, nProbe = 2))
+    val recall = truth.intersect(approx).size.toDouble / truth.size
+    assert(recall >= 0.95, s"knnJoin recall $recall on clustered data")
+
+    // the volume guard must refuse pathological geometry with guidance
+    val e = intercept[IllegalStateException] {
+      Similarity.knnJoin(corpus, "vec_id", "embedding", k = 4,
+        nClusters = 2, nProbe = 2, maxPairBudget = 100L)
+    }
+    assert(e.getMessage.contains("increase nClusters"), e.getMessage)
+  }
+
   test("language ID classifies constructed en/es/zh text") {
     // NOTE: the fixture's `lang` column is a synthetic label — its "zh"
     // docs contain English word-salad — so the heuristic is tested on

@@ -189,6 +189,14 @@ class PlanQualitySpec extends SparkTestBase {
       "q84 benchmark window keys must broadcast")
   }
 
+  test("knnJoin meets on cluster keys with a partial top-k — no cartesian") {
+    val plan = physicalPlan(SparkEntry.queries("q85_knn_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct"),
+      "exhaustive knnJoin must distribute over cluster blocks, not cross")
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-k must pre-truncate map-side")
+  }
+
   test("near-dup pipelines materialize signatures: no parquet re-scan in the final plan") {
     // the pair operators localCheckpoint their signature frame (and the
     // entries their shingle frame), so the corpus parquet is read once per
