@@ -1291,6 +1291,19 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
         .orderBy("doc_id", "span_start")
     }),
+    "q86_blocklist" -> ((s, dir) => {
+      // C4-style blocklist stats: per-doc count and fraction of tokens on
+      // a (literal, plan-folded) blocklist — a pure codegen'd column pair
+      // over the scan, zero shuffles. The filter policy composes on top
+      // (blocklistFilter); the oracle replays count+ratio per doc.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val stats = graft.ext.TextAnalysis.blocklistStats(col("text"),
+        Seq("slow", "error", "join"))
+      docs.select(col("doc_id"),
+          stats.getField("n_blocked").as("n_blocked"),
+          round(stats.getField("blocked_ratio"), 6).as("blocked_ratio"))
+        .orderBy("doc_id")
+    }),
     "q85_knn_join" -> ((s, dir) => {
       // approximate k-NN JOIN in exhaustive mode (nProbe = nClusters):
       // provably the brute-force neighbor graph — a cartesian's RESULT
@@ -2514,6 +2527,21 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q86: same lowercased whitespace tokenization, count of tokens on
+    // the same 3-word list (repeats count — list_filter, not intersect),
+    // ratio guarded for empty text exactly like the engine's `when`
+    "q86_blocklist" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> x IN ('slow', 'error', 'join')))
+        |    AS BIGINT) AS n_blocked,
+        |  round(CASE WHEN len(trim(text)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(t, x -> x IN ('slow', 'error', 'join')))
+        |      AS DOUBLE) / len(t) END, 6) AS blocked_ratio
+        |FROM tok ORDER BY doc_id""".stripMargin,
     // q85: brute-force k-NN graph — with nProbe = nClusters the IVF join
     // is exhaustive, so the oracle is the plain all-pairs top-5 (cosine
     // desc, neighbor id asc ties), independent of centroid placement

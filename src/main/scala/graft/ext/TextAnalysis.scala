@@ -178,4 +178,44 @@ object TextAnalysis {
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** Blocklist ("bad word") statistics — the C4-style content filter:
+    * per row, the count and fraction of (lowercased, whitespace) tokens
+    * that appear in `blocklist`. The list folds into the plan as a
+    * literal array (blocklists are hundreds to thousands of entries — if
+    * yours outgrows a literal, join a broadcast table instead); the whole
+    * thing is a pure codegen'd column pair over the scan, zero shuffles,
+    * pushdown-safe.
+    *
+    * Returns a struct `(n_blocked, blocked_ratio)`; `blocked_ratio` is
+    * 0.0 for empty/whitespace-only text. Compose the policy yourself:
+    * `where(blocklistStats(...).getField("n_blocked") === 0)` is the
+    * strict C4 rule, a ratio bound is the lenient variant
+    * ([[blocklistFilter]] packages both). */
+  def blocklistStats(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val toks = graft.functions.TextHashFunctions.split_ws(lower(trim(text)))
+    val blocked = size(array_intersect_count(toks, blocklist))
+    val n = when(length(trim(text)) === 0, 0).otherwise(size(toks))
+    struct(
+      blocked.cast(LongType).as("n_blocked"),
+      when(n === 0, 0.0).otherwise(blocked.cast(DoubleType) / n.cast(DoubleType))
+        .as("blocked_ratio"))
+  }
+
+  // filter(toks, t -> t IN list): array_intersect would dedup repeats,
+  // under-counting a doc that repeats one blocked token
+  private def array_intersect_count(toks: Column, list: Seq[String]): Column =
+    filter(toks, t => t.isInCollection(list))
+
+  /** Rows of `df` whose blocked-token count stays ≤ `maxBlocked` AND
+    * blocked fraction ≤ `maxRatio` (defaults = the strict C4 rule: zero
+    * blocked tokens). A pure filter over the scan. */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+      blocklist: Seq[String], maxBlocked: Long = 0L,
+      maxRatio: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val s = blocklistStats(col(textCol), blocklist)
+    df.where(s.getField("n_blocked") <= maxBlocked &&
+      s.getField("blocked_ratio") <= maxRatio)
+  }
 }

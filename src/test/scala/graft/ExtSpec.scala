@@ -302,6 +302,28 @@ class ExtSpec extends SparkTestBase {
     assert(e.getMessage.contains("increase nClusters"), e.getMessage)
   }
 
+  test("blocklist stats count repeats; filter composes strict and ratio policies") {
+    val d = Seq(
+      (1L, "clean text only"),
+      (2L, "bad BAD good"),        // case-folded: 2 hits of 3 tokens
+      (3L, "bad"),                 // ratio 1.0
+      (4L, "")                     // empty: n_blocked 0, ratio 0
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.blocklistStats(col("text"), Seq("bad"))
+    val rows = d.select(col("doc_id"), s.getField("n_blocked").as("n"),
+        s.getField("blocked_ratio").as("r"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(rows == Map(1L -> (0L, 0.0), 2L -> (2L, 2.0 / 3), 3L -> (1L, 1.0),
+      4L -> (0L, 0.0)), rows.toString)
+    val strict = TextAnalysis.blocklistFilter(d, "text", Seq("bad"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L, 4L))
+    val lenient = TextAnalysis.blocklistFilter(d, "text", Seq("bad"),
+        maxBlocked = 10L, maxRatio = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lenient == Set(1L, 2L, 4L))
+  }
+
   test("language ID classifies constructed en/es/zh text") {
     // NOTE: the fixture's `lang` column is a synthetic label — its "zh"
     // docs contain English word-salad — so the heuristic is tested on
