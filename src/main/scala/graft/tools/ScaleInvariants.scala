@@ -690,6 +690,26 @@ object ScaleInvariants {
           s"onlyBase=${(b -- s0).size} onlyScaled=${(s0 -- b).size}")
     }
 
+    // q86 blocklist at scale: replica suffixing renames every token
+    // ("slow" -> "slow_7"), so NO suffixed replica can match the literal
+    // blocklist — hits live entirely in replica 0, which must equal the
+    // base output verbatim; total rows are exactly N× (stats emit per doc).
+    if (wanted("q86")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = rows(graft.SparkEntry.queries("q86_blocklist")(spark, base))
+      val sDf = graft.SparkEntry.queries("q86_blocklist")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = rows(sDf.where(col("doc_id") < ScaleUp.KeyOffset))
+      val replicaHits = sDf.where(col("doc_id") >= ScaleUp.KeyOffset &&
+        col("n_blocked") > 0).count()
+      check("q86_blocklist_replica0_exact_suffix_blind")(
+        b.nonEmpty && sCount == n.toLong * b.size && s0 == b &&
+          replicaHits == 0,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b} suffixedReplicaHits=$replicaHits")
+    }
+
     // q82 DSIR at scale: replicas have disjoint suffixed vocabularies with
     // identical counts, so Tt, Tr and D all scale by exactly N and the ln N
     // shifts CANCEL in the per-feature log ratio — DSIR weights are
