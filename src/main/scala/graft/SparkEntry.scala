@@ -1312,10 +1312,14 @@ object SparkEntry {
       // nClusters is gated in ExtSpec on clustered vectors.
       val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
         .where(col("vec_id") < 200)
+      // order on ids only: ordering on the ROUNDED cosine could diverge
+      // from the oracle's unrounded sort when two neighbors tie at 3
+      // decimals (the selection itself ranks on unrounded cosine in both
+      // engines, so the SET is stable)
       graft.ext.Similarity.knnJoin(emb, "vec_id", "embedding", k = 5,
           nClusters = 8, nProbe = 8)
         .withColumn("cosine", round(col("cosine"), 3))
-        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+        .orderBy("query_id", "neighbor_id")
     }),
     "q84_contaminated_spans" -> ((s, dir) => {
       // SURGICAL decontamination: maximal token spans of the training
@@ -2560,7 +2564,7 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, neighbor_id, round(c, 3) AS cosine
         |FROM rk WHERE rn <= 5
-        |ORDER BY query_id, c DESC, neighbor_id""".stripMargin,
+        |ORDER BY query_id, neighbor_id""".stripMargin,
     // q84: exact-gram replay of the benchmark-membership span rule —
     // same case-sensitive tokenization and island merge as q79, with
     // "gram in benchmark set" replacing the corpus df >= 2 rule

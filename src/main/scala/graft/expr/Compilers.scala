@@ -630,11 +630,12 @@ object Compilers {
           case _ =>
             // raw column in a single query: the built-in HLL++ (codegen'd,
             // partial-aggregated, no per-row sketch object churn) at rsd
-            // 0.023 — the same precision as the engine's p=11 sketch
-            // (1.04/sqrt(2^11)); Spark picks p=11 from that rsd and its
-            // bias correction holds the documented ±5% band in the
-            // n ≈ register-count regime where the DEFAULT rsd 0.05 missed
-            // it on every bucket (measured at both verify SFs). The
+            // 0.023 — the engine's p=11 sketch precision (1.04/sqrt(2^11)).
+            // Spark maps that rsd to p = ceil(2·log2(1.106/rsd)) = 12
+            // registers (slightly MORE accurate than the sketch it
+            // replaces), and its bias correction holds the documented ±5%
+            // band in the n ≈ register-count regime where the DEFAULT rsd
+            // 0.05 missed it on every bucket (measured at both verify SFs). The
             // engine's own sketch (HllSketchAgg) remains the path for
             // sketch-typed columns above and for rollup segment storage,
             // where MERGEABILITY across segments is the point — in a

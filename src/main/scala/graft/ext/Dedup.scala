@@ -747,15 +747,21 @@ object Dedup {
     *     capped shingles could ALL hit), so keeping
     *     `c + capped(a) ≥ threshold·|sh(a)|` NEVER drops a pair that
     *     brute-force would emit — provided the pair shares ≥1 uncapped
-    *     shingle. A fragment wholly made of capped shingles is the one
-    *     documented capture loss (it IS boilerplate by definition); such
-    *     fragments are counted in the [[lshStats]] record (`droppedMembers`
-    *     = capped posting rows, `overflowBuckets` = capped shingles).
+    *     shingle. The documented capture loss is therefore PER PAIR: a
+    *     pair whose ENTIRE overlap consists of df-capped shingles is never
+    *     generated, even when the fragment also has uncapped (unshared)
+    *     shingles — such an overlap is wall-to-wall boilerplate by
+    *     definition, and a qualifying one additionally requires
+    *     `capped(a) ≥ threshold·|sh(a)|` (a mostly-boilerplate fragment).
+    *     The cap pressure is observable in the [[lshStats]] record
+    *     (`droppedMembers` = capped posting rows, `overflowBuckets` =
+    *     capped shingles): a high capped share on a low-threshold run is
+    *     the signal to raise `dfCap`.
     *  5. exact verification of candidates against the materialized shingle
     *     frame ([[ngramContainmentPairsFromCandidates]]) — false positives
-    *     cannot survive, so the result equals brute force whenever no
-    *     fragment crosses the all-capped edge (q78b proves equality on the
-    *     planted corpus).
+    *     cannot survive, so the result equals brute force whenever every
+    *     qualifying pair shares ≥1 uncapped shingle (q78b proves equality
+    *     on the planted corpus).
     *
     * 100×: postings shuffle linearly in corpus shingle volume; the df-cap
     * bounds every join key; candidate volume ≤ docs · avgShingles · dfCap.
@@ -1118,17 +1124,18 @@ object Dedup {
         coalesce(col("__spans"),
           array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
           .as("__sp"))
-      .select(col(idCol),
-        array_join(filter(col("__t"), (tok, i) =>
+      // ONE O(tokens × spans) membership pass: n_removed derives from the
+      // kept array's size (Catalyst does not CSE higher-order lambdas, so
+      // a second negated filter would pay the whole scan again)
+      .select(col(idCol), col("__t"),
+        filter(col("__t"), (tok, i) =>
           !exists(col("__sp"), s =>
             i.cast(LongType) >= s.getField("span_start") &&
-              i.cast(LongType) < s.getField("span_end"))), " ")
-          .as("text_clean"),
-        size(filter(col("__t"), (tok, i) =>
-          exists(col("__sp"), s =>
-            i.cast(LongType) >= s.getField("span_start") &&
-              i.cast(LongType) < s.getField("span_end"))))
-          .cast(LongType).as("n_removed"))
+              i.cast(LongType) < s.getField("span_end"))).as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_clean"),
+        (size(col("__t")) - size(col("__kept"))).cast(LongType)
+          .as("n_removed"))
   }
 
   /** [[duplicatedSpans]] + [[stripSpans]]: every occurrence of every

@@ -221,23 +221,14 @@ object Similarity {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       var iter = 0
       while (iter < lloydIters) {
-        val normed = cents.map { c =>
-          val nn = math.sqrt(c.map(x => x * x).sum)
-          if (nn == 0) c else c.map(_ / nn)
-        }
+        // shared canonical assignment rule (graft.functions.NearestCentroids
+        // companion) — the same code the expression path runs, so the two
+        // refinement venues cannot drift apart
+        val normed = graft.functions.NearestCentroids.normalize(cents)
         val sums = Array.fill(cents.length)(new Array[Double](dim))
         val cnts = Array.fill(cents.length)(new Array[Long](dim))
         vecs.foreach { v =>
-          var best = 0; var bestDot = Double.NegativeInfinity
-          var ci = 0
-          while (ci < normed.length) {
-            val c = normed(ci)
-            var dot = 0.0; var i = 0
-            val m = math.min(v.length, c.length)
-            while (i < m) { dot += v(i) * c(i); i += 1 }
-            if (dot > bestDot) { bestDot = dot; best = ci }
-            ci += 1
-          }
+          val best = graft.functions.NearestCentroids.bestCentroid(v, normed)
           var i = 0
           val m = math.min(v.length, dim)
           while (i < m) { sums(best)(i) += v(i); cnts(best)(i) += 1; i += 1 }
@@ -340,10 +331,10 @@ object Similarity {
       explode(graft.functions.VectorFunctions.nearest_centroids(
         col(vecCol), cents, nProbe)).as("cluster"))
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__m"))
-    val probeSizes = df
-      .select(explode(graft.functions.VectorFunctions.nearest_centroids(
-        col(vecCol), cents, nProbe)).as("cluster"))
-      .groupBy("cluster").agg(count(lit(1)).as("__p"))
+    // probe counts come from the SAME probed frame (one nearest_centroids
+    // pass for the guard, one for the join) — a separate re-derivation
+    // would be a third full-corpus assignment pass
+    val probeSizes = probed.groupBy("cluster").agg(count(lit(1)).as("__p"))
     val vol = sizes.join(probeSizes, "cluster")
       .agg(coalesce(sum((col("__m") * col("__p")).cast(LongType)), lit(0L)))
       .head().getLong(0)

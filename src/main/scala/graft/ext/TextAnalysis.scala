@@ -194,9 +194,13 @@ object TextAnalysis {
     * ([[blocklistFilter]] packages both). */
   def blocklistStats(text: Column, blocklist: Seq[String]): Column = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
-    val toks = graft.functions.TextHashFunctions.split_ws(lower(trim(text)))
+    // null text behaves like empty text: without the coalesce both struct
+    // fields come out NULL and blocklistFilter's `null <= max` predicate
+    // silently DROPS a row that contains zero blocked tokens
+    val t = coalesce(text, lit(""))
+    val toks = graft.functions.TextHashFunctions.split_ws(lower(trim(t)))
     val blocked = size(array_intersect_count(toks, blocklist))
-    val n = when(length(trim(text)) === 0, 0).otherwise(size(toks))
+    val n = when(length(trim(t)) === 0, 0).otherwise(size(toks))
     struct(
       blocked.cast(LongType).as("n_blocked"),
       when(n === 0, 0.0).otherwise(blocked.cast(DoubleType) / n.cast(DoubleType))

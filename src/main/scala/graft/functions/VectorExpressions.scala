@@ -298,11 +298,10 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
 
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // normalize once so dot order == cosine order
-  @transient private lazy val normed: Array[Array[Double]] = centroids.map { c =>
-    val n = math.sqrt(c.map(x => x * x).sum)
-    if (n == 0) c else c.map(_ / n)
-  }
+  // normalize once so dot order == cosine order (the canonical rule lives
+  // in the companion, shared with driver-side Lloyd)
+  @transient private lazy val normed: Array[Array[Double]] =
+    NearestCentroids.normalize(centroids)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -324,6 +323,37 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The CANONICAL centroid-assignment semantics, shared by the expression
+  * above and `Similarity.buildIvfCentroids`' driver-side Lloyd arm:
+  * centroids L2-normalized, raw-vector dot against each, highest dot
+  * wins, LOWEST index on ties (the expression's stable sort and
+  * [[bestCentroid]]'s strict `>` agree). Keeping one definition here —
+  * with ExtSpec pinning the expression against [[bestCentroid]] — stops
+  * the two arms from drifting apart, which would make centroid builds
+  * depend on whether the sample crossed the in-memory threshold. */
+object NearestCentroids {
+  def normalize(centroids: Array[Array[Double]]): Array[Array[Double]] =
+    centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    }
+
+  /** Index of the best centroid for `v` against PRE-NORMALIZED centroids. */
+  def bestCentroid(v: Array[Double], normed: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var ci = 0
+    while (ci < normed.length) {
+      val c = normed(ci)
+      var dot = 0.0; var i = 0
+      val m = math.min(v.length, c.length)
+      while (i < m) { dot += v(i) * c(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = ci }
+      ci += 1
+    }
+    best
+  }
 }
 
 /** Symmetric int8 quantization of an embedding vector:

@@ -828,9 +828,13 @@ object QueryPlanner {
     val timeOrder = if (q.descending) col(TimeColumn).desc else col(TimeColumn).asc
     val tiebreaks = cols.filterNot(_ == TimeColumn).map(col(_).asc)
     // Legacy `{"offset": n}` identifiers keep the global-offset behavior.
+    // Read by MAGNITUDE: with druidNegativePagingIdentifiers=true the
+    // encoder echoes Druid 0.12's NEGATIVE descending offsets, and a
+    // legacy client round-trips them verbatim — abs() keeps that page
+    // resumable instead of feeding Dataset.offset() a negative skip.
     val skip = cursor.map(_._2).getOrElse(
       if (q.pagingSpec.pagingIdentifiers.isEmpty) 0
-      else q.pagingSpec.pagingIdentifiers.values.max)
+      else q.pagingSpec.pagingIdentifiers.values.map(math.abs).max)
     // orderBy + offset + limit fuses into TakeOrderedAndProject (per-partition
     // top-(skip+threshold), driver merge) — no global sort exchange.
     projected.orderBy(timeOrder +: tiebreaks: _*)

@@ -265,6 +265,27 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.95, s"IVF recall $recall on clustered data")
   }
 
+  test("driver-side Lloyd assignment == nearest_centroids expression") {
+    // the two centroid-refinement venues share one assignment rule
+    // (NearestCentroids companion); this pins the expression against the
+    // helper so neither can drift without failing here
+    val rnd = new scala.util.Random(5)
+    val cents = Array.fill(6, 8)(rnd.nextGaussian())
+    val vecs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val exprAssign = vecs.toDF("id", "v")
+      .select(col("id"), element_at(
+        graft.functions.VectorFunctions.nearest_centroids(col("v"), cents, 1),
+        1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val normed = graft.functions.NearestCentroids.normalize(cents)
+    vecs.foreach { case (id, v) =>
+      val helper = graft.functions.NearestCentroids.bestCentroid(
+        v.map(_.toDouble).toArray, normed)
+      assert(exprAssign(id) == helper, s"vec $id: ${exprAssign(id)} vs $helper")
+    }
+  }
+
   test("knnJoin: exhaustive mode == brute-force graph; recall + budget guard") {
     // exhaustive (nProbe = nClusters) must equal brute force regardless of
     // centroid placement — the q85 oracle property, checked here on the
@@ -309,19 +330,21 @@ class ExtSpec extends SparkTestBase {
       (3L, "bad"),                 // ratio 1.0
       (4L, "")                     // empty: n_blocked 0, ratio 0
     ).toDF("doc_id", "text")
+      .union(Seq(5L).toDF("doc_id") // null text behaves like empty text
+        .select(col("doc_id"), lit(null).cast("string").as("text")))
     val s = TextAnalysis.blocklistStats(col("text"), Seq("bad"))
     val rows = d.select(col("doc_id"), s.getField("n_blocked").as("n"),
         s.getField("blocked_ratio").as("r"))
       .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
     assert(rows == Map(1L -> (0L, 0.0), 2L -> (2L, 2.0 / 3), 3L -> (1L, 1.0),
-      4L -> (0L, 0.0)), rows.toString)
+      4L -> (0L, 0.0), 5L -> (0L, 0.0)), rows.toString)
     val strict = TextAnalysis.blocklistFilter(d, "text", Seq("bad"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(strict == Set(1L, 4L))
+    assert(strict == Set(1L, 4L, 5L))
     val lenient = TextAnalysis.blocklistFilter(d, "text", Seq("bad"),
         maxBlocked = 10L, maxRatio = 0.7)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(lenient == Set(1L, 2L, 4L))
+    assert(lenient == Set(1L, 2L, 4L, 5L))
   }
 
   test("language ID classifies constructed en/es/zh text") {

@@ -37,9 +37,11 @@ class HllSketchSpec extends SparkTestBase {
     }
   }
 
-  test("raw-column hyperUnique/cardinality aggs use the sketch estimator (±5% at n≈m)") {
+  test("raw-column hyperUnique/cardinality estimates hold ±5% at n≈m (built-in HLL++ path)") {
     // engine-path regression for the sf0.1 q30 failure: a raw (non-sketch)
     // column at 1500 uniques per bucket must estimate within the band.
+    // Raw columns route to approx_count_distinct(rsd 0.023) since round
+    // 10; HllSketchAgg remains the sketch-typed/rollup-storage path.
     val n = 1500
     val df = (0 until 3).flatMap(b => (1 to n).map(u =>
       (Timestamp.from(java.time.Instant.parse(s"2024-01-0${b + 1}T00:00:00Z")),

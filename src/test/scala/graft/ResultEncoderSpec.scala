@@ -256,6 +256,13 @@ class ResultEncoderSpec extends SparkTestBase {
     val r2 = page(s""""t:$us2":-1""")
     assert(r2.get("events").size() == 1)
     assert(r2.get("events").get(0).get("value").asDouble() == 10.0)
+    // a LEGACY global-offset identifier echoed in the negative shape must
+    // resume by magnitude — the fallback `values.max` on a negative skip
+    // would otherwise reach Dataset.offset() and throw
+    val neg = page(""""offset":-1""")
+    val pos = page(""""offset":1""")
+    assert(neg.toString == pos.toString,
+      s"legacy negative offset must resume like its magnitude: $neg vs $pos")
     // ascending (or flag-less) queries keep positive identifiers
     val asc = mapper.readTree(engine.executeJson(
       """{"queryType":"select","dataSource":"ev",
