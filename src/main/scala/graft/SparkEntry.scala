@@ -1291,6 +1291,16 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
         .orderBy("doc_id", "span_start")
     }),
+    "q87_leakfree_split" -> ((s, dir) => {
+      // leakage-free split: md5 train/val/test labels, then every held-out
+      // doc that is an exact-Jaccard (>= 0.5) near-dup of a TRAIN doc is
+      // demoted to train. LSH finds candidates, exact shingle Jaccard
+      // decides — so the DuckDB oracle (brute-force cross Jaccard +
+      // demotion replay) must match exactly.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.ext.Curation.leakFreeSplit(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q86_blocklist" -> ((s, dir) => {
       // C4-style blocklist stats: per-doc count and fraction of tokens on
       // a (literal, plan-folded) blocklist — a pure codegen'd column pair
@@ -2531,6 +2541,43 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q87: md5 split replay (q49 idiom) + brute-force cross-split exact
+    // Jaccard (q22/q24 shingle idiom) + direct train-holdout demotion
+    "q87_leakfree_split" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |    END) AS sh
+        |  FROM tok),
+        |lab AS (
+        |  SELECT doc_id, CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT) < 90 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS BIGINT) < 95 THEN 'val'
+        |    ELSE 'test' END AS split0
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(a.sh || b.sh)) >= 0.5),
+        |dem AS (
+        |  SELECT DISTINCT CASE WHEN la.split0 = 'train'
+        |    THEN p.id_b ELSE p.id_a END AS did
+        |  FROM pairs p
+        |  JOIN lab la ON p.id_a = la.doc_id
+        |  JOIN lab lb ON p.id_b = lb.doc_id
+        |  WHERE (la.split0 = 'train') <> (lb.split0 = 'train'))
+        |SELECT l.doc_id,
+        |  CASE WHEN d.did IS NOT NULL THEN 'train' ELSE l.split0 END AS split,
+        |  d.did IS NOT NULL AS demoted
+        |FROM lab l LEFT JOIN dem d ON l.doc_id = d.did
+        |ORDER BY l.doc_id""".stripMargin,
     // q86: same lowercased whitespace tokenization, count of tokens on
     // the same 3-word list (repeats count — list_filter, not intersect),
     // ratio guarded for empty text exactly like the engine's `when`

@@ -113,6 +113,63 @@ object Curation {
     * broadcast rate table instead). Expected output rows =
     * sum over groups of rate_g * n_g, exact to ±1 per group modulo the
     * Lehmer stream. */
+  /** Leakage-free train/val/test split: the deterministic md5 split
+    * ([[TextAnalysis.splitLabel]]) plus an eval-contamination pass — a
+    * val/test document that is an exact-shingle-Jaccard near-duplicate
+    * (≥ `threshold`) of ANY train document is DEMOTED to train. Held-out
+    * metrics are only meaningful if the held-out set has no training
+    * twins; demoting (rather than dropping) keeps the data while
+    * protecting the eval.
+    *
+    * Near-dup discovery is the q22-certified shape: one materialized
+    * frame carries the MinHash signature AND the verify shingle set
+    * (corpus read + hashed once), banding at `bands` over `numHashes`
+    * generates candidates at `threshold - estMargin` on the signature
+    * estimate, and EXACT shingle Jaccard ≥ `threshold` decides — so the
+    * demoted set equals what brute-force cross-split Jaccard would
+    * demote (the q87 oracle proves it). Only DIRECT train↔holdout pairs
+    * demote; a holdout chain (val₁ ~ val₂ ~ train) demotes val₂ but not
+    * val₁ — compose [[Dedup.dupClusters]] over the pair frame first if
+    * transitive leakage matters at your threshold.
+    *
+    * Output: (`idCol`, `split`, `demoted`) — `split` is the final label,
+    * `demoted` marks documents moved holdout → train. */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+      trainPct: Int = 90, valPct: Int = 5, shingleN: Int = 3,
+      threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 32,
+      estMargin: Double = 0.15, bucketCap: Int = 256): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val frame = Dedup.materialize(df.select(col(idCol).as("id"),
+      Dedup.minhashSignature(col(textCol), numHashes, shingleN).as("sig"),
+      Dedup.shingles(col(textCol), shingleN).as("sh")))
+    val cand = Dedup.minhashDupPairsFromSigs(frame, "id", "sig", bands,
+      math.max(0.0, threshold - estMargin), bucketCap)
+    val exact = cand
+      .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
+          .as("__j"))
+      .where(col("__j") >= threshold)
+    def lab(c: Column) = TextAnalysis.splitLabel(c, trainPct, valPct)
+    val cross = exact.select(col("id_a"), col("id_b"),
+      lab(col("id_a")).as("__la"), lab(col("id_b")).as("__lb"))
+    val demoted = cross
+      .where(col("__la") === "train" && col("__lb") =!= "train")
+      .select(col("id_b").as("__did"))
+      .union(cross
+        .where(col("__lb") === "train" && col("__la") =!= "train")
+        .select(col("id_a").as("__did")))
+      .distinct()
+    df.select(col(idCol), lab(col(idCol)).as("__split0"))
+      .join(demoted, col(idCol) === col("__did"), "left")
+      .select(col(idCol),
+        when(col("__did").isNotNull, "train").otherwise(col("__split0"))
+          .as("split"),
+        col("__did").isNotNull.as("demoted"))
+  }
+
   def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: Long = 11L): DataFrame = {

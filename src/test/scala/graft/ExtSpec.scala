@@ -265,6 +265,37 @@ class ExtSpec extends SparkTestBase {
     assert(recall >= 0.95, s"IVF recall $recall on clustered data")
   }
 
+  test("leakFreeSplit demotes held-out near-dups of train docs") {
+    import graft.ext.{Curation, TextAnalysis}
+    val out = Curation.leakFreeSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(out.size == docs.count())
+    // brute-force ground truth over the fixture (bounded corpus — fine in
+    // a test): cross-split exact-Jaccard pairs decide the demotion set
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lab = docs.select(col("doc_id"),
+        TextAnalysis.splitLabel(col("doc_id")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expectDemoted = pairs.flatMap { case (a, b) =>
+      (lab(a) == "train", lab(b) == "train") match {
+        case (true, false) => Some(b)
+        case (false, true) => Some(a)
+        case _ => None
+      }
+    }.toSet
+    assert(expectDemoted.nonEmpty, "fixture should produce demotions")
+    assert(out.filter(_._2._2).keySet == expectDemoted)
+    out.foreach { case (id, (split, demoted)) =>
+      val expected = if (expectDemoted(id)) "train" else lab(id)
+      assert(split == expected && demoted == expectDemoted(id),
+        s"doc $id: ($split,$demoted) vs ($expected,${expectDemoted(id)})")
+    }
+  }
+
   test("driver-side Lloyd assignment == nearest_centroids expression") {
     // the two centroid-refinement venues share one assignment rule
     // (NearestCentroids companion); this pins the expression against the
