@@ -710,6 +710,25 @@ object ScaleInvariants {
           s"replica0Match=${s0 == b} suffixedReplicaHits=$replicaHits")
     }
 
+    // q87 leakage-free split: near-dup pairs are replica-local (token
+    // suffixing) and the md5 split of a replica-0 id is the same in both
+    // runs, so the scaled output restricted to replica-0 ids — labels AND
+    // demotions — must equal the base output verbatim, with 100× total
+    // rows. (Replica j's labels hash differently per id, so only the
+    // replica-0 slice is sharp.)
+    if (wanted("q87")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+      val b = rows(graft.SparkEntry.queries("q87_leakfree_split")(spark, base))
+      val sDf = graft.SparkEntry.queries("q87_leakfree_split")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = rows(sDf.where(col("doc_id") < ScaleUp.KeyOffset))
+      check("q87_leakfree_split_replica0_exact")(
+        b.nonEmpty && sCount == n.toLong * b.size && s0 == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b} baseDemoted=${b.count(_._3)}")
+    }
+
     // q82 DSIR at scale: replicas have disjoint suffixed vocabularies with
     // identical counts, so Tt, Tr and D all scale by exactly N and the ln N
     // shifts CANCEL in the per-feature log ratio — DSIR weights are
