@@ -1291,6 +1291,22 @@ object SparkEntry {
       graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", k = 10)
         .orderBy("doc_id", "span_start")
     }),
+    "q88_unicode_normalize" -> ((s, dir) => {
+      // unicode NFC normalization over constructed decomposed text: each
+      // doc gets a decomposed-accent suffix (e + combining acute, A +
+      // combining ring) that NFC must compose to é / Å. Both engines
+      // implement UAX #15, so the normalized bytes agree exactly — md5
+      // keeps the comparison payload small. Identity on already-NFC text
+      // is asserted by n_changed counting only the constructed suffix.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val deco = concat(col("text"), lit(" é Å end"))
+      docs.select(col("doc_id"),
+          md5(graft.ext.TextAnalysis.normalizeText(deco)).as("norm_md5"),
+          (length(deco) -
+            length(graft.ext.TextAnalysis.normalizeText(deco)))
+            .cast("long").as("n_composed"))
+        .orderBy("doc_id")
+    }),
     "q87_leakfree_split" -> ((s, dir) => {
       // leakage-free split: md5 train/val/test labels, then every held-out
       // doc that is an exact-Jaccard (>= 0.5) near-dup of a TRAIN doc is
@@ -2541,6 +2557,18 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
+    // q88: identical decomposed suffix via chr() codepoints; DuckDB's
+    // nfc_normalize and the JDK normalizer both implement UAX #15, so
+    // the composed bytes (and the 2-codepoint shrink) agree exactly
+    "q88_unicode_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' e' || chr(769) || ' A' || chr(778) || ' end' AS deco
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(deco)) AS norm_md5,
+        |  CAST(length(deco) - length(nfc_normalize(deco)) AS BIGINT)
+        |    AS n_composed
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q87: md5 split replay (q49 idiom) + brute-force cross-split exact
     // Jaccard (q22/q24 shingle idiom) + direct train-holdout demotion
     "q87_leakfree_split" ->

@@ -22,6 +22,16 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
       .cast(LongType)
 
+  /** Unicode normalization (NFC default; NFKC folds width/ligatures) with
+    * optional C0/C1 control stripping — the ingest cleanup that must run
+    * BEFORE any byte-level hashing: decomposed vs precomposed accents
+    * hash apart and silently defeat exact dedup. Codegen'd native
+    * expression ([[graft.functions.UnicodeNormalize]]); pure map,
+    * pushdown-safe. */
+  def normalizeText(text: Column, form: String = "NFC",
+      stripControl: Boolean = false): Column =
+    graft.functions.TextHashFunctions.unicode_normalize(text, form, stripControl)
+
   /** Occurrences of a literal marker (exact substring count). */
   def substringCount(text: Column, marker: String): Column =
     ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length))

@@ -495,6 +495,67 @@ object WordShingles {
   }
 }
 
+/** Unicode normalization of a string column — the ingest-time cleanup
+  * step every multilingual corpus needs before any byte-level hashing
+  * (NFC vs decomposed sequences would otherwise make visually identical
+  * texts hash apart, silently defeating exact dedup). `form` is a
+  * `java.text.Normalizer.Form` name (NFC default; NFKC for the
+  * compatibility fold that also normalizes width/ligatures);
+  * `stripControl = true` additionally removes C0/C1 control characters
+  * except tab/newline/carriage-return. Spark ships no normalizer
+  * built-in; this is a codegen'd expression over a static helper (the
+  * JDK normalizer implements UAX #15, so any conformant engine — e.g.
+  * DuckDB's `nfc_normalize` — reproduces the NFC output byte-for-byte,
+  * which is what makes the q88 oracle possible). */
+case class UnicodeNormalize(child: Expression, form: String,
+    stripControl: Boolean)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (scala.util.Try(java.text.Normalizer.Form.valueOf(form)).isSuccess)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"unknown normalization form '$form' (NFC/NFD/NFKC/NFKD)")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    UnicodeNormalize.compute(v.asInstanceOf[UTF8String], form, stripControl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.UnicodeNormalize.compute($a, "$form", $stripControl);""")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object UnicodeNormalize {
+  def compute(s: UTF8String, form: String, stripControl: Boolean): UTF8String = {
+    val normalized = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.valueOf(form))
+    val out =
+      if (!stripControl) normalized
+      else {
+        val sb = new java.lang.StringBuilder(normalized.length)
+        var i = 0
+        while (i < normalized.length) {
+          val c = normalized.charAt(i)
+          // C0 minus \t\n\r, DEL (0x7F), and the C1 block (0x80-0x9F)
+          val isCtl = (c < 0x20 && c != '\t' && c != '\n' && c != '\r') ||
+            c == 0x7f || (c >= 0x80 && c <= 0x9f)
+          if (!isCtl) sb.append(c)
+          i += 1
+        }
+        sb.toString
+      }
+    UTF8String.fromString(out)
+  }
+}
+
 /** POSITIONAL (non-distinct) word n-gram strings of a token array —
   * element `i` is tokens `[i, i+n)` joined by spaces; fewer than `n`
   * tokens yields an EMPTY array. The multiplicity-preserving sibling of
@@ -864,6 +925,10 @@ object TextHashFunctions {
 
   def word_ngrams(tokens: Column, ngramN: Int): Column =
     GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), ngramN))
+
+  def unicode_normalize(s: Column, form: String = "NFC",
+      stripControl: Boolean = false): Column =
+    GraftBridge.column(UnicodeNormalize(GraftBridge.expression(s), form, stripControl))
 
   def set_jaccard(a: Column, b: Column): Column =
     GraftBridge.column(SetJaccard(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -354,6 +354,30 @@ class ExtSpec extends SparkTestBase {
     assert(e.getMessage.contains("increase nClusters"), e.getMessage)
   }
 
+  test("unicode normalization: NFC composes, NFKC folds, control strip") {
+    val d = Seq(
+      (1L, "cafe\u0301"),           // decomposed: e + combining acute
+      (2L, "\uFB01le \uFF21"),      // fi-ligature + fullwidth A
+      (3L, "a\u0001bc\td\n\u009f") // C0 + C1 controls; tab/newline kept
+    ).toDF("id", "t")
+    def run(form: String, strip: Boolean) = d.select(col("id"),
+        TextAnalysis.normalizeText(col("t"), form, strip).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nfc = run("NFC", strip = false)
+    assert(nfc(1L) == "caf\u00e9", nfc(1L))       // composed e-acute
+    assert(nfc(2L) == "\uFB01le \uFF21")          // NFC keeps compat chars
+    val nfkc = run("NFKC", strip = false)
+    assert(nfkc(2L) == "file A", nfkc(2L))        // ligature + width folded
+    val stripped = run("NFC", strip = true)
+    assert(stripped(3L) == "abc\td\n", stripped(3L))
+    // unknown form is a type-check error, not a runtime surprise
+    val e = intercept[Exception] {
+      d.select(TextAnalysis.normalizeText(col("t"), "NOPE")).collect()
+    }
+    assert(e.getMessage.contains("NOPE") ||
+      Option(e.getCause).exists(_.getMessage.contains("NOPE")), e.getMessage)
+  }
+
   test("blocklist stats count repeats; filter composes strict and ratio policies") {
     val d = Seq(
       (1L, "clean text only"),
