@@ -710,6 +710,22 @@ object ScaleInvariants {
           s"replica0Match=${s0 == b} suffixedReplicaHits=$replicaHits")
     }
 
+    // q88 unicode normalization: a pure per-row map (q75's shape) —
+    // scaled output is exactly N× rows and the replica-0 slice must be
+    // bit-identical to the base run.
+    if (wanted("q88")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val b = rows(graft.SparkEntry.queries("q88_unicode_normalize")(spark, base))
+      val sDf = graft.SparkEntry.queries("q88_unicode_normalize")(spark, scaled)
+      val sCount = sDf.count()
+      val s0 = rows(sDf.where(col("doc_id") < ScaleUp.KeyOffset))
+      check("q88_normalize_replica0_exact")(
+        b.nonEmpty && sCount == n.toLong * b.size && s0 == b,
+        s"base=${b.size} scaled=$sCount expected=${n.toLong * b.size} " +
+          s"replica0Match=${s0 == b}")
+    }
+
     // q87 leakage-free split: near-dup pairs are replica-local (token
     // suffixing) and the md5 split of a replica-0 id is the same in both
     // runs, so the scaled output restricted to replica-0 ids — labels AND
