@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The Lehmer-stream samplers ([[mixtureSample]],
+    * [[Vocabulary.dsirResample]]) seed their int64 stream from the id
+    * column CAST to long — a non-numeric id (string/uuid) casts to null,
+    * which would silently degrade the deterministic draw to "every key
+    * null" (mixtureSample would keep nothing for fractional rates;
+    * dsirResample would fall back to a plain id-ordered limit) with no
+    * error. Fail loudly instead (ADVICE r10). */
+  private[ext] def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op: id column '$idCol' must be integral (byte/short/int/long) — " +
+        s"it seeds the deterministic Lehmer stream via a long cast, and " +
+        s"a $dt would cast to null and silently corrupt the draw; " +
+        "derive one first (e.g. xxhash64(uuid_col))")
+  }
+
   /** Assign each document to a fixed-token-budget pack, deterministically.
     *
     * Contiguous bin packing: documents are sharded by `pmod(id, shards)`,
@@ -113,6 +131,40 @@ object Curation {
     * broadcast rate table instead). Expected output rows =
     * sum over groups of rate_g * n_g, exact to ±1 per group modulo the
     * Lehmer stream. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: Long = 11L): DataFrame = {
+    require(rates.values.forall(_ >= 0) && defaultRate >= 0,
+      "sampling rates must be non-negative")
+    requireIntegralId(df, idCol, "mixtureSample")
+    // the output column and working temporaries would silently OVERWRITE
+    // same-named caller columns (withColumn replaces) — fail loudly instead
+    // of corrupting caller data (ADVICE r9)
+    Seq("copy", "__rate", "__copies").foreach { c =>
+      require(!df.columns.contains(c),
+        s"mixtureSample: input already has a '$c' column — rename it; " +
+          "'copy' is the operator's output and __rate/__copies are its " +
+          "working temporaries")
+    }
+    val m = 2147483647L // 2^31 - 1
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(r)).otherwise(acc)
+      }.cast("double")
+    val x1 = pmod(col(idCol).cast("long") * 48271L + salt, lit(m))
+    val x2 = pmod(x1 * 48271L, lit(m))
+    val x3 = pmod(x2 * 48271L, lit(m))
+    val u = x3.cast("double") / lit(m.toDouble)
+    df.withColumn("__rate", rate)
+      .withColumn("__copies", floor(col("__rate")).cast("long") +
+        when(u < col("__rate") - floor(col("__rate")), 1L).otherwise(0L))
+      // guard BEFORE sequence(): Spark's sequence(1, 0) yields the
+      // DESCENDING [1, 0], not an empty array
+      .where(col("__copies") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__rate", "__copies")
+  }
+
   /** Leakage-free train/val/test split: the deterministic md5 split
     * ([[TextAnalysis.splitLabel]]) plus an eval-contamination pass — a
     * val/test document that is an exact-shingle-Jaccard near-duplicate
@@ -125,12 +177,20 @@ object Curation {
     * frame carries the MinHash signature AND the verify shingle set
     * (corpus read + hashed once), banding at `bands` over `numHashes`
     * generates candidates at `threshold - estMargin` on the signature
-    * estimate, and EXACT shingle Jaccard ≥ `threshold` decides — so the
-    * demoted set equals what brute-force cross-split Jaccard would
-    * demote (the q87 oracle proves it). Only DIRECT train↔holdout pairs
-    * demote; a holdout chain (val₁ ~ val₂ ~ train) demotes val₂ but not
-    * val₁ — compose [[Dedup.dupClusters]] over the pair frame first if
-    * transitive leakage matters at your threshold.
+    * estimate, and EXACT shingle Jaccard ≥ `threshold` decides. Verified
+    * pairs are exact, but CANDIDATE GENERATION IS PROBABILISTIC
+    * (ADVICE r10): banding at the default geometry misses a true pair at
+    * the `threshold - estMargin` estimate with probability ~1e-4 (less
+    * above it), and buckets past `bucketCap` silently drop members — so
+    * the demoted set is a (very high-recall) SUBSET of what brute-force
+    * cross-split Jaccard would demote, not a guaranteed equality; a
+    * missed demotion is silent eval-set leakage at that ~1e-4 ×
+    * overflow rate. The q87 oracle proves equality on its fixture;
+    * cap pressure is observable via [[Dedup.lshStats]] after the run
+    * (overflowBuckets > 0 ⇒ raise `bucketCap`). Only DIRECT
+    * train↔holdout pairs demote; a holdout chain (val₁ ~ val₂ ~ train)
+    * demotes val₂ but not val₁ — compose [[Dedup.dupClusters]] over the
+    * pair frame first if transitive leakage matters at your threshold.
     *
     * Output: (`idCol`, `split`, `demoted`) — `split` is the final label,
     * `demoted` marks documents moved holdout → train. */
@@ -168,38 +228,5 @@ object Curation {
         when(col("__did").isNotNull, "train").otherwise(col("__split0"))
           .as("split"),
         col("__did").isNotNull.as("demoted"))
-  }
-
-  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
-      rates: Map[String, Double], defaultRate: Double = 0.0,
-      salt: Long = 11L): DataFrame = {
-    require(rates.values.forall(_ >= 0) && defaultRate >= 0,
-      "sampling rates must be non-negative")
-    // the output column and working temporaries would silently OVERWRITE
-    // same-named caller columns (withColumn replaces) — fail loudly instead
-    // of corrupting caller data (ADVICE r9)
-    Seq("copy", "__rate", "__copies").foreach { c =>
-      require(!df.columns.contains(c),
-        s"mixtureSample: input already has a '$c' column — rename it; " +
-          "'copy' is the operator's output and __rate/__copies are its " +
-          "working temporaries")
-    }
-    val m = 2147483647L // 2^31 - 1
-    val rate = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit(defaultRate)) { case (acc, (g, r)) =>
-        when(col(groupCol) === g, lit(r)).otherwise(acc)
-      }.cast("double")
-    val x1 = pmod(col(idCol).cast("long") * 48271L + salt, lit(m))
-    val x2 = pmod(x1 * 48271L, lit(m))
-    val x3 = pmod(x2 * 48271L, lit(m))
-    val u = x3.cast("double") / lit(m.toDouble)
-    df.withColumn("__rate", rate)
-      .withColumn("__copies", floor(col("__rate")).cast("long") +
-        when(u < col("__rate") - floor(col("__rate")), 1L).otherwise(0L))
-      // guard BEFORE sequence(): Spark's sequence(1, 0) yields the
-      // DESCENDING [1, 0], not an empty array
-      .where(col("__copies") >= 1L)
-      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
-      .drop("__rate", "__copies")
   }
 }

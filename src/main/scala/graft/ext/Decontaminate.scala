@@ -65,14 +65,27 @@ object Decontaminate {
     * (band, bucket) broadcast hash join — per corpus doc the work is one
     * signature (native [[graft.functions.MinHashSignature]], one byte
     * pass) and `bands` key probes; no corpus shuffle, no corpus shingle
-    * materialization. Only collision candidates (bounded by benchmark
-    * size × bucket collisions — vanishingly few by construction) proceed:
+    * materialization. Corpus rows that collide with a benchmark bucket
+    * are CAPPED at `bucketCap` per (band, bucket) (lowest ids win —
+    * deterministic, the [[Dedup.minhashBandIndex]] rule), so the
+    * candidate set is hard-bounded at |bench (band,bucket) keys| ×
+    * `bucketCap` no matter how degenerate the corpus — without the cap, a
+    * corpus full of short/boilerplate documents whose band signatures all
+    * collide with one benchmark bucket would make the candidate broadcast
+    * proportional to the CORPUS, not the benchmark (ADVICE r10). The cap
+    * shuffles only the colliding rows (a benchmark-collision-sized frame,
+    * not the corpus), and truncation is OBSERVABLE, not silent: each run
+    * records a bucket-cap report in [[Dedup.lshStats]] (`kind` =
+    * "fuzzy-decon") and WARN-logs when any bucket overflowed — an
+    * overflowed bucket means capture degrades for the dropped members
+    * (they keep `bands` − 1 other chances). Surviving candidates proceed:
     * candidate doc texts are fetched by a second corpus scan through a
     * broadcast semi-join on the candidate ids, and exact verification
     * shingles only those. Banding geometry defaults to 32 bands × 2 rows
     * (q22's): capture ≥ 1-1e-4 for a true pair AT the 0.5 threshold and
     * ~1 above it, so LSH → exact-verify reproduces the brute-force pair
-    * set (the q81 oracle proves it).
+    * set (the q81 oracle proves it) — modulo cap-dropped members on
+    * degenerate corpora, which the lshStats report surfaces.
     *
     * Tokenization is the near-dup family's (lowercased whitespace
     * tokens, distinct word shingles — [[Dedup.shingles]]).
@@ -83,14 +96,29 @@ object Decontaminate {
   def fuzzyContaminationHits(docs: DataFrame, bench: DataFrame,
       idCol: String, benchIdCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+      numHashes: Int = 64, bands: Int = 32,
+      bucketCap: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(bucketCap > 0, s"bucketCap must be positive: $bucketCap")
+    import org.apache.spark.sql.expressions.Window
     def banded(df: DataFrame, id: String) = df.select(col(id),
       posexplode(TextHashFunctions.band_keys(
         Dedup.minhashSignature(col(textCol), numHashes, shingleN), bands))
         .as(Seq("band", "bucket")))
-    val cand = banded(docs, idCol)
-      .join(broadcast(banded(bench, benchIdCol)), Seq("band", "bucket"))
+    val benchBanded = Dedup.materialize(banded(bench, benchIdCol))
+    // map-only prefilter: only corpus rows landing in a benchmark bucket
+    // survive; then the bucketCap window shuffles ONLY those (ADVICE r10)
+    val colliding = banded(docs, idCol)
+      .join(broadcast(benchBanded.select("band", "bucket").distinct()),
+        Seq("band", "bucket"))
+    val byBucket = Window.partitionBy("band", "bucket")
+    val capped = Dedup.materialize(colliding
+      .withColumn("__rk", row_number().over(byBucket.orderBy(col(idCol))))
+      .withColumn("__n", count(lit(1)).over(byBucket))
+      .where(col("__rk") <= bucketCap))
+    Dedup.reportCappedIndexTruncation(capped, bucketCap, "fuzzy-decon")
+    val cand = capped
+      .join(broadcast(benchBanded), Seq("band", "bucket"))
       .select(col(idCol), col(benchIdCol)).distinct()
     val hitDocs = docs.select(col(idCol), col(textCol))
       .join(broadcast(cand), Seq(idCol))
@@ -110,9 +138,10 @@ object Decontaminate {
   def fuzzyDecontaminate(docs: DataFrame, bench: DataFrame,
       idCol: String, benchIdCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
-      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+      numHashes: Int = 64, bands: Int = 32,
+      bucketCap: Int = 256): DataFrame = {
     val hits = fuzzyContaminationHits(docs, bench, idCol, benchIdCol,
-      textCol, shingleN, threshold, numHashes, bands)
+      textCol, shingleN, threshold, numHashes, bands, bucketCap)
     docs.join(hits.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
   }
 

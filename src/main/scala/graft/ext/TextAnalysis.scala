@@ -204,12 +204,16 @@ object TextAnalysis {
     * ([[blocklistFilter]] packages both). */
   def blocklistStats(text: Column, blocklist: Seq[String]): Column = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
+    // tokens are lowercased before matching, so fold the list the same
+    // way — a caller-supplied mixed-case entry ("BadWord") would
+    // otherwise silently never match anything (ADVICE r10)
+    val list = blocklist.map(_.toLowerCase)
     // null text behaves like empty text: without the coalesce both struct
     // fields come out NULL and blocklistFilter's `null <= max` predicate
     // silently DROPS a row that contains zero blocked tokens
     val t = coalesce(text, lit(""))
     val toks = graft.functions.TextHashFunctions.split_ws(lower(trim(t)))
-    val blocked = size(array_intersect_count(toks, blocklist))
+    val blocked = size(array_intersect_count(toks, list))
     val n = when(length(trim(t)) === 0, 0).otherwise(size(toks))
     struct(
       blocked.cast(LongType).as("n_blocked"),

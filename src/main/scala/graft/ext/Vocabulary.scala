@@ -337,6 +337,7 @@ object Vocabulary {
       textCol: String, n: Int, temperature: Double = 1.0,
       salt: Long = 11L): DataFrame = {
     require(temperature > 0, s"temperature must be > 0: $temperature")
+    Curation.requireIntegralId(docs, idCol, "dsirResample")
     val m = 2147483647L // 2^31 - 1
     val x1 = pmod(col(idCol).cast("long") * 48271L + salt, lit(m))
     val x2 = pmod(x1 * 48271L, lit(m))

@@ -402,6 +402,15 @@ class ExtSpec extends SparkTestBase {
     assert(lenient == Set(1L, 2L, 4L, 5L))
   }
 
+  test("blocklist entries are case-folded like the tokens (ADVICE r10)") {
+    val d = Seq((1L, "bad Bad BAD good")).toDF("doc_id", "text")
+    // a mixed-case blocklist entry must match the lowercased tokens
+    // instead of silently matching nothing
+    val n = d.select(TextAnalysis.blocklistStats(col("text"), Seq("BaD"))
+        .getField("n_blocked")).head().getLong(0)
+    assert(n == 3L, s"mixed-case entry matched $n of 3 'bad' tokens")
+  }
+
   test("language ID classifies constructed en/es/zh text") {
     // NOTE: the fixture's `lang` column is a synthetic label — its "zh"
     // docs contain English word-salad — so the heuristic is tested on
@@ -1153,6 +1162,22 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("Lehmer-stream samplers refuse non-integral id columns (ADVICE r10)") {
+    // a string/uuid id would cast to null and silently corrupt the
+    // deterministic draw — both samplers must fail loudly instead
+    val strDocs = Seq(("a-1", "g", "some text")).toDF("id", "g", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.Curation.mixtureSample(strDocs, "id", "g", Map("g" -> 0.5))
+    }
+    assert(e1.getMessage.contains("integral"), e1.getMessage)
+    val target = Seq((1L, "t t t")).toDF("doc_id", "text")
+    val model = graft.ext.Vocabulary.dsirModel(target, target, "text")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Vocabulary.dsirResample(model, strDocs, "id", "text", n = 1)
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
+  }
+
   test("stripBoilerplate: cross-doc paragraphs removed, order kept, empty-doc path") {
     import graft.ext.TextAnalysis
     val sep = "\n\n"
@@ -1426,6 +1451,30 @@ class ExtSpec extends SparkTestBase {
     val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(cleanIds == base.select("doc_id").collect().map(_.getLong(0)).toSet
       -- truth.map(_._1))
+  }
+
+  test("fuzzy decontamination caps corpus-side bucket collisions (ADVICE r10)") {
+    import graft.ext.Decontaminate
+    // degenerate corpus: many identical docs — every one collides with the
+    // benchmark copy in EVERY band. Pre-cap candidates = corpus size; the
+    // cap must bound them at bucketCap per (band, bucket), keep the
+    // lowest ids, and record the truncation in lshStats.
+    val boiler = (1L to 200L).map(i => (i, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9001L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("bench_id", "text")
+    val hits = Decontaminate.fuzzyContaminationHits(boiler, bench,
+      "doc_id", "bench_id", "text", bucketCap = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // all bands share one bucket (identical sigs), lowest ids win
+    assert(hits == (1L to 8L).toSet, s"capped hit set was $hits")
+    val st = Dedup.lshStats.reverse.find(_.kind == "fuzzy-decon").get
+    assert(st.overflowBuckets > 0 && st.droppedMembers > 0,
+      s"cap truncation must be observable: $st")
+    // an uncapped geometry on the same corpus keeps everything
+    val full = Decontaminate.fuzzyContaminationHits(boiler, bench,
+      "doc_id", "bench_id", "text", bucketCap = 1024)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(full == (1L to 200L).toSet)
   }
 
   test("surgical decontamination: spans + strip on a hand-checked corpus") {
