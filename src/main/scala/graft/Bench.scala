@@ -77,13 +77,31 @@ object Bench {
       }
     }
 
+    // Queries whose dominant work is a map-only projection: under
+    // `.count()` Catalyst prunes the projection (and eliminates the sort),
+    // so the timing measures little more than the scan — the r10 q80
+    // caveat (0.11s for a full text rebuild). These execute the FULL plan
+    // through the noop sink instead: every output column materializes,
+    // nothing is written. Applied ONLY to queries absent from the round-1
+    // baseline; baseline-overlap map queries (q21/q26/q49/q50) keep
+    // `.count()` so their trend line stays methodology-identical to the
+    // r1 numbers they gate against (both sides under-measure identically).
+    val fullEval = Set("q66_markup_strip", "q68_repetition_stats",
+      "q75_quantize_int8", "q80_strip_dup_spans", "q86_blocklist",
+      "q88_unicode_normalize")
+    def exec(name: String, dir: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      if (fullEval(name)) df.write.format("noop").mode("overwrite").save()
+      else { df.count(); () }
+    }
+
     // global warmup: full query set at the smallest SF (JIT + engine code
     // paths + one-time costs like rollup store build / view registration).
     // Target-SF warmth is re-established PER SHARD below, right before
     // each shard's measurement — a single up-front target-SF pass is
     // stale by the time the 70th query measures (suite dilution).
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      try exec(n, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
 
@@ -94,7 +112,7 @@ object Bench {
     def runOne(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        try { exec(name, sfDir); true }
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
@@ -137,7 +155,7 @@ object Bench {
     val shards = names.grouped(shardSize).toSeq
     shards.foreach { shard =>
       shard.foreach { n =>
-        try SparkEntry.queries(n)(spark, sfDir).count()
+        try exec(n, sfDir)
         catch { case _: Throwable => () }
       }
       // sweep 1: query-major with a GC+settle barrier between queries
