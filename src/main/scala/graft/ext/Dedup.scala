@@ -41,14 +41,22 @@ object Dedup {
     * bucket-cap truncation report (`kind` ends in "-index").
     * `estCandidates` for an index build is the estimate of a full
     * self-join over the same banded keys — a capacity signal, not work
-    * the index itself performs. */
+    * the index itself performs.
+    *
+    * Kind `"dsir-bucket"` ([[Vocabulary.dsirModel]] bucket mode) reuses
+    * the fields for hash-collision occupancy: `buckets` = occupied
+    * buckets, `overflowBuckets` = buckets holding >1 distinct feature,
+    * `droppedMembers` = features sharing a bucket beyond the first (the
+    * collision mass that biases the counted ratios), `maxBucket` = most
+    * features in one bucket, `estCandidates` = total distinct features
+    * observed. Collision rate = droppedMembers / estCandidates. */
   final case class LshStat(kind: String, buckets: Long, overflowBuckets: Long,
       droppedMembers: Long, maxBucket: Long, estCandidates: Long)
 
   private val lshStatsRing =
     new java.util.concurrent.ConcurrentLinkedDeque[LshStat]()
 
-  private def recordLshStat(s: LshStat): Unit = {
+  private[ext] def recordLshStat(s: LshStat): Unit = {
     lshStatsRing.addLast(s)
     while (lshStatsRing.size() > 64) lshStatsRing.pollFirst()
   }

@@ -1532,6 +1532,29 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("DSIR: bucket-collision occupancy recorded in lshStats (VERDICT r10 #3)") {
+    import graft.ext.Vocabulary
+    // collision-forced fixture: 2 buckets for >2 distinct features —
+    // the occupancy report must surface the collision pressure the
+    // counted ratios silently absorb
+    val d = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    Vocabulary.dsirModel(d, d, "text", numBuckets = 2)
+    val st = Dedup.lshStats.reverse.find(_.kind == "dsir-bucket").get
+    // 4 unigrams + 3 bigrams = 7 distinct features over 2 buckets
+    assert(st.estCandidates == 7L, st.toString)
+    assert(st.buckets <= 2L && st.overflowBuckets > 0 &&
+      st.droppedMembers == st.estCandidates - st.buckets, st.toString)
+    // collision-free geometry reports a clean occupancy
+    Vocabulary.dsirModel(d, d, "text", numBuckets = 1 << 26)
+    val clean = Dedup.lshStats.reverse.find(_.kind == "dsir-bucket").get
+    assert(clean.overflowBuckets == 0 && clean.droppedMembers == 0,
+      clean.toString)
+    // exact mode records nothing new
+    val before = Dedup.lshStats.count(_.kind == "dsir-bucket")
+    Vocabulary.dsirModel(d, d, "text", numBuckets = 0)
+    assert(Dedup.lshStats.count(_.kind == "dsir-bucket") == before)
+  }
+
   test("DSIR: target-like docs outscore off-distribution docs") {
     import graft.ext.Vocabulary
     val target = Seq.tabulate(20)(i => (1000L + i, "alpha beta gamma delta"))

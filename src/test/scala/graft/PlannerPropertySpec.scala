@@ -289,4 +289,53 @@ class PlannerPropertySpec extends SparkTestBase {
       .map(r => (r.getAs[Timestamp]("__time"), r.getAs[Long]("cnt"), r.getAs[Long]("su")))
     assert(s.sameElements(u))
   }
+
+  test("law: scan frames concatenate to the unframed stream for arbitrary " +
+      "(rows, batchSize, limit) — both resultFormats (VERDICT r10 #4)") {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val engine = new Engine(spark, catalog)
+    def run(fmt: String, batchSize: Int, limit: Option[Int],
+        interval: String): Seq[Seq[String]] = {
+      val json = engine.executeJson(
+        s"""{"queryType":"scan","dataSource":"ev",
+          |"intervals":["$interval"],
+          |"columns":["__time","event_type","value","uid"],
+          |"order":"ascending",${limit.map(l => s""""limit":$l,""").getOrElse("")}
+          |"resultFormat":"$fmt","batchSize":$batchSize}""".stripMargin)
+      val root = mapper.readTree(json)
+      (0 until root.size()).map { i =>
+        val frame = root.get(i)
+        // every frame carries the full requested column list, in order
+        assert(mapper.writeValueAsString(frame.get("columns")) ==
+          """["__time","event_type","value","uid"]""")
+        val ev = frame.get("events")
+        (0 until ev.size()).map(j => mapper.writeValueAsString(ev.get(j)))
+      }
+    }
+    val iv = "2024-04-01T00:00:00Z/2024-04-11T00:00:00Z"
+    forAllSampled(Gen.zip(Gen.zip(Gen.chooseNum(1, 97), Gen.option(Gen.chooseNum(1, 550))),
+        Gen.oneOf("list", "compactedList")), cases = 16) {
+      case ((batchSize, limit), fmt) =>
+        val frames = run(fmt, batchSize, limit, iv)
+        // reference: one giant batch = the unframed stream (same fmt/limit)
+        val unframed = run(fmt, 1 << 20, limit, iv).flatten
+        assert(frames.flatten == unframed,
+          s"fmt=$fmt bs=$batchSize limit=$limit: frames must concatenate " +
+            "to the unframed stream")
+        val n = limit.map(math.min(_, 500)).getOrElse(500)
+        assert(unframed.size == n)
+        // exact framing: every frame full at batchSize except the last
+        assert(frames.size == math.max(1, (n + batchSize - 1) / batchSize),
+          s"fmt=$fmt bs=$batchSize limit=$limit: ${frames.size} frames for $n rows")
+        frames.dropRight(1).foreach(f => assert(f.size == batchSize))
+        assert(frames.last.size == (if (n == 0) 0 else n - (frames.size - 1) * batchSize))
+    }
+    // zero-row scan: a single frame with the column header and no events
+    Seq("list", "compactedList").foreach { fmt =>
+      val empty = run(fmt, 7, None, "2030-01-01T00:00:00Z/2030-01-02T00:00:00Z")
+      assert(empty == Seq(Seq.empty),
+        s"$fmt: empty scan must emit one empty frame, got $empty")
+    }
+  }
 }
