@@ -82,10 +82,12 @@ object LocalClusterRehearsal {
     println(s"[local-cluster] master=$master executors=${execs.sorted.mkString(",")}")
 
     var failures = 0
+    val checkResults = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
     def check(label: String)(ok: => Boolean, detail: => String): Unit = {
       val pass = try ok catch { case e: Throwable =>
         System.err.println(s"[local-cluster] ERROR $label: $e"); false }
       if (!pass) failures += 1
+      checkResults(label) = pass
       println(s"[local-cluster] ${if (pass) "PASS" else "FAIL"} $label: $detail")
     }
 
@@ -174,6 +176,64 @@ object LocalClusterRehearsal {
         s"rows=$cnt distinct=$dist range=[$lo,$hi] — whole committed batches, once each")
     }
 
+    // ---- HTTP error contract under the cluster (VERDICT r10 #5) -----------
+    // 429 capacity and the timeout watchdog are spec'd single-JVM
+    // (HttpServerSpec / EngineSpec); here they run against REAL concurrent
+    // cross-JVM queries: two streaming responses hold the only two permits
+    // while their jobs execute on the remote executors, a third request
+    // must get the documented 429 body, and a 1ms-deadline aggregation
+    // must be cancelled by the watchdog with the contract error body.
+    locally {
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val eng = new graft.engine.Engine(spark,
+        new graft.sources.ParquetDirCatalog(sfDir))
+      val srv = new graft.engine.HttpServer(eng, streamCap = 2)
+      srv.start()
+      try {
+        val base = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}")
+        val client = HttpClient.newHttpClient()
+        def req(path: String, body: String) =
+          HttpRequest.newBuilder(base.resolve(path))
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val scanQ =
+          """{"queryType":"scan","dataSource":"lineitem",
+            |"intervals":["1992-01-01T00:00:00Z/1999-01-01T00:00:00Z"],
+            |"context":{"stream":"true"}}""".stripMargin
+        // hold both permits: headers arrive, bodies stay UNCONSUMED, so the
+        // server-side writers block on socket backpressure mid-stream (the
+        // lineitem scan is MBs of JSON even at sf0.001 — far past any
+        // socket buffer) with their permits held
+        val held = (1 to 2).map { _ =>
+          client.send(req("/druid/v2", scanQ),
+            HttpResponse.BodyHandlers.ofInputStream())
+        }
+        check("http_stream_open")(held.forall(_.statusCode() == 200),
+          s"two cross-JVM streams hold the ${2} permits")
+        val third = client.send(req("/druid/v2", scanQ),
+          HttpResponse.BodyHandlers.ofString())
+        check("http_429_capacity")(third.statusCode() == 429 &&
+          third.body().contains("QueryCapacityExceededException") &&
+          third.body().contains("Query capacity exceeded"),
+          s"status=${third.statusCode()} body=${third.body().take(100)}")
+        held.foreach(_.body().close()) // abandon → server cancels + releases
+        val to = client.send(req("/druid/v2",
+          """{"queryType":"groupBy","dataSource":"lineitem",
+            |"intervals":["1992-01-01T00:00:00Z/1999-01-01T00:00:00Z"],
+            |"granularity":"all","dimensions":["l_orderkey"],
+            |"aggregations":[{"type":"doubleSum","name":"s","fieldName":"l_extendedprice"}],
+            |"context":{"timeout":"1"}}""".stripMargin),
+          HttpResponse.BodyHandlers.ofString())
+        check("http_timeout_watchdog")(to.statusCode() == 500 &&
+          to.body().contains("Query timeout"),
+          s"status=${to.statusCode()} body=${to.body().take(100)}")
+        // released permits must serve new streams again (consumed this time)
+        val after = client.send(req("/druid/v2", scanQ),
+          HttpResponse.BodyHandlers.ofString())
+        check("http_permits_released")(after.statusCode() == 200,
+          s"status=${after.statusCode()} after abandoning the held streams")
+      } finally srv.stop()
+    }
+
     // ---- artifact ----------------------------------------------------------
     if (!specMode) {
       def fmt(d: Double): String =
@@ -185,7 +245,9 @@ object LocalClusterRehearsal {
         else ",\"errors\":" + errs.map(r => "\"" + r._1 + "\":" +
           "\"" + r._4.get.replace("\"", "'") + "\"").mkString("{", ",", "}")
       val total = results.filter(_._4.isEmpty).map(_._2).sum
-      val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","executors":${execs.length},"passes":1$errJson}"""
+      val checksJson = ",\"checks\":" + checkResults
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","executors":${execs.length},"passes":1$checksJson$errJson}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_r9_localcluster.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
