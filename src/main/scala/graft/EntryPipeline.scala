@@ -670,6 +670,48 @@ private[graft] object EntryPipeline {
           col("n_removed"))
         .orderBy("doc_id")
     }),
+    "q89_perplexity_buckets" -> ((s, dir) => {
+      // CCNet-style perplexity bucketing over the q77 scores: cutpoint
+      // VALUES are the rounded perplexities at ranks floor(0.3·n) /
+      // floor(0.7·n) under (p, doc_id) order — engine-replayable exactly
+      // (rounded perplexities are the q77-certified cross-engine values)
+      // — then perplexityBuckets applies them as the pure value-threshold
+      // map that IS the production scale path. Each cutpoint is a
+      // TakeOrderedAndProject (per-partition top-k), no global sort in
+      // the shipped plan.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val scored = graft.ext.Vocabulary.lmScore(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+        .localCheckpoint()
+      val n = scored.count()
+      def cutAt(f: Double): Double = {
+        val k = math.max(1L, math.floor(f * n).toLong).toInt
+        scored.orderBy(col("perplexity"), col("doc_id")).limit(k)
+          .agg(max(col("perplexity"))).head().getDouble(0)
+      }
+      graft.ext.Vocabulary.perplexityBuckets(scored, "perplexity",
+          Seq(cutAt(0.3), cutAt(0.7)), Seq("head", "middle", "tail"))
+        .orderBy("doc_id")
+    }),
+    "q90_cluster_sample" -> ((s, dir) => {
+      // cluster-stratified sampling over the q28 planted corpus with the
+      // q74 seed centroids: the 10 most prototypical docs per cluster
+      // (highest cosine to the assigned centroid). scoreScale=3 ranks on
+      // the rounded cross-engine-stable score; ties break by id — the
+      // oracle replays assignment + ranking exactly.
+      val corpus = q28PlantedUnion(s, dir)
+      val cents = graft.sources.TableLoader.load(s, dir, "embeddings")
+        .where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      graft.ext.Similarity.clusterSample(corpus, "vec_id", "embedding",
+          cents, perCluster = 10, farthest = false, scoreScale = 3)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("score"), col("rk").cast("long").as("rk"))
+        .orderBy("cluster", "rk")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1630,5 +1672,105 @@ private[graft] object EntryPipeline {
         |  CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed
         |FROM tok t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // q89: the q77 perplexity chain, then rank-derived cutpoint VALUES
+    // (max p among the floor(f·n) lowest under (p, doc_id) order) and the
+    // same value-threshold labeling perplexityBuckets applies — both
+    // engines label p <= cut, so ties at the cut land identically
+    "q89_perplexity_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |refbi AS (
+        |  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM tok WHERE doc_id % 2 = 0 AND len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM refbi GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(t) AS w1 FROM tok WHERE doc_id % 2 = 0)
+        |  GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v, sum(c1) AS tt FROM c1),
+        |dbi AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM tok WHERE doc_id % 2 = 1 AND len(t) >= 2),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN k1.c1 IS NOT NULL THEN
+        |      ln((coalesce(c2.c2, 0) + 1.0) /
+        |         (k1.c1 + (SELECT v FROM vocab)))
+        |    ELSE
+        |      ln((coalesce(k2.c1, 0) + 1.0) /
+        |         (CAST((SELECT tt FROM vocab) AS DOUBLE)
+        |          + (SELECT v FROM vocab)))
+        |    END AS logp
+        |  FROM dbi d
+        |  LEFT JOIN c2 ON d.w1 = c2.w1 AND d.w2 = c2.w2
+        |  LEFT JOIN c1 k1 ON d.w1 = k1.w1
+        |  LEFT JOIN c1 k2 ON d.w2 = k2.w1),
+        |ppx AS (
+        |  SELECT doc_id, round(exp(avg(-logp)), 4) AS perplexity
+        |  FROM sc GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, perplexity,
+        |    row_number() OVER (ORDER BY perplexity, doc_id) AS rn,
+        |    count(*) OVER () AS c
+        |  FROM ppx),
+        |cuts AS (
+        |  SELECT
+        |    max(CASE WHEN rn <= greatest(1, CAST(floor(0.3 * c) AS BIGINT))
+        |      THEN perplexity END) AS c1,
+        |    max(CASE WHEN rn <= greatest(1, CAST(floor(0.7 * c) AS BIGINT))
+        |      THEN perplexity END) AS c2
+        |  FROM ranked)
+        |SELECT r.doc_id, r.perplexity,
+        |  CASE WHEN r.perplexity <= cuts.c1 THEN 'head'
+        |       WHEN r.perplexity <= cuts.c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked r, cuts ORDER BY r.doc_id""".stripMargin,
+    // q90: the q74 assignment CTEs (dot/centroid-norm argmax — doc norm
+    // is constant per doc, so the argmax equals the cosine argmax), then
+    // per-cluster prototypicality rank on the round-3 cosine with id
+    // tie-break — exactly clusterSample's scoreScale=3 ordering
+    "q90_cluster_sample" ->
+      """WITH planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id, emb2 AS embedding FROM (
+        |    SELECT vec_id,
+        |      list_transform(embedding, (x, j) ->
+        |        CAST(CAST(x AS DOUBLE)
+        |          + ((vec_id*31 + (j-1)) % 7 - 3) * 0.01::DOUBLE AS FLOAT)) AS emb2
+        |    FROM embeddings WHERE vec_id % 4 = 0)),
+        |all_v AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |cents AS (
+        |  SELECT vec_id AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_dot_product(list_transform(v.embedding,
+        |      x -> CAST(x AS DOUBLE)), c.cv) / c.nrm AS score
+        |  FROM all_v v, cents c),
+        |best AS (
+        |  SELECT vec_id, cid AS cluster FROM (
+        |    SELECT vec_id, cid, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        |    FROM assign) WHERE rn = 1),
+        |scorev AS (
+        |  SELECT v.vec_id, b.cluster,
+        |    round(CAST(list_cosine_similarity(v.embedding, c.cemb)
+        |      AS DOUBLE), 3) AS score
+        |  FROM all_v v
+        |  JOIN best b ON v.vec_id = b.vec_id
+        |  JOIN cents c ON b.cluster = c.cid),
+        |ranked AS (
+        |  SELECT vec_id, cluster, score, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY score DESC, vec_id ASC) AS rk
+        |  FROM scorev)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, score,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin,
   )
 }

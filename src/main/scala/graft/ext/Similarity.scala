@@ -547,6 +547,58 @@ object Similarity {
     *
     * Output: (id_a, id_b, cluster, cosine), id_a < id_b. Ties in centroid
     * assignment break toward the lower centroid index (stable argmax). */
+  /** Cluster-stratified corpus sampling (the DataComp / SemDeDup-family
+    * selection step): assign every document's embedding to its nearest
+    * centroid (pure codegen'd map — centroids are a model-sized literal),
+    * then keep the `perCluster` most prototypical (`farthest = false`,
+    * highest cosine to the assigned centroid) or most diverse
+    * (`farthest = true`, lowest cosine) documents per cluster. Cluster
+    * balance is the point: a global top-N by any score over-samples the
+    * densest region; per-cluster quotas cover the embedding space.
+    *
+    * Scale shape: one shuffle, keyed on cluster, and Catalyst rewrites
+    * the `row_number <= k` window to `WindowGroupLimit` — a partial
+    * top-k per input partition BEFORE the shuffle, so a hot cluster
+    * ships at most partitions×k rows, never its full membership (the
+    * [[Curation.capPerGroup]] scale argument; plan-gated in ExtSpec).
+    *
+    * Determinism: ties break by ascending id. `scoreScale >= 0` rounds
+    * the ranking score to that many decimals FIRST (then id tie-break) —
+    * the cross-engine replay mode: two engines computing cosine in
+    * different precision (float32 vs float64 accumulation) agree on the
+    * rounded key, so the kept set is oracle-exact (the q90 gate). The
+    * default (-1) ranks on the raw double.
+    *
+    * Output: (idCol, cluster, score, rk), rk = 1-based rank within the
+    * cluster under the chosen order. */
+  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], perCluster: Int,
+      farthest: Boolean = false, scoreScale: Int = -1): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    require(centroids.nonEmpty, "need at least one centroid")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("__vec"),
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        col(vecCol), centroids, 1), 1).as("cluster"))
+    // cosine to the ASSIGNED centroid: a literal CASE over the centroid
+    // table (model-sized — folds into the plan like a broadcast dim)
+    val rawScore = centroids.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (c, i)) =>
+        when(col("cluster") === i,
+          cosine(col("__vec"), array(c.map(x => lit(x)): _*))).otherwise(acc)
+    }
+    val score = if (scoreScale >= 0) round(rawScore, scoreScale) else rawScore
+    val ord =
+      if (farthest) Seq(col("__score").asc, col("id").asc)
+      else Seq(col("__score").desc, col("id").asc)
+    val w = Window.partitionBy("cluster").orderBy(ord: _*)
+    assigned.withColumn("__score", score)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perCluster)
+      .select(col("id").as(idCol), col("cluster"),
+        col("__score").as("score"), col("rk"))
+  }
+
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
       maxPairBudget: Long = 200000000L): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -367,6 +367,43 @@ object Vocabulary {
       textCol: String, numBuckets: Int = 65536): DataFrame =
     dsirWeightsWith(dsirModel(target, raw, textCol, numBuckets), raw,
       idCol, textCol)
+
+  /** CCNet-style perplexity bucketing, part 1 — the SCALE path: label each
+    * scored document by comparing its perplexity against caller-provided
+    * VALUE thresholds (`cuts`, ascending; `labels` has one more entry than
+    * `cuts`). `label(p) = labels(i)` for the first `i` with
+    * `p <= cuts(i)`, else the last label — the classic head/middle/tail
+    * split where "head" = lowest perplexity = most reference-like.
+    * A pure codegen'd map over the scored frame: zero shuffles, the
+    * thresholds fold into the plan as literals. This mirrors CCNet's
+    * production shape — thresholds are CALIBRATED once per corpus/language
+    * version ([[perplexityCutpoints]]) and then applied as constants to
+    * every batch, so labeling 100 TB costs one scan. */
+  def perplexityBuckets(scored: DataFrame, ppxCol: String,
+      cuts: Seq[Double], labels: Seq[String]): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted,
+      s"cuts must be non-empty ascending: $cuts")
+    require(labels.size == cuts.size + 1,
+      s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
+    val label = cuts.zip(labels).foldRight(lit(labels.last): Column) {
+      case ((c, l), acc) => when(col(ppxCol) <= c, l).otherwise(acc)
+    }
+    scored.withColumn("bucket", label)
+  }
+
+  /** Part 2 — threshold CALIBRATION: the perplexity values at the given
+    * rank fractions of the scored corpus, via one distributed
+    * Greenwald-Khanna pass (`approxQuantile`). `relativeError` bounds the
+    * rank error (1e-4 ⇒ the returned value's true rank is within ±0.01%
+    * of the requested fraction — indistinguishable for mixture shaping;
+    * 0 = exact, memory-heavy, fixture-scale only). Run once per corpus
+    * version and persist next to the model; never per scored batch. */
+  def perplexityCutpoints(scored: DataFrame, ppxCol: String,
+      fractions: Seq[Double], relativeError: Double = 1e-4): Seq[Double] = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be in (0,1): $fractions")
+    scored.stat.approxQuantile(ppxCol, fractions.toArray, relativeError).toSeq
+  }
 
   /** Deterministic Gumbel top-k importance resampling: keep the `n`
     * documents with the largest `log_weight / temperature + Gumbel(id)`,

@@ -1593,6 +1593,63 @@ class ExtSpec extends SparkTestBase {
       "persisted model must score bit-identically")
   }
 
+  test("perplexity buckets: value thresholds label; cutpoints calibrate") {
+    import graft.ext.Vocabulary
+    val scored = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0),
+      (5L, 50.0)).toDF("doc_id", "ppx")
+    val out = Vocabulary.perplexityBuckets(scored, "ppx",
+        Seq(20.0, 40.0), Seq("head", "middle", "tail"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail"), out.toString)
+    // the labeling is a pure map — no shuffle in the plan
+    val plan = Vocabulary.perplexityBuckets(scored, "ppx", Seq(20.0),
+      Seq("a", "b")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "bucketing must not shuffle")
+    // exact calibration returns corpus values at the requested ranks
+    val cuts = Vocabulary.perplexityCutpoints(scored, "ppx",
+      Seq(0.4, 0.8), relativeError = 0.0)
+    assert(cuts.forall(c => Set(10.0, 20.0, 30.0, 40.0, 50.0).contains(c))
+      && cuts == cuts.sorted, cuts.toString)
+    intercept[IllegalArgumentException] {
+      Vocabulary.perplexityBuckets(scored, "ppx", Seq(40.0, 20.0),
+        Seq("a", "b", "c")) // non-ascending cuts
+    }
+    intercept[IllegalArgumentException] {
+      Vocabulary.perplexityBuckets(scored, "ppx", Seq(20.0), Seq("a")) // label arity
+    }
+  }
+
+  test("clusterSample: per-cluster quotas, nearest vs farthest, id tie-break") {
+    import graft.ext.Similarity
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),  // c0, cos 1.0
+      (2L, Seq(1.0f, 0.2f)),  // c0, cos ~0.981
+      (3L, Seq(1.0f, 0.6f)),  // c0, cos ~0.857
+      (4L, Seq(1.0f, 0.6f)),  // c0, tie with 3 -> id breaks
+      (11L, Seq(0.0f, 1.0f)), // c1, cos 1.0
+      (12L, Seq(0.5f, 1.0f))  // c1, cos ~0.894
+    ).toDF("vec_id", "embedding")
+    def ids(far: Boolean, k: Int) =
+      Similarity.clusterSample(vecs, "vec_id", "embedding", cents, k,
+          farthest = far)
+        .select(col("cluster").cast("int"), col("rk").cast("int"),
+          col("vec_id"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    // nearest keeps the top-cosine rows per cluster; tie 3-vs-4 -> id 3
+    assert(ids(far = false, 3) == Set((0, 1, 1L), (0, 2, 2L), (0, 3, 3L),
+      (1, 1, 11L), (1, 2, 12L)))
+    // farthest inverts the order within each cluster
+    assert(ids(far = true, 2) == Set((0, 1, 3L), (0, 2, 4L),
+      (1, 1, 12L), (1, 2, 11L)))
+    // scale gate: the rank rewrites to WindowGroupLimit (partial top-k
+    // per partition BEFORE the cluster shuffle)
+    val plan = Similarity.clusterSample(vecs, "vec_id", "embedding",
+      cents, 2).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
   test("stripSpans composes a keep-one-occurrence policy") {
     val corpus = Seq(
       (1L, "a b c d e f"),
