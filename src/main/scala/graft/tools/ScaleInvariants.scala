@@ -778,6 +778,78 @@ object ScaleInvariants {
           s"replica0Aligned=$aligned")
     }
 
+    // q89 perplexity bucketing at scale: absolute perplexities shift with
+    // the corpus (V and T in the smoothing denominators grow — the q77
+    // rule), so the invariant is the q77 ISOMORPHISM lifted through the
+    // bucketing: every replica must produce the IDENTICAL folded
+    // (perplexity, bucket) set, bucket histograms must be exact N
+    // multiples of the folded histogram, and the head/middle fractions
+    // must sit within one folded-doc of the 30%/70% rank cuts. A leaked
+    // cutpoint (calibrated on one replica, biased by another) or a
+    // replica-crossing vocabulary collision would break the fold.
+    if (wanted("q89")) {
+      val sDf = graft.SparkEntry.queries("q89_perplexity_buckets")(spark, scaled)
+        .withColumn("doc_id", pmod(col("doc_id"), lit(ScaleUp.KeyOffset)))
+      val total = sDf.count()
+      val distinctFolded = sDf.distinct().count()
+      val perReplica = total / n
+      val hist = sDf.groupBy("bucket").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val histOk = hist.values.forall(_ % n == 0)
+      val headFrac = hist.getOrElse("head", 0L).toDouble / total
+      val midFrac = (hist.getOrElse("head", 0L) +
+        hist.getOrElse("middle", 0L)).toDouble / total
+      val tol = 1.5 / perReplica
+      check("q89_bucket_replica_isomorphism_and_fractions")(
+        total > 0 && total == n.toLong * perReplica &&
+          distinctFolded == perReplica && histOk &&
+          math.abs(headFrac - 0.3) <= tol && math.abs(midFrac - 0.7) <= tol,
+        s"total=$total foldedDistinct=$distinctFolded " +
+          s"expectedPerReplica=$perReplica hist=$hist " +
+          f"headFrac=$headFrac%.4f midFrac=$midFrac%.4f")
+    }
+
+    // q90 cluster sampling at scale: replica-0 embeddings (and their q28
+    // plantings, ids < KeyOffset) survive verbatim in the scaled corpus,
+    // and replicas >= 1 are signed permutations whose cosines against the
+    // FIXED base centroids behave like independent vectors — so the
+    // scaled per-cluster top-k must (a) keep exactly perCluster rows per
+    // cluster, (b) DOMINATE the base top-k rank-for-rank (superset
+    // corpus), and (c) agree with the base full ranking on (cluster,
+    // score) for every kept replica-0 row — assignment and scoring are
+    // per-row maps, so scale must not move them.
+    if (wanted("q90")) {
+      def kept(dir: String) = graft.SparkEntry
+        .queries("q90_cluster_sample")(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val b = kept(base)
+      val s = kept(scaled)
+      val perCluster = 10
+      val countsOk = s.groupBy(_._2).values.forall(_.length == perCluster) &&
+        s.map(_._2).toSet == b.map(_._2).toSet
+      val bByRank = b.map(r => (r._2, r._4) -> r._3).toMap
+      val dominated = s.forall { case (_, c, score, rk) =>
+        bByRank.get((c, rk)).forall(score >= _) }
+      // base FULL ranking: every base row's (cluster, score) — replica-0
+      // kept rows in the scaled run must match it exactly
+      val cents = graft.sources.TableLoader.load(spark, base, "embeddings")
+        .where(col("vec_id") < 8).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val bFull = graft.ext.Similarity.clusterSample(
+          graft.SparkEntry.q28PlantedUnion(spark, base), "vec_id",
+          "embedding", cents, perCluster = 1 << 20, scoreScale = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1).toLong, r.getDouble(2))).toMap
+      val replica0Ok = s.filter(_._1 < ScaleUp.KeyOffset).forall {
+        case (id, c, score, _) => bFull.get(id).contains((c, score)) }
+      check("q90_cluster_sample_dominance_and_replica0")(
+        b.nonEmpty && countsOk && dominated && replica0Ok,
+        s"base=${b.length} scaled=${s.length} countsOk=$countsOk " +
+          s"dominated=$dominated replica0Ok=$replica0Ok " +
+          s"replica0Kept=${s.count(_._1 < ScaleUp.KeyOffset)}")
+    }
+
     println(s"[invariant] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
     spark.stop()
     if (failures > 0) sys.exit(1)
