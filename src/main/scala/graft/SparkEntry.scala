@@ -352,7 +352,7 @@ object SparkEntry {
 
   // --- queries (driver-verified against DuckDB) ----------------------------
 
-  /** The 90-query registry, split by family (VERDICT r10 #6): native
+  /** The 92-query registry, split by family (VERDICT r10 #6): native
     * Druid-shaped queries ([[EntryNative]]), SQL ([[EntrySql]]), and the
     * LLM-data-pipeline operators ([[EntryPipeline]]). Concatenation is
     * pure aggregation — names are disjoint (asserted) and each family

@@ -226,9 +226,19 @@ object LocalClusterRehearsal {
         check("http_timeout_watchdog")(to.statusCode() == 500 &&
           to.body().contains("Query timeout"),
           s"status=${to.statusCode()} body=${to.body().take(100)}")
-        // released permits must serve new streams again (consumed this time)
-        val after = client.send(req("/druid/v2", scanQ),
+        // released permits must serve new streams again. Release is
+        // ASYNCHRONOUS: the server-side writer only notices the broken
+        // pipe at its next write, which can be seconds away while the
+        // scan's current partition is still computing — so poll with a
+        // deadline instead of asserting the instant after close()
+        val releaseDeadline = System.nanoTime() + 60L * 1000000000L
+        var after = client.send(req("/druid/v2", scanQ),
           HttpResponse.BodyHandlers.ofString())
+        while (after.statusCode() == 429 && System.nanoTime() < releaseDeadline) {
+          Thread.sleep(1000)
+          after = client.send(req("/druid/v2", scanQ),
+            HttpResponse.BodyHandlers.ofString())
+        }
         check("http_permits_released")(after.statusCode() == 200,
           s"status=${after.statusCode()} after abandoning the held streams")
       } finally srv.stop()
