@@ -676,23 +676,19 @@ private[graft] object EntryPipeline {
       // floor(0.7·n) under (p, doc_id) order — engine-replayable exactly
       // (rounded perplexities are the q77-certified cross-engine values)
       // — then perplexityBuckets applies them as the pure value-threshold
-      // map that IS the production scale path. Each cutpoint is a
-      // TakeOrderedAndProject (per-partition top-k), no global sort in
-      // the shipped plan.
+      // map that IS the production scale path. The rank values come from
+      // rankCutpoints' value histogram (shuffle volume = distinct rounded
+      // perplexities), never from ordering document rows.
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val scored = graft.ext.Vocabulary.lmScore(
           docs.where(col("doc_id") % 2 === 0),
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
         .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
         .localCheckpoint()
-      val n = scored.count()
-      def cutAt(f: Double): Double = {
-        val k = math.max(1L, math.floor(f * n).toLong).toInt
-        scored.orderBy(col("perplexity"), col("doc_id")).limit(k)
-          .agg(max(col("perplexity"))).head().getDouble(0)
-      }
+      val cuts = graft.ext.Vocabulary.rankCutpoints(
+        scored, "perplexity", Seq(0.3, 0.7))
       graft.ext.Vocabulary.perplexityBuckets(scored, "perplexity",
-          Seq(cutAt(0.3), cutAt(0.7)), Seq("head", "middle", "tail"))
+          cuts, Seq("head", "middle", "tail"))
         .orderBy("doc_id")
     }),
     "q90_cluster_sample" -> ((s, dir) => {

@@ -411,6 +411,38 @@ object Vocabulary {
     scored.stat.approxQuantile(ppxCol, fractions.toArray, relativeError).toSeq
   }
 
+  /** EXACT rank-based cutpoints from a value HISTOGRAM — the fixture /
+    * oracle-replayable sibling of [[perplexityCutpoints]]. The value at
+    * rank `max(1, floor(f·n))` under ascending `(value, tiebreak)` order
+    * is, for ANY tiebreak, the smallest value whose cumulative count
+    * reaches the rank — so it can be read off `groupBy(value).count()`
+    * plus a running sum, without ever ordering or shipping document rows.
+    *
+    * Scale shape: one map-side-combined shuffle keyed on the (rounded)
+    * value — shuffle volume is distinct-values-per-partition, not rows —
+    * then a single-task running sum over the histogram (distinct
+    * 4-decimal perplexities are bounded by value-range × 10⁴, orders of
+    * magnitude below corpus size) and O(1)-row aggregates per fraction.
+    * Replaces the naive `orderBy.limit(floor(f·n))`, whose
+    * TakeOrderedAndProject ships O(n) rows through the driver — fine on a
+    * fixture, impossible at 10⁹ documents. */
+  def rankCutpoints(scored: DataFrame, valueCol: String,
+      fractions: Seq[Double]): Seq[Double] = {
+    require(fractions.nonEmpty && fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be in (0,1): $fractions")
+    val cum = scored.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("v"), sum("cnt").over(Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+      .localCheckpoint() // histogram-sized; reused by every query below
+    val n = cum.agg(max("cum")).head().getLong(0)
+    require(n > 0, "rankCutpoints: empty input")
+    fractions.map { f =>
+      val k = math.max(1L, math.floor(f * n).toLong)
+      cum.where(col("cum") >= k).agg(min("v")).head().getDouble(0)
+    }
+  }
+
   /** Deterministic Gumbel top-k importance resampling: keep the `n`
     * documents with the largest `log_weight / temperature + Gumbel(id)`,
     * where the Gumbel noise `-ln(-ln(u))` draws `u` from the SAME

@@ -1620,6 +1620,29 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("rankCutpoints: histogram ranks equal brute-force order, ties exact") {
+    import graft.ext.Vocabulary
+    // duplicated values force the tie path: rank-k must be the smallest
+    // value whose cumulative count reaches k, regardless of id tiebreak
+    val vals = Seq(30.0, 10.0, 20.0, 20.0, 50.0, 20.0, 40.0, 10.0, 30.0, 60.0)
+    val scored = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "ppx")
+    val fracs = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val got = Vocabulary.rankCutpoints(scored, "ppx", fracs)
+    val sorted = vals.sorted
+    val want = fracs.map { f =>
+      sorted(math.max(1, math.floor(f * vals.size).toInt) - 1) }
+    assert(got == want, s"got=$got want=$want")
+    // scale shape: the job must aggregate values, never order doc rows —
+    // no TakeOrderedAndProject anywhere in the cut computation's plan
+    val hist = scored.groupBy($"ppx").count()
+    assert(!hist.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    intercept[IllegalArgumentException] {
+      Vocabulary.rankCutpoints(scored, "ppx", Seq(0.0, 0.5)) // f out of (0,1)
+    }
+  }
+
   test("clusterSample: per-cluster quotas, nearest vs farthest, id tie-break") {
     import graft.ext.Similarity
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
