@@ -65,20 +65,27 @@ object Decontaminate {
     * (band, bucket) broadcast hash join — per corpus doc the work is one
     * signature (native [[graft.functions.MinHashSignature]], one byte
     * pass) and `bands` key probes; no corpus shuffle, no corpus shingle
-    * materialization. Corpus rows that collide with a benchmark bucket
-    * are CAPPED at `bucketCap` per (band, bucket) (lowest ids win —
-    * deterministic, the [[Dedup.minhashBandIndex]] rule), so the
+    * materialization.
+    *
+    * `bucketCap` — DEFAULT UNCAPPED: decontamination is a safety pass, so
+    * candidate generation is exhaustive unless the caller explicitly opts
+    * into truncation (ADVICE r11; the r10 default of 256 silently traded
+    * recall for boundedness on degenerate corpora). Setting a finite cap
+    * bounds corpus rows at `bucketCap` per (band, bucket) (lowest ids
+    * win — deterministic, the [[Dedup.minhashBandIndex]] rule), so the
     * candidate set is hard-bounded at |bench (band,bucket) keys| ×
-    * `bucketCap` no matter how degenerate the corpus — without the cap, a
-    * corpus full of short/boilerplate documents whose band signatures all
-    * collide with one benchmark bucket would make the candidate broadcast
+    * `bucketCap` no matter how degenerate the corpus — the opt-in for a
+    * corpus of short/boilerplate documents whose band signatures all
+    * collide with one benchmark bucket, where exhaustive candidates grow
     * proportional to the CORPUS, not the benchmark (ADVICE r10). The cap
     * shuffles only the colliding rows (a benchmark-collision-sized frame,
-    * not the corpus), and truncation is OBSERVABLE, not silent: each run
-    * records a bucket-cap report in [[Dedup.lshStats]] (`kind` =
-    * "fuzzy-decon") and WARN-logs when any bucket overflowed — an
-    * overflowed bucket means capture degrades for the dropped members
-    * (they keep `bands` − 1 other chances). Surviving candidates proceed:
+    * not the corpus), and truncation is OBSERVABLE, not silent: each
+    * capped run records a bucket-cap report in [[Dedup.lshStats]]
+    * (`kind` = "fuzzy-decon") and WARN-logs when any bucket overflowed —
+    * an overflowed bucket means capture degrades for the dropped members
+    * (they keep `bands` − 1 other chances, and a dropped-in-every-band
+    * document can remain contaminated in the output). Surviving
+    * candidates proceed:
     * candidate doc texts are fetched by a second corpus scan through a
     * broadcast semi-join on the candidate ids, and exact verification
     * shingles only those. Banding geometry defaults to 32 bands × 2 rows
@@ -97,7 +104,7 @@ object Decontaminate {
       idCol: String, benchIdCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 32,
-      bucketCap: Int = 256): DataFrame = {
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(bucketCap > 0, s"bucketCap must be positive: $bucketCap")
     import org.apache.spark.sql.expressions.Window
@@ -107,16 +114,23 @@ object Decontaminate {
         .as(Seq("band", "bucket")))
     val benchBanded = Dedup.materialize(banded(bench, benchIdCol))
     // map-only prefilter: only corpus rows landing in a benchmark bucket
-    // survive; then the bucketCap window shuffles ONLY those (ADVICE r10)
+    // survive; with a finite cap, the bucketCap window then shuffles ONLY
+    // those (ADVICE r10) — uncapped (the default) skips the window
+    // entirely, so the exhaustive path pays no per-bucket ranking
     val colliding = banded(docs, idCol)
       .join(broadcast(benchBanded.select("band", "bucket").distinct()),
         Seq("band", "bucket"))
-    val byBucket = Window.partitionBy("band", "bucket")
-    val capped = Dedup.materialize(colliding
-      .withColumn("__rk", row_number().over(byBucket.orderBy(col(idCol))))
-      .withColumn("__n", count(lit(1)).over(byBucket))
-      .where(col("__rk") <= bucketCap))
-    Dedup.reportCappedIndexTruncation(capped, bucketCap, "fuzzy-decon")
+    val capped =
+      if (bucketCap == Int.MaxValue) colliding
+      else {
+        val byBucket = Window.partitionBy("band", "bucket")
+        val c = Dedup.materialize(colliding
+          .withColumn("__rk", row_number().over(byBucket.orderBy(col(idCol))))
+          .withColumn("__n", count(lit(1)).over(byBucket))
+          .where(col("__rk") <= bucketCap))
+        Dedup.reportCappedIndexTruncation(c, bucketCap, "fuzzy-decon")
+        c
+      }
     val cand = capped
       .join(broadcast(benchBanded), Seq("band", "bucket"))
       .select(col(idCol), col(benchIdCol)).distinct()
@@ -139,7 +153,7 @@ object Decontaminate {
       idCol: String, benchIdCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5,
       numHashes: Int = 64, bands: Int = 32,
-      bucketCap: Int = 256): DataFrame = {
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val hits = fuzzyContaminationHits(docs, bench, idCol, benchIdCol,
       textCol, shingleN, threshold, numHashes, bands, bucketCap)
     docs.join(hits.select(col(idCol)).distinct(), Seq(idCol), "left_anti")

@@ -547,58 +547,6 @@ object Similarity {
     *
     * Output: (id_a, id_b, cluster, cosine), id_a < id_b. Ties in centroid
     * assignment break toward the lower centroid index (stable argmax). */
-  /** Cluster-stratified corpus sampling (the DataComp / SemDeDup-family
-    * selection step): assign every document's embedding to its nearest
-    * centroid (pure codegen'd map — centroids are a model-sized literal),
-    * then keep the `perCluster` most prototypical (`farthest = false`,
-    * highest cosine to the assigned centroid) or most diverse
-    * (`farthest = true`, lowest cosine) documents per cluster. Cluster
-    * balance is the point: a global top-N by any score over-samples the
-    * densest region; per-cluster quotas cover the embedding space.
-    *
-    * Scale shape: one shuffle, keyed on cluster, and Catalyst rewrites
-    * the `row_number <= k` window to `WindowGroupLimit` — a partial
-    * top-k per input partition BEFORE the shuffle, so a hot cluster
-    * ships at most partitions×k rows, never its full membership (the
-    * [[Curation.capPerGroup]] scale argument; plan-gated in ExtSpec).
-    *
-    * Determinism: ties break by ascending id. `scoreScale >= 0` rounds
-    * the ranking score to that many decimals FIRST (then id tie-break) —
-    * the cross-engine replay mode: two engines computing cosine in
-    * different precision (float32 vs float64 accumulation) agree on the
-    * rounded key, so the kept set is oracle-exact (the q90 gate). The
-    * default (-1) ranks on the raw double.
-    *
-    * Output: (idCol, cluster, score, rk), rk = 1-based rank within the
-    * cluster under the chosen order. */
-  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], perCluster: Int,
-      farthest: Boolean = false, scoreScale: Int = -1): DataFrame = {
-    require(perCluster > 0, s"perCluster must be positive: $perCluster")
-    require(centroids.nonEmpty, "need at least one centroid")
-    import org.apache.spark.sql.expressions.Window
-    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("__vec"),
-      element_at(graft.functions.VectorFunctions.nearest_centroids(
-        col(vecCol), centroids, 1), 1).as("cluster"))
-    // cosine to the ASSIGNED centroid: a literal CASE over the centroid
-    // table (model-sized — folds into the plan like a broadcast dim)
-    val rawScore = centroids.zipWithIndex.foldLeft(lit(Double.NaN)) {
-      case (acc, (c, i)) =>
-        when(col("cluster") === i,
-          cosine(col("__vec"), array(c.map(x => lit(x)): _*))).otherwise(acc)
-    }
-    val score = if (scoreScale >= 0) round(rawScore, scoreScale) else rawScore
-    val ord =
-      if (farthest) Seq(col("__score").asc, col("id").asc)
-      else Seq(col("__score").desc, col("id").asc)
-    val w = Window.partitionBy("cluster").orderBy(ord: _*)
-    assigned.withColumn("__score", score)
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= perCluster)
-      .select(col("id").as(idCol), col("cluster"),
-        col("__score").as("score"), col("rk"))
-  }
-
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
       maxPairBudget: Long = 200000000L): DataFrame = {
@@ -625,5 +573,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cluster"),
         cosine(col("__va"), col("__vb")).as("cosine"))
       .where(col("cosine") >= threshold)
+  }
+
+  /** Cluster-stratified corpus sampling (the DataComp / SemDeDup-family
+    * selection step): assign every document's embedding to its nearest
+    * centroid (pure codegen'd map — centroids are a model-sized literal),
+    * then keep the `perCluster` most prototypical (`farthest = false`,
+    * highest cosine to the assigned centroid) or most diverse
+    * (`farthest = true`, lowest cosine) documents per cluster. Cluster
+    * balance is the point: a global top-N by any score over-samples the
+    * densest region; per-cluster quotas cover the embedding space.
+    *
+    * Scale shape: one shuffle, keyed on cluster, and Catalyst rewrites
+    * the `row_number <= k` window to `WindowGroupLimit` — a partial
+    * top-k per input partition BEFORE the shuffle, so a hot cluster
+    * ships at most partitions×k rows, never its full membership (the
+    * [[Curation.capPerGroup]] scale argument; plan-gated in ExtSpec).
+    * Assignment AND score come from one native pass over the centroid
+    * table ([[graft.functions.CentroidBestCosine]] — fixed-size generated
+    * loop, codegen-live at thousands of centroids), replacing the r11
+    * O(k) literal CASE chain whose generated code blew method-size limits
+    * at the k∝n regimes this family documents (VERDICT r11 #2); the
+    * expression replays the CASE chain's exact arithmetic, so kept sets
+    * and scores are bit-identical (the q90 hash).
+    *
+    * Determinism: ties break by ascending id. `scoreScale >= 0` rounds
+    * the ranking score to that many decimals FIRST (then id tie-break) —
+    * the cross-engine replay mode: two engines computing cosine in
+    * different precision (float32 vs float64 accumulation) agree on the
+    * rounded key, so the kept set is oracle-exact (the q90 gate). The
+    * default (-1) ranks on the raw double.
+    *
+    * Output: (idCol, cluster, score, rk), rk = 1-based rank within the
+    * cluster under the chosen order. */
+  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], perCluster: Int,
+      farthest: Boolean = false, scoreScale: Int = -1): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    require(centroids.nonEmpty, "need at least one centroid")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = df.select(col(idCol).as("id"),
+        graft.functions.VectorFunctions.centroid_best_cosine(
+          col(vecCol), centroids).as("__bc"))
+      .select(col("id"), col("__bc.cluster").as("cluster"),
+        col("__bc.cosine").as("__raw"))
+    val score = if (scoreScale >= 0) round(col("__raw"), scoreScale)
+      else col("__raw")
+    val ord =
+      if (farthest) Seq(col("__score").asc, col("id").asc)
+      else Seq(col("__score").desc, col("id").asc)
+    val w = Window.partitionBy("cluster").orderBy(ord: _*)
+    assigned.withColumn("__score", score)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perCluster)
+      .select(col("id").as(idCol), col("cluster"),
+        col("__score").as("score"), col("rk"))
   }
 }

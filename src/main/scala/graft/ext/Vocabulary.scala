@@ -266,7 +266,34 @@ object Vocabulary {
     * drop to exact mode) before the counted ratios drift from the exact
     * model in production. The report costs one extra distinct+count pass
     * over the feature stream, paid once per model version, never per
-    * scored batch. */
+    * scored batch — and `reportOccupancy = false` skips it entirely for
+    * large-corpus callers who have already validated the geometry (the
+    * ratios themselves never depend on the report; ADVICE r11). */
+  def dsirModel(target: DataFrame, raw: DataFrame, textCol: String,
+      numBuckets: Int = 65536, reportOccupancy: Boolean = true): DsirModel = {
+    def cnt(df: DataFrame, n: String) = df
+      .select(explode(dsirFeatures(col(textCol))).as("__f0"))
+      .select(dsirBucket(col("__f0"), numBuckets).as("f"))
+      .groupBy("f").agg(count(lit(1)).as(n))
+    if (numBuckets > 0 && reportOccupancy)
+      reportBucketOccupancy(target, raw, textCol, numBuckets)
+    // materialized: the totals aggregate AND the ratio projection both
+    // read the joined counts — without this the two corpus count passes
+    // run twice (once for the scalars, once when the ratio is consumed)
+    val joined = Dedup.materialize(
+      cnt(target, "__ct").join(cnt(raw, "__cr"), Seq("f"), "full_outer")
+        .select(col("f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+          coalesce(col("__cr"), lit(0L)).as("__cr")))
+    val agg = joined.agg(coalesce(sum("__ct"), lit(0L)),
+      coalesce(sum("__cr"), lit(0L)), count(lit(1))).head()
+    val (tt, tr, seen) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val d = if (numBuckets > 0) numBuckets.toLong else seen
+    val ratio = joined.select(col("f"),
+      (log((col("__ct") + 1.0) / (tt + d).toDouble) -
+        log((col("__cr") + 1.0) / (tr + d).toDouble)).as("log_ratio"))
+    DsirModel(ratio, tt, tr, d, numBuckets)
+  }
+
   /** Exact bucket-occupancy report for [[dsirModel]]'s bucket mode: one
     * distinct pass over the union feature stream, grouped per bucket,
     * reduced to the `"dsir-bucket"` [[Dedup.LshStat]] shape. */
@@ -298,30 +325,6 @@ object Vocabulary {
         " — counted ratios drift from the exact model; raise numBuckets " +
           "or use exact mode (numBuckets = 0)"
       else ""))
-  }
-
-  def dsirModel(target: DataFrame, raw: DataFrame, textCol: String,
-      numBuckets: Int = 65536): DsirModel = {
-    def cnt(df: DataFrame, n: String) = df
-      .select(explode(dsirFeatures(col(textCol))).as("__f0"))
-      .select(dsirBucket(col("__f0"), numBuckets).as("f"))
-      .groupBy("f").agg(count(lit(1)).as(n))
-    if (numBuckets > 0) reportBucketOccupancy(target, raw, textCol, numBuckets)
-    // materialized: the totals aggregate AND the ratio projection both
-    // read the joined counts — without this the two corpus count passes
-    // run twice (once for the scalars, once when the ratio is consumed)
-    val joined = Dedup.materialize(
-      cnt(target, "__ct").join(cnt(raw, "__cr"), Seq("f"), "full_outer")
-        .select(col("f"), coalesce(col("__ct"), lit(0L)).as("__ct"),
-          coalesce(col("__cr"), lit(0L)).as("__cr")))
-    val agg = joined.agg(coalesce(sum("__ct"), lit(0L)),
-      coalesce(sum("__cr"), lit(0L)), count(lit(1))).head()
-    val (tt, tr, seen) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    val d = if (numBuckets > 0) numBuckets.toLong else seen
-    val ratio = joined.select(col("f"),
-      (log((col("__ct") + 1.0) / (tt + d).toDouble) -
-        log((col("__cr") + 1.0) / (tr + d).toDouble)).as("log_ratio"))
-    DsirModel(ratio, tt, tr, d, numBuckets)
   }
 
   /** Persist a [[DsirModel]] next to a corpus snapshot (the target/raw
@@ -370,8 +373,10 @@ object Vocabulary {
 
   /** [[dsirModel]] + [[dsirWeightsWith]] in one call. */
   def dsirWeights(target: DataFrame, raw: DataFrame, idCol: String,
-      textCol: String, numBuckets: Int = 65536): DataFrame =
-    dsirWeightsWith(dsirModel(target, raw, textCol, numBuckets), raw,
+      textCol: String, numBuckets: Int = 65536,
+      reportOccupancy: Boolean = true): DataFrame =
+    dsirWeightsWith(
+      dsirModel(target, raw, textCol, numBuckets, reportOccupancy), raw,
       idCol, textCol)
 
   /** CCNet-style perplexity bucketing, part 1 — the SCALE path: label each
@@ -384,17 +389,24 @@ object Vocabulary {
     * thresholds fold into the plan as literals. This mirrors CCNet's
     * production shape — thresholds are CALIBRATED once per corpus/language
     * version ([[perplexityCutpoints]]) and then applied as constants to
-    * every batch, so labeling 100 TB costs one scan. */
+    * every batch, so labeling 100 TB costs one scan.
+    *
+    * NULL/NaN scores label as NULL, not as the last bucket: every
+    * `p <= cut` predicate is false for them, and silently folding an
+    * unscored document into "tail" would make it indistinguishable from a
+    * genuinely high-perplexity one (ADVICE r11). Filter or impute
+    * upstream if a concrete label is wanted. */
   def perplexityBuckets(scored: DataFrame, ppxCol: String,
       cuts: Seq[Double], labels: Seq[String]): DataFrame = {
     require(cuts.nonEmpty && cuts == cuts.sorted,
       s"cuts must be non-empty ascending: $cuts")
     require(labels.size == cuts.size + 1,
       s"need ${cuts.size + 1} labels for ${cuts.size} cuts, got ${labels.size}")
+    val p = col(ppxCol).cast("double")
     val label = cuts.zip(labels).foldRight(lit(labels.last): Column) {
-      case ((c, l), acc) => when(col(ppxCol) <= c, l).otherwise(acc)
+      case ((c, l), acc) => when(p <= c, l).otherwise(acc)
     }
-    scored.withColumn("bucket", label)
+    scored.withColumn("bucket", when(p.isNotNull && !isnan(p), label))
   }
 
   /** Part 2 — threshold CALIBRATION: the perplexity values at the given
@@ -422,25 +434,52 @@ object Vocabulary {
     * value — shuffle volume is distinct-values-per-partition, not rows —
     * then a single-task running sum over the histogram (distinct
     * 4-decimal perplexities are bounded by value-range × 10⁴, orders of
-    * magnitude below corpus size) and O(1)-row aggregates per fraction.
-    * Replaces the naive `orderBy.limit(floor(f·n))`, whose
+    * magnitude below corpus size) and ONE O(histogram) aggregate that
+    * reads every fraction's cut value off the running sum in a single
+    * job. Replaces the naive `orderBy.limit(floor(f·n))`, whose
     * TakeOrderedAndProject ships O(n) rows through the driver — fine on a
-    * fixture, impossible at 10⁹ documents. */
+    * fixture, impossible at 10⁹ documents.
+    *
+    * The single-task running sum is safe ONLY while the histogram is
+    * small, and nothing upstream forces rounded values — so the
+    * precondition is ENFORCED, not assumed (VERDICT r11 #3): the distinct
+    * count is checked against `maxDistinct` before the window runs, and
+    * an unrounded column (distinct ≈ rows) fails with re-rounding
+    * guidance instead of silently degrading to an O(n) single task.
+    * NULL/NaN values are excluded from ranks (the [[perplexityCutpoints]]
+    * / `approxQuantile` convention — under `Window.orderBy` they would
+    * sort first and skew every rank). */
   def rankCutpoints(scored: DataFrame, valueCol: String,
-      fractions: Seq[Double]): Seq[Double] = {
+      fractions: Seq[Double], maxDistinct: Long = 10000000L): Seq[Double] = {
     require(fractions.nonEmpty && fractions.forall(f => f > 0 && f < 1),
       s"fractions must be in (0,1): $fractions")
-    val cum = scored.groupBy(col(valueCol).as("v"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(col("v"), sum("cnt").over(Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
-      .localCheckpoint() // histogram-sized; reused by every query below
-    val n = cum.agg(max("cum")).head().getLong(0)
-    require(n > 0, "rankCutpoints: empty input")
-    fractions.map { f =>
+    require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
+    val v = col(valueCol).cast("double")
+    val hist = scored
+      .select(v.as("v"))
+      .where(col("v").isNotNull && !isnan(col("v")))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // histogram-sized; read by both aggregates below
+    val meta = hist.agg(count(lit(1)), coalesce(sum("cnt"), lit(0L))).head()
+    val (distinct, n) = (meta.getLong(0), meta.getLong(1))
+    require(n > 0, s"rankCutpoints: no non-null values in '$valueCol'")
+    if (distinct > maxDistinct)
+      throw new IllegalStateException(
+        f"rankCutpoints: $distinct%,d distinct values in '$valueCol' exceed " +
+          f"maxDistinct=$maxDistinct%,d — the histogram's single-task " +
+          "running sum is safe only for a bounded value space. Round the " +
+          "column first (e.g. round(col, 4)), or use perplexityCutpoints' " +
+          "distributed GK quantiles, which need no cardinality precondition")
+    val cum = hist.select(col("v"), sum("cnt").over(Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    // every fraction's cut in ONE aggregate: the value at rank k is the
+    // smallest v whose cumulative count reaches k
+    val cutAggs = fractions.zipWithIndex.map { case (f, i) =>
       val k = math.max(1L, math.floor(f * n).toLong)
-      cum.where(col("cum") >= k).agg(min("v")).head().getDouble(0)
+      min(when(col("cum") >= k, col("v"))).as(s"__c$i")
     }
+    val row = cum.agg(cutAggs.head, cutAggs.tail: _*).head()
+    fractions.indices.map(row.getDouble(_))
   }
 
   /** Deterministic Gumbel top-k importance resampling: keep the `n`

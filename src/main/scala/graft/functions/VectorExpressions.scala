@@ -356,6 +356,122 @@ object NearestCentroids {
   }
 }
 
+/** Nearest-centroid assignment WITH the cosine to the assigned centroid:
+  * `struct(cluster int, cosine double)`. One pass over the baked-in
+  * centroid matrix per row — the scalar companion of [[NearestCentroids]]
+  * for operators that rank by prototypicality (`Similarity.clusterSample`).
+  *
+  * Replaces an O(k) literal CASE chain over the centroid table (fine at
+  * k=8, blows codegen's method-size limits at the k∝n regimes the
+  * SemDeDup family documents — VERDICT r11 #2): the generated code here is
+  * one fixed-size loop whatever k is, so whole-stage codegen stays live at
+  * thousands of centroids.
+  *
+  * Semantics pinned to the incumbents so results are bit-identical:
+  * assignment is [[NearestCentroids]]' (dot against L2-NORMALIZED
+  * centroids, highest wins, lowest index on ties — stable under the
+  * strict `>`), and the returned cosine replays [[CosineSimilarity]]
+  * against the RAW winning centroid in its exact accumulation order
+  * (`dot/√(Σx²)·√(Σy²)`, 0.0 when either norm is 0) — NOT the normalized
+  * dot divided by the row norm, which differs in final ulps and would
+  * flip rounded scores at decimal boundaries. */
+case class CentroidBestCosine(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with Serializable {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>/array<double> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false)))
+
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val normed: Array[Array[Double]] =
+    NearestCentroids.normalize(centroids)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var ci = 0
+    while (ci < normed.length) {
+      val c = normed(ci)
+      var dot = 0.0; var i = 0
+      val n = math.min(dim, c.length)
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        dot += x * c(i); i += 1
+      }
+      if (dot > bestDot) { bestDot = dot; best = ci }
+      ci += 1
+    }
+    // CosineSimilarity's accumulation, verbatim, against the raw winner
+    val w = centroids(best)
+    val n = math.min(dim, w.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = w(i)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      i += 1
+    }
+    val cos = if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    InternalRow(best, cos)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = if (isFloat) "getFloat" else "getDouble"
+    val normedRef = ctx.addReferenceObj("normed", normed, "double[][]")
+    val rawRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val ci = ctx.freshName("ci"); val i = ctx.freshName("i")
+      val dim = ctx.freshName("dim"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val best = ctx.freshName("best")
+      val bestDot = ctx.freshName("bestDot"); val w = ctx.freshName("w")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val cos = ctx.freshName("cos")
+      s"""
+         |int $dim = $a.numElements();
+         |int $best = 0; double $bestDot = Double.NEGATIVE_INFINITY;
+         |for (int $ci = 0; $ci < $normedRef.length; $ci++) {
+         |  double $dot = 0.0;
+         |  int $n = java.lang.Math.min($dim, $normedRef[$ci].length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.$acc($i) * $normedRef[$ci][$i];
+         |  }
+         |  if ($dot > $bestDot) { $bestDot = $dot; $best = $ci; }
+         |}
+         |double[] $w = $rawRef[$best];
+         |int $n = java.lang.Math.min($dim, $w.length);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $x = (double) $a.$acc($i); double $y = $w[$i];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |}
+         |double $cos = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $best, $cos });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Symmetric int8 quantization of an embedding vector:
   * `struct(scale double, q array<tinyint>)` with
   * `scale = max|v| / 127` and `q[i] = clamp(floor(v[i]/scale + 0.5), -127, 127)`.
@@ -508,6 +624,9 @@ object VectorFunctions {
 
   def nearest_centroids(v: Column, centroids: Array[Array[Double]], probe: Int): Column =
     GraftBridge.column(NearestCentroids(GraftBridge.expression(v), centroids, probe))
+
+  def centroid_best_cosine(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(CentroidBestCosine(GraftBridge.expression(v), centroids))
 
   def quantize_int8(v: Column): Column =
     GraftBridge.column(QuantizeInt8(GraftBridge.expression(v)))

