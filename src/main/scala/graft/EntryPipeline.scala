@@ -691,6 +691,55 @@ private[graft] object EntryPipeline {
           cuts, Seq("head", "middle", "tail"))
         .orderBy("doc_id")
     }),
+    "q91_lm_score_amortized" -> ((s, dir) => {
+      // q77's scoring against the PERSISTED reference LM (VERDICT r11 #4):
+      // production builds the model once per corpus version and re-scores
+      // every incoming batch against the saved, vocabulary-sized count
+      // tables — this entry IS that amortized path (build+save happens
+      // once per fixture version in the artifact cache; the measured work
+      // is load + the scoring joins). Bit-identical to q77, so the oracle
+      // is q77's verbatim — the amortization may not change a single hash.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.ext.Vocabulary.loadLmModel(s,
+        s"${lmArtifact(s, dir)}/model")
+      graft.ext.Vocabulary.lmScoreWith(model,
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_neg_logp"), 6).as("avg_neg_logp"),
+          round(col("perplexity"), 4).as("perplexity"))
+        .orderBy("doc_id")
+    }),
+    "q92_dsir_weights_amortized" -> ((s, dir) => {
+      // q82's weighting against the PERSISTED DSIR model (VERDICT r11 #4):
+      // per-batch cost is the broadcastable ratio join + the per-doc fold;
+      // the two corpus count passes live in the once-per-version artifact.
+      // Bit-identical to q82 → q82's oracle verbatim.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.ext.Vocabulary.loadDsirModel(s, dsirArtifact(s, dir))
+      graft.ext.Vocabulary.dsirWeightsWith(model,
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .select(col("doc_id"), col("n_features"),
+          round(col("log_weight"), 4).as("log_weight"))
+        .orderBy("doc_id")
+    }),
+    "q93_perplexity_label_amortized" -> ((s, dir) => {
+      // q89 with BOTH artifacts persisted (reference LM + calibrated
+      // cutpoints — CCNet's production shape): the per-batch cost is the
+      // scoring join plus a zero-shuffle literal-threshold map. The
+      // operator family's documented amortization story, now a measured
+      // bench row (VERDICT r11 #4). Bit-identical to q89 → q89's oracle.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val art = lmArtifact(s, dir)
+      val model = graft.ext.Vocabulary.loadLmModel(s, s"$art/model")
+      val cuts = s.read.parquet(s"$art/cuts").orderBy("cut")
+        .collect().map(_.getDouble(0)).toSeq
+      val scored = graft.ext.Vocabulary.lmScoreWith(model,
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(col("doc_id"), round(col("perplexity"), 4).as("perplexity"))
+      graft.ext.Vocabulary.perplexityBuckets(scored, "perplexity",
+          cuts, Seq("head", "middle", "tail"))
+        .orderBy("doc_id")
+    }),
     "q90_cluster_sample" -> ((s, dir) => {
       // cluster-stratified sampling over the q28 planted corpus with the
       // q74 seed centroids: the 10 most prototypical docs per cluster
@@ -710,7 +759,69 @@ private[graft] object EntryPipeline {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map(
+  // --- persisted-model artifacts (VERDICT r11 #4) ---------------------------
+
+  /** Per-fixture-version artifact cache (the q30 rule: keyed on the
+    * documents fixture's length+mtime so a driver-regenerated fixture
+    * rebuilds; pid-suffixed temp dir + atomic rename so concurrent
+    * builders — the multi-JVM rehearsal — race benignly). Production
+    * builds a model once per corpus version and re-scores every batch
+    * against the saved artifact; q91–q93 measure THAT amortized path,
+    * while q77/q82/q89 keep measuring the full build+score pipeline, so
+    * the two trend lines separate model-build cost from per-batch cost. */
+  private def artifactPath(dir: String, kind: String)
+      (build: String => Unit): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"))
+    val cacheRoot = new java.io.File("target/fixture-cache")
+    val out = new java.io.File(cacheRoot, s"${kind}_$key")
+    if (!out.isDirectory) {
+      val tmp = new java.io.File(cacheRoot,
+        s".${kind}_$key.tmp.${ProcessHandle.current.pid}")
+      build(tmp.getAbsolutePath)
+      if (!tmp.renameTo(out)) { // lost the race — another JVM built it
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmp)
+      }
+    }
+    out.getAbsolutePath
+  }
+
+  /** q77's reference LM (counted over the even-id half) plus q89's
+    * calibrated cutpoints, saved once per fixture version — `model/` is a
+    * [[graft.ext.Vocabulary.saveLmModel]] layout, `cuts/` a 2-row parquet. */
+  private def lmArtifact(s: SparkSession, dir: String): String =
+    artifactPath(dir, "lm_model") { tmp =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.ext.Vocabulary.lmModel(
+        docs.where(col("doc_id") % 2 === 0), "text")
+      graft.ext.Vocabulary.saveLmModel(model, s"$tmp/model")
+      // q89's calibration, persisted next to the model (CCNet's shape:
+      // thresholds are computed once per corpus/language version)
+      val scored = graft.ext.Vocabulary.lmScoreWith(model,
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .select(round(col("perplexity"), 4).as("perplexity"))
+      val cuts = graft.ext.Vocabulary.rankCutpoints(
+        scored, "perplexity", Seq(0.3, 0.7))
+      import s.implicits._
+      cuts.toDF("cut").coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/cuts")
+    }
+
+  /** q82's exact-mode DSIR model, saved once per fixture version. */
+  private def dsirArtifact(s: SparkSession, dir: String): String =
+    artifactPath(dir, "dsir_model") { tmp =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.ext.Vocabulary.dsirModel(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0), "text", numBuckets = 0)
+      graft.ext.Vocabulary.saveDsirModel(model, tmp)
+    }
+
+  private val baseOracles: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -1769,4 +1880,13 @@ private[graft] object EntryPipeline {
         |  CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 10 ORDER BY cluster, rk""".stripMargin,
   )
+
+  /** q91–q93 reuse the q77/q82/q89 oracles VERBATIM: the amortized
+    * persisted-model paths must reproduce their build-in-place siblings
+    * bit-for-bit — same SQL, same hashes — or the persistence layer has
+    * changed the model. */
+  val oracleSql: Map[String, String] = baseOracles ++ Map(
+    "q91_lm_score_amortized" -> baseOracles("q77_lm_score"),
+    "q92_dsir_weights_amortized" -> baseOracles("q82_dsir_weights"),
+    "q93_perplexity_label_amortized" -> baseOracles("q89_perplexity_buckets"))
 }

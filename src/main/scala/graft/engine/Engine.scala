@@ -24,7 +24,8 @@ import scala.util.control.NonFatal
   * Spark job group keyed by queryId (`query/query-module-overview.md:55-59`);
   * the error model mirrors `query/query-module-overview.md:60-87`.
   */
-class Engine(spark: SparkSession, catalog: Catalog) {
+class Engine(spark: SparkSession, catalog: Catalog,
+    authorizer: QueryAuthorizer = QueryAuthorizer.AllowAll) {
 
   import Engine._
 
@@ -51,6 +52,14 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   private val resultCacheMaxBytes: Long =
     spark.conf.getOption("spark.graft.resultCache.maxBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
+  // per-(segment, query) fragment caching (SegmentResultCache): on by
+  // default; `concurrency` bounds the scatter width for cold chunks
+  private val segmentCacheEnabled: Boolean =
+    spark.conf.getOption("spark.graft.segmentCache.enabled")
+      .forall(_.toBoolean)
+  private val segmentCacheConcurrency: Int =
+    spark.conf.getOption("spark.graft.segmentCache.concurrency")
+      .map(_.toInt).getOrElse(8)
   private var resultCacheBytes = 0L // guarded by resultCache's monitor
   private val resultCache =
     new java.util.LinkedHashMap[String, String](128, 0.75f, true)
@@ -81,6 +90,8 @@ class Engine(spark: SparkSession, catalog: Catalog) {
   private val resultCacheMisses = new java.util.concurrent.atomic.AtomicLong
   private val lookupCacheHits = new java.util.concurrent.atomic.AtomicLong
   private val lookupCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  private val segmentCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val segmentCacheMisses = new java.util.concurrent.atomic.AtomicLong
 
   /** Cache hit/miss counters, surfaced at `GET /druid/v2/metrics`. */
   def cacheStats: Map[String, Long] = resultCache.synchronized {
@@ -90,16 +101,23 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       "resultCacheEntries" -> resultCache.size().toLong,
       "resultCacheBytes" -> resultCacheBytes,
       "lookupCacheHits" -> lookupCacheHits.get,
-      "lookupCacheMisses" -> lookupCacheMisses.get)
+      "lookupCacheMisses" -> lookupCacheMisses.get,
+      "segmentCacheHits" -> segmentCacheHits.get,
+      "segmentCacheMisses" -> segmentCacheMisses.get)
   }
 
   private def cacheLookup(key: String): Option[String] = {
     // get mutates an access-order LinkedHashMap — needs the same monitor
-    val hit = resultCache.synchronized { Option(resultCache.get(key)) }
+    val hit = cachePeek(key)
     if (hit.isDefined) resultCacheHits.incrementAndGet()
     else resultCacheMisses.incrementAndGet()
     hit
   }
+
+  /** Counter-neutral lookup (the segment-cache path keeps its own
+    * hit/miss accounting). */
+  private def cachePeek(key: String): Option[String] =
+    resultCache.synchronized { Option(resultCache.get(key)) }
 
   private def datasourceNames(ds: DataSource): Seq[String] = ds match {
     case DataSource.Table(n)   => Seq(n)
@@ -120,10 +138,41 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     md.digest().take(16).map(b => f"$b%02x").mkString
   }
 
+  /** The AUTHORIZING lifecycle step (reference
+    * `query/query-internal-procedure.md:68-96`): per-datasource READ check
+    * BEFORE execution or any cache read; a deny records a failed metric
+    * (the reference logs denied queries too) and raises the documented
+    * `ForbiddenException` shape, which the HTTP layer maps to 403. */
+  private def authorize(queryType: String, queryId: String,
+      identity: Option[String], names: Seq[String]): Unit =
+    if (!authorizer.authorize(identity, names)) {
+      record(QueryMetric(queryId, queryType, 0L,
+        success = false, cached = false, bytes = 0L))
+      throw QueryError("Forbidden",
+        s"READ denied on datasource(s) [${names.mkString(", ")}]" +
+          identity.fold(" for anonymous caller")(id => s" for '$id'"),
+        "ForbiddenException")
+    }
+
+  /** Transport-facing authorization probes: the HTTP layer runs these
+    * BEFORE honoring If-None-Match, so a denied caller cannot use 304s to
+    * confirm a datasource's existence or the freshness of its segments. */
+  def assertAuthorized(query: Query, identity: Option[String]): Unit =
+    authorize(query.getClass.getSimpleName,
+      query.context.getOrElse("queryId", "etag-probe"), identity,
+      datasourceNames(query.dataSource))
+
+  def assertSqlAuthorized(sql: String, datasources: Seq[String],
+      identity: Option[String]): Unit =
+    authorize("Sql", "etag-probe", identity,
+      resolvedSqlNames(sql, datasources))
+
   /** Execute a JSON query; returns the result as a single JSON string in the
     * query type's Druid result shape. Honors context `timeout` (millis),
-    * `queryId` (cancellation key) and `useCache`/`populateCache`. */
-  def executeJson(json: String): String = {
+    * `queryId` (cancellation key) and `useCache`/`populateCache`.
+    * `identity` is the transport-extracted caller principal for the
+    * AUTHORIZING step (None = anonymous). */
+  def executeJson(json: String, identity: Option[String] = None): String = {
     val query =
       try QueryJson.parseQuery(json)
       catch {
@@ -131,6 +180,8 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       }
     val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
     val timeoutMs = Engine.parseTimeout(query.context)
+    authorize(query.getClass.getSimpleName, queryId, identity,
+      datasourceNames(query.dataSource))
 
     val useCache = query.context.get("useCache").forall(_.toBoolean)
     val populateCache = query.context.get("populateCache").forall(_.toBoolean)
@@ -162,15 +213,21 @@ class Engine(spark: SparkSession, catalog: Catalog) {
       val pool = if (p.toIntOption.exists(_ > 0)) "graft_high" else "graft_low"
       spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
     }
+    // per-(segment, query) counts for this query's metric row
+    val segHits = new java.util.concurrent.atomic.AtomicInteger
+    val segMisses = new java.util.concurrent.atomic.AtomicInteger
     try {
       val run = () => {
-        val df = QueryPlanner.plan(spark, query, catalog)
-        // groupBy resource cap → the documented "Resource limit exceeded"
-        // error (reference `query/query-module-overview.md:86`). Enforced
-        // inside the encode iteration — one execution, no probe job.
-        val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
-        ResultEncoder.encode(query, df, maxResults,
-          segmentIdFor = segmentPagingMapper(query))
+        runSegmentCached(json, query, queryId, useCache, populateCache,
+          segHits, segMisses).getOrElse {
+          val df = QueryPlanner.plan(spark, query, catalog)
+          // groupBy resource cap → the documented "Resource limit exceeded"
+          // error (reference `query/query-module-overview.md:86`). Enforced
+          // inside the encode iteration — one execution, no probe job.
+          val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
+          ResultEncoder.encode(query, df, maxResults,
+            segmentIdFor = segmentPagingMapper(query))
+        }
       }
       val result = timeoutMs match {
         case None => run()
@@ -228,8 +285,12 @@ class Engine(spark: SparkSession, catalog: Catalog) {
           }
       }
       if (populateCache) cachePut(cacheKey, result)
+      // a fully-segment-cached result ran no Spark job — report it cached
       record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
-        success = true, cached = false, bytes = result.length.toLong))
+        success = true,
+        cached = segHits.get > 0 && segMisses.get == 0,
+        bytes = result.length.toLong,
+        segmentHits = segHits.get, segmentMisses = segMisses.get))
       result
     } catch {
       case qe: QueryError =>
@@ -260,12 +321,15 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     * property, `query/query-internal-procedure.md:152-189`). Cache population
     * is skipped (the result is never held whole); a prior cached result IS
     * served. Errors raised mid-stream propagate from the iterator. */
-  def executeJsonStream(json: String): Iterator[String] = {
+  def executeJsonStream(json: String,
+      identity: Option[String] = None): Iterator[String] = {
     val query =
       try QueryJson.parseQuery(json)
       catch { case NonFatal(e) => throw QueryError.unknown(e) }
     val queryId = query.context.getOrElse("queryId", UUID.randomUUID().toString)
     val timeoutMs = Engine.parseTimeout(query.context)
+    authorize(query.getClass.getSimpleName, queryId, identity,
+      datasourceNames(query.dataSource))
     val useCache = query.context.get("useCache").forall(_.toBoolean)
     val cacheKey = etag(json, query)
     if (useCache) {
@@ -401,15 +465,107 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     case _ => None
   }
 
+  /** Per-(segment, query) cached execution (reference
+    * `query/query-internal-procedure.md:43-47`, `TOC.md:39,53`; SURVEY
+    * §2.12 phase-2): when the query decomposes into per-chunk slices
+    * ([[SegmentResultCache.decompose]]), serve each chunk's encoded
+    * fragment from the cache when its (query, chunk, version) key hits,
+    * compute only the cold chunks, and merge by concatenation. A moving
+    * dashboard window thus recomputes ONLY the advancing chunk — the
+    * closed chunks stay warm across requests whose overall intervals (and
+    * whole-query etags) differ.
+    *
+    * Cold chunks scatter across a bounded worker pool (Druid's
+    * per-segment fan-out at the broker): each worker re-tags its thread
+    * with the query's job group/tag, so DELETE-cancellation and the
+    * timeout watchdog reach the scattered jobs; each per-chunk plan is
+    * manifest-pruned to its single chunk, so total scan work matches the
+    * whole-query plan and the scatter only recovers the scheduling
+    * serialization. Returns None when the query doesn't decompose (the
+    * whole-query path then runs unchanged). */
+  private def runSegmentCached(json: String, query: Query, queryId: String,
+      useCache: Boolean, populateCache: Boolean,
+      hits: java.util.concurrent.atomic.AtomicInteger,
+      misses: java.util.concurrent.atomic.AtomicInteger): Option[String] = {
+    if (!segmentCacheEnabled || !(useCache || populateCache)) return None
+    SegmentResultCache.decompose(json, query, catalog).map { slices =>
+      val frags = new Array[String](slices.size)
+      val cold = scala.collection.mutable.ArrayBuffer.empty[Int]
+      slices.zipWithIndex.foreach { case (s, i) =>
+        (if (useCache) cachePeek(s.key) else None) match {
+          case Some(f) =>
+            frags(i) = f
+            hits.incrementAndGet(); segmentCacheHits.incrementAndGet()
+          case None =>
+            cold += i
+            misses.incrementAndGet(); segmentCacheMisses.incrementAndGet()
+        }
+      }
+      def compute(i: Int): Unit = {
+        val s = slices(i)
+        val df = QueryPlanner.plan(spark, s.subQuery, catalog)
+        val frag = SegmentResultCache.stripArray(
+          ResultEncoder.encode(s.subQuery, df))
+        frags(i) = frag
+        if (populateCache) cachePut(s.key, frag)
+      }
+      if (cold.size <= 1 || segmentCacheConcurrency <= 1) cold.foreach(compute)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(segmentCacheConcurrency, cold.size),
+          new java.util.concurrent.ThreadFactory {
+            private val n = new java.util.concurrent.atomic.AtomicInteger()
+            def newThread(r: Runnable): Thread = {
+              val t = new Thread(r, s"graft-seg-scatter-${n.incrementAndGet()}")
+              t.setDaemon(true); t
+            }
+          })
+        try {
+          val futs = cold.map(i =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                // carry the query's cancellation umbrella onto this thread
+                spark.sparkContext.setJobGroup(queryId,
+                  s"graft query $queryId chunk ${slices(i).chunk}",
+                  interruptOnCancel = true)
+                spark.sparkContext.addJobTag(Engine.jobTag(queryId))
+                try compute(i)
+                finally {
+                  spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+                  spark.sparkContext.clearJobGroup()
+                }
+              }
+            }))
+          futs.foreach { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          }
+        } finally pool.shutdownNow()
+      }
+      val ordered = query match {
+        case t: Query.Timeseries if t.descending => frags.reverse
+        case _ => frags
+      }
+      ordered.filter(_.nonEmpty).mkString("[", ",", "]")
+    }
+  }
+
   private def recordFailure(queryId: String, query: Query, t0: Long): Unit =
     record(QueryMetric(queryId, query.getClass.getSimpleName,
       (System.nanoTime() - t0) / 1000000L,
       success = false, cached = false, bytes = 0L))
 
   /** Per-query metrics ring (Druid's query/time + bytes emission,
-    * reference `query/query-internal-procedure.md:152-189`). */
+    * reference `query/query-internal-procedure.md:152-189`).
+    * `segmentHits`/`segmentMisses` count per-(segment, query) fragment
+    * cache outcomes when the query took the decomposed path (both 0 on
+    * the whole-query path). */
   final case class QueryMetric(queryId: String, queryType: String, millis: Long,
-      success: Boolean, cached: Boolean, bytes: Long)
+      success: Boolean, cached: Boolean, bytes: Long,
+      segmentHits: Int = 0, segmentMisses: Int = 0)
 
   private val metricsRing = new java.util.concurrent.ConcurrentLinkedDeque[QueryMetric]()
 
@@ -549,8 +705,9 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     * named datasources (or every bare identifier that resolves as one) and
     * returns the rows as a JSON array of objects — the reference's SQL
     * result shape. Buffered convenience over `executeSqlJsonStream`. */
-  def executeSqlJson(sql: String, datasources: Seq[String]): String =
-    executeSqlJsonStream(sql, datasources).mkString
+  def executeSqlJson(sql: String, datasources: Seq[String],
+      identity: Option[String] = None): String =
+    executeSqlJsonStream(sql, datasources, identity).mkString
 
   /** The datasource names a statement touches: the explicit list when
     * given, else every bare identifier in the parsed plan that resolves in
@@ -585,10 +742,12 @@ class Engine(spark: SparkSession, catalog: Catalog) {
     * on the driver (same O(chunk) contract as the native query path,
     * reference `query/query-internal-procedure.md:152-189`). Completion and
     * failure land in the metrics ring once the stream is drained. */
-  def executeSqlJsonStream(sql: String, datasources: Seq[String]): Iterator[String] = {
+  def executeSqlJsonStream(sql: String, datasources: Seq[String],
+      identity: Option[String] = None): Iterator[String] = {
     val names = resolvedSqlNames(sql, datasources)
     val queryId = "sql-" + UUID.randomUUID().toString
     val t0 = System.nanoTime()
+    authorize("Sql", queryId, identity, names)
     // result cache, same store + invalidation as the native path: key =
     // (statement, datasource version tokens). A hit returns the buffered
     // result as one chunk — no Spark job, recorded as a cached metric.

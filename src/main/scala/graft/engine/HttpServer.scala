@@ -82,6 +82,13 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
+  /** Caller principal for the AUTHORIZING lifecycle step (reference
+    * `query/query-internal-procedure.md:68-96`): the `Authorization`
+    * header, forwarded verbatim — the engine's `QueryAuthorizer` decides
+    * what it means. Absent header = anonymous. */
+  private def identityOf(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+
   server.createContext("/druid/v2", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
@@ -100,6 +107,10 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
             val dss = Option(node.get("datasources")).map { arr =>
               (0 until arr.size()).map(arr.get(_).asText())
             }.getOrElse(Seq.empty)
+            // authorize BEFORE the 304 shortcut — a denied caller must not
+            // learn segment freshness from conditional requests
+            val identity = identityOf(ex)
+            engine.assertSqlAuthorized(sql, dss, identity)
             // etag / If-None-Match parity with the native endpoint: the
             // SQL etag keys on (statement, datasource version tokens), so
             // 304s stay valid exactly until a referenced datasource changes
@@ -111,7 +122,7 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               ex.close()
             } else if (!streamPermits.tryAcquire()) capacityExceeded(ex)
             else try {
-              val stream = engine.executeSqlJsonStream(sql, dss)
+              val stream = engine.executeSqlJsonStream(sql, dss, identity)
               ex.getResponseHeaders.add("ETag", tag)
               ex.getResponseHeaders.add("Content-Type", "application/json")
               ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
@@ -134,6 +145,9 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
             // etag / If-None-Match (reference query/query-internal-procedure.md:43-47)
             val body = readBody(ex)
             val query = graft.model.QueryJson.parseQuery(body)
+            // AUTHORIZING precedes the conditional-request shortcut too
+            val identity = identityOf(ex)
+            engine.assertAuthorized(query, identity)
             val tag = engine.etag(body, query)
             val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
             if (ifNoneMatch.contains(tag)) {
@@ -149,7 +163,7 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               // truncate the body (inherent to chunked encoding).
               if (!streamPermits.tryAcquire()) capacityExceeded(ex)
               else try {
-                val stream = engine.executeJsonStream(body)
+                val stream = engine.executeJsonStream(body, identity)
                 ex.getResponseHeaders.add("ETag", tag)
                 ex.getResponseHeaders.add("Content-Type", "application/json")
                 ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding
@@ -174,7 +188,7 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               } finally streamPermits.release()
             } else {
               ex.getResponseHeaders.add("ETag", tag)
-              respond(ex, 200, engine.executeJson(body))
+              respond(ex, 200, engine.executeJson(body, identity))
             }
           case ("GET", "/druid/v2/metrics") =>
             // metric families (reference `TOC.md:50-58`): the query ring
@@ -188,6 +202,8 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               o.put("queryId", m.queryId); o.put("queryType", m.queryType)
               o.put("millis", m.millis); o.put("success", m.success)
               o.put("cached", m.cached); o.put("bytes", m.bytes)
+              o.put("segmentHits", m.segmentHits)
+              o.put("segmentMisses", m.segmentMisses)
             }
             val cache = root.putObject("cache")
             engine.cacheStats.toSeq.sortBy(_._1).foreach { case (k, v) => cache.put(k, v) }
@@ -232,6 +248,10 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
           case _ => respond(ex, 405, """{"error":"unsupported method"}""")
         }
       } catch {
+        // AUTHORIZING deny → 403 with the documented error shape
+        // (reference `query/query-internal-procedure.md:71-74`)
+        case e: Engine.QueryError if e.errorClass == "ForbiddenException" =>
+          respond(ex, 403, e.toJson)
         case e: Engine.QueryError => respond(ex, 500, e.toJson)
         case e @ (_: IllegalArgumentException |
                   _: com.fasterxml.jackson.core.JacksonException) =>

@@ -1,0 +1,191 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.model._
+import graft.sources.Catalog
+
+/** Per-(segment, query) result-cache decomposition — the Druid historical
+  * cache brought to the Spark engine (reference
+  * `query/query-internal-procedure.md:43-47`, `TOC.md:39,53`; SURVEY §2.12's
+  * declared phase-2 item): a whole-query cache keyed on ALL segment versions
+  * misses entirely whenever any chunk changes, so a dashboard query over a
+  * moving time window recomputes everything each time the hot chunk
+  * advances. Caching per (query-sans-intervals, chunk, chunk version)
+  * instead keeps every CLOSED chunk's slice warm — only the advancing
+  * chunk recomputes.
+  *
+  * The decomposition is sound exactly when every result row belongs to ONE
+  * day chunk, i.e. when the granularity's buckets nest inside UTC day
+  * chunks ([[nestsInDayChunk]] — second..day simple units, day-dividing
+  * epoch-anchored durations, unanchored UTC time periods). Then a
+  * timeseries/topN/groupBy over intervals I equals the concatenation of
+  * the same query over I ∩ chunk for each manifest chunk, in chunk order:
+  * aggregates never straddle chunks (bucket ⊆ chunk), the zero-fill spine
+  * decomposes because it is already intersected with the segment timeline
+  * (the planner's segment-gap skip), and topN's per-bucket ranking is
+  * chunk-local. Whole-interval shapes (granularity `all`,
+  * week/month/quarter/year, origin-anchored periods) and cross-bucket
+  * postprocessing (groupBy limitSpec, context maxResults) do NOT decompose
+  * and fall back to the whole-query cache — Druid merges per-segment
+  * PARTIAL aggregates at the broker to cover those; this engine prefers
+  * the fallback over reimplementing every aggregator's merge.
+  *
+  * Fragments are the encoded per-chunk result arrays with the outer
+  * brackets stripped, so the merge is pure string concatenation — no
+  * decode, no driver-side re-aggregation, O(result) memory like the
+  * buffered path it serves.
+  */
+object SegmentResultCache {
+
+  /** One chunk's slice of a decomposed query: the sub-query (intervals
+    * replaced by the chunk intersection) and its version-pinned cache key.
+    * `token` is the chunk's full manifest state — EVERY (version, rowCount)
+    * entry for the chunk, not just the max version: an append can add a
+    * segment to a chunk without bumping the version int, and a key blind
+    * to row counts would serve the pre-append fragment (caught by
+    * EngineSpec's write-invalidation test on the first cut of this file). */
+  final case class ChunkSlice(chunk: String, token: String, subQuery: Query,
+      key: String)
+
+  private val mapper = new ObjectMapper()
+
+  /** UTC day interval of a `yyyy-MM-dd` manifest chunk. */
+  def chunkInterval(chunk: String): Interval = {
+    val start = java.time.LocalDate.parse(chunk)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    Interval(start, start.plus(1, java.time.temporal.ChronoUnit.DAYS))
+  }
+
+  /** Whether every bucket of `g` lies inside one UTC day chunk (bucket
+    * boundaries align with day boundaries): the decomposability condition.
+    * Conservative by construction — anything not provably nested falls
+    * back to the whole-query cache. */
+  def nestsInDayChunk(g: Granularity): Boolean = g match {
+    case Granularity.Simple(u) =>
+      Set("second", "minute", "fifteen_minute", "thirty_minute",
+        "hour", "day").contains(u)
+    case Granularity.Duration(ms, None) => ms > 0 && 86400000L % ms == 0
+    case Granularity.Period(p, tz, None)
+        if tz.forall(z => z == "UTC" || z == "Etc/UTC") =>
+      Set("PT1S", "PT1M", "PT1H", "P1D").contains(p)
+    case _ => false
+  }
+
+  private def intersect(ivs: Seq[Interval], chunk: Interval): Seq[Interval] =
+    ivs.flatMap { iv =>
+      val s = if (iv.start.isAfter(chunk.start)) iv.start else chunk.start
+      val e = if (iv.end.isBefore(chunk.end)) iv.end else chunk.end
+      if (s.isBefore(e)) Some(Interval(s, e)) else None
+    }
+
+  /** Context keys that cannot affect the RESULT bytes — stripped from the
+    * fragment key so a dashboard's per-request queryId/timeout churn still
+    * hits. Result-AFFECTING context (skipEmptyBuckets, approxTopN, ...)
+    * stays in the key by default: an unknown key can only cause a miss,
+    * never a wrong hit. */
+  private val nonResultContext = Set(
+    "queryId", "timeout", "useCache", "populateCache", "priority", "stream")
+
+  /** Decompose an eligible query into per-chunk slices (chunk-ascending),
+    * or None when the query must take the whole-query path. */
+  def decompose(json: String, query: Query, catalog: Catalog)
+      : Option[Seq[ChunkSlice]] = {
+    val intervals = query match {
+      case t: Query.Timeseries if nestsInDayChunk(t.granularity) =>
+        t.intervals
+      // approxTopN is excluded: its two-phase ranking depends on the
+      // physical partition layout, so per-chunk fragments would not be
+      // byte-stable against the whole-query run the cache must substitute
+      case t: Query.TopN if nestsInDayChunk(t.granularity) &&
+          !t.context.get("approxTopN").exists(_.toBoolean) =>
+        t.intervals
+      case g: Query.GroupBy if nestsInDayChunk(g.granularity) &&
+          g.limitSpec.isEmpty && !g.context.contains("maxResults") =>
+        g.intervals
+      case _ => return None
+    }
+    if (intervals.isEmpty) return None
+    val name = query.dataSource match {
+      case DataSource.Table(n) => n
+      case _ => return None
+    }
+    val infos = catalog.segmentInfos(name)
+    if (infos.isEmpty) return None
+    // a chunk may hold SEVERAL manifest segments (appends); the key token
+    // covers all of them, in manifest order
+    val tokenByChunk = infos.groupBy(_._1).view
+      .mapValues(_.map(i => s"v${i._2}:${i._3}").mkString(",")).toMap
+    val canon = canonicalSansIntervals(json)
+    val slices = tokenByChunk.keys.toSeq.sorted.flatMap { chunk =>
+      val sub = intersect(intervals, chunkInterval(chunk))
+      if (sub.isEmpty) None
+      else {
+        val token = tokenByChunk(chunk)
+        Some(ChunkSlice(chunk, token, withIntervals(query, sub),
+          fragmentKey(canon, name, chunk, token, sub)))
+      }
+    }
+    if (slices.isEmpty) None else Some(slices)
+  }
+
+  private def withIntervals(q: Query, ivs: Seq[Interval]): Query = q match {
+    case t: Query.Timeseries => t.copy(intervals = ivs)
+    case t: Query.TopN       => t.copy(intervals = ivs)
+    case g: Query.GroupBy    => g.copy(intervals = ivs)
+    case other               => other
+  }
+
+  /** Canonical rendering of the query json with `intervals` REMOVED and
+    * non-result context keys dropped, all object fields sorted — so the
+    * same logical query at two window positions (the dashboard shape)
+    * shares every interior chunk's fragments. Unknown/odd shapes render
+    * as-is: worst case a needless miss, never a wrong hit. */
+  private[engine] def canonicalSansIntervals(json: String): String = {
+    mapper.readTree(json) match {
+      case root: ObjectNode =>
+        val o = root.deepCopy()
+        o.remove("intervals")
+        o.get("context") match {
+          case ctx: ObjectNode =>
+            nonResultContext.foreach(ctx.remove)
+            if (ctx.isEmpty) o.remove("context")
+          case _ =>
+        }
+        canonical(o)
+      case other => canonical(other)
+    }
+  }
+
+  private def canonical(n: JsonNode): String =
+    if (n.isObject) {
+      import scala.jdk.CollectionConverters._
+      n.fieldNames().asScala.toSeq.sorted
+        .map(k => mapper.writeValueAsString(k) + ":" + canonical(n.get(k)))
+        .mkString("{", ",", "}")
+    } else if (n.isArray) {
+      (0 until n.size()).map(i => canonical(n.get(i))).mkString("[", ",", "]")
+    } else n.toString
+
+  /** SHA-256/128-bit fragment key, domain-separated from whole-query etags
+    * by the `seg:` prefix (the result-cache store is shared). */
+  private def fragmentKey(canon: String, ds: String, chunk: String,
+      token: String, sub: Seq[Interval]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def upd(s: String): Unit = {
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    upd(canon); upd(ds); upd(chunk); upd(token)
+    sub.foreach(iv => upd(s"${iv.start}/${iv.end}"))
+    "seg:" + md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+
+  /** Strip the outer `[` `]` of an encoded result array → fragment. */
+  private[engine] def stripArray(s: String): String = {
+    val t = s.trim
+    require(t.length >= 2 && t.charAt(0) == '[' && t.charAt(t.length - 1) == ']',
+      s"expected a JSON array result, got: ${t.take(40)}")
+    t.substring(1, t.length - 1)
+  }
+}

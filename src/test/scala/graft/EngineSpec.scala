@@ -296,4 +296,143 @@ class EngineSpec extends SparkTestBase {
     assert(after("resultCacheMisses") > before("resultCacheMisses"))
     assert(after("resultCacheHits") > before("resultCacheHits"))
   }
+
+  // -- per-(segment, query) result cache (VERDICT r11 #1; SURVEY §2.12) ----
+
+  /** 4 day-chunks of events with distinguishable per-day values. */
+  private def segFixture(prefix: String): graft.store.SegmentStore = {
+    val store = new SegmentStore(Files.createTempDirectory(prefix).toString)
+    val rows = for {
+      d <- 1 to 4
+      h <- Seq(1, 13)
+    } yield (ts(f"2024-05-0${d}T$h%02d:30:00Z"),
+      if (h == 1) "click" else "view", d * 10.0 + h)
+    store.write(rows.toDF("__time", "event_type", "value"), "ev")
+    store
+  }
+
+  private def withSegCache[A](enabled: Boolean)(f: => A): A = {
+    spark.conf.set("spark.graft.segmentCache.enabled", enabled.toString)
+    try f finally spark.conf.unset("spark.graft.segmentCache.enabled")
+  }
+
+  test("segment cache: decomposed results == whole-query results (ts/topN/groupBy)") {
+    val store = segFixture("graft-segeq")
+    val catalog = new SegmentCatalog(store)
+    val seg = new Engine(spark, catalog)
+    val whole = withSegCache(false)(new Engine(spark, catalog))
+    // partial-day edges + a desc variant + zero-fill exercise the seams
+    val queries = Seq(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T12:00:00Z/2024-05-04T02:00:00Z"],
+        |"granularity":"hour",
+        |"aggregations":[{"type":"count","name":"cnt"},
+        |  {"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin,
+      """{"queryType":"timeseries","dataSource":"ev","descending":true,
+        |"intervals":["2024-05-01T12:00:00Z/2024-05-04T02:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"doubleMax","name":"mx","fieldName":"value"}]}""".stripMargin,
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-05T00:00:00Z"],
+        |"granularity":"hour","context":{"skipEmptyBuckets":"true"},
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin,
+      """{"queryType":"topN","dataSource":"ev","dimension":"event_type",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"day","threshold":2,"metric":"sv",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+    queries.foreach { q =>
+      val got = seg.executeJson(q)
+      val want = whole.executeJson(q)
+      assert(got == want, s"query: $q\n got=$got\nwant=$want")
+      assert(seg.metrics.last.segmentMisses > 0,
+        "eligible query must take the decomposed path")
+    }
+    // groupBy: fragment order is chunk-ascending while the whole plan's
+    // order is partition-arbitrary — compare as sets of event objects
+    val gq =
+      """{"queryType":"groupBy","dataSource":"ev","dimensions":["event_type"],
+        |"intervals":["2024-05-01T06:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def rows(s: String) = {
+      val a = m.readTree(s)
+      (0 until a.size()).map(i => a.get(i).toString).toSet
+    }
+    assert(rows(seg.executeJson(gq)) == rows(whole.executeJson(gq)))
+    assert(seg.metrics.last.segmentMisses == 3)
+  }
+
+  test("segment cache: moving window recomputes ONLY the advancing chunk") {
+    val store = segFixture("graft-segwin")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    def window(d0: Int, d1: Int): String =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["2024-05-0${d0}T00:00:00Z/2024-05-0${d1}T00:00:00Z"],
+         |"granularity":"hour","context":{"skipEmptyBuckets":"true"},
+         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+    engine.executeJson(window(1, 4)) // cold: chunks 01,02,03 all compute
+    assert(engine.metrics.last.segmentMisses == 3 &&
+      engine.metrics.last.segmentHits == 0)
+    // the dashboard advances one day: 02,03 stay warm, only 04 computes —
+    // even though the whole-query etag (different intervals) misses
+    engine.executeJson(window(2, 5))
+    assert(engine.metrics.last.segmentHits == 2 &&
+      engine.metrics.last.segmentMisses == 1,
+      engine.metrics.last.toString)
+    // identical re-run: every fragment hits, no Spark job → cached metric
+    engine.executeJson(window(2, 5).replace(
+      """"skipEmptyBuckets":"true"""",
+      """"skipEmptyBuckets":"true","queryId":"rerun""""))
+    assert(engine.metrics.last.segmentHits == 3 &&
+      engine.metrics.last.segmentMisses == 0)
+    val stats = engine.cacheStats
+    assert(stats("segmentCacheHits") == 5L && stats("segmentCacheMisses") == 4L,
+      stats.toString)
+  }
+
+  test("segment cache: a chunk write invalidates ONLY that chunk's fragment") {
+    val store = segFixture("graft-seginv")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val q =
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+    val r1 = engine.executeJson(q)
+    assert(r1.contains("\"cnt\":2"))
+    store.appendBatch(Seq((ts("2024-05-02T05:00:00Z"), "click", 1.0))
+      .toDF("__time", "event_type", "value"), "ev")
+    val r2 = engine.executeJson(q)
+    // chunk 02's version bumped → its fragment recomputes; 01 and 03 hit
+    assert(engine.metrics.last.segmentHits == 2 &&
+      engine.metrics.last.segmentMisses == 1,
+      engine.metrics.last.toString)
+    assert(r2.contains("\"cnt\":3") && r2 != r1)
+  }
+
+  test("segment cache: non-nesting shapes fall back to the whole-query path") {
+    val store = segFixture("graft-segfall")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val fallbacks = Seq(
+      // granularity month: buckets straddle chunks
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin,
+      // groupBy with a global limitSpec: cross-chunk ordering
+      """{"queryType":"groupBy","dataSource":"ev","dimensions":["event_type"],
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"day",
+        |"limitSpec":{"type":"default","limit":3,
+        |  "columns":[{"dimension":"sv","direction":"descending"}]},
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+    fallbacks.foreach { q =>
+      val r = engine.executeJson(q)
+      assert(r.startsWith("["), r.take(60))
+      assert(engine.metrics.last.segmentHits == 0 &&
+        engine.metrics.last.segmentMisses == 0,
+        s"must not decompose: $q")
+    }
+  }
 }

@@ -368,4 +368,110 @@ class HttpServerSpec extends SparkTestBase {
       assert(dup.statusCode() == 400 && dup.body().contains("already exists"))
     } finally srv.stop()
   }
+
+  private def postAs(url: String, body: String, identity: Option[String])
+      : HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    identity.foreach(b.header("Authorization", _))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("AUTHORIZING: per-datasource READ check → 403 ForbiddenException (r11 #5)") {
+    import graft.engine.QueryAuthorizer
+    val engine = new Engine(spark,
+      new MapCatalog(Map("ev" -> events, "secret" -> events)),
+      QueryAuthorizer.AllowList(Map("alice" -> Set("ev"))))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def tsq(ds: String) =
+        s"""{"queryType":"timeseries","dataSource":"$ds",
+           |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+           |"granularity":"day",
+           |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+      // allowed identity + allowed datasource → 200
+      val ok = postAs(s"$base/druid/v2", tsq("ev"), Some("alice"))
+      assert(ok.statusCode() == 200, ok.body())
+      // allowed identity, unauthorized datasource → 403, documented shape
+      val deny = postAs(s"$base/druid/v2", tsq("secret"), Some("alice"))
+      assert(deny.statusCode() == 403, deny.body())
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(deny.body())
+      assert(node.get("error").asText() == "Forbidden")
+      assert(node.get("errorClass").asText() == "ForbiddenException")
+      assert(node.has("errorMessage") && node.has("host"))
+      // unknown identity and anonymous callers → deny-by-default
+      assert(postAs(s"$base/druid/v2", tsq("ev"), Some("mallory"))
+        .statusCode() == 403)
+      assert(postAs(s"$base/druid/v2", tsq("ev"), None).statusCode() == 403)
+      // the SQL endpoint runs the same lifecycle step
+      assert(postAs(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS c FROM secret"}""",
+        Some("alice")).statusCode() == 403)
+      assert(postAs(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS c FROM ev"}""",
+        Some("alice")).statusCode() == 200)
+      // a denied caller cannot probe freshness via If-None-Match: the
+      // authorization check precedes the 304 shortcut
+      val tag = postAs(s"$base/druid/v2", tsq("ev"), Some("alice"))
+        .headers().firstValue("ETag").orElse("")
+      assert(tag.nonEmpty)
+      val probe = client.send(HttpRequest.newBuilder(URI.create(s"$base/druid/v2"))
+        .header("If-None-Match", tag).header("Authorization", "mallory")
+        .POST(HttpRequest.BodyPublishers.ofString(tsq("ev"))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(probe.statusCode() == 403, s"etag probe must 403, got ${probe.statusCode()}")
+      // denied queries land in the metrics ring as failures (the reference
+      // logs denied queries — the Logging lifecycle step still runs)
+      assert(engine.metrics.exists(m => !m.success))
+    } finally srv.stop()
+  }
+
+  test("metrics endpoint contract: lsh families + segment-cache counters (r11 #7)") {
+    import spark.implicits._
+    val store = new SegmentStore(Files.createTempDirectory("graft-mcontract").toString)
+    store.write(events, "ev_mx")
+    val engine = new Engine(spark, new graft.store.SegmentCatalog(store))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // populate the two newest lsh families: a CAPPED fuzzy-decon run and
+      // a bucket-mode DSIR build
+      val docs = (1L to 40L).map(i => (i, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+      val bench = Seq((900L, "w1 w2 w3 w4 w5 w6")).toDF("bench_id", "text")
+      graft.ext.Decontaminate.fuzzyContaminationHits(docs, bench,
+        "doc_id", "bench_id", "text", bucketCap = 4).count()
+      graft.ext.Vocabulary.dsirModel(docs, bench.toDF("doc_id", "text"), "text",
+        numBuckets = 64).logRatio.count()
+      // a decomposable query through the engine moves the segment counters
+      val q =
+        """{"queryType":"timeseries","dataSource":"ev_mx",
+          |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+      post(s"$base/druid/v2", q)
+      post(s"$base/druid/v2", q.replace("\"granularity\"",
+        "\"context\":{\"queryId\":\"mx2\"},\"granularity\""))
+      val m = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m.body())
+      val kinds = (0 until root.get("lsh").size())
+        .map(root.get("lsh").get(_).get("kind").asText()).toSet
+      assert(kinds.contains("fuzzy-decon"),
+        s"fuzzy-decon family missing from /druid/v2/metrics lsh ring: $kinds")
+      assert(kinds.contains("dsir-bucket"),
+        s"dsir-bucket family missing from /druid/v2/metrics lsh ring: $kinds")
+      val cache = root.get("cache")
+      assert(cache.has("segmentCacheHits") && cache.has("segmentCacheMisses"))
+      assert(cache.get("segmentCacheHits").asLong() >= 2L, cache.toString)
+      val qs = root.get("queries")
+      val lastQ = qs.get(qs.size() - 1)
+      assert(lastQ.has("segmentHits") && lastQ.has("segmentMisses"))
+      assert(lastQ.get("segmentHits").asInt() == 2, lastQ.toString)
+    } finally srv.stop()
+  }
 }
