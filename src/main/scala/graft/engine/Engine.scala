@@ -340,6 +340,29 @@ class Engine(spark: SparkSession, catalog: Catalog,
           return Iterator.single(hit)
         case None =>
       }
+      // fragment-COMPLETE per-segment hit (every chunk slice cached):
+      // serve merged fragments with zero Spark jobs — the fully-warm
+      // dashboard window on the streaming path. A partial hit falls
+      // through to normal streaming (population is skipped there, so
+      // cold fragments stay cold — the buffered path populates them).
+      if (segmentCacheEnabled) {
+        SegmentResultCache.decompose(json, query, catalog).foreach { slices =>
+          val frags = slices.map(s => cachePeek(s.key))
+          if (frags.forall(_.isDefined)) {
+            segmentCacheHits.addAndGet(slices.size.toLong)
+            val ordered = query match {
+              case t: Query.Timeseries if t.descending => frags.reverse
+              case _ => frags
+            }
+            val merged = ordered.flatten.filter(_.nonEmpty)
+              .mkString("[", ",", "]")
+            record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
+              success = true, cached = true, bytes = merged.length.toLong,
+              segmentHits = slices.size, segmentMisses = 0))
+            return Iterator.single(merged)
+          }
+        }
+      }
     }
     spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
       interruptOnCancel = true)
@@ -488,68 +511,74 @@ class Engine(spark: SparkSession, catalog: Catalog,
       hits: java.util.concurrent.atomic.AtomicInteger,
       misses: java.util.concurrent.atomic.AtomicInteger): Option[String] = {
     if (!segmentCacheEnabled || !(useCache || populateCache)) return None
-    SegmentResultCache.decompose(json, query, catalog).map { slices =>
+    SegmentResultCache.decompose(json, query, catalog).flatMap { slices =>
       val frags = new Array[String](slices.size)
       val cold = scala.collection.mutable.ArrayBuffer.empty[Int]
       slices.zipWithIndex.foreach { case (s, i) =>
         (if (useCache) cachePeek(s.key) else None) match {
-          case Some(f) =>
-            frags(i) = f
-            hits.incrementAndGet(); segmentCacheHits.incrementAndGet()
-          case None =>
-            cold += i
-            misses.incrementAndGet(); segmentCacheMisses.incrementAndGet()
+          case Some(f) => frags(i) = f
+          case None    => cold += i
         }
       }
-      def compute(i: Int): Unit = {
-        val s = slices(i)
-        val df = QueryPlanner.plan(spark, s.subQuery, catalog)
-        val frag = SegmentResultCache.stripArray(
-          ResultEncoder.encode(s.subQuery, df))
-        frags(i) = frag
-        if (populateCache) cachePut(s.key, frag)
-      }
-      if (cold.size <= 1 || segmentCacheConcurrency <= 1) cold.foreach(compute)
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(segmentCacheConcurrency, cold.size),
-          new java.util.concurrent.ThreadFactory {
-            private val n = new java.util.concurrent.atomic.AtomicInteger()
-            def newThread(r: Runnable): Thread = {
-              val t = new Thread(r, s"graft-seg-scatter-${n.incrementAndGet()}")
-              t.setDaemon(true); t
-            }
-          })
-        try {
-          val futs = cold.map(i =>
-            pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = {
-                // carry the query's cancellation umbrella onto this thread
-                spark.sparkContext.setJobGroup(queryId,
-                  s"graft query $queryId chunk ${slices(i).chunk}",
-                  interruptOnCancel = true)
-                spark.sparkContext.addJobTag(Engine.jobTag(queryId))
-                try compute(i)
-                finally {
-                  spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
-                  spark.sparkContext.clearJobGroup()
-                }
+      // populateCache=false means cold fragments would be computed as
+      // separate per-chunk jobs and then thrown away — no benefit over
+      // the single whole-query plan. Serve only a fragment-COMPLETE hit.
+      if (!populateCache && cold.nonEmpty) None
+      else Some {
+        hits.addAndGet(slices.size - cold.size)
+        segmentCacheHits.addAndGet((slices.size - cold.size).toLong)
+        misses.addAndGet(cold.size)
+        segmentCacheMisses.addAndGet(cold.size.toLong)
+        def compute(i: Int): Unit = {
+          val s = slices(i)
+          val df = QueryPlanner.plan(spark, s.subQuery, catalog)
+          val frag = SegmentResultCache.stripArray(
+            ResultEncoder.encode(s.subQuery, df))
+          frags(i) = frag
+          if (populateCache) cachePut(s.key, frag)
+        }
+        if (cold.size <= 1 || segmentCacheConcurrency <= 1) cold.foreach(compute)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(segmentCacheConcurrency, cold.size),
+            new java.util.concurrent.ThreadFactory {
+              private val n = new java.util.concurrent.atomic.AtomicInteger()
+              def newThread(r: Runnable): Thread = {
+                val t = new Thread(r, s"graft-seg-scatter-${n.incrementAndGet()}")
+                t.setDaemon(true); t
               }
-            }))
-          futs.foreach { f =>
-            try f.get()
-            catch {
-              case e: java.util.concurrent.ExecutionException =>
-                throw Option(e.getCause).getOrElse(e)
+            })
+          try {
+            val futs = cold.map(i =>
+              pool.submit(new java.util.concurrent.Callable[Unit] {
+                def call(): Unit = {
+                  // carry the query's cancellation umbrella onto this thread
+                  spark.sparkContext.setJobGroup(queryId,
+                    s"graft query $queryId chunk ${slices(i).chunk}",
+                    interruptOnCancel = true)
+                  spark.sparkContext.addJobTag(Engine.jobTag(queryId))
+                  try compute(i)
+                  finally {
+                    spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+                    spark.sparkContext.clearJobGroup()
+                  }
+                }
+              }))
+            futs.foreach { f =>
+              try f.get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  throw Option(e.getCause).getOrElse(e)
+              }
             }
-          }
-        } finally pool.shutdownNow()
+          } finally pool.shutdownNow()
+        }
+        val ordered = query match {
+          case t: Query.Timeseries if t.descending => frags.reverse
+          case _ => frags
+        }
+        ordered.filter(_.nonEmpty).mkString("[", ",", "]")
       }
-      val ordered = query match {
-        case t: Query.Timeseries if t.descending => frags.reverse
-        case _ => frags
-      }
-      ordered.filter(_.nonEmpty).mkString("[", ",", "]")
     }
   }
 

@@ -22,7 +22,8 @@ import org.apache.spark.sql.streaming.Trigger
   *    (one warmup pass at sf0.001, one measured pass), plus the ingest
   *    write/read cycle and a streaming commit with exact row accounting.
   *    Writes a Bench-shaped JSON artifact (SPARK_GRAFT_BENCH_OUT, default
-  *    BENCH_r9_localcluster.json) and exits nonzero on ANY error.
+  *    BENCH_localcluster.json; override with SPARK_GRAFT_BENCH_OUT) and
+  *    exits nonzero on ANY error.
   *  - spec: a fast representative subset on sf0.001 under a small
   *    2-JVM cluster — run by LocalClusterSpec as a subprocess so `sbt
   *    test` always carries a cross-JVM assertion.
@@ -202,19 +203,39 @@ object LocalClusterRehearsal {
         // hold both permits: headers arrive, bodies stay UNCONSUMED, so the
         // server-side writers block on socket backpressure mid-stream (the
         // lineitem scan is MBs of JSON even at sf0.001 — far past any
-        // socket buffer) with their permits held
-        val held = (1 to 2).map { _ =>
-          client.send(req("/druid/v2", scanQ),
-            HttpResponse.BodyHandlers.ofInputStream())
+        // socket buffer) with their permits held. The hold window is
+        // TIMING-dependent (a fast machine can drain a held scan into the
+        // loopback buffers before the probe lands, releasing its permit) —
+        // so the probe RETRIES with a fresh flood: a 429 is only ever
+        // produced by genuine capacity exhaustion, so any successful
+        // attempt proves the contract, while a drained-too-fast flood just
+        // tries again.
+        var held: Seq[HttpResponse[java.io.InputStream]] = Seq.empty
+        var third: HttpResponse[String] = null
+        var attempt = 0
+        while ((third == null || third.statusCode() != 429) && attempt < 5) {
+          attempt += 1
+          if (held.nonEmpty) { // previous attempt's flood drained — drop it
+            held.foreach(h => try h.body().close() catch { case _: Exception => () })
+            Thread.sleep(500)
+          }
+          held = (1 to 2).map { _ =>
+            client.send(req("/druid/v2", scanQ),
+              HttpResponse.BodyHandlers.ofInputStream())
+          }
+          if (held.forall(_.statusCode() == 200))
+            third = client.send(req("/druid/v2", scanQ),
+              HttpResponse.BodyHandlers.ofString())
         }
         check("http_stream_open")(held.forall(_.statusCode() == 200),
-          s"two cross-JVM streams hold the ${2} permits")
-        val third = client.send(req("/druid/v2", scanQ),
-          HttpResponse.BodyHandlers.ofString())
-        check("http_429_capacity")(third.statusCode() == 429 &&
+          s"two cross-JVM streams hold the ${2} permits (attempt $attempt)")
+        check("http_429_capacity")(third != null &&
+          third.statusCode() == 429 &&
           third.body().contains("QueryCapacityExceededException") &&
           third.body().contains("Query capacity exceeded"),
-          s"status=${third.statusCode()} body=${third.body().take(100)}")
+          s"status=${if (third == null) "none" else third.statusCode().toString} " +
+            s"attempts=$attempt " +
+            s"body=${if (third == null) "" else third.body().take(100)}")
         held.foreach(_.body().close()) // abandon → server cancels + releases
         val to = client.send(req("/druid/v2",
           """{"queryType":"groupBy","dataSource":"lineitem",
@@ -244,6 +265,67 @@ object LocalClusterRehearsal {
       } finally srv.stop()
     }
 
+    // 403 + per-(segment, query) cache contracts cross-JVM (r12): a second
+    // server fronts a SegmentStore-backed engine behind an allow-list. The
+    // denied identity gets the documented 403 ForbiddenException; the
+    // allowed identity's moving-window timeseries then hits every
+    // overlapping chunk fragment and recomputes ONLY the advancing chunk,
+    // with the cold-fragment scatter running real jobs on the remote
+    // executors.
+    locally {
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rehearse-seg").toString
+      val store = new graft.store.SegmentStore(root)
+      store.write(graft.sources.TableLoader.load(spark, sfDir, "events")
+        .withColumn("__time", col("ts")).drop("ts"), "ev_seg")
+      val eng = new graft.engine.Engine(spark,
+        new graft.store.SegmentCatalog(store),
+        graft.engine.QueryAuthorizer.AllowList(Map("alice" -> Set("ev_seg"))))
+      val srv = new graft.engine.HttpServer(eng)
+      srv.start()
+      try {
+        val base = java.net.URI.create(s"http://127.0.0.1:${srv.boundPort}")
+        val client = HttpClient.newHttpClient()
+        def post(body: String, identity: String) =
+          client.send(HttpRequest.newBuilder(base.resolve("/druid/v2"))
+            .header("Authorization", identity)
+            .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+            HttpResponse.BodyHandlers.ofString())
+        val chunks = store.readManifest("ev_seg").segments
+          .map(_.chunk).distinct.sorted
+        def window(i0: Int, i1: Int): String =
+          s"""{"queryType":"timeseries","dataSource":"ev_seg",
+             |"intervals":["${chunks(i0)}T00:00:00Z/${chunks(i1)}T00:00:00Z"],
+             |"granularity":"hour","context":{"skipEmptyBuckets":"true"},
+             |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+        def chunksIn(i0: Int, i1: Int): Int =
+          chunks.count(c => c >= chunks(i0) && c < chunks(i1))
+        val denied = post(window(0, 3), "mallory")
+        check("http_403_forbidden")(denied.statusCode() == 403 &&
+          denied.body().contains("ForbiddenException") &&
+          denied.body().contains("Forbidden"),
+          s"status=${denied.statusCode()} body=${denied.body().take(100)}")
+        def timed[A](f: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val a = f
+          (a, (System.nanoTime() - t0) / 1e9)
+        }
+        val (cold, tCold) = timed(post(window(0, 3), "alice"))
+        val coldM = eng.metrics.last
+        val (warm, tWarm) = timed(post(window(1, 4), "alice"))
+        val warmM = eng.metrics.last
+        check("http_segment_cache_window")(
+          cold.statusCode() == 200 && warm.statusCode() == 200 &&
+            coldM.segmentMisses == chunksIn(0, 3) && coldM.segmentHits == 0 &&
+            warmM.segmentHits == chunksIn(1, 3) &&
+            warmM.segmentMisses == chunksIn(3, 4),
+          f"cold=(${coldM.segmentHits},${coldM.segmentMisses}) " +
+            f"warm=(${warmM.segmentHits},${warmM.segmentMisses}) " +
+            f"expected warm=(${chunksIn(1, 3)},${chunksIn(3, 4)}) " +
+            f"tCold=$tCold%.2fs tWarm=$tWarm%.2fs")
+      } finally srv.stop()
+    }
+
     // ---- artifact ----------------------------------------------------------
     if (!specMode) {
       def fmt(d: Double): String =
@@ -258,7 +340,7 @@ object LocalClusterRehearsal {
       val checksJson = ",\"checks\":" + checkResults
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","master":"$master","executors":${execs.length},"passes":1$checksJson$errJson}"""
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_r9_localcluster.json")
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_localcluster.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(s"[local-cluster] artifact written to $out")

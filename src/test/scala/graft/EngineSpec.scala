@@ -411,6 +411,38 @@ class EngineSpec extends SparkTestBase {
     assert(r2.contains("\"cnt\":3") && r2 != r1)
   }
 
+  test("segment cache: a fragment-complete STREAM serves from cache, zero jobs") {
+    val store = segFixture("graft-segstream")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    def window(d0: Int, d1: Int): String =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["2024-05-0${d0}T00:00:00Z/2024-05-0${d1}T00:00:00Z"],
+         |"granularity":"hour","context":{"skipEmptyBuckets":"true"},
+         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+    engine.executeJson(window(1, 4)) // warms fragments 01,02,03
+    engine.executeJson(window(2, 5)) // warms fragment 04
+    // window(1,5) was never run whole (its whole-query etag misses), but
+    // every chunk it covers is warm — the stream must serve the merged
+    // fragments without a single Spark job
+    val want = withSegCache(false)(new Engine(spark, new SegmentCatalog(store)))
+      .executeJson(window(1, 5))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val streamed = engine.executeJsonStream(window(1, 5)).mkString
+      assert(streamed == want)
+      val m = engine.metrics.last
+      assert(m.cached && m.segmentHits == 4 && m.segmentMisses == 0, m.toString)
+      Thread.sleep(1500) // drain the async listener bus
+      assert(jobs == 0, s"fragment-complete stream must run zero jobs, ran $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("segment cache: non-nesting shapes fall back to the whole-query path") {
     val store = segFixture("graft-segfall")
     val engine = new Engine(spark, new SegmentCatalog(store))
