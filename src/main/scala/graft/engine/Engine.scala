@@ -318,9 +318,15 @@ class Engine(spark: SparkSession, catalog: Catalog,
   /** Streaming variant of executeJson: the result arrives as JSON chunks
     * while the DataFrame executes partition-at-a-time — a large scan/select
     * never materializes on the driver (reference scan's no-materialization
-    * property, `query/query-internal-procedure.md:152-189`). Cache population
-    * is skipped (the result is never held whole); a prior cached result IS
-    * served. Errors raised mid-stream propagate from the iterator. */
+    * property, `query/query-internal-procedure.md:152-189`). A prior cached
+    * result (whole-query, or a fragment-COMPLETE per-segment hit) is served
+    * as one chunk with zero Spark jobs; population happens on a successful
+    * full drain with bounded accumulation (chunks buffer only while the
+    * result could still fit the cache budget — the SQL streaming path's
+    * rule), so big scans still never materialize whole on the driver.
+    * Cold segment FRAGMENTS are not populated here (their boundaries are
+    * invisible in the merged stream; the buffered path populates them).
+    * Errors raised mid-stream propagate from the iterator. */
   def executeJsonStream(json: String,
       identity: Option[String] = None): Iterator[String] = {
     val query =
@@ -410,8 +416,17 @@ class Engine(spark: SparkSession, catalog: Catalog,
     // cancel(queryId) for the life of the JVM — cancelling any future
     // query that reuses the same queryId (fixed ids are common for
     // dashboards) and accumulating immortal tasks on the scheduler.
+    val populateCache = query.context.get("populateCache").forall(_.toBoolean)
     new Iterator[String] with AutoCloseable {
       private var bytes = 0L
+      // populate the whole-query cache on a SUCCESSFUL full drain (the SQL
+      // streaming path's rule): chunks accumulate only while they could
+      // still fit the cache's byte budget — a result too big to store
+      // stops buffering instead of pressuring the driver. Closes the
+      // stream=true dashboard gap where repeated identical streams
+      // recomputed every time.
+      private val acc = new java.lang.StringBuilder
+      private var accFits = populateCache
       def close(): Unit =
         if (bytes >= 0L) {
           cancel(queryId) // stop the abandoned query's still-running jobs
@@ -422,6 +437,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
           (System.nanoTime() - t0) / 1000000L,
           success = true, cached = false, bytes = bytes))
         bytes = -1L // record once
+        if (accFits) cachePut(cacheKey, acc.toString)
         watchdog.foreach(_.cancel(false))
         spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
       }
@@ -449,7 +465,15 @@ class Engine(spark: SparkSession, catalog: Catalog,
       }
       def next(): String = {
         checkDeadline()
-        try { val s = inner.next(); bytes += s.length; s }
+        try {
+          val s = inner.next(); bytes += s.length
+          if (accFits) {
+            if (2L * (acc.length() + s.length) <= resultCacheMaxBytes)
+              acc.append(s)
+            else { accFits = false; acc.setLength(0) }
+          }
+          s
+        }
         catch { case NonFatal(e) => onStreamError(e) }
       }
       private def onStreamError(e: Throwable): Nothing = {

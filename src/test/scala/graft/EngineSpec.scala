@@ -297,6 +297,23 @@ class EngineSpec extends SparkTestBase {
     assert(after("resultCacheHits") > before("resultCacheHits"))
   }
 
+  test("streaming path populates the whole-query cache on a full drain") {
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> raw)))
+    val r1 = engine.executeJsonStream(tsQuery).mkString // miss + populate
+    assert(!engine.metrics.last.cached)
+    val r2 = engine.executeJsonStream(tsQuery).mkString // served from cache
+    assert(r2 == r1 && engine.metrics.last.cached, engine.metrics.last.toString)
+    // the buffered path shares the same entry
+    assert(engine.executeJson(tsQuery) == r1 && engine.metrics.last.cached)
+    // populateCache=false leaves the stream un-cached
+    val qNo = tsQuery.dropRight(1) +
+      ""","context":{"populateCache":"false","queryId":"np"}}"""
+    engine.executeJsonStream(qNo).mkString
+    engine.executeJsonStream(qNo).mkString
+    assert(!engine.metrics.last.cached,
+      "populateCache=false stream must not populate")
+  }
+
   // -- per-(segment, query) result cache (VERDICT r11 #1; SURVEY §2.12) ----
 
   /** 4 day-chunks of events with distinguishable per-day values. */

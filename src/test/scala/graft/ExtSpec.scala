@@ -1553,6 +1553,18 @@ class ExtSpec extends SparkTestBase {
     val before = Dedup.lshStats.count(_.kind == "dsir-bucket")
     Vocabulary.dsirModel(d, d, "text", numBuckets = 0)
     assert(Dedup.lshStats.count(_.kind == "dsir-bucket") == before)
+    // reportOccupancy=false skips the diagnostic pass entirely (ADVICE
+    // r11: large-corpus callers with validated geometry opt out) — and the
+    // model itself is unaffected by the report
+    val m1 = Vocabulary.dsirModel(d, d, "text", numBuckets = 2)
+    val afterOn = Dedup.lshStats.count(_.kind == "dsir-bucket")
+    val m2 = Vocabulary.dsirModel(d, d, "text", numBuckets = 2,
+      reportOccupancy = false)
+    assert(Dedup.lshStats.count(_.kind == "dsir-bucket") == afterOn,
+      "reportOccupancy=false must not record an occupancy report")
+    def ratios(m: Vocabulary.DsirModel) = m.logRatio
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ratios(m1) == ratios(m2) && m1.featureSpace == m2.featureSpace)
   }
 
   test("DSIR: target-like docs outscore off-distribution docs") {

@@ -1,0 +1,158 @@
+package graft.engine
+
+import graft.model._
+import org.apache.spark.sql.functions._
+
+/** Unit-level laws of the per-(segment, query) cache decomposition —
+  * the properties EngineSpec's end-to-end equivalence tests rely on. */
+class SegmentCacheSpec extends graft.SparkTestBase {
+
+  import spark.implicits._
+
+  /** Minimal manifest-bearing catalog: chunk → (version, rows). */
+  private def stubCatalog(chunks: (String, Int, Long)*): graft.sources.Catalog =
+    new graft.sources.Catalog {
+      def table(spark: org.apache.spark.sql.SparkSession, name: String)
+          : org.apache.spark.sql.DataFrame =
+        spark.range(1).toDF("x")
+      override def segmentInfos(name: String): Seq[(String, Int, Long)] =
+        chunks.toSeq
+    }
+
+  private def tsJson(intervals: String, extraContext: String = ""): String =
+    s"""{"queryType":"timeseries","dataSource":"ev",
+       |"intervals":[$intervals],
+       |"granularity":"hour"$extraContext,
+       |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+
+  private def parse(j: String): Query = QueryJson.parseQuery(j)
+
+  test("fragment keys are interval-blind and volatile-context-blind") {
+    val cat = stubCatalog(("2024-05-01", 1, 10L), ("2024-05-02", 1, 10L),
+      ("2024-05-03", 1, 10L))
+    def keysOf(json: String): Map[String, String] =
+      SegmentResultCache.decompose(json, parse(json), cat).get
+        .map(s => s.chunk -> s.key).toMap
+    // the moving-window property: interior chunks share keys across
+    // different OVERALL intervals
+    val a = keysOf(tsJson(""""2024-05-01T00:00:00Z/2024-05-03T00:00:00Z""""))
+    val b = keysOf(tsJson(""""2024-05-02T00:00:00Z/2024-05-04T00:00:00Z""""))
+    assert(a("2024-05-02") == b("2024-05-02"),
+      "full-day interior chunk must share its key across window positions")
+    assert(a.keySet == Set("2024-05-01", "2024-05-02"),
+      s"chunks intersecting [01,03): ${a.keySet}")
+    // volatile context (queryId/timeout/useCache/...) must not shift keys
+    val c = keysOf(tsJson(""""2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"""",
+      ""","context":{"queryId":"dash-7","timeout":"30000","useCache":"true"}"""))
+    assert(c == a, "volatile context keys must not change fragment keys")
+    // result-AFFECTING context MUST shift keys
+    val d = keysOf(tsJson(""""2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"""",
+      ""","context":{"skipEmptyBuckets":"true"}"""))
+    assert(d("2024-05-02") != a("2024-05-02"),
+      "skipEmptyBuckets changes the result — its fragments must not collide")
+    // a partial-day edge intersection keys differently than the full day
+    val e = keysOf(tsJson(""""2024-05-01T06:00:00Z/2024-05-03T00:00:00Z""""))
+    assert(e("2024-05-01") != a("2024-05-01") && e("2024-05-02") == a("2024-05-02"))
+    // manifest state is part of the key (version bump or append)
+    val cat2 = stubCatalog(("2024-05-01", 1, 10L), ("2024-05-02", 1, 99L),
+      ("2024-05-03", 1, 10L))
+    val f = SegmentResultCache.decompose(
+      tsJson(""""2024-05-01T00:00:00Z/2024-05-03T00:00:00Z""""),
+      parse(tsJson(""""2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"""")), cat2)
+      .get.map(s => s.chunk -> s.key).toMap
+    assert(f("2024-05-01") == a("2024-05-01") && f("2024-05-02") != a("2024-05-02"),
+      "a chunk's row-count change must invalidate ONLY that chunk's key")
+  }
+
+  test("slice sub-intervals tile the query ∩ chunk intersection exactly") {
+    val cat = stubCatalog(("2024-05-01", 1, 1L), ("2024-05-03", 2, 1L))
+    // two query intervals, a manifest GAP on 05-02, partial edges
+    val json = tsJson(
+      """"2024-05-01T06:00:00Z/2024-05-03T12:00:00Z","2024-05-03T18:00:00Z/2024-05-05T00:00:00Z"""")
+    val slices = SegmentResultCache.decompose(json, parse(json), cat).get
+    assert(slices.map(_.chunk) == Seq("2024-05-01", "2024-05-03"))
+    def ivs(c: String) = slices.find(_.chunk == c).get.subQuery
+      .asInstanceOf[Query.Timeseries].intervals
+      .map(iv => s"${iv.start}/${iv.end}")
+    assert(ivs("2024-05-01") ==
+      Seq("2024-05-01T06:00:00Z/2024-05-02T00:00:00Z"))
+    assert(ivs("2024-05-03") == Seq(
+      "2024-05-03T00:00:00Z/2024-05-03T12:00:00Z",
+      "2024-05-03T18:00:00Z/2024-05-04T00:00:00Z"))
+  }
+
+  test("nestsInDayChunk: eligible granularities bucket within the input's UTC day") {
+    import graft.expr.Compilers
+    val eligible = Seq[Granularity](
+      Granularity.Simple("second"), Granularity.Simple("minute"),
+      Granularity.Simple("fifteen_minute"), Granularity.Simple("thirty_minute"),
+      Granularity.Simple("hour"), Granularity.Simple("day"),
+      Granularity.Duration(3 * 3600 * 1000L, None),
+      Granularity.Period("PT1H", Some("UTC"), None),
+      Granularity.Period("P1D", None, None))
+    eligible.foreach(g => assert(SegmentResultCache.nestsInDayChunk(g), g.toString))
+    // the property the eligibility set encodes: bucket(ts) lands in ts's day
+    val rnd = new scala.util.Random(3)
+    val stamps = Seq.tabulate(500)(_ =>
+      new java.sql.Timestamp(1690000000000L + (rnd.nextLong() % 400L).abs * 86400000L
+        + (rnd.nextLong() % 86400000L).abs))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(stamps.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__time",
+          org.apache.spark.sql.types.TimestampType))))
+    eligible.foreach { g =>
+      val bucket = Compilers.granularityCol(g, col("__time")).get
+      val bad = df
+        .where(date_trunc("day", bucket) =!= date_trunc("day", col("__time")))
+        .count()
+      assert(bad == 0L, s"$g produced a bucket outside the input's day")
+    }
+    // non-nesting shapes must be rejected
+    Seq[Granularity](Granularity.All, Granularity.NoneG,
+      Granularity.Simple("week"), Granularity.Simple("month"),
+      Granularity.Simple("year"),
+      Granularity.Duration(7 * 3600 * 1000L, None), // 7h does not divide a day
+      Granularity.Duration(3600 * 1000L, Some(java.time.Instant.parse("2024-01-01T00:30:00Z"))),
+      Granularity.Period("P1W", None, None),
+      Granularity.Period("PT1H", Some("America/New_York"), None),
+      Granularity.Period("P1D", None, Some(java.time.Instant.parse("2024-01-01T06:00:00Z"))))
+      .foreach(g =>
+        assert(!SegmentResultCache.nestsInDayChunk(g), s"$g must not decompose"))
+  }
+
+  test("decomposed per-chunk sub-plans keep scan pruning (plan quality)") {
+    val store = new graft.store.SegmentStore(
+      java.nio.file.Files.createTempDirectory("graft-segplan").toString)
+    val rows = Seq(
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-05-01T01:00:00Z")), "click", 1.0),
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-05-02T01:00:00Z")), "view", 2.0),
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-05-03T01:00:00Z")), "click", 3.0))
+    store.write(rows.toDF("__time", "event_type", "value"), "ev")
+    val cat = new graft.store.SegmentCatalog(store)
+    val json = tsJson(""""2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"""")
+      .replace(""""granularity"""",
+        """"filter":{"type":"selector","dimension":"event_type","value":"click"},"granularity"""")
+    val slices = SegmentResultCache.decompose(json, parse(json), cat).get
+    assert(slices.size == 3)
+    val sub = graft.plan.QueryPlanner.plan(spark, slices.head.subQuery, cat)
+    val plan = sub.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the selector filter still reaches the (single-chunk) scan, and the
+    // scan reads only the referenced columns
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("EqualTo(event_type,click)") || plan.contains("eq(event_type")),
+      s"selector not pushed in the per-chunk plan:\n${plan.take(1500)}")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("value"),
+      s"per-chunk scan reads unreferenced columns: $readSchema")
+  }
+
+  test("stripArray inverts the encoder's outer array exactly") {
+    assert(SegmentResultCache.stripArray("[]") == "")
+    assert(SegmentResultCache.stripArray("""[{"a":1},{"b":[2,3]}]""") ==
+      """{"a":1},{"b":[2,3]}""")
+    assert(SegmentResultCache.stripArray("  [1,2]  ") == "1,2")
+    intercept[IllegalArgumentException](SegmentResultCache.stripArray("{}"))
+  }
+}
