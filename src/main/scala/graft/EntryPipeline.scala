@@ -769,6 +769,13 @@ private[graft] object EntryPipeline {
     * against the saved artifact; q91–q93 measure THAT amortized path,
     * while q77/q82/q89 keep measuring the full build+score pipeline, so
     * the two trend lines separate model-build cost from per-batch cost. */
+  // same-JVM builders of one artifact must serialize: the pid-suffixed tmp
+  // dir disambiguates JVMs, not threads — two threads in one JVM (q91 and
+  // q93 under a parallel runner) would write into the SAME tmp dir and one
+  // rename could publish the other's half-written model (r12 review pass)
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def artifactPath(dir: String, kind: String)
       (build: String => Unit): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
@@ -776,15 +783,18 @@ private[graft] object EntryPipeline {
       .stringHash(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"))
     val cacheRoot = new java.io.File("target/fixture-cache")
     val out = new java.io.File(cacheRoot, s"${kind}_$key")
-    if (!out.isDirectory) {
-      val tmp = new java.io.File(cacheRoot,
-        s".${kind}_$key.tmp.${ProcessHandle.current.pid}")
-      build(tmp.getAbsolutePath)
-      if (!tmp.renameTo(out)) { // lost the race — another JVM built it
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    val lock = artifactLocks.computeIfAbsent(s"${kind}_$key", _ => new Object)
+    lock.synchronized {
+      if (!out.isDirectory) {
+        val tmp = new java.io.File(cacheRoot,
+          s".${kind}_$key.tmp.${ProcessHandle.current.pid}")
+        build(tmp.getAbsolutePath)
+        if (!tmp.renameTo(out)) { // lost the race — another JVM built it
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(tmp)
         }
-        rm(tmp)
       }
     }
     out.getAbsolutePath

@@ -60,6 +60,13 @@ class Engine(spark: SparkSession, catalog: Catalog,
   private val segmentCacheConcurrency: Int =
     spark.conf.getOption("spark.graft.segmentCache.concurrency")
       .map(_.toInt).getOrElse(8)
+  // widest query the fragment cache will decompose: past this many chunk
+  // slices, per-chunk planning/scheduling overhead and LRU churn from
+  // fragment population outweigh the moving-window benefit — the query
+  // falls back to the single pruned whole-query plan (and its cache)
+  private val segmentCacheMaxSlices: Int =
+    spark.conf.getOption("spark.graft.segmentCache.maxSlices")
+      .map(_.toInt).getOrElse(128)
   private var resultCacheBytes = 0L // guarded by resultCache's monitor
   private val resultCache =
     new java.util.LinkedHashMap[String, String](128, 0.75f, true)
@@ -164,8 +171,18 @@ class Engine(spark: SparkSession, catalog: Catalog,
 
   def assertSqlAuthorized(sql: String, datasources: Seq[String],
       identity: Option[String]): Unit =
-    authorize("Sql", "etag-probe", identity,
-      resolvedSqlNames(sql, datasources))
+    assertSqlNamesAuthorized(resolvedSqlNames(sql, datasources), identity)
+
+  /** Pre-resolved variants for the HTTP layer: the statement is parsed and
+    * its names catalog-probed ONCE per request ([[resolveSqlNames]]), then
+    * threaded through authorization, the etag, and execution — instead of
+    * each step re-running the parser and the catalog probes. */
+  def resolveSqlNames(sql: String, datasources: Seq[String]): Seq[String] =
+    resolvedSqlNames(sql, datasources)
+
+  private[engine] def assertSqlNamesAuthorized(names: Seq[String],
+      identity: Option[String]): Unit =
+    authorize("Sql", "etag-probe", identity, names)
 
   /** Execute a JSON query; returns the result as a single JSON string in the
     * query type's Druid result shape. Honors context `timeout` (millis),
@@ -352,7 +369,9 @@ class Engine(spark: SparkSession, catalog: Catalog,
       // through to normal streaming (population is skipped there, so
       // cold fragments stay cold — the buffered path populates them).
       if (segmentCacheEnabled) {
-        SegmentResultCache.decompose(json, query, catalog).foreach { slices =>
+        SegmentResultCache.decompose(json, query, catalog)
+          .filter(_.size <= segmentCacheMaxSlices)
+          .foreach { slices =>
           val frags = slices.map(s => cachePeek(s.key))
           if (frags.forall(_.isDefined)) {
             segmentCacheHits.addAndGet(slices.size.toLong)
@@ -535,7 +554,9 @@ class Engine(spark: SparkSession, catalog: Catalog,
       hits: java.util.concurrent.atomic.AtomicInteger,
       misses: java.util.concurrent.atomic.AtomicInteger): Option[String] = {
     if (!segmentCacheEnabled || !(useCache || populateCache)) return None
-    SegmentResultCache.decompose(json, query, catalog).flatMap { slices =>
+    SegmentResultCache.decompose(json, query, catalog)
+      .filter(_.size <= segmentCacheMaxSlices)
+      .flatMap { slices =>
       val frags = new Array[String](slices.size)
       val cold = scala.collection.mutable.ArrayBuffer.empty[Int]
       slices.zipWithIndex.foreach { case (s, i) =>
@@ -762,24 +783,40 @@ class Engine(spark: SparkSession, catalog: Catalog,
       identity: Option[String] = None): String =
     executeSqlJsonStream(sql, datasources, identity).mkString
 
-  /** The datasource names a statement touches: the explicit list when
-    * given, else every bare identifier in the parsed plan that resolves in
-    * the catalog. Shared by execution and the etag so both see the SAME
-    * names (an etag over different names than execution uses would pin the
-    * wrong version tokens). */
-  private def resolvedSqlNames(sql: String, datasources: Seq[String]): Seq[String] =
-    if (datasources.nonEmpty) datasources
-    else sqlTableReferences(sql).filter { n =>
+  /** The datasource names a statement touches: the UNION of the explicit
+    * list and every bare identifier in the parsed plan that resolves in
+    * the catalog (probed case-sensitively, then lowercased — Spark
+    * resolves relations case-insensitively, so `FROM SECRET` reads the
+    * `secret` view and MUST authorize as `secret`). Shared by
+    * authorization, execution, and the etag so all three see the SAME
+    * names. The union matters for authorization: trusting a
+    * client-supplied `datasources` list alone would let a caller
+    * authorize `["ev"]` while the statement reads a temp view another
+    * request registered for a datasource they are denied (found by the
+    * r12 review pass). */
+  private def resolvedSqlNames(sql: String, datasources: Seq[String]): Seq[String] = {
+    def resolves(n: String): Boolean =
       try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
+    val parsed = sqlTableReferences(sql).flatMap { n =>
+      if (resolves(n)) Some(n)
+      else {
+        val lower = n.toLowerCase(java.util.Locale.ROOT)
+        if (lower != n && resolves(lower)) Some(lower) else None
+      }
     }
+    (datasources ++ parsed).distinct
+  }
 
   /** Cache key / HTTP etag for a SQL statement against current datasource
     * versions — the SQL twin of `etag` (same SHA-256/128-bit shape, domain-
     * separated so a SQL key can never collide with a native-query key). Any
     * segment change in a referenced datasource changes its version token
     * and thus the etag, so staleness is impossible by construction. */
-  def sqlEtag(sql: String, datasources: Seq[String] = Seq.empty): String = {
-    val versions = resolvedSqlNames(sql, datasources)
+  def sqlEtag(sql: String, datasources: Seq[String] = Seq.empty): String =
+    sqlEtagResolved(sql, resolvedSqlNames(sql, datasources))
+
+  private[engine] def sqlEtagResolved(sql: String, names: Seq[String]): String = {
+    val versions = names
       .map(n => s"$n=${catalog.versionToken(n)}").mkString(";")
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update("sql".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -796,15 +833,18 @@ class Engine(spark: SparkSession, catalog: Catalog,
     * reference `query/query-internal-procedure.md:152-189`). Completion and
     * failure land in the metrics ring once the stream is drained. */
   def executeSqlJsonStream(sql: String, datasources: Seq[String],
-      identity: Option[String] = None): Iterator[String] = {
-    val names = resolvedSqlNames(sql, datasources)
+      identity: Option[String] = None): Iterator[String] =
+    executeSqlStreamResolved(sql, resolvedSqlNames(sql, datasources), identity)
+
+  private[engine] def executeSqlStreamResolved(sql: String, names: Seq[String],
+      identity: Option[String]): Iterator[String] = {
     val queryId = "sql-" + UUID.randomUUID().toString
     val t0 = System.nanoTime()
     authorize("Sql", queryId, identity, names)
     // result cache, same store + invalidation as the native path: key =
     // (statement, datasource version tokens). A hit returns the buffered
     // result as one chunk — no Spark job, recorded as a cached metric.
-    val cacheKey = sqlEtag(sql, names)
+    val cacheKey = sqlEtagResolved(sql, names)
     cacheLookup(cacheKey) match {
       case Some(hit) =>
         record(QueryMetric(queryId, "Sql", 0L,

@@ -107,14 +107,16 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
             val dss = Option(node.get("datasources")).map { arr =>
               (0 until arr.size()).map(arr.get(_).asText())
             }.getOrElse(Seq.empty)
+            // parse + catalog-probe the statement's names ONCE, then
             // authorize BEFORE the 304 shortcut — a denied caller must not
             // learn segment freshness from conditional requests
             val identity = identityOf(ex)
-            engine.assertSqlAuthorized(sql, dss, identity)
+            val names = engine.resolveSqlNames(sql, dss)
+            engine.assertSqlNamesAuthorized(names, identity)
             // etag / If-None-Match parity with the native endpoint: the
             // SQL etag keys on (statement, datasource version tokens), so
             // 304s stay valid exactly until a referenced datasource changes
-            val tag = engine.sqlEtag(sql, dss)
+            val tag = engine.sqlEtagResolved(sql, names)
             val ifNoneMatch = Option(ex.getRequestHeaders.getFirst("If-None-Match"))
             if (ifNoneMatch.contains(tag)) {
               ex.getResponseHeaders.add("ETag", tag)
@@ -122,7 +124,7 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               ex.close()
             } else if (!streamPermits.tryAcquire()) capacityExceeded(ex)
             else try {
-              val stream = engine.executeSqlJsonStream(sql, dss, identity)
+              val stream = engine.executeSqlStreamResolved(sql, names, identity)
               ex.getResponseHeaders.add("ETag", tag)
               ex.getResponseHeaders.add("Content-Type", "application/json")
               ex.sendResponseHeaders(200, 0L) // length 0 → chunked encoding

@@ -460,6 +460,30 @@ class EngineSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("segment cache: queries wider than maxSlices fall back to one plan") {
+    spark.conf.set("spark.graft.segmentCache.maxSlices", "2")
+    try {
+      val store = segFixture("graft-segcap")
+      val engine = new Engine(spark, new SegmentCatalog(store))
+      // 3 chunks > cap of 2 → the single pruned whole-query plan runs
+      engine.executeJson(
+        """{"queryType":"timeseries","dataSource":"ev",
+          |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      assert(engine.metrics.last.segmentHits == 0 &&
+        engine.metrics.last.segmentMisses == 0,
+        engine.metrics.last.toString)
+      // a 2-chunk window still decomposes
+      engine.executeJson(
+        """{"queryType":"timeseries","dataSource":"ev",
+          |"intervals":["2024-05-01T00:00:00Z/2024-05-03T00:00:00Z"],
+          |"granularity":"day",
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      assert(engine.metrics.last.segmentMisses == 2)
+    } finally spark.conf.unset("spark.graft.segmentCache.maxSlices")
+  }
+
   test("segment cache: non-nesting shapes fall back to the whole-query path") {
     val store = segFixture("graft-segfall")
     val engine = new Engine(spark, new SegmentCatalog(store))

@@ -413,6 +413,21 @@ class HttpServerSpec extends SparkTestBase {
       assert(postAs(s"$base/druid/v2/sql",
         """{"query":"SELECT count(*) AS c FROM ev"}""",
         Some("alice")).statusCode() == 200)
+      // r12 review: a client-supplied datasources list cannot narrow the
+      // check — the statement's parsed references authorize too, so
+      // claiming ["ev"] while reading `secret` still denies
+      assert(postAs(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS c FROM secret","datasources":["ev"]}""",
+        Some("alice")).statusCode() == 403)
+      // nor does a case variant dodge the catalog probe (Spark resolves
+      // relations case-insensitively, so FROM SECRET reads `secret`)
+      assert(postAs(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS c FROM SECRET"}""",
+        Some("alice")).statusCode() == 403)
+      // ...while an ALLOWED table's case variant still works
+      assert(postAs(s"$base/druid/v2/sql",
+        """{"query":"SELECT count(*) AS c FROM EV"}""",
+        Some("alice")).statusCode() == 200)
       // a denied caller cannot probe freshness via If-None-Match: the
       // authorization check precedes the 304 shortcut
       val tag = postAs(s"$base/druid/v2", tsq("ev"), Some("alice"))
