@@ -53,13 +53,10 @@ class Engine(spark: SparkSession, catalog: Catalog,
     spark.conf.getOption("spark.graft.resultCache.maxBytes")
       .map(_.toLong).getOrElse(64L * 1024 * 1024)
   // per-(segment, query) fragment caching (SegmentResultCache): on by
-  // default; `concurrency` bounds the scatter width for cold chunks
+  // default
   private val segmentCacheEnabled: Boolean =
     spark.conf.getOption("spark.graft.segmentCache.enabled")
       .forall(_.toBoolean)
-  private val segmentCacheConcurrency: Int =
-    spark.conf.getOption("spark.graft.segmentCache.concurrency")
-      .map(_.toInt).getOrElse(8)
   // widest query the fragment cache will decompose: past this many chunk
   // slices, per-chunk planning/scheduling overhead and LRU churn from
   // fragment population outweigh the moving-window benefit — the query
@@ -235,7 +232,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
     val segMisses = new java.util.concurrent.atomic.AtomicInteger
     try {
       val run = () => {
-        runSegmentCached(json, query, queryId, useCache, populateCache,
+        runSegmentCached(json, query, useCache, populateCache,
           segHits, segMisses).getOrElse {
           val df = QueryPlanner.plan(spark, query, catalog)
           // groupBy resource cap → the documented "Resource limit exceeded"
@@ -541,15 +538,15 @@ class Engine(spark: SparkSession, catalog: Catalog,
     * closed chunks stay warm across requests whose overall intervals (and
     * whole-query etags) differ.
     *
-    * Cold chunks scatter across a bounded worker pool (Druid's
-    * per-segment fan-out at the broker): each worker re-tags its thread
-    * with the query's job group/tag, so DELETE-cancellation and the
-    * timeout watchdog reach the scattered jobs; each per-chunk plan is
-    * manifest-pruned to its single chunk, so total scan work matches the
-    * whole-query plan and the scatter only recovers the scheduling
-    * serialization. Returns None when the query doesn't decompose (the
-    * whole-query path then runs unchanged). */
-  private def runSegmentCached(json: String, query: Query, queryId: String,
+    * ALL cold chunks compute in ONE Spark job — a single plan over the
+    * union of their sub-intervals whose encoded rows split per chunk
+    * ([[ResultEncoder.encodeFragments]]) — so a fully-cold query costs
+    * the same as the whole-query plan (manifest-pruned to the same
+    * chunks) plus fragment bookkeeping, and runs on the caller's thread
+    * under the same cancellation group/tag as any other query. Returns
+    * None when the query doesn't decompose or is wider than
+    * `segmentCacheMaxSlices` (the whole-query path then runs unchanged). */
+  private def runSegmentCached(json: String, query: Query,
       useCache: Boolean, populateCache: Boolean,
       hits: java.util.concurrent.atomic.AtomicInteger,
       misses: java.util.concurrent.atomic.AtomicInteger): Option[String] = {
@@ -574,49 +571,33 @@ class Engine(spark: SparkSession, catalog: Catalog,
         segmentCacheHits.addAndGet((slices.size - cold.size).toLong)
         misses.addAndGet(cold.size)
         segmentCacheMisses.addAndGet(cold.size.toLong)
-        def compute(i: Int): Unit = {
-          val s = slices(i)
-          val df = QueryPlanner.plan(spark, s.subQuery, catalog)
-          val frag = SegmentResultCache.stripArray(
-            ResultEncoder.encode(s.subQuery, df))
-          frags(i) = frag
-          if (populateCache) cachePut(s.key, frag)
-        }
-        if (cold.size <= 1 || segmentCacheConcurrency <= 1) cold.foreach(compute)
-        else {
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(segmentCacheConcurrency, cold.size),
-            new java.util.concurrent.ThreadFactory {
-              private val n = new java.util.concurrent.atomic.AtomicInteger()
-              def newThread(r: Runnable): Thread = {
-                val t = new Thread(r, s"graft-seg-scatter-${n.incrementAndGet()}")
-                t.setDaemon(true); t
-              }
-            })
-          try {
-            val futs = cold.map(i =>
-              pool.submit(new java.util.concurrent.Callable[Unit] {
-                def call(): Unit = {
-                  // carry the query's cancellation umbrella onto this thread
-                  spark.sparkContext.setJobGroup(queryId,
-                    s"graft query $queryId chunk ${slices(i).chunk}",
-                    interruptOnCancel = true)
-                  spark.sparkContext.addJobTag(Engine.jobTag(queryId))
-                  try compute(i)
-                  finally {
-                    spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
-                    spark.sparkContext.clearJobGroup()
-                  }
-                }
-              }))
-            futs.foreach { f =>
-              try f.get()
-              catch {
-                case e: java.util.concurrent.ExecutionException =>
-                  throw Option(e.getCause).getOrElse(e)
-              }
-            }
-          } finally pool.shutdownNow()
+        if (cold.nonEmpty) {
+          // ALL cold fragments from ONE plan over the union of their
+          // sub-intervals, split per chunk while encoding: a cold D-day
+          // window costs one Spark job like the whole-query plan —
+          // per-chunk sub-queries paid ~D× scheduling/planning overhead
+          // on small chunks (measured 2.9 s vs 0.54 s for a cold 21-chunk
+          // window at sf0.1 by SegmentCacheProbe before this rewrite).
+          // The split is sound for exactly the decomposable shapes: each
+          // row's bucket lies in one chunk, so routing rows by bucket day
+          // reproduces the fragment a per-chunk sub-query would emit.
+          val coldSlices = cold.map(slices(_))
+          val coldQuery = SegmentResultCache.withIntervals(query,
+            SegmentResultCache.coalesceIntervals(coldSlices.flatMap(s =>
+              SegmentResultCache.intervalsOf(s.subQuery)).toSeq))
+          val df = QueryPlanner.plan(spark, coldQuery, catalog)
+          val utc = java.time.ZoneOffset.UTC
+          val byChunk = ResultEncoder.encodeFragments(coldQuery, df,
+            row => row.getAs[java.sql.Timestamp]("__time")
+              .toInstant.atZone(utc).toLocalDate.toString)
+          coldSlices.zip(cold).foreach { case (s, i) =>
+            // a chunk can legitimately yield zero rows (skipEmptyBuckets,
+            // filters) — its fragment is EMPTY and still cached, so it
+            // doesn't recompute on every later window
+            val frag = byChunk.getOrElse(s.chunk, "")
+            frags(i) = frag
+            if (populateCache) cachePut(s.key, frag)
+          }
         }
         val ordered = query match {
           case t: Query.Timeseries if t.descending => frags.reverse
@@ -1035,6 +1016,98 @@ object ResultEncoder {
       segmentIdFor: Option[Long => String] = None): String =
     encodeStream(q, df, maxResults, segmentIdFor = segmentIdFor).mkString
 
+  /** The (prologue, per-row, epilogue) writers for the three BUCKETED
+    * result shapes (timeseries / groupBy / topN) against a given
+    * generator — shared by the main stream encode and the per-chunk
+    * fragment split so the two renderings can never drift. */
+  private def bucketedWriters(q: Query,
+      gen: JsonGenerator, fieldNames: Array[String])
+      : (() => Unit, Row => Unit, () => Unit) = q match {
+    case _: Query.Timeseries =>
+      (() => gen.writeStartArray(),
+        (row: Row) => {
+          gen.writeStartObject()
+          writeField(gen, "timestamp", tsString(row.getAs[Any]("__time")))
+          gen.writeFieldName("result"); gen.writeStartObject()
+          fieldNames.filterNot(_ == "__time")
+            .foreach(f => writeField(gen, f, row.getAs[Any](f)))
+          gen.writeEndObject(); gen.writeEndObject()
+        },
+        () => gen.writeEndArray())
+
+    case _: Query.GroupBy =>
+      (() => gen.writeStartArray(),
+        (row: Row) => {
+          gen.writeStartObject()
+          writeField(gen, "version", "v1")
+          if (fieldNames.contains("__time"))
+            writeField(gen, "timestamp", tsString(row.getAs[Any]("__time")))
+          gen.writeFieldName("event"); gen.writeStartObject()
+          fieldNames.filterNot(_ == "__time")
+            .foreach(f => writeField(gen, f, row.getAs[Any](f)))
+          gen.writeEndObject(); gen.writeEndObject()
+        },
+        () => gen.writeEndArray())
+
+    case _: Query.TopN =>
+      // rows arrive ordered by (__time, rank) — group into per-bucket arrays
+      var curTs: String = null
+      (() => gen.writeStartArray(),
+        (row: Row) => {
+          val ts = tsString(row.getAs[Any]("__time"))
+          if (ts != curTs) {
+            if (curTs != null) { gen.writeEndArray(); gen.writeEndObject() }
+            gen.writeStartObject()
+            writeField(gen, "timestamp", ts)
+            gen.writeFieldName("result"); gen.writeStartArray()
+            curTs = ts
+          }
+          gen.writeStartObject()
+          fieldNames.filterNot(_ == "__time")
+            .foreach(f => writeField(gen, f, row.getAs[Any](f)))
+          gen.writeEndObject()
+        },
+        () => {
+          if (curTs != null) { gen.writeEndArray(); gen.writeEndObject() }
+          gen.writeEndArray()
+        })
+
+    case other => throw new IllegalArgumentException(
+      s"not a bucketed result shape: ${other.getClass.getSimpleName}")
+  }
+
+  /** Encode a bucketed result (timeseries / groupBy / topN) SPLIT into
+    * per-chunk fragments in ONE execution: every row routes to its chunk's
+    * own writer (each with independent grouping state), so computing N
+    * cold chunk fragments costs one Spark job — not N — while producing
+    * the same fragment bytes a per-chunk sub-query would (sound because
+    * the segment-cache decomposability condition guarantees each row's
+    * bucket lies in exactly one chunk). Returns chunk → fragment (outer
+    * array brackets stripped); chunks with no rows are absent. */
+  def encodeFragments(q: Query, df: DataFrame,
+      chunkOfRow: Row => String): Map[String, String] = {
+    val fieldNames = df.schema.fieldNames
+    final case class St(buf: ChunkBuffer, gen: JsonGenerator,
+        writeRow: Row => Unit, epilogue: () => Unit)
+    val states = scala.collection.mutable.LinkedHashMap.empty[String, St]
+    def stateFor(chunk: String): St = states.getOrElseUpdate(chunk, {
+      val buf = new ChunkBuffer
+      val gen = mapper.getFactory.createGenerator(buf)
+      val (prologue, writeRow, epilogue) = bucketedWriters(q, gen, fieldNames)
+      prologue()
+      St(buf, gen, writeRow, epilogue)
+    })
+    val rows = df.toLocalIterator()
+    while (rows.hasNext) {
+      val row = rows.next()
+      stateFor(chunkOfRow(row)).writeRow(row)
+    }
+    states.iterator.map { case (chunk, st) =>
+      st.epilogue(); st.gen.close()
+      chunk -> SegmentResultCache.stripArray(st.buf.drain())
+    }.toMap
+  }
+
   /** Plain rows → JSON array of objects (the SQL endpoint's result shape).
     * Buffered convenience over `encodeRowsStream` — tests and callers that
     * genuinely want the whole document. */
@@ -1106,54 +1179,8 @@ object ResultEncoder {
     // Per-type (prologue, per-row, epilogue) against the shared generator.
     val (prologue, writeRow, epilogue): (() => Unit, Row => Unit, () => Unit) =
       q match {
-        case _: Query.Timeseries =>
-          (() => gen.writeStartArray(),
-            (row: Row) => {
-              gen.writeStartObject()
-              writeField(gen, "timestamp", tsString(row.getAs[Any]("__time")))
-              gen.writeFieldName("result"); gen.writeStartObject()
-              fieldNames.filterNot(_ == "__time")
-                .foreach(f => writeField(gen, f, row.getAs[Any](f)))
-              gen.writeEndObject(); gen.writeEndObject()
-            },
-            () => gen.writeEndArray())
-
-        case _: Query.GroupBy =>
-          (() => gen.writeStartArray(),
-            (row: Row) => {
-              gen.writeStartObject()
-              writeField(gen, "version", "v1")
-              if (fieldNames.contains("__time"))
-                writeField(gen, "timestamp", tsString(row.getAs[Any]("__time")))
-              gen.writeFieldName("event"); gen.writeStartObject()
-              fieldNames.filterNot(_ == "__time")
-                .foreach(f => writeField(gen, f, row.getAs[Any](f)))
-              gen.writeEndObject(); gen.writeEndObject()
-            },
-            () => gen.writeEndArray())
-
-        case _: Query.TopN =>
-          // rows arrive ordered by (__time, rank) — group into per-bucket arrays
-          var curTs: String = null
-          (() => gen.writeStartArray(),
-            (row: Row) => {
-              val ts = tsString(row.getAs[Any]("__time"))
-              if (ts != curTs) {
-                if (curTs != null) { gen.writeEndArray(); gen.writeEndObject() }
-                gen.writeStartObject()
-                writeField(gen, "timestamp", ts)
-                gen.writeFieldName("result"); gen.writeStartArray()
-                curTs = ts
-              }
-              gen.writeStartObject()
-              fieldNames.filterNot(_ == "__time")
-                .foreach(f => writeField(gen, f, row.getAs[Any](f)))
-              gen.writeEndObject()
-            },
-            () => {
-              if (curTs != null) { gen.writeEndArray(); gen.writeEndObject() }
-              gen.writeEndArray()
-            })
+        case _: Query.Timeseries | _: Query.GroupBy | _: Query.TopN =>
+          bucketedWriters(q, gen, fieldNames)
 
         case _: Query.SearchQ =>
           (() => {

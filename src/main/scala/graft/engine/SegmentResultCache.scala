@@ -129,12 +129,31 @@ object SegmentResultCache {
     if (slices.isEmpty) None else Some(slices)
   }
 
-  private def withIntervals(q: Query, ivs: Seq[Interval]): Query = q match {
+  private[engine] def withIntervals(q: Query, ivs: Seq[Interval]): Query = q match {
     case t: Query.Timeseries => t.copy(intervals = ivs)
     case t: Query.TopN       => t.copy(intervals = ivs)
     case g: Query.GroupBy    => g.copy(intervals = ivs)
     case other               => other
   }
+
+  private[engine] def intervalsOf(q: Query): Seq[Interval] = q match {
+    case t: Query.Timeseries => t.intervals
+    case t: Query.TopN       => t.intervals
+    case g: Query.GroupBy    => g.intervals
+    case _                   => Seq.empty
+  }
+
+  /** Merge touching/overlapping intervals (start-sorted): the cold-chunk
+    * union is per-chunk day slices, so a contiguous window re-coalesces
+    * into ONE interval — without this, the planner's zero-fill spine
+    * builds one range per interval plus a dedup shuffle (21 slices made a
+    * cold window 5× slower than the whole-query plan it replaces). */
+  private[engine] def coalesceIntervals(ivs: Seq[Interval]): Seq[Interval] =
+    ivs.sortBy(_.start).foldLeft(List.empty[Interval]) {
+      case (h :: t, iv) if !iv.start.isAfter(h.end) =>
+        (if (iv.end.isAfter(h.end)) Interval(h.start, iv.end) else h) :: t
+      case (acc, iv) => iv :: acc
+    }.reverse
 
   /** Canonical rendering of the query json with `intervals` REMOVED and
     * non-result context keys dropped, all object fields sorted — so the

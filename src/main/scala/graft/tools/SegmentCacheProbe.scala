@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dashboard-shape measurement for the per-(segment, query) result cache:
+  * ingest the events fixture into a day-chunked SegmentStore, then time an
+  * hour-granularity timeseries over a sliding D-day window —
+  *
+  *   1. cold:     every chunk fragment computes (the first dashboard load)
+  *   2. advance:  the window moves one day — D−1 fragments hit, 1 computes
+  *   3. complete: the same window again — every fragment hits, zero jobs
+  *   4. nocache:  the identical query with the fragment cache disabled
+  *                (the whole-query plan a cache-less engine would run)
+  *
+  * Prints ONE JSON line with seconds + per-phase segment hit/miss counts.
+  * The number that matters at 100 TB is advance/nocache: a D-day dashboard
+  * recomputes 1/D of its work per advance instead of all of it, and the
+  * ratio widens linearly with the window width.
+  *
+  *   sbt "runMain graft.tools.SegmentCacheProbe /root/testdata/sf0.1 21"
+  */
+object SegmentCacheProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val days = args.lift(1).map(_.toInt).getOrElse(21)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val store = new graft.store.SegmentStore(
+      java.nio.file.Files.createTempDirectory("graft-segprobe").toString)
+    store.write(graft.sources.TableLoader.load(spark, sfDir, "events")
+      .withColumn("__time", col("ts")).drop("ts"), "ev")
+    val chunks = store.readManifest("ev").segments.map(_.chunk).distinct.sorted
+    require(chunks.size > days, s"need > $days chunks, have ${chunks.size}")
+    val engine = new graft.engine.Engine(spark, new graft.store.SegmentCatalog(store))
+
+    def window(i0: Int): String =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["${chunks(i0)}T00:00:00Z/${chunks(i0 + days)}T00:00:00Z"],
+         |"granularity":"hour",
+         |"aggregations":[{"type":"count","name":"cnt"},
+         |  {"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+    def timed(json: String): (Double, Int, Int) = {
+      val t0 = System.nanoTime()
+      engine.executeJson(json)
+      val m = engine.metrics.last
+      ((System.nanoTime() - t0) / 1e9, m.segmentHits, m.segmentMisses)
+    }
+    // JIT/codegen warmup on a cache-DISABLED engine so the measured cold
+    // pass really computes every fragment (a caching warmup would leave
+    // its fragments behind and turn "cold" into a mostly-hit run — the
+    // first cut of this probe did exactly that)
+    spark.conf.set("spark.graft.segmentCache.enabled", "false")
+    val plain = new graft.engine.Engine(spark, new graft.store.SegmentCatalog(store))
+    spark.conf.unset("spark.graft.segmentCache.enabled")
+    plain.executeJson(window(0)); plain.executeJson(window(0))
+
+    val (tCold, hc, mc) = timed(window(1))     // D cold fragments
+    val (tAdv, ha, ma) = timed(window(2))      // D-1 hits, 1 cold
+    val (tFull, hf, mf) = timed(                // all hits, zero Spark jobs
+      window(2).replace("\"granularity\"",
+        "\"context\":{\"queryId\":\"again\"},\"granularity\""))
+    val t0 = System.nanoTime()
+    plain.executeJson(window(2).replace("\"granularity\"",
+      "\"context\":{\"useCache\":\"false\"},\"granularity\""))
+    val tNo = (System.nanoTime() - t0) / 1e9
+
+    def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
+    println(s"""{"metric":"segment_cache_probe","unit":"sec","days":$days,""" +
+      s""""cold":${f(tCold)},"advance":${f(tAdv)},"complete":${f(tFull)},""" +
+      s""""nocache":${f(tNo)},""" +
+      s""""counts":{"cold":[$hc,$mc],"advance":[$ha,$ma],"complete":[$hf,$mf]}}""")
+    spark.stop()
+  }
+}
