@@ -232,15 +232,36 @@ class Engine(spark: SparkSession, catalog: Catalog,
     val segMisses = new java.util.concurrent.atomic.AtomicInteger
     try {
       val run = () => {
-        runSegmentCached(json, query, useCache, populateCache,
-          segHits, segMisses).getOrElse {
-          val df = QueryPlanner.plan(spark, query, catalog)
-          // groupBy resource cap → the documented "Resource limit exceeded"
-          // error (reference `query/query-module-overview.md:86`). Enforced
-          // inside the encode iteration — one execution, no probe job.
-          val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
-          ResultEncoder.encode(query, df, maxResults,
-            segmentIdFor = segmentPagingMapper(query))
+        // re-assert the query's job group/tag ON THE EXECUTING THREAD: for
+        // timed queries run() executes on a REUSED timedQueryPool worker,
+        // and Spark's local properties are InheritableThreadLocal — cloned
+        // only at thread creation — so a recycled worker still carries the
+        // query it was created under. Without this reset, a timed query's
+        // jobs would be tagged as some finished query: its own watchdog
+        // cancel(queryId) reaches nothing (the late-started-job leak), and
+        // a retried DELETE of the OLD id would kill this unrelated query.
+        spark.sparkContext.clearJobTags()
+        spark.sparkContext.clearJobGroup()
+        spark.sparkContext.setJobGroup(queryId, s"graft query $queryId",
+          interruptOnCancel = true)
+        spark.sparkContext.addJobTag(Engine.jobTag(queryId))
+        try {
+          runSegmentCached(json, query, useCache, populateCache,
+            segHits, segMisses).getOrElse {
+            val df = QueryPlanner.plan(spark, query, catalog)
+            // groupBy resource cap → the documented "Resource limit
+            // exceeded" error (`query/query-module-overview.md:86`).
+            // Enforced inside the encode iteration — one execution, no
+            // probe job.
+            val maxResults = query.context.get("maxResults").flatMap(_.toIntOption)
+            ResultEncoder.encode(query, df, maxResults,
+              segmentIdFor = segmentPagingMapper(query))
+          }
+        } finally {
+          // leave the (possibly pooled) executing thread clean so the tag
+          // cannot leak into whatever runs on it next
+          spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
+          spark.sparkContext.clearJobGroup()
         }
       }
       val result = timeoutMs match {
@@ -586,10 +607,30 @@ class Engine(spark: SparkSession, catalog: Catalog,
             SegmentResultCache.coalesceIntervals(coldSlices.flatMap(s =>
               SegmentResultCache.intervalsOf(s.subQuery)).toSeq))
           val df = QueryPlanner.plan(spark, coldQuery, catalog)
-          val utc = java.time.ZoneOffset.UTC
-          val byChunk = ResultEncoder.encodeFragments(coldQuery, df,
-            row => row.getAs[java.sql.Timestamp]("__time")
-              .toInstant.atZone(utc).toLocalDate.toString)
+          // day-chunk of a row's bucket: tolerate both timestamp flavors
+          // (java.sql.Timestamp, and java.time.Instant under
+          // datetimeJava8API=true — the tsString rule), and memoize the
+          // day→chunk render (the Select encoder's trick): rows arrive
+          // time-ordered, so the common case is one long division
+          var lastDayIdx = Long.MinValue
+          var lastChunk: String = null
+          val byChunk = ResultEncoder.encodeFragments(coldQuery, df, { row =>
+            val us = row.getAs[Any]("__time") match {
+              case t: java.sql.Timestamp =>
+                val i = t.toInstant
+                i.getEpochSecond * 1000000L + i.getNano / 1000L
+              case i: java.time.Instant =>
+                i.getEpochSecond * 1000000L + i.getNano / 1000L
+              case other => throw new IllegalStateException(
+                s"unexpected __time value for fragment routing: $other")
+            }
+            val d = Math.floorDiv(us, 86400000000L)
+            if (d != lastDayIdx) {
+              lastDayIdx = d
+              lastChunk = QueryPlanner.SegmentPaging.chunkOf(us)
+            }
+            lastChunk
+          })
           coldSlices.zip(cold).foreach { case (s, i) =>
             // a chunk can legitimately yield zero rows (skipEmptyBuckets,
             // filters) — its fragment is EMPTY and still cached, so it

@@ -38,7 +38,9 @@ object SegmentCacheProbe {
     store.write(graft.sources.TableLoader.load(spark, sfDir, "events")
       .withColumn("__time", col("ts")).drop("ts"), "ev")
     val chunks = store.readManifest("ev").segments.map(_.chunk).distinct.sorted
-    require(chunks.size > days, s"need > $days chunks, have ${chunks.size}")
+    // windows start at offsets 0..2, each spanning `days` chunks
+    require(chunks.size > days + 2,
+      s"need > ${days + 2} chunks, have ${chunks.size}")
     val engine = new graft.engine.Engine(spark, new graft.store.SegmentCatalog(store))
 
     def window(i0: Int): String =
@@ -60,7 +62,12 @@ object SegmentCacheProbe {
     spark.conf.set("spark.graft.segmentCache.enabled", "false")
     val plain = new graft.engine.Engine(spark, new graft.store.SegmentCatalog(store))
     spark.conf.unset("spark.graft.segmentCache.enabled")
-    plain.executeJson(window(0)); plain.executeJson(window(0))
+    // useCache=false: the second warmup must EXECUTE, not hit the
+    // whole-query cache the first one populated
+    def uncached(json: String): String = json.replace("\"granularity\"",
+      "\"context\":{\"useCache\":\"false\",\"populateCache\":\"false\"},\"granularity\"")
+    plain.executeJson(uncached(window(0)))
+    plain.executeJson(uncached(window(0)))
 
     val (tCold, hc, mc) = timed(window(1))     // D cold fragments
     val (tAdv, ha, ma) = timed(window(2))      // D-1 hits, 1 cold
@@ -68,8 +75,7 @@ object SegmentCacheProbe {
       window(2).replace("\"granularity\"",
         "\"context\":{\"queryId\":\"again\"},\"granularity\""))
     val t0 = System.nanoTime()
-    plain.executeJson(window(2).replace("\"granularity\"",
-      "\"context\":{\"useCache\":\"false\"},\"granularity\""))
+    plain.executeJson(uncached(window(2)))
     val tNo = (System.nanoTime() - t0) / 1e9
 
     def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
