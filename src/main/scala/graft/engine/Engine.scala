@@ -704,7 +704,13 @@ class Engine(spark: SparkSession, catalog: Catalog,
 
   /** SQL surface (SURVEY §2.1 Q10 — Druid SQL ≈ Catalyst): registers the
     * named datasources as temp views plus the engine's native functions,
-    * then runs the statement. */
+    * then runs the statement.
+    *
+    * TRUST BOUNDARY: this DataFrame-returning API is the embedding
+    * library surface — like `plan(query)`, it does NOT run the
+    * AUTHORIZING step (the embedder already holds the SparkSession and
+    * could read any path). Transport-facing callers go through
+    * `executeSqlJson*`, which authorizes every resolved datasource. */
   // LOOKUP maps memoized per name, holding (version, map) — collecting every
   // lookup table on every SQL call would put a driver materialization on
   // the query hot path. Name-keyed single-entry-per-name: a version change
