@@ -148,6 +148,55 @@ class SegmentCacheSpec extends graft.SparkTestBase {
       s"per-chunk scan reads unreferenced columns: $readSchema")
   }
 
+  test("encodeFragments ∘ concat == encode for every bucketed shape") {
+    // the single-plan cold path's soundness law: splitting encoded rows by
+    // chunk and concatenating the fragments reproduces the whole encode
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-05-0$d%dT$h%02d:00:00Z"))
+    val rows = Seq(
+      (ts(1, 2), "a", 1.0), (ts(1, 5), "b", 2.0),
+      (ts(2, 0), "a", 3.0), (ts(2, 9), "c", 4.0),
+      (ts(3, 3), "b", 5.0))
+    val df = rows.toDF("__time", "dim", "m")
+    def chunkOf(row: org.apache.spark.sql.Row): String =
+      row.getAs[java.sql.Timestamp]("__time").toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val chunksAsc = Seq("2024-05-01", "2024-05-02", "2024-05-03")
+    def merged(q: Query, d: org.apache.spark.sql.DataFrame,
+        order: Seq[String]): String = {
+      val frags = ResultEncoder.encodeFragments(q, d, chunkOf)
+      order.flatMap(frags.get).filter(_.nonEmpty).mkString("[", ",", "]")
+    }
+    val dsrc = DataSource.Table("x")
+    val iv = Seq(Interval.parse("2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"))
+    val tsQ = Query.Timeseries(dsrc, iv, Granularity.Simple("hour"),
+      None, Seq(Aggregator.Count("m")), Seq.empty, descending = false)
+    assert(merged(tsQ, df.orderBy("__time"), chunksAsc) ==
+      ResultEncoder.encode(tsQ, df.orderBy("__time")))
+    val tsDesc = tsQ.copy(descending = true)
+    assert(merged(tsDesc, df.orderBy(col("__time").desc), chunksAsc.reverse) ==
+      ResultEncoder.encode(tsDesc, df.orderBy(col("__time").desc)))
+    val topnQ = Query.TopN(dsrc, iv, Granularity.Simple("day"),
+      DimensionSpec.Default("dim", "dim", None), 2,
+      TopNMetricSpec.Numeric("m"), None,
+      Seq(Aggregator.Sum("m", "m", "double")), Seq.empty)
+    assert(merged(topnQ, df.orderBy("__time", "dim"), chunksAsc) ==
+      ResultEncoder.encode(topnQ, df.orderBy("__time", "dim")))
+    // groupBy output order is unspecified — the law is SET equality of
+    // event objects, and per-chunk relative order is preserved
+    val gbQ = Query.GroupBy(dsrc, iv, Granularity.Simple("day"),
+      Seq(DimensionSpec.Default("dim", "dim", None)), None,
+      Seq(Aggregator.Sum("m", "m", "double")), Seq.empty, None, None)
+    val shuffled = rows.sortBy(_._2).toDF("__time", "dim", "m") // NOT time-sorted
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def objSet(s: String) = {
+      val a = m.readTree(s)
+      (0 until a.size()).map(a.get(_).toString).toSet
+    }
+    assert(objSet(merged(gbQ, shuffled, chunksAsc)) ==
+      objSet(ResultEncoder.encode(gbQ, shuffled)))
+  }
+
   test("stripArray inverts the encoder's outer array exactly") {
     assert(SegmentResultCache.stripArray("[]") == "")
     assert(SegmentResultCache.stripArray("""[{"a":1},{"b":[2,3]}]""") ==
