@@ -530,8 +530,10 @@ object Similarity {
     * an O(n²) search into Σ m_c², bounded by choosing k ∝ n / targetSize.
     * The k ∝ n lever is bench-demonstrated (`ScaleInvariants`
     * q74_kscale_linear, 10× corpus with per-replica seed centroids,
-    * k 8 → 80): within-cluster pair volume grows 9.97× (vs 100× at fixed
-    * k — the regime where the budget guard fires), wall-clock 1.14×, and
+    * k 8 → 80): within-cluster pair volume — the operator's deterministic
+    * cost driver — grows 9.97× (vs 100× at fixed k, the regime where the
+    * budget guard fires); wall-clock tracks it (measured 1.1–4.3× across
+    * JVM-warmth conditions, never the ~100× a fixed-k run would cost);
     * recall against brute-force truth moves 0.864 → 0.800 on the
     * structure-less worst-case fixture while precision stays exactly 1
     * (every emitted pair is exact-cosine verified).
