@@ -36,4 +36,27 @@ object QueryAuthorizer {
       identity.exists(id =>
         datasources.forall(acl.getOrElse(id, Set.empty).contains))
   }
+
+  /** Conf-driven [[AllowList]] so the AUTHORIZING step deploys without
+    * code: `spark.graft.auth.acl = "alice:ev|logs;bob:ev"` (identities
+    * `;`-separated, each `identity:ds|ds|...`). An Engine constructed
+    * with the default authorizer picks this up automatically; absent conf
+    * = [[AllowAll]] (the single-tenant default). A present-but-malformed
+    * ACL fails construction loudly — a typo'd ACL must never fall open. */
+  def fromConf(spark: org.apache.spark.sql.SparkSession): QueryAuthorizer =
+    spark.conf.getOption("spark.graft.auth.acl") match {
+      case None => AllowAll
+      case Some(raw) =>
+        val acl = raw.split(';').iterator.map(_.trim).filter(_.nonEmpty)
+          .map { entry =>
+            entry.split(':') match {
+              case Array(id, dss) =>
+                id.trim -> dss.split('|').map(_.trim).filter(_.nonEmpty).toSet
+              case _ => throw new IllegalArgumentException(
+                s"spark.graft.auth.acl: expected 'identity:ds|ds', " +
+                  s"got '$entry'")
+            }
+          }.toMap
+        AllowList(acl)
+    }
 }

@@ -29,6 +29,13 @@ class Engine(spark: SparkSession, catalog: Catalog,
 
   import Engine._
 
+  // an explicitly supplied authorizer wins; the default resolves through
+  // `spark.graft.auth.acl` so a deployment can turn on the AUTHORIZING
+  // step with configuration alone (absent conf = allow-all)
+  private val effectiveAuthorizer: QueryAuthorizer =
+    if (authorizer ne QueryAuthorizer.AllowAll) authorizer
+    else QueryAuthorizer.fromConf(spark)
+
   // Druid comparisons/casts are lenient (no-match, not error) — ANSI off.
   spark.conf.set("spark.sql.ansi.enabled", "false")
   // Druid is UTC-native: granularity bucketing, the zero-fill spine join
@@ -149,7 +156,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
     * `ForbiddenException` shape, which the HTTP layer maps to 403. */
   private def authorize(queryType: String, queryId: String,
       identity: Option[String], names: Seq[String]): Unit =
-    if (!authorizer.authorize(identity, names)) {
+    if (!effectiveAuthorizer.authorize(identity, names)) {
       record(QueryMetric(queryId, queryType, 0L,
         success = false, cached = false, bytes = 0L))
       throw QueryError("Forbidden",

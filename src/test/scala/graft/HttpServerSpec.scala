@@ -444,6 +444,28 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("conf-driven ACL: spark.graft.auth.acl arms the default authorizer") {
+    spark.conf.set("spark.graft.auth.acl", "alice:ev|ev2; bob:ev2")
+    try {
+      val engine = new Engine(spark,
+        new MapCatalog(Map("ev" -> events, "ev2" -> events)))
+      val srv = new HttpServer(engine)
+      srv.start()
+      try {
+        val base = s"http://127.0.0.1:${srv.boundPort}"
+        val q = """{"queryType":"timeBoundary","dataSource":"ev"}"""
+        assert(postAs(s"$base/druid/v2", q, Some("alice")).statusCode() == 200)
+        assert(postAs(s"$base/druid/v2", q, Some("bob")).statusCode() == 403)
+        assert(postAs(s"$base/druid/v2", q, None).statusCode() == 403)
+      } finally srv.stop()
+      // malformed ACL fails construction loudly — never falls open
+      spark.conf.set("spark.graft.auth.acl", "alice=ev")
+      intercept[IllegalArgumentException] {
+        new Engine(spark, new MapCatalog(Map("ev" -> events)))
+      }
+    } finally spark.conf.unset("spark.graft.auth.acl")
+  }
+
   test("metrics endpoint contract: lsh families + segment-cache counters (r11 #7)") {
     import spark.implicits._
     val store = new SegmentStore(Files.createTempDirectory("graft-mcontract").toString)
