@@ -573,7 +573,13 @@ class Engine(spark: SparkSession, catalog: Catalog,
     * chunks) plus fragment bookkeeping, and runs on the caller's thread
     * under the same cancellation group/tag as any other query. Returns
     * None when the query doesn't decompose or is wider than
-    * `segmentCacheMaxSlices` (the whole-query path then runs unchanged). */
+    * `segmentCacheMaxSlices` (the whole-query path then runs unchanged).
+    *
+    * A fragment larger than the whole cache budget is never stored
+    * (`cachePut`'s rule), so such a chunk recomputes every request — by
+    * design (storing it would evict everything else), and visible as a
+    * persistently climbing `segmentCacheMisses` counter rather than
+    * silent. */
   private def runSegmentCached(json: String, query: Query,
       useCache: Boolean, populateCache: Boolean,
       hits: java.util.concurrent.atomic.AtomicInteger,
