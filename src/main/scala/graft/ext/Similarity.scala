@@ -528,15 +528,19 @@ object Similarity {
     * by definition nearest-neighbor-close, so cluster-scoping loses only
     * pairs straddling a centroid boundary — the accepted trade that turns
     * an O(n²) search into Σ m_c², bounded by choosing k ∝ n / targetSize.
-    * The k ∝ n lever is bench-demonstrated (`ScaleInvariants`
-    * q74_kscale_linear, 10× corpus with per-replica seed centroids,
-    * k 8 → 80): within-cluster pair volume — the operator's deterministic
-    * cost driver — grows 9.97× (vs 100× at fixed k, the regime where the
-    * budget guard fires); wall-clock tracks it (measured 1.1–4.3× across
-    * JVM-warmth conditions, never the ~100× a fixed-k run would cost);
-    * recall against brute-force truth moves 0.864 → 0.800 on the
-    * structure-less worst-case fixture while precision stays exactly 1
-    * (every emitted pair is exact-cosine verified).
+    * The k ∝ n lever is bench-demonstrated at TWO decades
+    * (`ScaleInvariants` q74_kscale_linear, per-replica seed centroids):
+    * within-cluster pair volume — the operator's deterministic cost
+    * driver — stays exactly linear (9.97× at 10× corpus with k 8 → 80;
+    * 99.5× at 100× with k 8 → 800, vs the 100×/10,000× a fixed-k run
+    * would pay — the regime where the budget guard fires). The price on
+    * the structure-less WORST-CASE fixture is boundary recall: foreign
+    * centroids steal near-equidistant vectors from the flat argmax, so
+    * recall vs brute-force truth erodes ≈0.06 per decade of k (0.864 at
+    * k=8 → 0.800 at k=80 → 0.744 at k=800) while precision stays exactly
+    * 1 (every emitted pair is exact-cosine verified). Semantically
+    * clustered embeddings have material assignment gaps and lose far
+    * less; for recall-1 guarantees use `cosineNearDupPairs`.
     * The trade's size depends on cluster structure: on STRUCTURE-LESS
     * random vectors (every point near-equidistant from every centroid)
     * measured recall of planted near-identical pairs is 0.82 — the worst

