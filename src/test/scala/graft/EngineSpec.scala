@@ -460,6 +460,60 @@ class EngineSpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("segment cache: randomized decomposed == whole equivalence sweep") {
+    // 15 seeded random combinations of granularity × partial-hour window ×
+    // descending × skipEmptyBuckets × aggregator pair, with the CACHING
+    // engine accumulating fragments across iterations — so later queries
+    // merge cached and fresh fragments and must still equal the
+    // cache-less whole-query run byte-for-byte
+    val store = segFixture("graft-segrand")
+    val catalog = new SegmentCatalog(store)
+    val seg = new Engine(spark, catalog)
+    val whole = withSegCache(false)(new Engine(spark, catalog))
+    val rnd = new scala.util.Random(42)
+    val grans = Seq("\"hour\"", "\"thirty_minute\"", "\"day\"", "\"second\"",
+      """{"type":"duration","duration":10800000}""",
+      """{"type":"period","period":"PT1H","timeZone":"UTC"}""")
+    val aggs = Seq(
+      """{"type":"count","name":"cnt"}""",
+      """{"type":"doubleSum","name":"sv","fieldName":"value"}""",
+      """{"type":"doubleMax","name":"mx","fieldName":"value"}""",
+      """{"type":"doubleMin","name":"mn","fieldName":"value"}""")
+    (1 to 15).foreach { i =>
+      val g = grans(rnd.nextInt(grans.size))
+      val d0 = 1 + rnd.nextInt(2)
+      val d1 = d0 + 1 + rnd.nextInt(4 - d0)
+      val hs0 = f"${rnd.nextInt(24)}%02d"; val hs1 = f"${rnd.nextInt(24)}%02d"
+      val desc = rnd.nextBoolean()
+      val skip = rnd.nextBoolean()
+      val a = rnd.shuffle(aggs).take(2).mkString(",")
+      val q =
+        s"""{"queryType":"timeseries","dataSource":"ev",
+           |"intervals":["2024-05-0${d0}T$hs0:00:00Z/2024-05-0${d1}T$hs1:00:00Z"],
+           |"granularity":$g,"descending":$desc,
+           |"context":{"skipEmptyBuckets":"$skip"},
+           |"aggregations":[$a]}""".stripMargin
+      val got = seg.executeJson(q)
+      val want = whole.executeJson(q)
+      assert(got == want, s"combo #$i diverged: $q\n got=${got.take(300)}\n" +
+        s"want=${want.take(300)}")
+    }
+    // every random combo is a UNIQUE query (no shared fragments), so the
+    // warm-merge case needs a fixed shape at two window positions: the
+    // second mixes cached interior fragments with a fresh edge chunk and
+    // must still equal the cache-less run
+    def win(d0: Int, d1: Int) =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["2024-05-0${d0}T00:00:00Z/2024-05-0${d1}T00:00:00Z"],
+         |"granularity":"hour",
+         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+    assert(seg.executeJson(win(1, 4)) == whole.executeJson(win(1, 4)))
+    assert(seg.executeJson(win(2, 5)) == whole.executeJson(win(2, 5)))
+    val stats = seg.cacheStats
+    assert(stats("segmentCacheHits") >= 2L && stats("segmentCacheMisses") > 0L,
+      stats.toString)
+  }
+
   test("segment cache: queries wider than maxSlices fall back to one plan") {
     spark.conf.set("spark.graft.segmentCache.maxSlices", "2")
     try {
