@@ -270,7 +270,7 @@ object LocalClusterRehearsal {
     // denied identity gets the documented 403 ForbiddenException; the
     // allowed identity's moving-window timeseries then hits every
     // overlapping chunk fragment and recomputes ONLY the advancing chunk,
-    // with the cold-fragment scatter running real jobs on the remote
+    // with the cold-fragment plan running real jobs on the remote
     // executors.
     locally {
       import java.net.http.{HttpClient, HttpRequest, HttpResponse}
