@@ -789,11 +789,19 @@ private[graft] object EntryPipeline {
         val tmp = new java.io.File(cacheRoot,
           s".${kind}_$key.tmp.${ProcessHandle.current.pid}")
         build(tmp.getAbsolutePath)
-        if (!tmp.renameTo(out)) { // lost the race — another JVM built it
+        if (!tmp.renameTo(out)) {
+          // a failed rename is only benign if another JVM won the race —
+          // i.e. the destination now exists. Any other cause (cross-device
+          // tmp, cacheRoot vanished) must fail HERE with both paths, not
+          // later as an unrelated missing-artifact load error (r12 advice).
+          if (!out.isDirectory)
+            throw new java.io.IOException(
+              s"fixture-cache rename failed and destination is absent: " +
+                s"${tmp.getAbsolutePath} -> ${out.getAbsolutePath}")
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
           }
-          rm(tmp)
+          rm(tmp) // lost the race — another JVM built it; drop our copy
         }
       }
     }

@@ -28,13 +28,18 @@ object QueryAuthorizer {
 
   /** Static allow-list: `acl(identity)` = the datasources that identity
     * may read. Unknown identities (and anonymous callers) are denied
-    * everything — deny-by-default, the safe direction for an ACL. */
+    * everything — deny-by-default, the safe direction for an ACL. The
+    * `acl.contains(id)` membership check matters even when `datasources`
+    * is empty (`forall` on Nil is vacuously true): a statement that
+    * resolves no catalog names — `SELECT 1`, a constant-folded probe —
+    * must still only run for identities the ACL actually knows, not for
+    * any caller who asserts an arbitrary principal (r12 advice). */
   final case class AllowList(acl: Map[String, Set[String]])
       extends QueryAuthorizer {
     override def authorize(identity: Option[String],
         datasources: Seq[String]): Boolean =
       identity.exists(id =>
-        datasources.forall(acl.getOrElse(id, Set.empty).contains))
+        acl.contains(id) && datasources.forall(acl(id).contains))
   }
 
   /** Conf-driven [[AllowList]] so the AUTHORIZING step deploys without

@@ -43,6 +43,14 @@ class Engine(spark: SparkSession, catalog: Catalog,
   // built session in a local zone would silently mis-join every spine
   // bucket (all-zero timeseries), so the engine enforces it.
   spark.conf.set("spark.sql.session.timeZone", "UTC")
+  // The SQL surface addresses datasources by flat name only. With Spark's
+  // default runSQLOnFiles=true, `SELECT * FROM parquet.`/any/path`` reads
+  // arbitrary readable files — bypassing the per-datasource AUTHORIZING
+  // step entirely (a caller denied `secret` could read its segment parquet
+  // by path). Disabled for the engine's session; the transport path ALSO
+  // rejects multipart relations outright (defense in depth — this conf is
+  // session-mutable, the parse-time rejection is not).
+  spark.conf.set("spark.sql.runSQLOnFiles", "false")
 
   /** Parse + plan without executing — the logical surface. */
   def plan(json: String): DataFrame =
@@ -794,19 +802,27 @@ class Engine(spark: SparkSession, catalog: Catalog,
     }.exists(identity)
   }
 
+  /** Parse a statement with Spark's own parser; None on parse failure —
+    * the statement then fails in `spark.sql` with the parser's own error,
+    * so callers that merely inspect the plan can treat None as "nothing
+    * found". */
+  private def parsedSqlPlan(sql: String)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    try Some(spark.sessionState.sqlParser.parsePlan(sql))
+    catch { case NonFatal(_) => None }
+
   /** Single-part table identifiers a statement references, via Spark's own
     * parser: every `UnresolvedRelation` in the (unresolved) parsed plan —
     * including inside expression subqueries — minus CTE-defined names, which
     * shadow datasources. Exact under quoted identifiers, comments, and CTEs,
     * where a regex FROM-probe mis-fires. Parse failures yield no names; the
     * statement then fails in `spark.sql` with the parser's own error. */
-  private def sqlTableReferences(sql: String): Seq[String] = {
+  private def sqlTableReferences(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
     import java.util.Locale
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
-    val plan =
-      try spark.sessionState.sqlParser.parsePlan(sql)
-      catch { case NonFatal(_) => return Seq.empty }
     val cteNames = plan.collectWithSubqueries {
       case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase(Locale.ROOT))
     }.flatten.toSet
@@ -814,6 +830,51 @@ class Engine(spark: SparkSession, catalog: Catalog,
       case r: UnresolvedRelation if r.multipartIdentifier.size == 1 =>
         r.multipartIdentifier.head
     }.distinct.filterNot(n => cteNames.contains(n.toLowerCase(Locale.ROOT)))
+  }
+
+  /** Transport-facing statement-shape gate, run on every `/druid/v2/sql`
+    * statement BEFORE name resolution. Two rejections, both Forbidden:
+    *
+    *  - **multipart relations** (`parquet.`/path``, `global_temp.x`,
+    *    catalog-qualified names): the SQL surface addresses datasources by
+    *    flat name, and the per-datasource AUTHORIZING step can only reason
+    *    about flat names — a multipart reference would resolve through
+    *    Spark (file paths, global temp views) while being invisible to the
+    *    authorizer (the r12 advice's bypass). Rejected rather than
+    *    resolved: no multipart reference has a legitimate meaning on this
+    *    surface.
+    *  - **non-query statements** (SET/RESET, DDL, DML — any plan
+    *    containing a `Command` or legacy `ParsedStatement`, or an
+    *    `InsertIntoStatement`): the reference's SQL endpoint is read-only
+    *    (Druid SQL is SELECT-only); a `SET spark.sql.ansi.enabled=true`
+    *    through a shared session would silently change query semantics for
+    *    every tenant.
+    *
+    * Parse failures pass through — `spark.sql` then raises the parser's
+    * own (more useful) error. */
+  private def assertTransportSqlShape(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Command,
+      InsertIntoStatement, ParsedStatement}
+    val multipart = plan.collectWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.size > 1 =>
+        r.multipartIdentifier.mkString(".")
+    }
+    if (multipart.nonEmpty)
+      throw QueryError("Forbidden",
+        s"multipart table references are not allowed on the SQL " +
+          s"endpoint: [${multipart.distinct.mkString(", ")}] — datasources " +
+          "are flat names", "ForbiddenException")
+    val command = plan.collectWithSubqueries {
+      case c: Command => c.getClass.getSimpleName
+      case c: ParsedStatement => c.getClass.getSimpleName
+      case c: InsertIntoStatement => c.getClass.getSimpleName
+    }
+    if (command.nonEmpty)
+      throw QueryError("Forbidden",
+        s"only read-only queries are allowed on the SQL endpoint; got " +
+          s"[${command.distinct.mkString(", ")}]", "ForbiddenException")
   }
 
   /** SQL over HTTP (`POST /druid/v2/sql`): runs the statement against the
@@ -838,7 +899,9 @@ class Engine(spark: SparkSession, catalog: Catalog,
   private def resolvedSqlNames(sql: String, datasources: Seq[String]): Seq[String] = {
     def resolves(n: String): Boolean =
       try { catalog.table(spark, n); true } catch { case NonFatal(_) => false }
-    val parsed = sqlTableReferences(sql).flatMap { n =>
+    val plan = parsedSqlPlan(sql)
+    plan.foreach(assertTransportSqlShape) // reject multipart refs + commands
+    val parsed = plan.toSeq.flatMap(sqlTableReferences).flatMap { n =>
       if (resolves(n)) Some(n)
       else {
         val lower = n.toLowerCase(java.util.Locale.ROOT)

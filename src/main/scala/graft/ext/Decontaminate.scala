@@ -121,8 +121,19 @@ object Decontaminate {
       .join(broadcast(benchBanded.select("band", "bucket").distinct()),
         Seq("band", "bucket"))
     val capped =
-      if (bucketCap == Int.MaxValue) colliding
-      else {
+      if (bucketCap == Int.MaxValue) {
+        // exhaustive (default) path: candidate volume grows with CORPUS
+        // collisions, so make the blowup OBSERVABLE before the candidate
+        // broadcast has to hold it (r12 advice) — materialize the colliding
+        // frame once (downstream reads cached blocks; no extra corpus pass)
+        // and record/WARN its volume through lshStats
+        val c = Dedup.materialize(colliding)
+        Dedup.reportUncappedCollisionVolume(c, "fuzzy-decon",
+          warnAt = docs.sparkSession.conf
+            .getOption("spark.graft.decon.warnCandidates")
+            .map(_.toLong).getOrElse(10000000L))
+        c
+      } else {
         val byBucket = Window.partitionBy("band", "bucket")
         val c = Dedup.materialize(colliding
           .withColumn("__rk", row_number().over(byBucket.orderBy(col(idCol))))

@@ -250,6 +250,34 @@ object Dedup {
       else ""))
   }
 
+  /** Uncapped-path twin of [[reportCappedIndexTruncation]]: records the
+    * collision volume an EXHAUSTIVE candidate pass is about to feed
+    * downstream (r12 advice — the uncapped default must not be silently
+    * unbounded). `mat` is a materialized (band, bucket, id) collision
+    * frame; one cheap aggregate off cached blocks → lshStats row with
+    * `estCandidates` = total colliding rows, WARN past `warnAt` (the
+    * volume is corpus-proportional on degenerate corpora and the next
+    * stop is a driver-side broadcast). */
+  private[ext] def reportUncappedCollisionVolume(mat: DataFrame,
+      kind: String, warnAt: Long): Unit = {
+    val per = mat.groupBy("band", "bucket").agg(count(lit(1)).as("m"))
+    val r = per.agg(
+      count(lit(1)),
+      coalesce(max(col("m")), lit(0L)),
+      coalesce(sum(col("m")), lit(0L))).head()
+    val st = LshStat(kind, r.getLong(0), 0L, 0L, r.getLong(1), r.getLong(2))
+    recordLshStat(st)
+    val lvl = if (st.estCandidates > warnAt) "WARN" else "info"
+    System.err.println(s"[graft-lsh] $lvl $kind uncapped candidates: " +
+      s"rows=${st.estCandidates} buckets=${st.buckets} " +
+      s"maxBucket=${st.maxBucket}" +
+      (if (st.estCandidates > warnAt)
+        " — exhaustive decontamination candidate volume is " +
+          "corpus-proportional here; pass a finite bucketCap (opt-in " +
+          "truncation) or widen the banding keyspace"
+      else ""))
+  }
+
   /** Materialize a signature frame once so downstream self-joins read
     * cached blocks instead of re-deriving it from the corpus.
     *

@@ -444,6 +444,64 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("SQL endpoint is read-only and flat-named: multipart refs, file " +
+      "paths, and SET/DDL/DML are rejected (r12 advice)") {
+    import graft.engine.QueryAuthorizer
+    // a real parquet directory a path-based read WOULD reach if permitted —
+    // the r12 advice's bypass: authorization reasons about flat datasource
+    // names, so path/multipart references must never execute
+    val leakDir = Files.createTempDirectory("graft-secret-seg").toString
+    events.write.mode("overwrite").parquet(leakDir)
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)),
+      QueryAuthorizer.AllowList(Map("alice" -> Set("ev"))))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      def sqlAs(stmt: String, id: Option[String]) =
+        postAs(s"$base/druid/v2/sql",
+          s"""{"query":${new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(stmt)}}""", id)
+      // the bypass itself: SELECT from a parquet path — 403, not data
+      val path = sqlAs(s"SELECT * FROM parquet.`$leakDir`", Some("alice"))
+      assert(path.statusCode() == 403, s"${path.statusCode()} ${path.body()}")
+      assert(path.body().contains("ForbiddenException"))
+      // other multipart shapes: global_temp and catalog-qualified names
+      assert(sqlAs("SELECT * FROM global_temp.x", Some("alice"))
+        .statusCode() == 403)
+      assert(sqlAs("SELECT * FROM spark_catalog.default.ev", Some("alice"))
+        .statusCode() == 403)
+      // a multipart ref hidden in a subquery is still caught
+      assert(sqlAs(
+        s"SELECT 1 WHERE EXISTS (SELECT 1 FROM parquet.`$leakDir`)",
+        Some("alice")).statusCode() == 403)
+      // read-only surface: SET/RESET (shared-session conf mutation), DDL,
+      // DML all reject — and the session conf is demonstrably untouched
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "false")
+      assert(sqlAs("SET spark.sql.ansi.enabled=true", Some("alice"))
+        .statusCode() == 403)
+      assert(sqlAs("RESET", Some("alice")).statusCode() == 403)
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "false",
+        "a rejected SET must not have mutated the shared session")
+      assert(sqlAs("DROP TABLE ev", Some("alice")).statusCode() == 403)
+      assert(sqlAs("CREATE TABLE t2 (a INT) USING parquet", Some("alice"))
+        .statusCode() == 403)
+      assert(sqlAs("INSERT INTO ev SELECT * FROM ev", Some("alice"))
+        .statusCode() == 403)
+      // ordinary flat-named reads still work for the authorized identity
+      assert(sqlAs("SELECT count(*) AS c FROM ev", Some("alice"))
+        .statusCode() == 200)
+      // ACL membership is required even for statements that resolve no
+      // datasource: an unknown identity's SELECT 1 denies, alice's passes
+      assert(sqlAs("SELECT 1 AS one", Some("mallory")).statusCode() == 403)
+      assert(sqlAs("SELECT 1 AS one", None).statusCode() == 403)
+      assert(sqlAs("SELECT 1 AS one", Some("alice")).statusCode() == 200)
+      // defense in depth: the engine forces runSQLOnFiles off, so even the
+      // embedding-library SQL surface won't resolve path-based relations
+      assert(spark.conf.get("spark.sql.runSQLOnFiles") == "false")
+    } finally srv.stop()
+  }
+
   test("conf-driven ACL: spark.graft.auth.acl arms the default authorizer") {
     spark.conf.set("spark.graft.auth.acl", "alice:ev|ev2; bob:ev2")
     try {
