@@ -403,22 +403,41 @@ class Engine(spark: SparkSession, catalog: Catalog,
       // cold fragments stay cold — the buffered path populates them).
       if (segmentCacheEnabled) {
         SegmentResultCache.decompose(json, query, catalog)
-          .filter(_.size <= segmentCacheMaxSlices)
-          .foreach { slices =>
-          val frags = slices.map(s => cachePeek(s.key))
-          if (frags.forall(_.isDefined)) {
-            segmentCacheHits.addAndGet(slices.size.toLong)
-            val ordered = query match {
-              case t: Query.Timeseries if t.descending => frags.reverse
-              case _ => frags
+          .filter(_.size <= segmentCacheMaxSlices) match {
+          case Some(slices) =>
+            val frags = slices.map(s => cachePeek(s.key))
+            if (frags.forall(_.isDefined)) {
+              segmentCacheHits.addAndGet(slices.size.toLong)
+              val ordered = query match {
+                case t: Query.Timeseries if t.descending => frags.reverse
+                case _ => frags
+              }
+              val merged = ordered.flatten.filter(_.nonEmpty)
+                .mkString("[", ",", "]")
+              record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
+                success = true, cached = true, bytes = merged.length.toLong,
+                segmentHits = slices.size, segmentMisses = 0))
+              return Iterator.single(merged)
             }
-            val merged = ordered.flatten.filter(_.nonEmpty)
-              .mkString("[", ",", "]")
-            record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
-              success = true, cached = true, bytes = merged.length.toLong,
-              segmentHits = slices.size, segmentMisses = 0))
-            return Iterator.single(merged)
-          }
+          case None =>
+            // PARTIAL path: a fully-warm non-nesting-granularity window
+            // merges its day partials driver-side — still zero Spark jobs
+            SegmentResultCache.decomposePartial(json, query, catalog)
+              .filter(_.size <= segmentCacheMaxSlices)
+              .foreach { slices =>
+                val frags = slices.map(s => cachePeek(s.key))
+                if (frags.forall(_.isDefined)) {
+                  segmentCacheHits.addAndGet(slices.size.toLong)
+                  val merged = PartialMerge.merge(
+                    query.asInstanceOf[Query.Timeseries],
+                    frags.flatten, chunkCoverageOf(query.dataSource))
+                  record(QueryMetric(queryId, query.getClass.getSimpleName,
+                    0L, success = true, cached = true,
+                    bytes = merged.length.toLong,
+                    segmentHits = slices.size, segmentMisses = 0))
+                  return Iterator.single(merged)
+                }
+              }
         }
       }
     }
@@ -594,79 +613,115 @@ class Engine(spark: SparkSession, catalog: Catalog,
       misses: java.util.concurrent.atomic.AtomicInteger): Option[String] = {
     if (!segmentCacheEnabled || !(useCache || populateCache)) return None
     SegmentResultCache.decompose(json, query, catalog)
-      .filter(_.size <= segmentCacheMaxSlices)
-      .flatMap { slices =>
-      val frags = new Array[String](slices.size)
-      val cold = scala.collection.mutable.ArrayBuffer.empty[Int]
-      slices.zipWithIndex.foreach { case (s, i) =>
-        (if (useCache) cachePeek(s.key) else None) match {
-          case Some(f) => frags(i) = f
-          case None    => cold += i
-        }
-      }
-      // populateCache=false means cold fragments would be computed as
-      // separate per-chunk jobs and then thrown away — no benefit over
-      // the single whole-query plan. Serve only a fragment-COMPLETE hit.
-      if (!populateCache && cold.nonEmpty) None
-      else Some {
-        hits.addAndGet(slices.size - cold.size)
-        segmentCacheHits.addAndGet((slices.size - cold.size).toLong)
-        misses.addAndGet(cold.size)
-        segmentCacheMisses.addAndGet(cold.size.toLong)
-        if (cold.nonEmpty) {
-          // ALL cold fragments from ONE plan over the union of their
-          // sub-intervals, split per chunk while encoding: a cold D-day
-          // window costs one Spark job like the whole-query plan —
-          // per-chunk sub-queries paid ~D× scheduling/planning overhead
-          // on small chunks (measured 2.9 s vs 0.54 s for a cold 21-chunk
-          // window at sf0.1 by SegmentCacheProbe before this rewrite).
-          // The split is sound for exactly the decomposable shapes: each
-          // row's bucket lies in one chunk, so routing rows by bucket day
-          // reproduces the fragment a per-chunk sub-query would emit.
-          val coldSlices = cold.map(slices(_))
-          val coldQuery = SegmentResultCache.withIntervals(query,
-            SegmentResultCache.coalesceIntervals(coldSlices.flatMap(s =>
-              SegmentResultCache.intervalsOf(s.subQuery)).toSeq))
-          val df = QueryPlanner.plan(spark, coldQuery, catalog)
-          // day-chunk of a row's bucket: tolerate both timestamp flavors
-          // (java.sql.Timestamp, and java.time.Instant under
-          // datetimeJava8API=true — the tsString rule), and memoize the
-          // day→chunk render (the Select encoder's trick): rows arrive
-          // time-ordered, so the common case is one long division
-          var lastDayIdx = Long.MinValue
-          var lastChunk: String = null
-          val byChunk = ResultEncoder.encodeFragments(coldQuery, df, { row =>
-            val us = row.getAs[Any]("__time") match {
-              case t: java.sql.Timestamp =>
-                val i = t.toInstant
-                i.getEpochSecond * 1000000L + i.getNano / 1000L
-              case i: java.time.Instant =>
-                i.getEpochSecond * 1000000L + i.getNano / 1000L
-              case other => throw new IllegalStateException(
-                s"unexpected __time value for fragment routing: $other")
+      .filter(_.size <= segmentCacheMaxSlices) match {
+      case Some(slices) =>
+        collectFragments(query, slices, useCache, populateCache, hits, misses)
+          .map { frags =>
+            val ordered = query match {
+              case t: Query.Timeseries if t.descending => frags.reverse
+              case _ => frags
             }
-            val d = Math.floorDiv(us, 86400000000L)
-            if (d != lastDayIdx) {
-              lastDayIdx = d
-              lastChunk = QueryPlanner.SegmentPaging.chunkOf(us)
-            }
-            lastChunk
-          })
-          coldSlices.zip(cold).foreach { case (s, i) =>
-            // a chunk can legitimately yield zero rows (skipEmptyBuckets,
-            // filters) — its fragment is EMPTY and still cached, so it
-            // doesn't recompute on every later window
-            val frag = byChunk.getOrElse(s.chunk, "")
-            frags(i) = frag
-            if (populateCache) cachePut(s.key, frag)
+            ordered.filter(_.nonEmpty).mkString("[", ",", "]")
           }
-        }
-        val ordered = query match {
-          case t: Query.Timeseries if t.descending => frags.reverse
-          case _ => frags
-        }
-        ordered.filter(_.nonEmpty).mkString("[", ",", "]")
+      case None =>
+        // PARTIAL-aggregate path (Druid's broker partial merge,
+        // reference `arch/druid-arch.md:38-40`): non-nesting granularities
+        // cache day-level partial fragments and merge them driver-side at
+        // serve time — a monthly dashboard gets the same
+        // only-the-hot-chunk-recomputes property daily ones have.
+        SegmentResultCache.decomposePartial(json, query, catalog)
+          .filter(_.size <= segmentCacheMaxSlices)
+          .flatMap { slices =>
+            collectFragments(slices.head.subQuery, slices,
+                useCache, populateCache, hits, misses)
+              .map(frags => PartialMerge.merge(
+                query.asInstanceOf[Query.Timeseries], frags.toSeq,
+                chunkCoverageOf(query.dataSource)))
+          }
+    }
+  }
+
+  private def chunkCoverageOf(ds: DataSource): Option[Seq[Interval]] =
+    ds match {
+      case DataSource.Table(n) => catalog.chunkCoverage(n)
+      case _ => None
+    }
+
+  /** Look up / compute the fragments for `slices`, aligned by index.
+    * `template` is the per-chunk sub-query shape (the original query on
+    * the nesting path; the day-partial template on the partial path) —
+    * cold fragments compute from ONE plan of `template` over the union of
+    * their sub-intervals. Returns None when populateCache=false and any
+    * slice is cold (cold fragments would be computed and thrown away — no
+    * benefit over the single whole-query plan). */
+  private def collectFragments(template: Query,
+      slices: Seq[SegmentResultCache.ChunkSlice],
+      useCache: Boolean, populateCache: Boolean,
+      hits: java.util.concurrent.atomic.AtomicInteger,
+      misses: java.util.concurrent.atomic.AtomicInteger): Option[Array[String]] = {
+    val frags = new Array[String](slices.size)
+    val cold = scala.collection.mutable.ArrayBuffer.empty[Int]
+    slices.zipWithIndex.foreach { case (s, i) =>
+      (if (useCache) cachePeek(s.key) else None) match {
+        case Some(f) => frags(i) = f
+        case None    => cold += i
       }
+    }
+    if (!populateCache && cold.nonEmpty) None
+    else Some {
+      hits.addAndGet(slices.size - cold.size)
+      segmentCacheHits.addAndGet((slices.size - cold.size).toLong)
+      misses.addAndGet(cold.size)
+      segmentCacheMisses.addAndGet(cold.size.toLong)
+      if (cold.nonEmpty) {
+        // ALL cold fragments from ONE plan over the union of their
+        // sub-intervals, split per chunk while encoding: a cold D-day
+        // window costs one Spark job like the whole-query plan —
+        // per-chunk sub-queries paid ~D× scheduling/planning overhead
+        // on small chunks (measured 2.9 s vs 0.54 s for a cold 21-chunk
+        // window at sf0.1 by SegmentCacheProbe before this rewrite).
+        // The split is sound for exactly the decomposable shapes: each
+        // row's bucket lies in one chunk, so routing rows by bucket day
+        // reproduces the fragment a per-chunk sub-query would emit.
+        val coldSlices = cold.map(slices(_))
+        val coldQuery = SegmentResultCache.withIntervals(template,
+          SegmentResultCache.coalesceIntervals(coldSlices.flatMap(s =>
+            SegmentResultCache.intervalsOf(s.subQuery)).toSeq))
+        val df = QueryPlanner.plan(spark, coldQuery, catalog)
+        // day-chunk of a row's bucket: tolerate both timestamp flavors
+        // (java.sql.Timestamp, and java.time.Instant under
+        // datetimeJava8API=true — the tsString rule), and memoize the
+        // day→chunk render (the Select encoder's trick): rows arrive
+        // time-ordered, so the common case is one long division
+        var lastDayIdx = Long.MinValue
+        var lastChunk: String = null
+        val byChunk = ResultEncoder.encodeFragments(coldQuery, df, { row =>
+          val us = row.getAs[Any]("__time") match {
+            case t: java.sql.Timestamp =>
+              val i = t.toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            case i: java.time.Instant =>
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            case other => throw new IllegalStateException(
+              s"unexpected __time value for fragment routing: $other")
+          }
+          val d = Math.floorDiv(us, 86400000000L)
+          if (d != lastDayIdx) {
+            lastDayIdx = d
+            lastChunk = QueryPlanner.SegmentPaging.chunkOf(us)
+          }
+          lastChunk
+        })
+        coldSlices.zip(cold).foreach { case (s, i) =>
+          // a chunk can legitimately yield zero rows (skipEmptyBuckets,
+          // filters) — its fragment is EMPTY and still cached, so it
+          // doesn't recompute on every later window
+          val frag = byChunk.getOrElse(s.chunk, "")
+          frags(i) = frag
+          if (populateCache) cachePut(s.key, frag)
+        }
+      }
+      frags
     }
   }
 

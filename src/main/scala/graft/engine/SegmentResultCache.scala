@@ -72,6 +72,131 @@ object SegmentResultCache {
     case _ => false
   }
 
+  /** Whether the PARTIAL-aggregate decomposition covers granularity `g`:
+    * UTC day chunks nest inside every bucket (the inverse of
+    * [[nestsInDayChunk]]'s condition), so per-chunk day-granularity partial
+    * aggregates merge losslessly into `g`'s buckets at serve time — Druid's
+    * broker partial-merge model (reference `arch/druid-arch.md:38-40`,
+    * `query/query-internal-procedure.md:7`). Origin-anchored periods and
+    * non-UTC timezones can place bucket boundaries mid-day, so they fall
+    * back (conservative, like [[nestsInDayChunk]]). */
+  def dayNestsInBucket(g: Granularity): Boolean = g match {
+    case Granularity.All => true
+    case Granularity.Simple(u) =>
+      Set("week", "month", "quarter", "year").contains(u)
+    case Granularity.Duration(ms, None) => ms > 0 && ms % 86400000L == 0
+    case Granularity.Period(p, tz, None)
+        if tz.forall(z => z == "UTC" || z == "Etc/UTC") =>
+      Set("P1W", "P1M", "P3M", "P1Y").contains(p)
+    case _ => false
+  }
+
+  /** Aggregators whose per-chunk partials merge by a driver-side rule the
+    * engine implements ([[PartialMerge]]): counts and sums add, min/min and
+    * max/max compose, filtered defers to its inner aggregator. first/last
+    * (need the timestamp the finalized value drops), hyperUnique and
+    * cardinality (need the sketch registers, not the finalized estimate)
+    * do not merge from finalized day values — queries using them fall back
+    * to the whole-query cache. */
+  def mergeableAgg(a: Aggregator): Boolean = a match {
+    case _: Aggregator.Count | _: Aggregator.Sum |
+         _: Aggregator.Min | _: Aggregator.Max => true
+    case Aggregator.Filtered(_, inner) => mergeableAgg(inner)
+    case _ => false
+  }
+
+  /** Post-aggregators [[PartialMerge]] can evaluate driver-side over the
+    * MERGED aggregate values (post-aggs are not distributive — they must
+    * run after the merge, exactly as Druid's broker finalizes after its
+    * partial merge). `aggNames` bounds field accesses: a reference to
+    * anything but a present aggregator falls back to the whole-query path,
+    * which raises the planner's own (better) error. */
+  def evaluablePostAgg(pa: PostAggregator, aggNames: Set[String]): Boolean =
+    pa match {
+      case PostAggregator.Arithmetic(_, fn, fields) =>
+        Set("+", "-", "*", "/", "quotient").contains(fn) &&
+          fields.forall(evaluablePostAgg(_, aggNames))
+      case PostAggregator.FieldAccess(_, f) => aggNames.contains(f)
+      case PostAggregator.FinalizingFieldAccess(_, f) => aggNames.contains(f)
+      case _: PostAggregator.Constant => true
+      case PostAggregator.GreatestLeast(_, _, _, fields) =>
+        fields.forall(evaluablePostAgg(_, aggNames))
+      case _ => false
+    }
+
+  /** Conservative upper bound on the merged-bucket count the serve-time
+    * spine materializes driver-side; far past any dashboard shape. */
+  private val MaxPartialBuckets = 100000L
+
+  private def minStepMillis(g: Granularity): Long = g match {
+    case Granularity.Simple("week") | Granularity.Period("P1W", _, _) =>
+      7L * 86400000L
+    case Granularity.Simple("month") | Granularity.Period("P1M", _, _) =>
+      28L * 86400000L
+    case Granularity.Simple("quarter") | Granularity.Period("P3M", _, _) =>
+      89L * 86400000L
+    case Granularity.Simple("year") | Granularity.Period("P1Y", _, _) =>
+      365L * 86400000L
+    case Granularity.Duration(ms, _) => ms
+    case _ => 86400000L
+  }
+
+  /** Decompose a NON-nesting-granularity timeseries into per-chunk
+    * day-granularity PARTIAL slices (chunk-ascending), or None when the
+    * shape is outside the partial-merge surface. Each slice's sub-query is
+    * the original with granularity DAY, no post-aggregations, ascending,
+    * skipEmptyBuckets forced on (empty days contribute nothing to a merge,
+    * so fragments stay minimal), and intervals ∩ chunk — the cached bytes
+    * are day-level partial aggregates, independent of the original's
+    * granularity / post-aggs / direction / skipEmptyBuckets. The key's
+    * canonical ([[canonicalPartialSansIntervals]]) drops exactly those
+    * fields, so a dashboard switching month↔quarter↔year views, flipping
+    * sort direction, or editing post-aggregators reuses the SAME warm
+    * day partials. */
+  def decomposePartial(json: String, query: Query, catalog: Catalog)
+      : Option[Seq[ChunkSlice]] = {
+    val t = query match {
+      case t: Query.Timeseries
+          if dayNestsInBucket(t.granularity) &&
+            t.aggregations.nonEmpty && t.aggregations.forall(mergeableAgg) &&
+            t.postAggregations.forall(evaluablePostAgg(_,
+              t.aggregations.map(_.name).toSet)) => t
+      case _ => return None
+    }
+    if (t.intervals.isEmpty) return None
+    // bound the serve-time driver-side bucket enumeration: the whole-query
+    // plan builds fixed-step spines on executors, so a pathologically wide
+    // window must fall back rather than trade an executor spine for a
+    // driver one
+    val spanMs = t.intervals.map(iv =>
+      math.max(0L, iv.end.toEpochMilli - iv.start.toEpochMilli)).sum
+    if (spanMs / minStepMillis(t.granularity) > MaxPartialBuckets) return None
+    val name = query.dataSource match {
+      case DataSource.Table(n) => n
+      case _ => return None
+    }
+    val infos = catalog.segmentInfos(name)
+    if (infos.isEmpty) return None
+    val tokenByChunk = infos.groupBy(_._1).view
+      .mapValues(_.map(i => s"v${i._2}:${i._3}").mkString(",")).toMap
+    val canon = canonicalPartialSansIntervals(json)
+    val template = t.copy(
+      granularity = Granularity.Simple("day"),
+      postAggregations = Seq.empty,
+      descending = false,
+      context = Map("skipEmptyBuckets" -> "true"))
+    val slices = tokenByChunk.keys.toSeq.sorted.flatMap { chunk =>
+      val sub = intersect(t.intervals, chunkInterval(chunk))
+      if (sub.isEmpty) None
+      else {
+        val token = tokenByChunk(chunk)
+        Some(ChunkSlice(chunk, token, withIntervals(template, sub),
+          fragmentKey(canon, name, chunk, token, sub)))
+      }
+    }
+    if (slices.isEmpty) None else Some(slices)
+  }
+
   private def intersect(ivs: Seq[Interval], chunk: Interval): Seq[Interval] =
     ivs.flatMap { iv =>
       val s = if (iv.start.isAfter(chunk.start)) iv.start else chunk.start
@@ -174,6 +299,32 @@ object SegmentResultCache {
         canonical(o)
       case other => canonical(other)
     }
+  }
+
+  /** [[canonicalSansIntervals]] for the PARTIAL path: additionally drops
+    * `granularity`, `postAggregations`, `descending`, and the
+    * `skipEmptyBuckets` context key — none of them affect the day-partial
+    * fragment bytes (the sub-query normalizes all four), so queries
+    * differing only in them share fragments. The `partial|` prefix
+    * domain-separates these keys from the nesting path's: a day-partial
+    * fragment (no post-aggs, always ascending) must never serve as a
+    * whole result slice. */
+  private[engine] def canonicalPartialSansIntervals(json: String): String = {
+    val body = mapper.readTree(json) match {
+      case root: ObjectNode =>
+        val o = root.deepCopy()
+        Seq("intervals", "granularity", "postAggregations", "descending")
+          .foreach(o.remove)
+        o.get("context") match {
+          case ctx: ObjectNode =>
+            (nonResultContext + "skipEmptyBuckets").foreach(ctx.remove)
+            if (ctx.isEmpty) o.remove("context")
+          case _ =>
+        }
+        canonical(o)
+      case other => canonical(other)
+    }
+    "partial|" + body
   }
 
   private def canonical(n: JsonNode): String =

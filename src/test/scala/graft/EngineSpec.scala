@@ -542,10 +542,22 @@ class EngineSpec extends SparkTestBase {
     val store = segFixture("graft-segfall")
     val engine = new Engine(spark, new SegmentCatalog(store))
     val fallbacks = Seq(
-      // granularity month: buckets straddle chunks
+      // granularity month is now the PARTIAL path — but an aggregator whose
+      // finalized day value cannot merge (last needs the dropped timestamp)
+      // must still fall back to the whole-query cache
       """{"queryType":"timeseries","dataSource":"ev",
         |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
         |"granularity":"month",
+        |"aggregations":[{"type":"doubleLast","name":"lv","fieldName":"value"}]}""".stripMargin,
+      // hyperUnique: merging finalized estimates would double-count
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"hyperUnique","name":"uq","fieldName":"event_type"}]}""".stripMargin,
+      // origin-anchored period: bucket boundaries sit mid-day
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":{"type":"period","period":"P1M","origin":"2024-01-01T06:00:00Z"},
         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin,
       // groupBy with a global limitSpec: cross-chunk ordering
       """{"queryType":"groupBy","dataSource":"ev","dimensions":["event_type"],
@@ -561,5 +573,152 @@ class EngineSpec extends SparkTestBase {
         engine.metrics.last.segmentMisses == 0,
         s"must not decompose: $q")
     }
+  }
+
+  /** Multi-month fixture for the PARTIAL-merge path: data on scattered
+    * days across Apr–Jun 2024 (with week/month-interior gaps, so the
+    * zero-fill + segment-gap-skip seams are exercised), values exactly
+    * representable in float so double/float sum re-association cannot
+    * produce ulp noise in the byte-equality sweep. */
+  private def partialFixture(prefix: String): graft.store.SegmentStore = {
+    val store = new SegmentStore(Files.createTempDirectory(prefix).toString)
+    val days = Seq("2024-04-28", "2024-04-30", "2024-05-01", "2024-05-02",
+      "2024-05-09", "2024-05-17", "2024-05-31", "2024-06-01", "2024-06-12")
+    val rows = for {
+      d <- days
+      h <- Seq(2, 15, 22)
+    } yield (ts(f"${d}T$h%02d:30:00Z"),
+      if (h == 2) "click" else "view", (d.takeRight(2).toInt * 4 + h).toDouble)
+    store.write(rows.toDF("__time", "event_type", "value"), "ev")
+    store
+  }
+
+  test("partial merge: non-nesting granularities == whole-query, randomized " +
+      "(VERDICT r12 #1)") {
+    val store = partialFixture("graft-segpart")
+    val catalog = new SegmentCatalog(store)
+    val seg = new Engine(spark, catalog)
+    val whole = withSegCache(false)(new Engine(spark, catalog))
+    val rnd = new scala.util.Random(1313)
+    val grans = Seq("\"month\"", "\"week\"", "\"quarter\"", "\"year\"",
+      "\"all\"",
+      """{"type":"duration","duration":172800000}""",
+      """{"type":"period","period":"P1M","timeZone":"UTC"}""",
+      """{"type":"period","period":"P1W"}""")
+    val aggs = Seq(
+      """{"type":"count","name":"cnt"}""",
+      """{"type":"doubleSum","name":"sv","fieldName":"value"}""",
+      """{"type":"longSum","name":"lv","fieldName":"value"}""",
+      """{"type":"floatSum","name":"fv","fieldName":"value"}""",
+      """{"type":"doubleMax","name":"mx","fieldName":"value"}""",
+      """{"type":"longMin","name":"mn","fieldName":"value"}""",
+      """{"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"click"},
+        |"aggregator":{"type":"doubleSum","name":"cs","fieldName":"value"}}""".stripMargin)
+    val postAggs = Seq(
+      "",
+      ""","postAggregations":[{"type":"arithmetic","name":"ratio","fn":"/",
+        |"fields":[{"type":"fieldAccess","fieldName":"a0"},
+        |{"type":"fieldAccess","fieldName":"a1"}]}]""".stripMargin,
+      ""","postAggregations":[{"type":"arithmetic","name":"scaled","fn":"*",
+        |"fields":[{"type":"fieldAccess","fieldName":"a0"},
+        |{"type":"constant","name":"k","value":2.5}]},
+        |{"type":"doubleGreatest","name":"g","fields":[
+        |{"type":"fieldAccess","fieldName":"a0"},
+        |{"type":"fieldAccess","fieldName":"a1"}]}]""".stripMargin)
+    val starts = Seq("2024-04-20T00:00:00Z", "2024-04-29T07:00:00Z",
+      "2024-05-01T00:00:00Z", "2024-05-02T13:00:00Z")
+    val ends = Seq("2024-05-10T00:00:00Z", "2024-05-31T17:00:00Z",
+      "2024-06-05T00:00:00Z", "2024-06-30T00:00:00Z")
+    (1 to 20).foreach { i =>
+      val g = grans(rnd.nextInt(grans.size))
+      val iv = s"${starts(rnd.nextInt(starts.size))}/${ends(rnd.nextInt(ends.size))}"
+      val desc = rnd.nextBoolean()
+      val skip = rnd.nextBoolean()
+      val pair = rnd.shuffle(aggs).take(2)
+      // post-aggs address the pair positionally via renamed fields
+      val a = pair.zipWithIndex.map { case (s, j) =>
+        s.replaceAll(""""name":"\w+"""", s""""name":"a$j"""")
+      }.mkString(",")
+      val pa = postAggs(rnd.nextInt(postAggs.size))
+      val q =
+        s"""{"queryType":"timeseries","dataSource":"ev",
+           |"intervals":["$iv"],
+           |"granularity":$g,"descending":$desc,
+           |"context":{"skipEmptyBuckets":"$skip"},
+           |"aggregations":[$a]$pa}""".stripMargin
+      val got = seg.executeJson(q)
+      val want = whole.executeJson(q)
+      assert(got == want, s"partial combo #$i diverged: $q\n got=${got.take(400)}\n" +
+        s"want=${want.take(400)}")
+      // streaming path must serve the identical bytes (now fully warm)
+      val streamed = seg.executeJsonStream(q).mkString
+      assert(streamed == want, s"partial stream #$i diverged: $q")
+    }
+    assert(seg.cacheStats("segmentCacheHits") > 0L)
+  }
+
+  test("partial merge: monthly window advances recompute only the hot chunk; " +
+      "fragments shared across granularities and post-aggs") {
+    val store = partialFixture("graft-segpartwin")
+    val catalog = new SegmentCatalog(store)
+    val engine = new Engine(spark, catalog)
+    def monthly(end: String, extra: String = ""): String =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["2024-04-01T00:00:00Z/$end"],
+         |"granularity":"month"$extra,
+         |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+    // cold: all 8 chunks in [Apr 1, Jun 2) compute — as day partials
+    engine.executeJson(monthly("2024-06-02T00:00:00Z"))
+    assert(engine.metrics.last.segmentMisses == 8 &&
+      engine.metrics.last.segmentHits == 0, engine.metrics.last.toString)
+    // the dashboard extends into June: only chunk 2024-06-12 is new
+    engine.executeJson(monthly("2024-06-30T00:00:00Z"))
+    assert(engine.metrics.last.segmentHits == 8 &&
+      engine.metrics.last.segmentMisses == 1, engine.metrics.last.toString)
+    // ALL slices hit across granularity switches (month→quarter→week→all),
+    // a sort flip, a skipEmptyBuckets flip, and added post-aggs: the
+    // partial fragment key drops exactly those fields
+    val variants = Seq(
+      monthly("2024-06-30T00:00:00Z").replace("\"month\"", "\"quarter\""),
+      monthly("2024-06-30T00:00:00Z").replace("\"month\"", "\"week\""),
+      monthly("2024-06-30T00:00:00Z").replace("\"month\"", "\"all\""),
+      monthly("2024-06-30T00:00:00Z", ",\"descending\":true"),
+      monthly("2024-06-30T00:00:00Z",
+        ",\"context\":{\"skipEmptyBuckets\":\"true\"}"),
+      monthly("2024-06-30T00:00:00Z",
+        ""","postAggregations":[{"type":"arithmetic","name":"dbl","fn":"+",
+          |"fields":[{"type":"fieldAccess","fieldName":"sv"},
+          |{"type":"fieldAccess","fieldName":"sv"}]}]""".stripMargin))
+    variants.foreach { q =>
+      engine.executeJson(q)
+      assert(engine.metrics.last.segmentHits == 9 &&
+        engine.metrics.last.segmentMisses == 0,
+        s"variant must reuse all day partials: $q → ${engine.metrics.last}")
+    }
+    // fully-warm stream: zero Spark jobs (the merge is driver-side)
+    val want = withSegCache(false)(new Engine(spark, catalog))
+      .executeJson(monthly("2024-06-30T00:00:00Z"))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val streamed = engine.executeJsonStream(
+        monthly("2024-06-30T00:00:00Z")).mkString
+      assert(streamed == want)
+      Thread.sleep(1500)
+      assert(jobs == 0, s"fully-warm partial merge must run zero jobs, ran $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a write into May invalidates ONLY that chunk's partial
+    store.appendBatch(Seq((ts("2024-05-09T09:00:00Z"), "click", 1.0))
+      .toDF("__time", "event_type", "value"), "ev")
+    val r = engine.executeJson(monthly("2024-06-30T00:00:00Z"))
+    assert(engine.metrics.last.segmentHits == 8 &&
+      engine.metrics.last.segmentMisses == 1, engine.metrics.last.toString)
+    assert(r == withSegCache(false)(new Engine(spark, catalog))
+      .executeJson(monthly("2024-06-30T00:00:00Z")))
   }
 }

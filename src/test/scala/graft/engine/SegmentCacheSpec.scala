@@ -197,6 +197,81 @@ class SegmentCacheSpec extends graft.SparkTestBase {
       objSet(ResultEncoder.encode(gbQ, shuffled)))
   }
 
+  test("decomposePartial: day-partial slices, key sharing, and fallbacks " +
+      "(VERDICT r12 #1)") {
+    val cat = stubCatalog(("2024-05-01", 1, 10L), ("2024-05-02", 1, 10L))
+    def q(gran: String, aggs: String =
+        """{"type":"doubleSum","name":"sv","fieldName":"value"}""",
+        extra: String = ""): String =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["2024-04-20T00:00:00Z/2024-06-10T00:00:00Z"],
+         |"granularity":$gran$extra,
+         |"aggregations":[$aggs]}""".stripMargin
+    def keysOf(json: String): Map[String, String] =
+      SegmentResultCache.decomposePartial(json, parse(json), cat).get
+        .map(s => s.chunk -> s.key).toMap
+    val month = keysOf(q("\"month\""))
+    assert(month.keySet == Set("2024-05-01", "2024-05-02"))
+    // the sub-query is normalized to the day-partial template
+    val sub = SegmentResultCache.decomposePartial(q("\"month\""),
+      parse(q("\"month\"")), cat).get.head.subQuery
+      .asInstanceOf[Query.Timeseries]
+    assert(sub.granularity == Granularity.Simple("day"))
+    assert(sub.postAggregations.isEmpty && !sub.descending)
+    assert(sub.context.get("skipEmptyBuckets").contains("true"))
+    // granularity / descending / skipEmptyBuckets / post-aggs are NOT in
+    // the key: a dashboard switching views reuses the same day partials
+    assert(keysOf(q("\"quarter\"")) == month)
+    assert(keysOf(q("\"year\"")) == month)
+    assert(keysOf(q("\"week\"")) == month)
+    assert(keysOf(q("\"all\"")) == month)
+    assert(keysOf(q("\"month\"", extra = ",\"descending\":true")) == month)
+    assert(keysOf(q("\"month\"",
+      extra = ",\"context\":{\"skipEmptyBuckets\":\"true\"}")) == month)
+    assert(keysOf(q("\"month\"", extra =
+      ""","postAggregations":[{"type":"arithmetic","name":"x","fn":"*",
+        |"fields":[{"type":"fieldAccess","fieldName":"sv"},
+        |{"type":"constant","name":"k","value":2}]}]""".stripMargin)) == month)
+    // ...but aggregations and filters ARE
+    assert(keysOf(q("\"month\"",
+      aggs = """{"type":"count","name":"sv"}""")) != month)
+    // the partial keys never collide with the nesting path's day keys
+    val dayJson = q("\"day\"")
+    val nesting = SegmentResultCache.decompose(dayJson, parse(dayJson), cat)
+      .get.map(_.key).toSet
+    assert(month.values.toSet.intersect(nesting).isEmpty,
+      "partial fragments must be domain-separated from whole-slice fragments")
+    // fallbacks: non-mergeable aggregators, non-evaluable post-aggs,
+    // origin-anchored periods, unknown field accesses, pathological spans
+    def none(json: String): Unit =
+      assert(SegmentResultCache.decomposePartial(json, parse(json), cat).isEmpty,
+        s"must fall back: $json")
+    none(q("\"month\"",
+      aggs = """{"type":"doubleLast","name":"lv","fieldName":"value"}"""))
+    none(q("\"month\"",
+      aggs = """{"type":"hyperUnique","name":"uq","fieldName":"value"}"""))
+    none(q("""{"type":"period","period":"P1M","origin":"2024-01-01T06:00:00Z"}"""))
+    none(q("""{"type":"period","period":"P1M","timeZone":"America/New_York"}"""))
+    none(q("\"month\"", extra =
+      ""","postAggregations":[{"type":"hyperUniqueCardinality","name":"h",
+        |"fieldName":"sv"}]""".stripMargin))
+    none(q("\"month\"", extra =
+      ""","postAggregations":[{"type":"arithmetic","name":"x","fn":"+",
+        |"fields":[{"type":"fieldAccess","fieldName":"no_such_agg"}]}]""".stripMargin))
+    none(q("\"day\"")) // nesting granularities belong to decompose
+    // a 2-day duration IS partial-mergeable; a 7-hour one is neither
+    // nesting-eligible here nor day-aligned
+    assert(SegmentResultCache.decomposePartial(
+      q("""{"type":"duration","duration":172800000}"""),
+      parse(q("""{"type":"duration","duration":172800000}""")), cat).isDefined)
+    none(q("""{"type":"duration","duration":25200000}"""))
+    // span guard: a century of 2-day buckets is fine, 10,000 years is not
+    val wide = q("""{"type":"duration","duration":172800000}""")
+      .replace("2024-04-20T00:00:00Z/2024-06-10T00:00:00Z",
+        "0100-01-01T00:00:00Z/9999-01-01T00:00:00Z")
+    none(wide)
+  }
+
   test("stripArray inverts the encoder's outer array exactly") {
     assert(SegmentResultCache.stripArray("[]") == "")
     assert(SegmentResultCache.stripArray("""[{"a":1},{"b":[2,3]}]""") ==
