@@ -25,7 +25,8 @@ import scala.util.control.NonFatal
   * the error model mirrors `query/query-module-overview.md:60-87`.
   */
 class Engine(spark: SparkSession, catalog: Catalog,
-    authorizer: QueryAuthorizer = QueryAuthorizer.AllowAll) {
+    authorizer: QueryAuthorizer = QueryAuthorizer.AllowAll,
+    cacheBackend: Option[CacheBackend] = None) {
 
   import Engine._
 
@@ -79,27 +80,14 @@ class Engine(spark: SparkSession, catalog: Catalog,
   private val segmentCacheMaxSlices: Int =
     spark.conf.getOption("spark.graft.segmentCache.maxSlices")
       .map(_.toInt).getOrElse(128)
-  private var resultCacheBytes = 0L // guarded by resultCache's monitor
-  private val resultCache =
-    new java.util.LinkedHashMap[String, String](128, 0.75f, true)
+  // the cache STORAGE tier (VERDICT r12 #2): an explicit backend wins;
+  // the default resolves through `spark.graft.resultCache.backend` —
+  // absent conf = the original byte-budgeted in-heap LRU
+  private val resultStore: CacheBackend = cacheBackend.getOrElse(
+    CacheBackend.fromConf(spark, resultCacheMaxBytes))
 
-  private def entryBytes(k: String, v: String): Long = 2L * (k.length + v.length)
-
-  private def cachePut(key: String, value: String): Unit = resultCache.synchronized {
-    val sz = entryBytes(key, value)
-    if (sz > resultCacheMaxBytes) return // larger than the whole budget
-    Option(resultCache.put(key, value))
-      .foreach(old => resultCacheBytes -= entryBytes(key, old))
-    resultCacheBytes += sz
-    val it = resultCache.entrySet().iterator()
-    while (resultCacheBytes > resultCacheMaxBytes && it.hasNext) {
-      val e = it.next() // eldest-accessed first (access-order map)
-      if (e.getKey != key) {
-        resultCacheBytes -= entryBytes(e.getKey, e.getValue)
-        it.remove()
-      }
-    }
-  }
+  private def cachePut(key: String, value: String): Unit =
+    resultStore.put(key, value)
 
   // cache observability (reference metric families, `TOC.md:50-58`): a cache
   // whose hit rate cannot be observed cannot be sized — counters are the
@@ -112,21 +100,27 @@ class Engine(spark: SparkSession, catalog: Catalog,
   private val segmentCacheHits = new java.util.concurrent.atomic.AtomicLong
   private val segmentCacheMisses = new java.util.concurrent.atomic.AtomicLong
 
-  /** Cache hit/miss counters, surfaced at `GET /druid/v2/metrics`. */
-  def cacheStats: Map[String, Long] = resultCache.synchronized {
+  /** Cache observability, surfaced at `GET /druid/v2/metrics`: the
+    * engine's hit/miss counters (lookup-path semantics, identical across
+    * backends) plus the storage tier's own entries/bytes/evictions. */
+  def cacheStats: Map[String, Long] = {
+    val s = resultStore.stats
     Map(
       "resultCacheHits" -> resultCacheHits.get,
       "resultCacheMisses" -> resultCacheMisses.get,
-      "resultCacheEntries" -> resultCache.size().toLong,
-      "resultCacheBytes" -> resultCacheBytes,
+      "resultCacheEntries" -> s.getOrElse("entries", 0L),
+      "resultCacheBytes" -> s.getOrElse("bytes", 0L),
+      "resultCacheEvictions" -> s.getOrElse("evictions", 0L),
       "lookupCacheHits" -> lookupCacheHits.get,
       "lookupCacheMisses" -> lookupCacheMisses.get,
       "segmentCacheHits" -> segmentCacheHits.get,
       "segmentCacheMisses" -> segmentCacheMisses.get)
   }
 
+  /** The active storage tier's name (metrics endpoint field). */
+  def cacheBackendName: String = resultStore.name
+
   private def cacheLookup(key: String): Option[String] = {
-    // get mutates an access-order LinkedHashMap — needs the same monitor
     val hit = cachePeek(key)
     if (hit.isDefined) resultCacheHits.incrementAndGet()
     else resultCacheMisses.incrementAndGet()
@@ -135,8 +129,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
 
   /** Counter-neutral lookup (the segment-cache path keeps its own
     * hit/miss accounting). */
-  private def cachePeek(key: String): Option[String] =
-    resultCache.synchronized { Option(resultCache.get(key)) }
+  private def cachePeek(key: String): Option[String] = resultStore.get(key)
 
   private def datasourceNames(ds: DataSource): Seq[String] = ds match {
     case DataSource.Table(n)   => Seq(n)

@@ -208,6 +208,7 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               o.put("segmentMisses", m.segmentMisses)
             }
             val cache = root.putObject("cache")
+            cache.put("backend", engine.cacheBackendName)
             engine.cacheStats.toSeq.sortBy(_._1).foreach { case (k, v) => cache.put(k, v) }
             // segment family: per-datasource segment count + live rows from
             // the manifest timeline (driver-side, no Spark job)

@@ -575,6 +575,51 @@ class EngineSpec extends SparkTestBase {
     }
   }
 
+  test("cache backend is pluggable: a swapped tier carries results AND " +
+      "fragments; conf-driven load fails loudly (VERDICT r12 #2)") {
+    val store = segFixture("graft-segbackend")
+    val backend = new graft.FakeCacheBackend
+    val engine = new Engine(spark, new SegmentCatalog(store),
+      cacheBackend = Some(backend))
+    val q =
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+    val r1 = engine.executeJson(q)
+    // whole-query result + 3 day fragments all landed in the swapped tier
+    assert(backend.puts.get >= 4, s"puts=${backend.puts.get}")
+    assert({
+      import scala.jdk.CollectionConverters._
+      backend.entries.keySet.asScala.exists(_.startsWith("seg:"))
+    },
+      "fragment keys must go through the backend")
+    val r2 = engine.executeJson(q)
+    assert(r2 == r1 && engine.metrics.last.cached,
+      "second run must serve from the swapped backend")
+    assert(backend.gets.get > 0)
+    // the metrics contract: backend-reported storage stats + engine
+    // counters, with the eviction field present
+    val stats = engine.cacheStats
+    assert(stats("resultCacheEntries") == backend.entries.size.toLong)
+    assert(stats.contains("resultCacheEvictions") &&
+      stats.contains("resultCacheBytes"))
+    assert(engine.cacheBackendName == "fake")
+    // conf-driven swap: a class name loads reflectively...
+    spark.conf.set("spark.graft.resultCache.backend",
+      "graft.FakeCacheBackend")
+    try {
+      val e2 = new Engine(spark, new SegmentCatalog(store))
+      assert(e2.cacheBackendName == "fake")
+      // ...and a typo'd tier fails construction, never falls open to an
+      // unshared heap
+      spark.conf.set("spark.graft.resultCache.backend", "no.such.Tier")
+      intercept[ClassNotFoundException] {
+        new Engine(spark, new SegmentCatalog(store))
+      }
+    } finally spark.conf.unset("spark.graft.resultCache.backend")
+  }
+
   /** Multi-month fixture for the PARTIAL-merge path: data on scattered
     * days across Apr–Jun 2024 (with week/month-interior gaps, so the
     * zero-fill + segment-gap-skip seams are exercised), values exactly

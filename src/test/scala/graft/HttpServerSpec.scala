@@ -562,6 +562,10 @@ class HttpServerSpec extends SparkTestBase {
         s"dsir-bucket family missing from /druid/v2/metrics lsh ring: $kinds")
       val cache = root.get("cache")
       assert(cache.has("segmentCacheHits") && cache.has("segmentCacheMisses"))
+      // the cache-tier contract (r12 #2): backend name + storage stats
+      assert(cache.get("backend").asText() == "heap", cache.toString)
+      assert(cache.has("resultCacheBytes") && cache.has("resultCacheEntries")
+        && cache.has("resultCacheEvictions"), cache.toString)
       assert(cache.get("segmentCacheHits").asLong() >= 2L, cache.toString)
       val qs = root.get("queries")
       val lastQ = qs.get(qs.size() - 1)
