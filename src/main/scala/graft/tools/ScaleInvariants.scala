@@ -622,6 +622,44 @@ object ScaleInvariants {
           f"volRatio=${volScaled.toDouble / volBase}%.2f (linear=$n) " +
           f"tBase=$tBase%.1fs tScaled=$tScaled%.1fs " +
           f"tRatio=${tScaled / tBase}%.2f")
+
+      // MULTI-PROBE arm (VERDICT r12 #4): nProbe=2 at k∝n must buy the
+      // k∝n lever's boundary-recall erosion back to within 0.05 of the
+      // fixed-k=8 base run — at a bounded volume multiplier (each vector
+      // joins 2 clusters → ≤4× the single-probe within-cluster volume,
+      // still LINEAR in n; gated at 8×linear for headroom). Precision
+      // must stay exactly 1 (multi-probe adds candidates, never skips
+      // the exact-cosine verify), and the (id_a,id_b) dedup must hold
+      // (a boundary pair can co-occur in both shared probed clusters).
+      val (s2Df, tScaled2) = timed(graft.ext.Similarity.semanticDupPairs(
+          graft.SparkEntry.q28PlantedUnion(spark, scaled),
+          "vec_id", "embedding", kCents, threshold = 0.95, nProbe = 2)
+        .localCheckpoint())
+      val s2Rows = s2Df.where(col("id_a") < ScaleUp.KeyOffset &&
+        col("id_b") < ScaleUp.KeyOffset)
+      val s2Dupes = s2Rows.groupBy("id_a", "id_b").count()
+        .where(col("count") > 1).count()
+      val s2 = pairSet(s2Rows)
+      def probedVolume(dir: String, cents: Array[Array[Double]]): Long =
+        graft.SparkEntry.q28PlantedUnion(spark, dir)
+          .select(explode(graft.functions.VectorFunctions
+            .nearest_centroids(col("embedding"), cents, 2)).as("c"))
+          .groupBy("c").count()
+          .agg(coalesce(sum((col("count") * (col("count") - 1) / 2)
+            .cast("long")), lit(0L)))
+          .head().getLong(0)
+      val volScaled2 = probedVolume(scaled, kCents)
+      val recall2 = (s2 intersect truth).size.toDouble / truth.size
+      check("q74_kscale_multiprobe")(
+        recall2 >= recall8 - 0.05 && recall2 >= recall80 &&
+          (s2 subsetOf truth) && s2Dupes == 0L &&
+          volScaled2 <= 8L * n * volBase &&
+          tScaled2 <= tBase * n * 6,
+        f"recallK8=$recall8%.3f recallProbe1=$recall80%.3f " +
+          f"recallProbe2=$recall2%.3f precision1=${(s2 -- truth).isEmpty} " +
+          f"dupPairs=$s2Dupes volProbe2=$volScaled2%,d " +
+          f"volRatio=${volScaled2.toDouble / volBase}%.2f " +
+          f"(≤${8L * n}) tProbe2=$tScaled2%.1fs")
     }
 
     // q75 quantization at scale: a pure zero-shuffle map — replica-0 slice

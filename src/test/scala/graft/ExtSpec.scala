@@ -1308,10 +1308,41 @@ class ExtSpec extends SparkTestBase {
       assert(assigned(r.getLong(0)) == r.getInt(2) &&
         assigned(r.getLong(1)) == r.getInt(2))
     }
+    // MULTI-PROBE (VERDICT r12 #4): nProbe=2 searches each vector's two
+    // nearest clusters, recovering boundary pairs the flat argmax split —
+    // recall must strictly cover the single-probe set and climb on this
+    // worst-case fixture; every pair stays exact-cosine verified and the
+    // (id_a, id_b) dedup leaves no duplicates
+    val got2 = Similarity.semanticDupPairs(corpus, "vec_id", "embedding",
+      cents, threshold = 0.95, nProbe = 2)
+    val rows2 = got2.collect()
+    val pairs2 = rows2.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows2.length == pairs2.size, "multi-probe must dedup (id_a, id_b)")
+    assert(pairs.subsetOf(pairs2),
+      "nProbe=2 must cover every single-probe pair")
+    val recall2 = expected.count(pairs2.contains).toDouble / expected.size
+    assert(recall2 > recall,
+      s"nProbe=2 must recover boundary pairs on this fixture: $recall → $recall2")
+    assert(recall2 >= 0.95, s"multi-probe recall $recall2")
+    // the reported cluster is PROBED by both ends (min shared probe)
+    val probed = corpus.select(col("vec_id"),
+      graft.functions.VectorFunctions.nearest_centroids(
+        col("embedding"), cents, 2).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSet).toMap
+    rows2.foreach { r =>
+      val c = r.getInt(2)
+      assert(probed(r.getLong(0)).contains(c) && probed(r.getLong(1)).contains(c))
+    }
     // pathological clustering (k=1 -> one quadratic cluster) trips the budget
     intercept[IllegalStateException] {
       Similarity.semanticDupPairs(corpus, "vec_id", "embedding",
         cents.take(1), threshold = 0.95, maxPairBudget = 1000L).count()
+    }
+    // ...and the budget guard measures the PROBED volume: nProbe=2 over
+    // the same tight budget still refuses
+    intercept[IllegalStateException] {
+      Similarity.semanticDupPairs(corpus, "vec_id", "embedding",
+        cents, threshold = 0.95, maxPairBudget = 1000L, nProbe = 2).count()
     }
   }
 
