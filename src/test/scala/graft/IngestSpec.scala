@@ -581,6 +581,69 @@ class IngestSpec extends SparkTestBase {
     assert(got.where(col("fp") === "a").select("value").head().getDouble(0) == 1.0)
   }
 
+  test("streaming append × fragment cache: a realtime micro-batch " +
+      "invalidates exactly the hot chunk (VERDICT r12 #5)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val store = freshStore()
+    implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("__time", "event_type", "value")
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // three days land through the streaming path
+    mem.addData(
+      (ts("2024-06-01T10:00:00Z"), "click", 1.0),
+      (ts("2024-06-02T10:00:00Z"), "view", 2.0),
+      (ts("2024-06-03T10:00:00Z"), "click", 4.0))
+    val q0 = graft.streaming.RealtimeIngest.start(stream, store, "live",
+      watermark = None, checkpointDir = ckpt, trigger = Trigger.AvailableNow())
+    q0.awaitTermination(60000)
+
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val daily =
+      """{"queryType":"timeseries","dataSource":"live",
+        |"intervals":["2024-06-01T00:00:00Z/2024-06-04T00:00:00Z"],
+        |"granularity":"day",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+    val monthly = daily.replace("\"day\"", "\"month\"")
+    // warm both the nesting-path fragments and the day-PARTIAL fragments
+    val d1 = engine.executeJson(daily)
+    assert(engine.metrics.last.segmentMisses == 3)
+    engine.executeJson(monthly)
+    assert(engine.metrics.last.segmentMisses == 3)
+    // fully warm: zero Spark jobs for either shape
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      engine.executeJsonStream(daily).mkString
+      engine.executeJsonStream(monthly).mkString
+      Thread.sleep(1500)
+      assert(jobs == 0, s"warm queries must run zero jobs, ran $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // a NEW micro-batch through the SAME checkpoint appends to June 2 only:
+    // the chunk's manifest token (version AND rowCount) must invalidate
+    // exactly that chunk's fragments on both paths
+    mem.addData((ts("2024-06-02T18:00:00Z"), "click", 8.0))
+    val q1 = graft.streaming.RealtimeIngest.start(stream, store, "live",
+      watermark = None, checkpointDir = ckpt, trigger = Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+
+    val d2 = engine.executeJson(daily)
+    assert(engine.metrics.last.segmentHits == 2 &&
+      engine.metrics.last.segmentMisses == 1, engine.metrics.last.toString)
+    assert(d2 != d1 && d2.contains("\"sv\":10.0"), d2) // 2.0 + 8.0
+    engine.executeJson(monthly)
+    assert(engine.metrics.last.segmentHits == 2 &&
+      engine.metrics.last.segmentMisses == 1, engine.metrics.last.toString)
+    // merged monthly total reflects the append: 1 + 2 + 4 + 8
+    assert(engine.executeJson(monthly).contains("\"sv\":15.0"))
+  }
+
   test("appendBatch replay protection: a retried batchId is a no-op") {
     val store = freshStore()
     def batch(h: Int) = Seq((ts(f"2024-06-01T$h%02d:00:00Z"), "click", 1.0))
