@@ -99,6 +99,9 @@ class Engine(spark: SparkSession, catalog: Catalog,
   private val lookupCacheMisses = new java.util.concurrent.atomic.AtomicLong
   private val segmentCacheHits = new java.util.concurrent.atomic.AtomicLong
   private val segmentCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  // cold fragments served by AWAITING another query's in-flight compute
+  // instead of duplicating it (the single-flight seam, VERDICT r12 #6)
+  private val segmentCacheCoalesced = new java.util.concurrent.atomic.AtomicLong
 
   /** Cache observability, surfaced at `GET /druid/v2/metrics`: the
     * engine's hit/miss counters (lookup-path semantics, identical across
@@ -114,7 +117,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
       "lookupCacheHits" -> lookupCacheHits.get,
       "lookupCacheMisses" -> lookupCacheMisses.get,
       "segmentCacheHits" -> segmentCacheHits.get,
-      "segmentCacheMisses" -> segmentCacheMisses.get)
+      "segmentCacheMisses" -> segmentCacheMisses.get,
+      "segmentCacheCoalesced" -> segmentCacheCoalesced.get)
   }
 
   /** The active storage tier's name (metrics endpoint field). */
@@ -158,8 +162,9 @@ class Engine(spark: SparkSession, catalog: Catalog,
   private def authorize(queryType: String, queryId: String,
       identity: Option[String], names: Seq[String]): Unit =
     if (!effectiveAuthorizer.authorize(identity, names)) {
+      countersFor(identity)._2.incrementAndGet() // per-identity deny count
       record(QueryMetric(queryId, queryType, 0L,
-        success = false, cached = false, bytes = 0L))
+        success = false, cached = false, bytes = 0L, identity = identity))
       throw QueryError("Forbidden",
         s"READ denied on datasource(s) [${names.mkString(", ")}]" +
           identity.fold(" for anonymous caller")(id => s" for '$id'"),
@@ -211,7 +216,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
     if (useCache) {
       cacheLookup(cacheKey).foreach { hit =>
         record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
-          success = true, cached = true, bytes = hit.length.toLong))
+          success = true, cached = true, bytes = hit.length.toLong,
+          identity = identity))
         return hit
       }
     }
@@ -330,7 +336,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
       if (populateCache) cachePut(cacheKey, result)
       // a fully-segment-cached result ran no Spark job — report it cached
       record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
-        success = true,
+        success = true, identity = identity,
         cached = segHits.get > 0 && segMisses.get == 0,
         bytes = result.length.toLong,
         segmentHits = segHits.get, segmentMisses = segMisses.get))
@@ -338,16 +344,16 @@ class Engine(spark: SparkSession, catalog: Catalog,
     } catch {
       case qe: QueryError =>
         record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
-          success = false, cached = false, bytes = 0L))
+          success = false, cached = false, bytes = 0L, identity = identity))
         throw qe
       case e: InterruptedException =>
         record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
-          success = false, cached = false, bytes = 0L))
+          success = false, cached = false, bytes = 0L, identity = identity))
         throw QueryError("Query interrupted", String.valueOf(e.getMessage),
           e.getClass.getName)
       case NonFatal(e) =>
         record(QueryMetric(queryId, query.getClass.getSimpleName, elapsedMs,
-          success = false, cached = false, bytes = 0L))
+          success = false, cached = false, bytes = 0L, identity = identity))
         if (isCancellation(e))
           throw QueryError("Query cancelled", s"query $queryId cancelled", e.getClass.getName)
         else throw QueryError.unknown(e)
@@ -385,7 +391,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
       cacheLookup(cacheKey) match {
         case Some(hit) =>
           record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
-            success = true, cached = true, bytes = hit.length.toLong))
+            success = true, cached = true, bytes = hit.length.toLong,
+            identity = identity))
           return Iterator.single(hit)
         case None =>
       }
@@ -409,7 +416,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
                 .mkString("[", ",", "]")
               record(QueryMetric(queryId, query.getClass.getSimpleName, 0L,
                 success = true, cached = true, bytes = merged.length.toLong,
-                segmentHits = slices.size, segmentMisses = 0))
+                segmentHits = slices.size, segmentMisses = 0,
+                identity = identity))
               return Iterator.single(merged)
             }
           case None =>
@@ -427,7 +435,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
                   record(QueryMetric(queryId, query.getClass.getSimpleName,
                     0L, success = true, cached = true,
                     bytes = merged.length.toLong,
-                    segmentHits = slices.size, segmentMisses = 0))
+                    segmentHits = slices.size, segmentMisses = 0,
+                    identity = identity))
                   return Iterator.single(merged)
                 }
               }
@@ -452,11 +461,11 @@ class Engine(spark: SparkSession, catalog: Catalog,
           segmentIdFor = segmentPagingMapper(query))
       } catch {
         case qe: QueryError =>
-          recordFailure(queryId, query, t0)
+          recordFailure(queryId, query, t0, identity)
           spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
           throw qe
         case NonFatal(e) =>
-          recordFailure(queryId, query, t0)
+          recordFailure(queryId, query, t0, identity)
           spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
           throw QueryError.unknown(e)
       }
@@ -499,14 +508,15 @@ class Engine(spark: SparkSession, catalog: Catalog,
       private def finishedOk(): Unit = {
         record(QueryMetric(queryId, query.getClass.getSimpleName,
           (System.nanoTime() - t0) / 1000000L,
-          success = true, cached = false, bytes = bytes))
+          success = true, cached = false, bytes = bytes,
+          identity = identity))
         bytes = -1L // record once
         if (accFits) cachePut(cacheKey, acc.toString)
         watchdog.foreach(_.cancel(false))
         spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
       }
       private def finishedBad(): Unit = {
-        if (bytes >= 0L) { recordFailure(queryId, query, t0); bytes = -1L }
+        if (bytes >= 0L) { recordFailure(queryId, query, t0, identity); bytes = -1L }
         watchdog.foreach(_.cancel(false))
         spark.sparkContext.removeJobTag(Engine.jobTag(queryId))
       }
@@ -640,6 +650,24 @@ class Engine(spark: SparkSession, catalog: Catalog,
       case _ => None
     }
 
+  /** SINGLE-FLIGHT registry for cold fragment computations (VERDICT r12
+    * #6): fragment key → the future its claiming query will complete. A
+    * dashboard fan-out of N identical widgets previously computed (and
+    * populated) the same cold fragments N×; now exactly one query claims
+    * each key (`computeIfAbsent` — one winner per key under every
+    * interleaving) and the rest await its future. No deadlock is
+    * possible: a query completes ALL its claimed futures before awaiting
+    * anyone else's, so waits never form a cycle. A failed/cancelled
+    * computation completes its futures exceptionally and waiters fall
+    * back to computing those slices themselves (correctness over
+    * economy). */
+  private val inflightFragments =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.CompletableFuture[String]]()
+  private val inflightWaitMs: Long =
+    spark.conf.getOption("spark.graft.segmentCache.inflightWaitMs")
+      .map(_.toLong).getOrElse(600000L)
+
   /** Look up / compute the fragments for `slices`, aligned by index.
     * `template` is the per-chunk sub-query shape (the original query on
     * the nesting path; the day-partial template on the partial path) —
@@ -653,19 +681,72 @@ class Engine(spark: SparkSession, catalog: Catalog,
       hits: java.util.concurrent.atomic.AtomicInteger,
       misses: java.util.concurrent.atomic.AtomicInteger): Option[Array[String]] = {
     val frags = new Array[String](slices.size)
-    val cold = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val cold0 = scala.collection.mutable.ArrayBuffer.empty[Int]
     slices.zipWithIndex.foreach { case (s, i) =>
       (if (useCache) cachePeek(s.key) else None) match {
         case Some(f) => frags(i) = f
-        case None    => cold += i
+        case None    => cold0 += i
       }
     }
-    if (!populateCache && cold.nonEmpty) None
+    if (!populateCache && cold0.nonEmpty) None
     else Some {
-      hits.addAndGet(slices.size - cold.size)
-      segmentCacheHits.addAndGet((slices.size - cold.size).toLong)
-      misses.addAndGet(cold.size)
-      segmentCacheMisses.addAndGet(cold.size.toLong)
+      hits.addAndGet(slices.size - cold0.size)
+      segmentCacheHits.addAndGet((slices.size - cold0.size).toLong)
+      misses.addAndGet(cold0.size)
+      segmentCacheMisses.addAndGet(cold0.size.toLong)
+      // single-flight claim: for each cold key, either WE created the
+      // in-flight future (ours to compute) or another query is already
+      // computing it (await instead of duplicating the work)
+      val cold = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val awaited = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, java.util.concurrent.CompletableFuture[String])]
+      cold0.foreach { i =>
+        var created: java.util.concurrent.CompletableFuture[String] = null
+        val f = inflightFragments.computeIfAbsent(slices(i).key, _ => {
+          created = new java.util.concurrent.CompletableFuture[String]()
+          created
+        })
+        if (f eq created) cold += i else awaited += ((i, f))
+      }
+      if (awaited.nonEmpty)
+        segmentCacheCoalesced.addAndGet(awaited.size.toLong)
+      try {
+        computeFragments(template, slices, cold.toSeq, frags, populateCache)
+        cold.foreach { i =>
+          val f = inflightFragments.remove(slices(i).key)
+          if (f != null) f.complete(frags(i))
+        }
+      } catch {
+        case t: Throwable =>
+          cold.foreach { i =>
+            val f = inflightFragments.remove(slices(i).key)
+            if (f != null) f.completeExceptionally(t)
+          }
+          throw t
+      }
+      if (awaited.nonEmpty) {
+        // await the other queries' results; anything that fails or times
+        // out is recomputed HERE (claim-free — last-write-wins populate
+        // is correct, just not coalesced)
+        val leftover = scala.collection.mutable.ArrayBuffer.empty[Int]
+        awaited.foreach { case (i, f) =>
+          try frags(i) = f.get(inflightWaitMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+          catch { case _: Exception => leftover += i }
+        }
+        if (leftover.nonEmpty)
+          computeFragments(template, slices, leftover.toSeq, frags,
+            populateCache)
+      }
+      frags
+    }
+  }
+
+  /** Compute the `cold`-indexed slices' fragments into `frags` from ONE
+    * coalesced plan of `template`, populating the cache when asked. */
+  private def computeFragments(template: Query,
+      slices: Seq[SegmentResultCache.ChunkSlice], cold: Seq[Int],
+      frags: Array[String], populateCache: Boolean): Unit = {
       if (cold.nonEmpty) {
         // ALL cold fragments from ONE plan over the union of their
         // sub-intervals, split per chunk while encoding: a cold D-day
@@ -714,14 +795,13 @@ class Engine(spark: SparkSession, catalog: Catalog,
           if (populateCache) cachePut(s.key, frag)
         }
       }
-      frags
-    }
   }
 
-  private def recordFailure(queryId: String, query: Query, t0: Long): Unit =
+  private def recordFailure(queryId: String, query: Query, t0: Long,
+      identity: Option[String]): Unit =
     record(QueryMetric(queryId, query.getClass.getSimpleName,
       (System.nanoTime() - t0) / 1000000L,
-      success = false, cached = false, bytes = 0L))
+      success = false, cached = false, bytes = 0L, identity = identity))
 
   /** Per-query metrics ring (Druid's query/time + bytes emission,
     * reference `query/query-internal-procedure.md:152-189`).
@@ -730,11 +810,34 @@ class Engine(spark: SparkSession, catalog: Catalog,
     * the whole-query path). */
   final case class QueryMetric(queryId: String, queryType: String, millis: Long,
       success: Boolean, cached: Boolean, bytes: Long,
-      segmentHits: Int = 0, segmentMisses: Int = 0)
+      segmentHits: Int = 0, segmentMisses: Int = 0,
+      identity: Option[String] = None)
 
   private val metricsRing = new java.util.concurrent.ConcurrentLinkedDeque[QueryMetric]()
 
+  // per-identity audit counters (VERDICT r12 #7 — the reference's query
+  // monitoring family, `TOC.md:51`): cumulative, unlike the bounded ring.
+  // `queries` counts recorded metric rows (attempts, denied included);
+  // `denied` counts AUTHORIZING rejections. Anonymous callers aggregate
+  // under "anonymous".
+  private val identityCounters = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.concurrent.atomic.AtomicLong,
+      java.util.concurrent.atomic.AtomicLong)]()
+
+  private def countersFor(identity: Option[String]) =
+    identityCounters.computeIfAbsent(identity.getOrElse("anonymous"),
+      _ => (new java.util.concurrent.atomic.AtomicLong,
+        new java.util.concurrent.atomic.AtomicLong))
+
+  /** Per-identity (queries, denied) counts, for the metrics endpoint. */
+  def identityStats: Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    identityCounters.asScala.toSeq
+      .map { case (id, (q, d)) => (id, q.get, d.get) }.sortBy(_._1)
+  }
+
   private def record(m: QueryMetric): Unit = {
+    countersFor(m.identity)._1.incrementAndGet()
     metricsRing.addLast(m)
     while (metricsRing.size() > 256) metricsRing.pollFirst()
   }
@@ -1000,7 +1103,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
     cacheLookup(cacheKey) match {
       case Some(hit) =>
         record(QueryMetric(queryId, "Sql", 0L,
-          success = true, cached = true, bytes = hit.length.toLong))
+          success = true, cached = true, bytes = hit.length.toLong,
+          identity = identity))
         return Iterator.single(hit)
       case None => ()
     }
@@ -1025,7 +1129,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
       private def done(success: Boolean): Unit = {
         record(QueryMetric(queryId, "Sql",
           (System.nanoTime() - t0) / 1000000L,
-          success = success, cached = false, bytes = math.max(bytes, 0L)))
+          success = success, cached = false, bytes = math.max(bytes, 0L),
+          identity = identity))
         if (success && accFits) cachePut(cacheKey, acc.toString)
         bytes = -1L // record once
         spark.sparkContext.removeJobTag(Engine.jobTag(queryId))

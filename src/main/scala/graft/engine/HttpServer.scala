@@ -206,6 +206,16 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               o.put("cached", m.cached); o.put("bytes", m.bytes)
               o.put("segmentHits", m.segmentHits)
               o.put("segmentMisses", m.segmentMisses)
+              m.identity.foreach(o.put("identity", _))
+            }
+            // per-identity audit counters (reference query monitoring
+            // family, `TOC.md:51`): cumulative queries + AUTHORIZING
+            // denies per caller principal — deny spikes are the signal an
+            // operator alerts on
+            val iarr = root.putArray("identities")
+            engine.identityStats.foreach { case (id, q, d) =>
+              val o = iarr.addObject()
+              o.put("identity", id); o.put("queries", q); o.put("denied", d)
             }
             val cache = root.putObject("cache")
             cache.put("backend", engine.cacheBackendName)

@@ -620,6 +620,47 @@ class EngineSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.resultCache.backend")
   }
 
+  test("single-flight: concurrent identical cold queries compute each " +
+      "fragment at most once (VERDICT r12 #6)") {
+    val store = segFixture("graft-segflight")
+    val backend = new graft.FakeCacheBackend
+    val engine = new Engine(spark, new SegmentCatalog(store),
+      cacheBackend = Some(backend))
+    val q =
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-05-05T00:00:00Z"],
+        |"granularity":"hour",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+    val n = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val results = new Array[String](n)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until n).map(i => new Thread(() => {
+      try { barrier.await(); results(i) = engine.executeJson(q) }
+      catch { case t: Throwable => errs.add(t): Unit }
+    }, s"flight-$i"))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    assert(results.toSet.size == 1, "all callers must see the same bytes")
+    assert(results(0) == withSegCache(false)(
+      new Engine(spark, new SegmentCatalog(store))).executeJson(q))
+    // the single-flight law: every fragment key was computed and stored
+    // by exactly ONE of the concurrent queries
+    import scala.jdk.CollectionConverters._
+    val segPuts = backend.putsByKey.asScala.collect {
+      case (k, c) if k.startsWith("seg:") => k -> c.get
+    }
+    assert(segPuts.size == 4, s"4 chunk fragments expected: ${segPuts.size}")
+    assert(segPuts.values.forall(_ == 1L),
+      s"a fragment key was computed more than once: $segPuts")
+    // the coalesced counter moved: at least one query awaited another's
+    // in-flight compute instead of duplicating it (with a barrier start
+    // and a real Spark job between claim and complete, losers always
+    // arrive while the winner is computing)
+    assert(engine.cacheStats("segmentCacheCoalesced") > 0L,
+      engine.cacheStats.toString)
+  }
+
   /** Multi-month fixture for the PARTIAL-merge path: data on scattered
     * days across Apr–Jun 2024 (with week/month-interior gaps, so the
     * zero-fill + segment-gap-skip seams are exercised), values exactly

@@ -8,6 +8,10 @@ class FakeCacheBackend extends graft.engine.CacheBackend {
   val entries = new java.util.concurrent.ConcurrentHashMap[String, String]()
   val gets = new java.util.concurrent.atomic.AtomicLong
   val puts = new java.util.concurrent.atomic.AtomicLong
+  /** Per-key put counts — the single-flight law's observable. */
+  val putsByKey =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
 
   override def name: String = "fake"
   override def get(key: String): Option[String] = {
@@ -16,6 +20,8 @@ class FakeCacheBackend extends graft.engine.CacheBackend {
   }
   override def put(key: String, value: String): Unit = {
     puts.incrementAndGet()
+    putsByKey.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     entries.put(key, value): Unit
   }
   override def stats: Map[String, Long] = {

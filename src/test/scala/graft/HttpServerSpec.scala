@@ -441,6 +441,26 @@ class HttpServerSpec extends SparkTestBase {
       // denied queries land in the metrics ring as failures (the reference
       // logs denied queries — the Logging lifecycle step still runs)
       assert(engine.metrics.exists(m => !m.success))
+      // identity is in the audit trail (r12 #7): ring rows carry the
+      // caller, and per-identity cumulative counters surface at
+      // /druid/v2/metrics with deny counts visible after the 403s above
+      assert(engine.metrics.exists(_.identity.contains("alice")))
+      val m = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(m.body())
+      val ids = (0 until root.get("identities").size())
+        .map(root.get("identities").get(_))
+        .map(n => n.get("identity").asText() ->
+          (n.get("queries").asLong(), n.get("denied").asLong())).toMap
+      assert(ids("alice")._1 > 0 && ids("alice")._2 > 0, ids.toString)
+      assert(ids("mallory")._2 > 0, ids.toString)
+      assert(ids("anonymous")._2 > 0, ids.toString)
+      val qRows = root.get("queries")
+      assert((0 until qRows.size()).exists(i =>
+        Option(qRows.get(i).get("identity")).exists(_.asText() == "alice")),
+        "ring rows must carry the caller identity")
     } finally srv.stop()
   }
 
