@@ -78,11 +78,32 @@ object SegmentCacheProbe {
     plain.executeJson(uncached(window(2)))
     val tNo = (System.nanoTime() - t0) / 1e9
 
+    // MONTH-granularity cycle over the same windows — the PARTIAL-merge
+    // path (VERDICT r12 #1): day partials cache per chunk and merge
+    // driver-side, so a monthly dashboard gets the same
+    // only-the-hot-chunk-recomputes property. Same cold/advance/complete/
+    // nocache phases; fragment keys are disjoint from the hourly run's
+    // (different aggregation-bearing canonical? no — different PATH), so
+    // this cycle's cold pass computes its own day partials.
+    def monthly(i0: Int): String = window(i0).replace("\"hour\"", "\"month\"")
+    plain.executeJson(uncached(monthly(0)))
+    plain.executeJson(uncached(monthly(0)))
+    val (tColdM, hcM, mcM) = timed(monthly(1))
+    val (tAdvM, haM, maM) = timed(monthly(2))
+    val (tFullM, hfM, mfM) = timed(monthly(2).replace("\"granularity\"",
+      "\"context\":{\"queryId\":\"againM\"},\"granularity\""))
+    val t1 = System.nanoTime()
+    plain.executeJson(uncached(monthly(2)))
+    val tNoM = (System.nanoTime() - t1) / 1e9
+
     def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
     println(s"""{"metric":"segment_cache_probe","unit":"sec","days":$days,""" +
       s""""cold":${f(tCold)},"advance":${f(tAdv)},"complete":${f(tFull)},""" +
       s""""nocache":${f(tNo)},""" +
-      s""""counts":{"cold":[$hc,$mc],"advance":[$ha,$ma],"complete":[$hf,$mf]}}""")
+      s""""counts":{"cold":[$hc,$mc],"advance":[$ha,$ma],"complete":[$hf,$mf]},""" +
+      s""""month":{"cold":${f(tColdM)},"advance":${f(tAdvM)},""" +
+      s""""complete":${f(tFullM)},"nocache":${f(tNoM)},""" +
+      s""""counts":{"cold":[$hcM,$mcM],"advance":[$haM,$maM],"complete":[$hfM,$mfM]}}}""")
     spark.stop()
   }
 }
