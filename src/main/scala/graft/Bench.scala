@@ -138,10 +138,29 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
-    canaryOnce() // JIT warm the loop before the first sample
+    // MEMORY-BANDWIDTH canary (r13): the xorshift loop is register-only —
+    // blind to co-tenant memory pressure. A full-suite run measured ~12%
+    // uniformly hot with a FLAT cpu canary; an r12-tree A/B on the same
+    // window showed engine parity, so the inflation was bandwidth-class
+    // host state. One summing pass over a 256 MiB long array samples what
+    // the cpu canary misses; recorded in the artifact (canary_mem_sec) so
+    // cross-run deltas can be adjudicated against BOTH host axes.
+    val memArr = new Array[Long](32 << 20) // 256 MiB
+    java.util.Arrays.fill(memArr, 0x9e3779b97f4a7c15L)
+    def canaryMem(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L; var i = 0
+      while (i < memArr.length) { s += memArr(i); i += 1 }
+      canarySink ^= s
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce(); canaryMem() // JIT warm the loops before the first sample
     val canary1 = scala.collection.mutable.ArrayBuffer.empty[Double]
     val canaryN = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def sampleCanary(): Unit = { canary1 += canaryOnce(); canaryN += canaryPar() }
+    val canaryM = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sampleCanary(): Unit = {
+      canary1 += canaryOnce(); canaryN += canaryPar(); canaryM += canaryMem()
+    }
 
     val acc = names.map(n => n -> scala.collection.mutable.ArrayBuffer
       .empty[(Double, Boolean)]).toMap
@@ -212,7 +231,8 @@ object Bench {
     val totalMin = stats.flatMap(_._2.map(_._2)).sum
     val canaryJson =
       ",\"canary_sec\":[" + canary1.map(fmt).mkString(",") + "]" +
-        ",\"canary_par_sec\":[" + canaryN.map(fmt).mkString(",") + "]"
+        ",\"canary_par_sec\":[" + canaryN.map(fmt).mkString(",") + "]" +
+        ",\"canary_mem_sec\":[" + canaryM.map(fmt).mkString(",") + "]"
 
     // Flag contended pass columns. Only the pass-major sweep (columns
     // passes..2*passes-1) has the column==wall-clock-window property: in
