@@ -429,9 +429,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
                 val frags = slices.map(s => cachePeek(s.key))
                 if (frags.forall(_.isDefined)) {
                   segmentCacheHits.addAndGet(slices.size.toLong)
-                  val merged = PartialMerge.merge(
-                    query.asInstanceOf[Query.Timeseries],
-                    frags.flatten, chunkCoverageOf(query.dataSource))
+                  val merged = mergePartial(query, frags.flatten)
                   record(QueryMetric(queryId, query.getClass.getSimpleName,
                     0L, success = true, cached = true,
                     bytes = merged.length.toLong,
@@ -637,12 +635,20 @@ class Engine(spark: SparkSession, catalog: Catalog,
           .flatMap { slices =>
             collectFragments(slices.head.subQuery, slices,
                 useCache, populateCache, hits, misses)
-              .map(frags => PartialMerge.merge(
-                query.asInstanceOf[Query.Timeseries], frags.toSeq,
-                chunkCoverageOf(query.dataSource)))
+              .map(frags => mergePartial(query, frags.toSeq))
           }
     }
   }
+
+  /** Serve-time merge dispatch for the partial-fragment path. */
+  private def mergePartial(query: Query, frags: Seq[String]): String =
+    query match {
+      case t: Query.Timeseries =>
+        PartialMerge.merge(t, frags, chunkCoverageOf(t.dataSource))
+      case gq: Query.GroupBy => PartialMerge.mergeGroupBy(gq, frags)
+      case other => throw new IllegalStateException(
+        s"not a partial-merge shape: ${other.getClass.getSimpleName}")
+    }
 
   private def chunkCoverageOf(ds: DataSource): Option[Seq[Interval]] =
     ds match {

@@ -191,6 +191,86 @@ object PartialMerge {
   private implicit val instantOrd: Ordering[Instant] =
     Ordering.fromLessThan(_ isBefore _)
 
+  /** Merge day-partial GROUPBY fragments into the final result bytes:
+    * group day rows by (original-granularity bucket, dimension values),
+    * merge aggregators by their algebra, evaluate post-aggs, render the
+    * groupBy event shape. GroupBy has NO zero-fill spine and NO defined
+    * output order (the whole-query plan returns partition-arbitrary rows;
+    * the engine's fragment law for groupBy is SET equality of event
+    * objects), so the merge needs no coverage replica — rows emit in
+    * deterministic (bucket, dims) order. Dimension values are copied
+    * VERBATIM as parsed JSON nodes, so typed dims (LONG/FLOAT output
+    * types, nulls from explode_outer) round-trip exactly. */
+  def mergeGroupBy(q: Query.GroupBy, fragments: Seq[String]): String = {
+    val g = q.granularity
+    val dims = q.dimensions.map(_.outputName)
+    // key → (bucket, dim nodes, accumulators); LinkedHashMap keeps the
+    // first-seen order only as a tiebreaker — final order is sorted
+    final case class Group(bucket: Option[Instant], dimVals: Seq[JsonNode],
+      accs: Array[Acc])
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, Group]
+    fragments.filter(_.nonEmpty).foreach { frag =>
+      val rows = mapper.readTree("[" + frag + "]")
+      (0 until rows.size()).foreach { i =>
+        val row = rows.get(i)
+        val bucket = g match {
+          case Granularity.All => None
+          case _ => Some(Compilers.truncInstant(g,
+            Instant.parse(row.get("timestamp").asText())))
+        }
+        val ev = row.get("event")
+        val dimVals = dims.map(d => ev.get(d): JsonNode)
+        val key = bucket.map(_.toString).getOrElse("") + " " +
+          dimVals.map(n => if (n == null) "" else n.toString)
+            .mkString(" ")
+        val grp = merged.getOrElseUpdate(key,
+          Group(bucket, dimVals, q.aggregations.map(newAcc).toArray))
+        var j = 0
+        q.aggregations.foreach { a => grp.accs(j).add(ev.get(a.name)); j += 1 }
+      }
+    }
+    val ordered = merged.values.toSeq.sortBy(grp =>
+      (grp.bucket.map(_.toEpochMilli).getOrElse(0L),
+        grp.dimVals.map(n => if (n == null) "" else n.toString)
+          .mkString(" ")))
+    val out = new java.io.StringWriter()
+    val gen = mapper.getFactory.createGenerator(out)
+    gen.setCodec(mapper)
+    gen.writeStartArray()
+    ordered.foreach { grp =>
+      gen.writeStartObject()
+      gen.writeStringField("version", "v1")
+      grp.bucket.foreach(b => gen.writeStringField("timestamp", isoFmt.format(b)))
+      gen.writeFieldName("event")
+      gen.writeStartObject()
+      val row = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      dims.zip(grp.dimVals).foreach { case (d, n) =>
+        gen.writeFieldName(d)
+        if (n == null || n.isNull) gen.writeNull() else gen.writeTree(n)
+      }
+      var j = 0
+      q.aggregations.foreach { a =>
+        row.put(a.name, grp.accs(j).value(false)); j += 1
+      }
+      q.postAggregations.foreach(pa => row.put(pa.name, evalPost(pa, row)))
+      row.foreach { case (k, v) =>
+        gen.writeFieldName(k)
+        v match {
+          case null                => gen.writeNull()
+          case l: java.lang.Long   => gen.writeNumber(l.longValue)
+          case d: java.lang.Double => gen.writeNumber(d.doubleValue)
+          case f: java.lang.Float  => gen.writeNumber(f.floatValue)
+          case other               => gen.writeString(String.valueOf(other))
+        }
+      }
+      gen.writeEndObject()
+      gen.writeEndObject()
+    }
+    gen.writeEndArray()
+    gen.close()
+    out.toString
+  }
+
   /** Merge day-partial `fragments` into the final result bytes for the
     * ORIGINAL query `q`. `coverage` is the datasource's segment-timeline
     * coverage (the zero-fill gap-skip input, `Catalog.chunkCoverage`). */

@@ -155,22 +155,46 @@ object SegmentResultCache {
     * day partials. */
   def decomposePartial(json: String, query: Query, catalog: Catalog)
       : Option[Seq[ChunkSlice]] = {
-    val t = query match {
+    // (intervals, granularity, day-partial template) when the shape is on
+    // the partial-merge surface. GroupBy has NO zero-fill spine and no
+    // defined output order, so its merge needs neither the span bound nor
+    // the coverage replica — just per-(bucket, dims) algebra. having /
+    // limitSpec / maxResults are post-aggregation-global and fall back
+    // (the nesting path excludes the latter two for the same reason).
+    val parts: Option[(Seq[Interval], Granularity, Query)] = query match {
       case t: Query.Timeseries
           if dayNestsInBucket(t.granularity) &&
             t.aggregations.nonEmpty && t.aggregations.forall(mergeableAgg) &&
             t.postAggregations.forall(evaluablePostAgg(_,
-              t.aggregations.map(_.name).toSet)) => t
+              t.aggregations.map(_.name).toSet)) =>
+        Some((t.intervals, t.granularity, t.copy(
+          granularity = Granularity.Simple("day"),
+          postAggregations = Seq.empty,
+          descending = false,
+          context = Map("skipEmptyBuckets" -> "true"))))
+      case g: Query.GroupBy
+          if dayNestsInBucket(g.granularity) &&
+            g.aggregations.forall(mergeableAgg) &&
+            g.postAggregations.forall(evaluablePostAgg(_,
+              g.aggregations.map(_.name).toSet)) &&
+            g.having.isEmpty && g.limitSpec.isEmpty &&
+            !g.context.contains("maxResults") =>
+        Some((g.intervals, g.granularity, g.copy(
+          granularity = Granularity.Simple("day"),
+          postAggregations = Seq.empty,
+          context = Map.empty)))
       case _ => return None
     }
-    if (t.intervals.isEmpty) return None
+    val (intervals, granularity, template) = parts.get
+    if (intervals.isEmpty) return None
     // bound the serve-time driver-side bucket enumeration: the whole-query
-    // plan builds fixed-step spines on executors, so a pathologically wide
-    // window must fall back rather than trade an executor spine for a
-    // driver one
-    val spanMs = t.intervals.map(iv =>
+    // timeseries plan builds fixed-step spines on executors, so a
+    // pathologically wide window must fall back rather than trade an
+    // executor spine for a driver one (groupBy has no spine but the bound
+    // is harmless there)
+    val spanMs = intervals.map(iv =>
       math.max(0L, iv.end.toEpochMilli - iv.start.toEpochMilli)).sum
-    if (spanMs / minStepMillis(t.granularity) > MaxPartialBuckets) return None
+    if (spanMs / minStepMillis(granularity) > MaxPartialBuckets) return None
     val name = query.dataSource match {
       case DataSource.Table(n) => n
       case _ => return None
@@ -180,13 +204,8 @@ object SegmentResultCache {
     val tokenByChunk = infos.groupBy(_._1).view
       .mapValues(_.map(i => s"v${i._2}:${i._3}").mkString(",")).toMap
     val canon = canonicalPartialSansIntervals(json)
-    val template = t.copy(
-      granularity = Granularity.Simple("day"),
-      postAggregations = Seq.empty,
-      descending = false,
-      context = Map("skipEmptyBuckets" -> "true"))
     val slices = tokenByChunk.keys.toSeq.sorted.flatMap { chunk =>
-      val sub = intersect(t.intervals, chunkInterval(chunk))
+      val sub = intersect(intervals, chunkInterval(chunk))
       if (sub.isEmpty) None
       else {
         val token = tokenByChunk(chunk)

@@ -743,6 +743,74 @@ class EngineSpec extends SparkTestBase {
     assert(seg.cacheStats("segmentCacheHits") > 0L)
   }
 
+  test("partial merge: groupBy at non-nesting granularities == whole-query " +
+      "event sets; shares partials; having/limitSpec fall back") {
+    val store = partialFixture("graft-segpartgb")
+    val catalog = new SegmentCatalog(store)
+    val seg = new Engine(spark, catalog)
+    val whole = withSegCache(false)(new Engine(spark, catalog))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def rows(s: String) = {
+      val a = m.readTree(s)
+      (0 until a.size()).map(i => a.get(i).toString).toSet
+    }
+    val rnd = new scala.util.Random(77)
+    val grans = Seq("\"month\"", "\"week\"", "\"quarter\"", "\"year\"", "\"all\"")
+    val aggSets = Seq(
+      """"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"},
+        |{"type":"count","name":"cnt"}]""".stripMargin,
+      """"aggregations":[{"type":"longMax","name":"mx","fieldName":"value"},
+        |{"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"click"},
+        |"aggregator":{"type":"longSum","name":"cs","fieldName":"value"}}]""".stripMargin,
+      """"aggregations":[]""") // distinct-dims path
+    val dimSets = Seq(
+      """"dimensions":["event_type"]""",
+      """"dimensions":[{"type":"extraction","dimension":"event_type",
+        |"outputName":"ep","extractionFn":{"type":"substring","index":0,"length":2}}]""".stripMargin)
+    (1 to 12).foreach { i =>
+      val q =
+        s"""{"queryType":"groupBy","dataSource":"ev",
+           |${dimSets(rnd.nextInt(dimSets.size))},
+           |"intervals":["2024-04-2${rnd.nextInt(10)}T00:00:00Z/2024-06-1${rnd.nextInt(9)}T12:00:00Z"],
+           |"granularity":${grans(rnd.nextInt(grans.size))},
+           |${aggSets(rnd.nextInt(aggSets.size))}}""".stripMargin
+      assert(rows(seg.executeJson(q)) == rows(whole.executeJson(q)),
+        s"groupBy partial combo #$i diverged: $q")
+      assert(seg.metrics.last.segmentMisses + seg.metrics.last.segmentHits > 0,
+        s"must take the partial path: $q")
+      // streaming serve (now warm) agrees too
+      assert(rows(seg.executeJsonStream(q).mkString) == rows(whole.executeJson(q)))
+    }
+    // post-aggs evaluate AFTER the merge
+    val pq =
+      """{"queryType":"groupBy","dataSource":"ev","dimensions":["event_type"],
+        |"intervals":["2024-04-20T00:00:00Z/2024-06-20T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"},
+        |{"type":"count","name":"cnt"}],
+        |"postAggregations":[{"type":"arithmetic","name":"avg","fn":"/",
+        |"fields":[{"type":"fieldAccess","fieldName":"sv"},
+        |{"type":"fieldAccess","fieldName":"cnt"}]}]}""".stripMargin
+    assert(rows(seg.executeJson(pq)) == rows(whole.executeJson(pq)))
+    // a quarter view of the same aggs reuses the month view's partials
+    seg.executeJson(pq.replace("\"month\"", "\"quarter\""))
+    assert(seg.metrics.last.segmentMisses == 0 &&
+      seg.metrics.last.segmentHits == 9, seg.metrics.last.toString)
+    // having / limitSpec / maxResults: whole-query fallback
+    Seq(
+      pq.replace(""""postAggregations"""",
+        """"having":{"type":"greaterThan","aggregation":"cnt","value":1},"postAggregations""""),
+      pq.replace(""""postAggregations"""",
+        """"limitSpec":{"type":"default","limit":3,"columns":[]},"postAggregations""""),
+      pq.replace("""{"queryType":"groupBy"""",
+        """{"context":{"maxResults":"1000"},"queryType":"groupBy""""))
+      .foreach { q =>
+        seg.executeJson(q)
+        assert(seg.metrics.last.segmentHits == 0 &&
+          seg.metrics.last.segmentMisses == 0, s"must not decompose: $q")
+      }
+  }
+
   test("partial merge: monthly window advances recompute only the hot chunk; " +
       "fragments shared across granularities and post-aggs") {
     val store = partialFixture("graft-segpartwin")
