@@ -109,12 +109,36 @@ object PartialMerge {
       }
   }
 
+  /** first/last merge POSITIONALLY: `add` calls arrive in bucket-time
+    * order — a fragment covers exactly ONE UTC day, so each merged bucket
+    * receives at most one day value per fragment, and callers iterate
+    * fragments chunk-ascending. "Value at the bucket's max non-null
+    * timestamp" = the last day with any non-null value contributes its
+    * own (already correct) day-last — i.e. the last non-null day value;
+    * dually for first. A day with rows but only null inputs yields a null
+    * day value and is skipped, exactly as `max_by(in, when(in.isNotNull,
+    * ts))` skips null inputs over the whole bucket. */
+  private final class FirstLastAcc(typ: String, isFirst: Boolean) extends Acc {
+    private var v: Any = null
+    private def typed(n: JsonNode): Any = typ match {
+      case "long"  => java.lang.Long.valueOf(n.asLong())
+      case "float" => java.lang.Float.valueOf(n.floatValue())
+      case _       => java.lang.Double.valueOf(n.asDouble())
+    }
+    def add(n: JsonNode): Unit = if (n != null && !n.isNull) {
+      if (isFirst) { if (v == null) v = typed(n) } else v = typed(n)
+    }
+    def value(fill: Boolean): Any = v // zeroFillCol leaves first/last null
+  }
+
   private def newAcc(a: Aggregator): Acc = a match {
     case Aggregator.Count(_)          => new CountAcc
     case Aggregator.Sum(_, _, "long") => new LongSumAcc
     case Aggregator.Sum(_, _, t)      => new DoubleSumAcc(asFloat = t == "float")
     case Aggregator.Min(_, _, t)      => new MinMaxAcc(t, isMin = true)
     case Aggregator.Max(_, _, t)      => new MinMaxAcc(t, isMin = false)
+    case Aggregator.First(_, _, t)    => new FirstLastAcc(t, isFirst = true)
+    case Aggregator.Last(_, _, t)     => new FirstLastAcc(t, isFirst = false)
     case Aggregator.Filtered(_, inner) => newAcc(inner)
     case other => throw new IllegalArgumentException(
       s"not partial-mergeable: ${other.getClass.getSimpleName}")

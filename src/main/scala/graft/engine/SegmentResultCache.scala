@@ -92,15 +92,20 @@ object SegmentResultCache {
   }
 
   /** Aggregators whose per-chunk partials merge by a driver-side rule the
-    * engine implements ([[PartialMerge]]): counts and sums add, min/min and
-    * max/max compose, filtered defers to its inner aggregator. first/last
-    * (need the timestamp the finalized value drops), hyperUnique and
+    * engine implements ([[PartialMerge]]): counts and sums add, min/min
+    * and max/max compose, filtered defers to its inner aggregator, and
+    * first/last compose POSITIONALLY — a fragment covers exactly one UTC
+    * day, so per merged bucket the day values arrive one-per-fragment in
+    * chunk-ascending order, and "value at the bucket's max non-null
+    * timestamp" equals "the last non-null day value" (dually for first;
+    * [[PartialMerge]] documents the proof obligation). hyperUnique and
     * cardinality (need the sketch registers, not the finalized estimate)
-    * do not merge from finalized day values — queries using them fall back
-    * to the whole-query cache. */
+    * do not merge from finalized day values — queries using them fall
+    * back to the whole-query cache. */
   def mergeableAgg(a: Aggregator): Boolean = a match {
     case _: Aggregator.Count | _: Aggregator.Sum |
-         _: Aggregator.Min | _: Aggregator.Max => true
+         _: Aggregator.Min | _: Aggregator.Max |
+         _: Aggregator.First | _: Aggregator.Last => true
     case Aggregator.Filtered(_, inner) => mergeableAgg(inner)
     case _ => false
   }

@@ -543,12 +543,12 @@ class EngineSpec extends SparkTestBase {
     val engine = new Engine(spark, new SegmentCatalog(store))
     val fallbacks = Seq(
       // granularity month is now the PARTIAL path — but an aggregator whose
-      // finalized day value cannot merge (last needs the dropped timestamp)
-      // must still fall back to the whole-query cache
+      // finalized day value cannot merge (an HLL estimate would
+      // double-count across days) must still fall back
       """{"queryType":"timeseries","dataSource":"ev",
         |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
         |"granularity":"month",
-        |"aggregations":[{"type":"doubleLast","name":"lv","fieldName":"value"}]}""".stripMargin,
+        |"aggregations":[{"type":"cardinality","name":"cd","fields":["event_type"]}]}""".stripMargin,
       // hyperUnique: merging finalized estimates would double-count
       """{"queryType":"timeseries","dataSource":"ev",
         |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
@@ -699,7 +699,11 @@ class EngineSpec extends SparkTestBase {
       """{"type":"doubleMax","name":"mx","fieldName":"value"}""",
       """{"type":"longMin","name":"mn","fieldName":"value"}""",
       """{"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"click"},
-        |"aggregator":{"type":"doubleSum","name":"cs","fieldName":"value"}}""".stripMargin)
+        |"aggregator":{"type":"doubleSum","name":"cs","fieldName":"value"}}""".stripMargin,
+      """{"type":"doubleLast","name":"lv","fieldName":"value"}""",
+      """{"type":"longFirst","name":"fv2","fieldName":"value"}""",
+      """{"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"view"},
+        |"aggregator":{"type":"doubleFirst","name":"vf","fieldName":"value"}}""".stripMargin)
     val postAggs = Seq(
       "",
       ""","postAggregations":[{"type":"arithmetic","name":"ratio","fn":"/",
@@ -809,6 +813,44 @@ class EngineSpec extends SparkTestBase {
         assert(seg.metrics.last.segmentHits == 0 &&
           seg.metrics.last.segmentMisses == 0, s"must not decompose: $q")
       }
+  }
+
+  test("partial merge: first/last compose across days, skipping all-null days") {
+    // the sharp edge of positional first/last merging: a LATER day can
+    // have rows whose metric is entirely null — its null day-last must be
+    // skipped (the whole-query max_by skips null inputs), so the bucket's
+    // last comes from the last day with any non-null value
+    val store = new SegmentStore(
+      Files.createTempDirectory("graft-segfl").toString)
+    val rows: Seq[(Timestamp, String, Option[Double])] = Seq(
+      (ts("2024-05-01T02:00:00Z"), "click", Some(1.0)),
+      (ts("2024-05-01T15:00:00Z"), "view", Some(2.0)),
+      (ts("2024-05-09T10:00:00Z"), "view", None), // rows, all-null metric
+      (ts("2024-05-17T10:00:00Z"), "click", Some(5.0)),
+      (ts("2024-05-29T10:00:00Z"), "view", None), // all-null LAST May day
+      (ts("2024-06-02T10:00:00Z"), "view", None)) // June entirely null
+    store.write(rows.toDF("__time", "event_type", "value"), "ev")
+    val catalog = new SegmentCatalog(store)
+    val seg = new Engine(spark, catalog)
+    val whole = withSegCache(false)(new Engine(spark, catalog))
+    val q =
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-05-01T00:00:00Z/2024-07-01T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"doubleFirst","name":"fv","fieldName":"value"},
+        |{"type":"doubleLast","name":"lv","fieldName":"value"}]}""".stripMargin
+    val got = seg.executeJson(q)
+    assert(seg.metrics.last.segmentMisses == 5, seg.metrics.last.toString)
+    assert(got == whole.executeJson(q), got)
+    // May: first 1.0, last 5.0 (the all-null 05-09/05-29 days skipped);
+    // June: both null (rows exist, metric never non-null)
+    assert(got.contains("\"fv\":1.0") && got.contains("\"lv\":5.0"), got)
+    assert(got.contains("\"fv\":null") && got.contains("\"lv\":null"), got)
+    // warm re-run (different queryId → whole-query etag misses) merges
+    // the cached day partials to the same bytes
+    assert(seg.executeJson(q.replace("\"granularity\"",
+      "\"context\":{\"queryId\":\"fl2\"},\"granularity\"")) == got)
+    assert(seg.metrics.last.segmentHits == 5, seg.metrics.last.toString)
   }
 
   test("partial merge: monthly window advances recompute only the hot chunk; " +

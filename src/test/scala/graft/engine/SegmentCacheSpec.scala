@@ -246,8 +246,12 @@ class SegmentCacheSpec extends graft.SparkTestBase {
     def none(json: String): Unit =
       assert(SegmentResultCache.decomposePartial(json, parse(json), cat).isEmpty,
         s"must fall back: $json")
-    none(q("\"month\"",
-      aggs = """{"type":"doubleLast","name":"lv","fieldName":"value"}"""))
+    // first/last merge positionally since r13 (one day value per fragment,
+    // chunk-ascending) — they decompose; sketch estimates never merge
+    assert(SegmentResultCache.decomposePartial(
+      q("\"month\"", aggs = """{"type":"doubleLast","name":"lv","fieldName":"value"}"""),
+      parse(q("\"month\"", aggs = """{"type":"doubleLast","name":"lv","fieldName":"value"}""")),
+      cat).isDefined)
     none(q("\"month\"",
       aggs = """{"type":"hyperUnique","name":"uq","fieldName":"value"}"""))
     none(q("""{"type":"period","period":"P1M","origin":"2024-01-01T06:00:00Z"}"""))
