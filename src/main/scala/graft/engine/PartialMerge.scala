@@ -36,6 +36,13 @@ import java.time.Instant
   * sums re-associate — a merged sum can differ from the single-plan sum in
   * the last ulp on adversarial value sets. Counts, longs, min and max are
   * exact.
+  *
+  * Memory profile: the merge holds the merged result on the driver —
+  * bounded by the BUFFERED result size, i.e. exactly the bound of the
+  * buffered `executeJson` path this serves (which builds the full result
+  * string either way). The streaming path never computes fragments cold;
+  * it serves the partial merge only when every fragment is already
+  * cached, and falls back to the streaming whole-query plan otherwise.
   */
 object PartialMerge {
 

@@ -323,6 +323,34 @@ object LocalClusterRehearsal {
             f"warm=(${warmM.segmentHits},${warmM.segmentMisses}) " +
             f"expected warm=(${chunksIn(1, 3)},${chunksIn(3, 4)}) " +
             f"tCold=$tCold%.2fs tWarm=$tWarm%.2fs")
+        // PARTIAL-merge path cross-JVM (r13): a month-granularity window
+        // over the same store — day partials compute on the remote
+        // executors, merge on the driver, and equal the cache-disabled
+        // engine's bytes; the window advance hits all interior partials
+        def monthly(i0: Int, i1: Int): String =
+          s"""{"queryType":"timeseries","dataSource":"ev_seg",
+             |"intervals":["${chunks(i0)}T00:00:00Z/${chunks(i1)}T00:00:00Z"],
+             |"granularity":"month",
+             |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"},
+             |{"type":"count","name":"cnt"}]}""".stripMargin
+        val coldP = post(monthly(0, 3), "alice")
+        val coldPM = eng.metrics.last
+        val warmP = post(monthly(0, 4), "alice")
+        val warmPM = eng.metrics.last
+        spark.conf.set("spark.graft.segmentCache.enabled", "false")
+        val plainEng = new graft.engine.Engine(spark,
+          new graft.store.SegmentCatalog(store))
+        spark.conf.unset("spark.graft.segmentCache.enabled")
+        val want = plainEng.executeJson(monthly(0, 4))
+        check("http_partial_merge_window")(
+          coldP.statusCode() == 200 && warmP.statusCode() == 200 &&
+            coldPM.segmentMisses == chunksIn(0, 3) &&
+            warmPM.segmentHits == chunksIn(0, 3) &&
+            warmPM.segmentMisses == chunksIn(3, 4) &&
+            warmP.body() == want,
+          f"cold=(${coldPM.segmentHits},${coldPM.segmentMisses}) " +
+            f"warm=(${warmPM.segmentHits},${warmPM.segmentMisses}) " +
+            f"bytesMatch=${warmP.body() == want}")
       } finally srv.stop()
     }
 
