@@ -640,15 +640,23 @@ class Engine(spark: SparkSession, catalog: Catalog,
     }
   }
 
-  /** Serve-time merge dispatch for the partial-fragment path. */
-  private def mergePartial(query: Query, frags: Seq[String]): String =
+  /** Serve-time merge dispatch for the partial-fragment path. `rollup`
+    * tells the count merge which algebra the day fragments used: on a
+    * rollup datasource the planner compiles count to `sum(storedCount)`,
+    * whose empty value is null, not 0. */
+  private def mergePartial(query: Query, frags: Seq[String]): String = {
+    val rollup = query.dataSource match {
+      case DataSource.Table(n) => catalog.rollupCountColumn(n).isDefined
+      case _ => false
+    }
     query match {
       case t: Query.Timeseries =>
-        PartialMerge.merge(t, frags, chunkCoverageOf(t.dataSource))
-      case gq: Query.GroupBy => PartialMerge.mergeGroupBy(gq, frags)
+        PartialMerge.merge(t, frags, chunkCoverageOf(t.dataSource), rollup)
+      case gq: Query.GroupBy => PartialMerge.mergeGroupBy(gq, frags, rollup)
       case other => throw new IllegalStateException(
         s"not a partial-merge shape: ${other.getClass.getSimpleName}")
     }
+  }
 
   private def chunkCoverageOf(ds: DataSource): Option[Seq[Interval]] =
     ds match {
@@ -738,7 +746,13 @@ class Engine(spark: SparkSession, catalog: Catalog,
         awaited.foreach { case (i, f) =>
           try frags(i) = f.get(inflightWaitMs,
             java.util.concurrent.TimeUnit.MILLISECONDS)
-          catch { case _: Exception => leftover += i }
+          catch {
+            // a cancelled query's interrupt must ABORT the query (the
+            // engine maps it to 'Query interrupted'), not be consumed
+            // here and trigger a fresh recompute for a dead caller
+            case ie: InterruptedException => throw ie
+            case _: Exception => leftover += i
+          }
         }
         if (leftover.nonEmpty)
           computeFragments(template, slices, leftover.toSeq, frags,
@@ -830,10 +844,42 @@ class Engine(spark: SparkSession, catalog: Catalog,
     String, (java.util.concurrent.atomic.AtomicLong,
       java.util.concurrent.atomic.AtomicLong)]()
 
-  private def countersFor(identity: Option[String]) =
-    identityCounters.computeIfAbsent(identity.getOrElse("anonymous"),
+  /** Audit rendering of a caller identity. RFC 7235 credentials are
+    * `scheme value` (they contain a space): storing one verbatim would
+    * leak it in cleartext at the unauthenticated metrics endpoint, so a
+    * scheme-prefixed value records as `scheme#<sha256-prefix>` — still a
+    * stable per-caller audit key, never a replayable secret. The
+    * documented principal-name shape (a bare token, what a fronting
+    * authenticator rewrites the header to) passes through. */
+  private def auditIdentity(identity: Option[String]): Option[String] =
+    identity.map { id =>
+      val sp = id.indexOf(' ')
+      if (sp < 0) id
+      else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val h = md.digest(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(4).map(b => f"$b%02x").mkString
+        id.substring(0, sp) + "#" + h
+      }
+    }
+
+  /** Most identities one process should ever track — the counter map is
+    * keyed by a CALLER-CONTROLLED string, so without a bound a loop of
+    * random Authorization headers grows driver heap (and the metrics
+    * response) without limit. Past the cap, new identities aggregate
+    * under `(other)` — known identities keep exact counts. */
+  private val MaxTrackedIdentities = 1024
+
+  private def countersFor(identity: Option[String]) = {
+    val key0 = auditIdentity(identity).getOrElse("anonymous")
+    val key =
+      if (identityCounters.containsKey(key0) ||
+          identityCounters.size < MaxTrackedIdentities) key0
+      else "(other)"
+    identityCounters.computeIfAbsent(key,
       _ => (new java.util.concurrent.atomic.AtomicLong,
         new java.util.concurrent.atomic.AtomicLong))
+  }
 
   /** Per-identity (queries, denied) counts, for the metrics endpoint. */
   def identityStats: Seq[(String, Long, Long)] = {
@@ -844,7 +890,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
 
   private def record(m: QueryMetric): Unit = {
     countersFor(m.identity)._1.incrementAndGet()
-    metricsRing.addLast(m)
+    // ring rows carry the AUDIT rendering, never a raw credential
+    metricsRing.addLast(m.copy(identity = auditIdentity(m.identity)))
     while (metricsRing.size() > 256) metricsRing.pollFirst()
   }
 

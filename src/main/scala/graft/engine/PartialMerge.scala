@@ -60,10 +60,19 @@ object PartialMerge {
     def value(fill: Boolean): Any
   }
 
-  private final class CountAcc extends Acc {
+  /** `rollup = false`: count compiles to `count(...)` — NEVER null, so
+    * the identity is 0 on every path. `rollup = true`: count compiles to
+    * `sum(when(p, storedCount))` (the rollup rewrite), which is NULL over
+    * zero contributing rows — the merge must reproduce null when every
+    * day value was null and no zero-fill coalesce applies (skipEmpty /
+    * granularity `all`), exactly like a double sum. */
+  private final class CountAcc(rollup: Boolean) extends Acc {
+    private var seen = false
     private var s = 0L
-    def add(n: JsonNode): Unit = if (n != null && !n.isNull) s += n.asLong()
-    def value(fill: Boolean): Any = java.lang.Long.valueOf(s)
+    def add(n: JsonNode): Unit =
+      if (n != null && !n.isNull) { seen = true; s += n.asLong() }
+    def value(fill: Boolean): Any =
+      if (!rollup || seen || fill) java.lang.Long.valueOf(s) else null
   }
 
   /** Long sums are non-null by construction (`aggCol` coalesces to 0L), so
@@ -138,15 +147,15 @@ object PartialMerge {
     def value(fill: Boolean): Any = v // zeroFillCol leaves first/last null
   }
 
-  private def newAcc(a: Aggregator): Acc = a match {
-    case Aggregator.Count(_)          => new CountAcc
+  private def newAcc(a: Aggregator, rollup: Boolean): Acc = a match {
+    case Aggregator.Count(_)          => new CountAcc(rollup)
     case Aggregator.Sum(_, _, "long") => new LongSumAcc
     case Aggregator.Sum(_, _, t)      => new DoubleSumAcc(asFloat = t == "float")
     case Aggregator.Min(_, _, t)      => new MinMaxAcc(t, isMin = true)
     case Aggregator.Max(_, _, t)      => new MinMaxAcc(t, isMin = false)
     case Aggregator.First(_, _, t)    => new FirstLastAcc(t, isFirst = true)
     case Aggregator.Last(_, _, t)     => new FirstLastAcc(t, isFirst = false)
-    case Aggregator.Filtered(_, inner) => newAcc(inner)
+    case Aggregator.Filtered(_, inner) => newAcc(inner, rollup)
     case other => throw new IllegalArgumentException(
       s"not partial-mergeable: ${other.getClass.getSimpleName}")
   }
@@ -202,8 +211,14 @@ object PartialMerge {
       case PostAggregator.GreatestLeast(_, fn, typ, fields) =>
         // Spark greatest/least ignore nulls; all-null → null
         if (typ == "long") {
-          val vs = fields.map(f => toDouble(evalPost(f, row)))
-            .collect { case d if d != null => d.doubleValue.toLong }
+          // exact longs: a Long operand must NOT round-trip through
+          // Double (lossy past 2^53) — only genuinely fractional inputs
+          // truncate, mirroring cast(LongType)
+          val vs = fields.map(f => evalPost(f, row)).collect {
+            case l: java.lang.Long   => l.longValue
+            case d: java.lang.Double => d.doubleValue.toLong
+            case f: java.lang.Float  => f.floatValue.toLong
+          }
           if (vs.isEmpty) null
           else java.lang.Long.valueOf(if (fn == "greatest") vs.max else vs.min)
         } else {
@@ -232,7 +247,8 @@ object PartialMerge {
     * deterministic (bucket, dims) order. Dimension values are copied
     * VERBATIM as parsed JSON nodes, so typed dims (LONG/FLOAT output
     * types, nulls from explode_outer) round-trip exactly. */
-  def mergeGroupBy(q: Query.GroupBy, fragments: Seq[String]): String = {
+  def mergeGroupBy(q: Query.GroupBy, fragments: Seq[String],
+      rollup: Boolean): String = {
     val g = q.granularity
     val dims = q.dimensions.map(_.outputName)
     // key → (bucket, dim nodes, accumulators); LinkedHashMap keeps the
@@ -255,7 +271,7 @@ object PartialMerge {
           dimVals.map(n => if (n == null) "" else n.toString)
             .mkString(" ")
         val grp = merged.getOrElseUpdate(key,
-          Group(bucket, dimVals, q.aggregations.map(newAcc).toArray))
+          Group(bucket, dimVals, q.aggregations.map(newAcc(_, rollup)).toArray))
         var j = 0
         q.aggregations.foreach { a => grp.accs(j).add(ev.get(a.name)); j += 1 }
       }
@@ -306,7 +322,7 @@ object PartialMerge {
     * ORIGINAL query `q`. `coverage` is the datasource's segment-timeline
     * coverage (the zero-fill gap-skip input, `Catalog.chunkCoverage`). */
   def merge(q: Query.Timeseries, fragments: Seq[String],
-      coverage: Option[Seq[Interval]]): String = {
+      coverage: Option[Seq[Interval]], rollup: Boolean): String = {
     val g = q.granularity
     val skipEmpty = q.context.get("skipEmptyBuckets").exists(_.toBoolean)
     val allBucket: Instant =
@@ -323,7 +339,7 @@ object PartialMerge {
           case _               => Compilers.truncInstant(g, ts)
         }
         val accs = merged.getOrElseUpdate(bucket,
-          q.aggregations.map(newAcc).toArray)
+          q.aggregations.map(newAcc(_, rollup)).toArray)
         val res = row.get("result")
         var j = 0
         q.aggregations.foreach { a =>
@@ -350,7 +366,7 @@ object PartialMerge {
         (((covered ++ merged.keys).distinct).sorted, true)
     }
     val ordered = if (q.descending) buckets.reverse else buckets
-    val emptyAccs: Array[Acc] = q.aggregations.map(newAcc).toArray
+    val emptyAccs: Array[Acc] = q.aggregations.map(newAcc(_, rollup)).toArray
 
     val out = new java.io.StringWriter()
     val gen = mapper.getFactory.createGenerator(out)

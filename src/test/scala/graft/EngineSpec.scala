@@ -853,6 +853,45 @@ class EngineSpec extends SparkTestBase {
     assert(seg.metrics.last.segmentHits == 5, seg.metrics.last.toString)
   }
 
+  test("partial merge: rollup count merges as sum(storedCount) — null over " +
+      "zero contributing rows, not 0") {
+    // on a rollup datasource, count compiles to sum(when(p, storedCount)),
+    // whose empty value is NULL (unlike count(...)'s 0) — the code-review
+    // finding: an unconditional 0 identity served different bytes than the
+    // whole-query plan for a filtered count matching nothing under
+    // skipEmptyBuckets / granularity all
+    val store = new SegmentStore(
+      Files.createTempDirectory("graft-segrollp").toString)
+    val rows = Seq(
+      (ts("2024-05-01T01:00:00Z"), "click", 10.0),
+      (ts("2024-05-01T02:00:00Z"), "click", 20.0),
+      (ts("2024-05-17T03:00:00Z"), "view", 7.0))
+      .toDF("__time", "event_type", "value")
+    store.write(rows, "evr", rollup = Some((Granularity.Simple("hour"),
+      Seq("event_type"), Seq(Aggregator.Sum("sv", "value", "double")))))
+    val catalog = new SegmentCatalog(store)
+    val seg = new Engine(spark, catalog)
+    val whole = withSegCache(false)(new Engine(spark, catalog))
+    // a filtered count whose filter matches NOTHING + a plain count
+    def q(gran: String, skip: Boolean): String =
+      s"""{"queryType":"timeseries","dataSource":"evr",
+         |"intervals":["2024-05-01T00:00:00Z/2024-07-01T00:00:00Z"],
+         |"granularity":$gran,
+         |"context":{"skipEmptyBuckets":"$skip"},
+         |"aggregations":[{"type":"count","name":"cnt"},
+         |{"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"nope"},
+         |"aggregator":{"type":"count","name":"none_cnt"}}]}""".stripMargin
+    Seq(q("\"month\"", skip = true), q("\"month\"", skip = false),
+      q("\"all\"", skip = false)).foreach { j =>
+      val got = seg.executeJson(j)
+      assert(seg.metrics.last.segmentMisses + seg.metrics.last.segmentHits > 0,
+        s"must take the partial path: $j")
+      assert(got == whole.executeJson(j), s"query: $j\n got=$got")
+      assert(got.contains("\"none_cnt\":null") || !j.contains("true"),
+        s"filtered rollup count over nothing must be null: $got")
+    }
+  }
+
   test("partial merge: monthly window advances recompute only the hot chunk; " +
       "fragments shared across granularities and post-aggs") {
     val store = partialFixture("graft-segpartwin")

@@ -522,6 +522,45 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("audit identities: credentials are redacted and the counter map is " +
+      "bounded (review findings)") {
+    import graft.engine.QueryAuthorizer
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)),
+      QueryAuthorizer.AllowList(Map("alice" -> Set("ev"))))
+    val srv = new HttpServer(engine)
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      val q = """{"queryType":"timeBoundary","dataSource":"ev"}"""
+      // an RFC 7235 credential ('scheme value') must NEVER appear verbatim
+      // in the metrics surface — neither in ring rows nor in the
+      // per-identity counters (it would leak at the unauthenticated
+      // metrics endpoint); it records as scheme#<hash-prefix>
+      postAs(s"$base/druid/v2", q, Some("Basic dXNlcjpwYXNz"))
+      val m = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/druid/v2/metrics")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(!m.body().contains("dXNlcjpwYXNz"),
+        "raw credential leaked into the metrics surface")
+      assert(m.body().contains("\"Basic#"), m.body().take(400))
+      assert(engine.metrics.forall(
+        _.identity.forall(!_.contains("dXNlcjpwYXNz"))))
+      // the counter map is caller-keyed — a flood of distinct identities
+      // (cheap: denied queries never reach Spark) must aggregate past the
+      // cap instead of growing driver heap without bound
+      (1 to 1200).foreach { i =>
+        try engine.executeJson(q, Some(s"mallory-$i"))
+        catch { case _: Engine.QueryError => () }
+      }
+      val stats = engine.identityStats
+      assert(stats.size <= 1026, s"identity map unbounded: ${stats.size}")
+      assert(stats.exists(_._1 == "(other)"),
+        "overflow identities must aggregate under (other)")
+      val other = stats.find(_._1 == "(other)").get
+      assert(other._3 > 0, "overflow denies must still be counted")
+    } finally srv.stop()
+  }
+
   test("conf-driven ACL: spark.graft.auth.acl arms the default authorizer") {
     spark.conf.set("spark.graft.auth.acl", "alice:ev|ev2; bob:ev2")
     try {
