@@ -554,13 +554,45 @@ object QueryPlanner {
 
   private def planTimeBoundary(spark: SparkSession, q: Query.TimeBoundary, catalog: Catalog)
       : DataFrame = {
-    val src = source(spark, q.dataSource, catalog)
-    val base = filtered(spark, catalog, src, Seq.empty, q.filter)
-    q.bound match {
-      case "minTime" => base.agg(min(col(TimeColumn)).as("minTime"))
-      case "maxTime" => base.agg(max(col(TimeColumn)).as("maxTime"))
-      case _ => base.agg(min(col(TimeColumn)).as("minTime"),
-        max(col(TimeColumn)).as("maxTime"))
+    // UNFILTERED timeBoundary over a segment timeline: chunks partition BY
+    // __time, so the global min lives in the earliest non-empty chunk and
+    // the global max in the latest — scan those one/two chunks, not the
+    // datasource (Druid answers timeBoundary from segment metadata for the
+    // same reason; at 100 TB this is 2 chunks instead of every chunk).
+    // A filter can empty any chunk, so filtered queries take the full scan.
+    val pruned: Option[DataFrame] = q.dataSource match {
+      case DataSource.Table(name) if q.filter.isEmpty =>
+        val live = catalog.segmentInfos(name).filter(_._3 > 0L)
+        if (live.isEmpty) None
+        else {
+          def dayIv(chunk: String): Seq[Interval] = {
+            val s = java.time.LocalDate.parse(chunk)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+            Seq(Interval(s, s.plus(java.time.Duration.ofDays(1))))
+          }
+          val first = live.map(_._1).min
+          val last = live.map(_._1).max
+          def minDf = source(spark, q.dataSource, catalog, dayIv(first))
+            .agg(min(col(TimeColumn)).as("minTime"))
+          def maxDf = source(spark, q.dataSource, catalog, dayIv(last))
+            .agg(max(col(TimeColumn)).as("maxTime"))
+          Some(q.bound match {
+            case "minTime" => minDf
+            case "maxTime" => maxDf
+            case _         => minDf.crossJoin(maxDf)
+          })
+        }
+      case _ => None
+    }
+    pruned.getOrElse {
+      val src = source(spark, q.dataSource, catalog)
+      val base = filtered(spark, catalog, src, Seq.empty, q.filter)
+      q.bound match {
+        case "minTime" => base.agg(min(col(TimeColumn)).as("minTime"))
+        case "maxTime" => base.agg(max(col(TimeColumn)).as("maxTime"))
+        case _ => base.agg(min(col(TimeColumn)).as("minTime"),
+          max(col(TimeColumn)).as("maxTime"))
+      }
     }
   }
 

@@ -644,6 +644,43 @@ class IngestSpec extends SparkTestBase {
     assert(engine.executeJson(monthly).contains("\"sv\":15.0"))
   }
 
+  test("unfiltered timeBoundary scans only the first and last non-empty " +
+      "chunks (Druid's metadata answer)") {
+    val store = freshStore()
+    val days = Seq("2024-05-01", "2024-05-02", "2024-05-03", "2024-05-09",
+      "2024-05-17")
+    store.write(days.zipWithIndex.map { case (d, i) =>
+      (ts(s"${d}T0${i + 1}:00:00Z"), "click", i.toDouble)
+    }.toDF("__time", "event_type", "value"), "ev")
+    val engine = new Engine(spark, new SegmentCatalog(store))
+    val df = engine.plan(
+      """{"queryType":"timeBoundary","dataSource":"ev","bound":"both"}""")
+    // the plan reads ONLY the earliest and latest chunks' files — at
+    // 100 TB that is 2 chunks instead of the whole datasource
+    val files = df.inputFiles
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("dt=2024-05-01") || f.contains("dt=2024-05-17")),
+      files.mkString(", "))
+    val r = df.collect().head
+    assert(r.getAs[Timestamp]("minTime") == ts("2024-05-01T01:00:00Z"))
+    assert(r.getAs[Timestamp]("maxTime") == ts("2024-05-17T05:00:00Z"))
+    // single-bound variants prune to exactly one chunk each
+    assert(engine.plan(
+      """{"queryType":"timeBoundary","dataSource":"ev","bound":"minTime"}""")
+      .inputFiles.forall(_.contains("dt=2024-05-01")))
+    assert(engine.plan(
+      """{"queryType":"timeBoundary","dataSource":"ev","bound":"maxTime"}""")
+      .inputFiles.forall(_.contains("dt=2024-05-17")))
+    // a FILTER can empty any chunk — the filtered shape keeps the full
+    // scan and the exact semantics
+    val filtered = engine.plan(
+      """{"queryType":"timeBoundary","dataSource":"ev","bound":"both",
+        |"filter":{"type":"selector","dimension":"value","value":"3.0"}}""".stripMargin)
+      .collect().head
+    assert(filtered.getAs[Timestamp]("minTime") == ts("2024-05-09T04:00:00Z"))
+    assert(filtered.getAs[Timestamp]("maxTime") == ts("2024-05-09T04:00:00Z"))
+  }
+
   test("appendBatch replay protection: a retried batchId is a no-op") {
     val store = freshStore()
     def batch(h: Int) = Seq((ts(f"2024-06-01T$h%02d:00:00Z"), "click", 1.0))
