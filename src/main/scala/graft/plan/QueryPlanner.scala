@@ -677,9 +677,24 @@ object QueryPlanner {
   // -- dataSourceMetadata ---------------------------------------------------
 
   private def planDataSourceMetadata(spark: SparkSession, q: Query.DataSourceMetadata,
-      catalog: Catalog): DataFrame =
-    source(spark, q.dataSource, catalog)
+      catalog: Catalog): DataFrame = {
+    // same chunk pruning as the unfiltered timeBoundary: max __time lives
+    // in the LATEST non-empty chunk — one chunk's scan, not the datasource
+    val prunedSrc = q.dataSource match {
+      case DataSource.Table(name) =>
+        val live = catalog.segmentInfos(name).filter(_._3 > 0L)
+        if (live.isEmpty) None
+        else {
+          val s = java.time.LocalDate.parse(live.map(_._1).max)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+          Some(source(spark, q.dataSource, catalog,
+            Seq(Interval(s, s.plus(java.time.Duration.ofDays(1))))))
+        }
+      case _ => None
+    }
+    prunedSrc.getOrElse(source(spark, q.dataSource, catalog))
       .agg(max(col(TimeColumn)).as("maxIngestedEventTime"))
+  }
 
   // -- search (reference `query/query-module-overview.md:32-33`) ------------
 

@@ -679,6 +679,13 @@ class IngestSpec extends SparkTestBase {
       .collect().head
     assert(filtered.getAs[Timestamp]("minTime") == ts("2024-05-09T04:00:00Z"))
     assert(filtered.getAs[Timestamp]("maxTime") == ts("2024-05-09T04:00:00Z"))
+    // dataSourceMetadata prunes to the latest chunk the same way
+    val dsm = engine.plan(
+      """{"queryType":"dataSourceMetadata","dataSource":"ev"}""")
+    assert(dsm.inputFiles.forall(_.contains("dt=2024-05-17")),
+      dsm.inputFiles.mkString(", "))
+    assert(dsm.collect().head.getAs[Timestamp]("maxIngestedEventTime") ==
+      ts("2024-05-17T05:00:00Z"))
   }
 
   test("appendBatch replay protection: a retried batchId is a no-op") {
