@@ -80,6 +80,15 @@ class Engine(spark: SparkSession, catalog: Catalog,
   private val segmentCacheMaxSlices: Int =
     spark.conf.getOption("spark.graft.segmentCache.maxSlices")
       .map(_.toInt).getOrElse(128)
+  // bound on the groups a serve-time partial MERGE may materialize on the
+  // driver (groupBy/topN post-merge evaluation): past it the merge throws
+  // PartialMerge.Overflow and the query falls back to the whole-query plan
+  // — a high-cardinality dimension must not balloon driver memory. Sized
+  // like the partial-bucket bound: far past any dashboard shape, far under
+  // the driver's buffered-result ceiling.
+  private val segmentCacheMaxPartialGroups: Int =
+    spark.conf.getOption("spark.graft.segmentCache.maxPartialGroups")
+      .map(_.toInt).getOrElse(100000)
   // the cache STORAGE tier (VERDICT r12 #2): an explicit backend wins;
   // the default resolves through `spark.graft.resultCache.backend` —
   // absent conf = the original byte-budgeted in-heap LRU
@@ -428,14 +437,20 @@ class Engine(spark: SparkSession, catalog: Catalog,
               .foreach { slices =>
                 val frags = slices.map(s => cachePeek(s.key))
                 if (frags.forall(_.isDefined)) {
-                  segmentCacheHits.addAndGet(slices.size.toLong)
-                  val merged = mergePartial(query, frags.flatten)
-                  record(QueryMetric(queryId, query.getClass.getSimpleName,
-                    0L, success = true, cached = true,
-                    bytes = merged.length.toLong,
-                    segmentHits = slices.size, segmentMisses = 0,
-                    identity = identity))
-                  return Iterator.single(merged)
+                  // an Overflow (driver group bound) falls through to the
+                  // streaming whole-query plan
+                  val mergedOpt =
+                    try Some(mergePartial(query, frags.flatten))
+                    catch { case _: PartialMerge.Overflow => None }
+                  mergedOpt.foreach { merged =>
+                    segmentCacheHits.addAndGet(slices.size.toLong)
+                    record(QueryMetric(queryId, query.getClass.getSimpleName,
+                      0L, success = true, cached = true,
+                      bytes = merged.length.toLong,
+                      segmentHits = slices.size, segmentMisses = 0,
+                      identity = identity))
+                    return Iterator.single(merged)
+                  }
                 }
               }
         }
@@ -630,20 +645,29 @@ class Engine(spark: SparkSession, catalog: Catalog,
         // cache day-level partial fragments and merge them driver-side at
         // serve time — a monthly dashboard gets the same
         // only-the-hot-chunk-recomputes property daily ones have.
-        SegmentResultCache.decomposePartial(json, query, catalog)
-          .filter(_.size <= segmentCacheMaxSlices)
-          .flatMap { slices =>
-            collectFragments(slices.head.subQuery, slices,
-                useCache, populateCache, hits, misses)
-              .map(frags => mergePartial(query, frags.toSeq))
-          }
+        try {
+          SegmentResultCache.decomposePartial(json, query, catalog)
+            .filter(_.size <= segmentCacheMaxSlices)
+            .flatMap { slices =>
+              collectFragments(slices.head.subQuery, slices,
+                  useCache, populateCache, hits, misses)
+                .map(frags => mergePartial(query, frags.toSeq))
+            }
+        } catch {
+          // driver group bound exceeded mid-merge: fall back to the whole
+          // plan (the computed day partials stay cached — not wasted, a
+          // narrower window over the same data still reuses them)
+          case _: PartialMerge.Overflow => None
+        }
     }
   }
 
   /** Serve-time merge dispatch for the partial-fragment path. `rollup`
     * tells the count merge which algebra the day fragments used: on a
     * rollup datasource the planner compiles count to `sum(storedCount)`,
-    * whose empty value is null, not 0. */
+    * whose empty value is null, not 0. Throws [[PartialMerge.Overflow]]
+    * when the merge would exceed the driver group bound — callers fall
+    * back to the whole-query plan. */
   private def mergePartial(query: Query, frags: Seq[String]): String = {
     val rollup = query.dataSource match {
       case DataSource.Table(n) => catalog.rollupCountColumn(n).isDefined
@@ -652,7 +676,10 @@ class Engine(spark: SparkSession, catalog: Catalog,
     query match {
       case t: Query.Timeseries =>
         PartialMerge.merge(t, frags, chunkCoverageOf(t.dataSource), rollup)
-      case gq: Query.GroupBy => PartialMerge.mergeGroupBy(gq, frags, rollup)
+      case gq: Query.GroupBy =>
+        PartialMerge.mergeGroupBy(gq, frags, rollup, segmentCacheMaxPartialGroups)
+      case tn: Query.TopN =>
+        PartialMerge.mergeTopN(tn, frags, rollup, segmentCacheMaxPartialGroups)
       case other => throw new IllegalStateException(
         s"not a partial-merge shape: ${other.getClass.getSimpleName}")
     }

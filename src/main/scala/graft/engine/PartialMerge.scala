@@ -147,6 +147,41 @@ object PartialMerge {
     def value(fill: Boolean): Any = v // zeroFillCol leaves first/last null
   }
 
+  /** hyperUnique/cardinality merge from SKETCH day values: the day
+    * sub-query emits self-describing `<algo>:<base64>` register bytes
+    * (`Compilers.aggCol(sketchPartial = true)`), and register union is an
+    * elementwise max — associative, commutative — so day registers merged
+    * in any grouping equal the whole-bucket registers bit-for-bit, and the
+    * finalized estimate is IDENTICAL to the whole-query plan's (`hllpp:` =
+    * Spark's own HLL++ words at the `approx_count_distinct(_, 0.023)`
+    * precision; `hll11:` = the engine's p=11 sketch for pre-built
+    * BinaryType columns). Empty (no day values, or the zero-fill coalesce)
+    * finalizes to 0 — both algorithms estimate 0 over empty registers, and
+    * the planner's `zeroFillCol` coalesces these aggregators to 0L too. */
+  private final class SketchAcc extends Acc {
+    private var hllpp: org.apache.spark.sql.catalyst.expressions.SpecificInternalRow = null
+    private var hll11: Array[Byte] = null
+    def add(n: JsonNode): Unit = if (n != null && !n.isNull) {
+      val s = n.asText()
+      // MIME decoder tolerates (ignores) line separators, so the merge is
+      // robust to either base64 chunking flavor
+      if (s.startsWith("hllpp:")) {
+        if (hllpp == null) hllpp = graft.functions.Hllpp.newBuffer()
+        graft.functions.Hllpp.mergeInto(hllpp,
+          java.util.Base64.getMimeDecoder.decode(s.substring(6)))
+      } else if (s.startsWith("hll11:")) {
+        if (hll11 == null) hll11 = graft.functions.Hll.emptySketch
+        graft.functions.Hll.merge(hll11,
+          java.util.Base64.getMimeDecoder.decode(s.substring(6)))
+      } else throw new IllegalStateException(
+        s"not a sketch partial value: ${s.take(16)}")
+    }
+    def value(fill: Boolean): Any =
+      if (hllpp != null) java.lang.Long.valueOf(graft.functions.Hllpp.estimate(hllpp))
+      else if (hll11 != null) java.lang.Long.valueOf(graft.functions.Hll.estimate(hll11))
+      else java.lang.Long.valueOf(0L)
+  }
+
   private def newAcc(a: Aggregator, rollup: Boolean): Acc = a match {
     case Aggregator.Count(_)          => new CountAcc(rollup)
     case Aggregator.Sum(_, _, "long") => new LongSumAcc
@@ -155,6 +190,8 @@ object PartialMerge {
     case Aggregator.Max(_, _, t)      => new MinMaxAcc(t, isMin = false)
     case Aggregator.First(_, _, t)    => new FirstLastAcc(t, isFirst = true)
     case Aggregator.Last(_, _, t)     => new FirstLastAcc(t, isFirst = false)
+    case _: Aggregator.HyperUnique    => new SketchAcc
+    case _: Aggregator.Cardinality    => new SketchAcc
     case Aggregator.Filtered(_, inner) => newAcc(inner, rollup)
     case other => throw new IllegalArgumentException(
       s"not partial-mergeable: ${other.getClass.getSimpleName}")
@@ -208,6 +245,9 @@ object PartialMerge {
       case PostAggregator.FieldAccess(_, f)           => row.getOrElse(f, null)
       case PostAggregator.FinalizingFieldAccess(_, f) => row.getOrElse(f, null)
       case PostAggregator.Constant(_, v) => java.lang.Double.valueOf(v)
+      // whole plan: col(f).cast(DoubleType) over the finalized estimate
+      case PostAggregator.HyperUniqueCardinality(_, f) =>
+        toDouble(row.getOrElse(f, null))
       case PostAggregator.GreatestLeast(_, fn, typ, fields) =>
         // Spark greatest/least ignore nulls; all-null → null
         if (typ == "long") {
@@ -237,22 +277,172 @@ object PartialMerge {
   private implicit val instantOrd: Ordering[Instant] =
     Ordering.fromLessThan(_ isBefore _)
 
-  /** Merge day-partial GROUPBY fragments into the final result bytes:
-    * group day rows by (original-granularity bucket, dimension values),
-    * merge aggregators by their algebra, evaluate post-aggs, render the
-    * groupBy event shape. GroupBy has NO zero-fill spine and NO defined
-    * output order (the whole-query plan returns partition-arbitrary rows;
-    * the engine's fragment law for groupBy is SET equality of event
-    * objects), so the merge needs no coverage replica — rows emit in
-    * deterministic (bucket, dims) order. Dimension values are copied
-    * VERBATIM as parsed JSON nodes, so typed dims (LONG/FLOAT output
-    * types, nulls from explode_outer) round-trip exactly. */
-  def mergeGroupBy(q: Query.GroupBy, fragments: Seq[String],
-      rollup: Boolean): String = {
-    val g = q.granularity
-    val dims = q.dimensions.map(_.outputName)
-    // key → (bucket, dim nodes, accumulators); LinkedHashMap keeps the
-    // first-seen order only as a tiebreaker — final order is sorted
+  /** Thrown when the serve-time merge would materialize more groups than
+    * the configured bound (`spark.graft.segmentCache.maxPartialGroups`) —
+    * the engine catches it and falls back to the whole-query plan, so a
+    * high-cardinality dimension cannot balloon the driver merge. */
+  final class Overflow(bound: Int) extends RuntimeException(
+    s"partial merge materialized > $bound groups; falling back " +
+      s"(raise spark.graft.segmentCache.maxPartialGroups to serve this shape)")
+
+  // -- driver-side post-merge evaluation (having / limitSpec / topN rank) ----
+  //
+  // Druid's broker applies having, limit ordering, and topN ranking AFTER
+  // merging per-segment partials (reference `query/query-internal-procedure
+  // .md:128-142`); these helpers mirror the planner's column semantics over
+  // plain merged values: casts evaluate through Catalyst's own Cast in
+  // LEGACY mode (the engine pins ANSI off), string ordering is UTF8 binary
+  // order, doubles order with Spark's -0.0 == 0.0 / NaN-greatest rule, and
+  // null placement is Spark's default (asc = nulls first, desc = nulls last).
+
+  private def legacyCast(v: Any, to: org.apache.spark.sql.types.DataType): Any =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(v), to, None,
+      org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY).eval(null)
+
+  private def castToDouble(v: Any): java.lang.Double = v match {
+    case null                 => null
+    case d: java.lang.Double  => d
+    case l: java.lang.Long    => java.lang.Double.valueOf(l.doubleValue)
+    case f: java.lang.Float   => java.lang.Double.valueOf(f.doubleValue)
+    case b: java.lang.Boolean => java.lang.Double.valueOf(if (b) 1.0 else 0.0)
+    case s: String =>
+      legacyCast(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.DoubleType) match {
+        case null      => null
+        case d: Double => java.lang.Double.valueOf(d)
+        case other     => java.lang.Double.valueOf(String.valueOf(other).toDouble)
+      }
+    case other => toDouble(other)
+  }
+
+  private def castToString(v: Any): String = v match {
+    case null      => null
+    case s: String => s
+    case other =>
+      String.valueOf(legacyCast(other, org.apache.spark.sql.types.StringType))
+  }
+
+  /** Spark's comparison of two doubles (`SQLOrderingUtil.compareDoubles`):
+    * `==` first so -0.0 equals 0.0, `Double.compare` otherwise so NaN is
+    * greatest. */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Total order of two non-null values of one column (same runtime shape
+    * per column by construction): longs/booleans/ints exact, strings in
+    * UTF8 binary order, any numeric mix via the double rule. */
+  private def compareValues(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => Integer.compare(x, y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+      java.lang.Boolean.compare(x, y)
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    case (x: org.apache.spark.unsafe.types.UTF8String,
+          y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+    case _ =>
+      val x = castToDouble(a); val y = castToDouble(b)
+      if (x == null || y == null)
+        throw new IllegalStateException(s"unorderable values: $a vs $b")
+      cmpDouble(x.doubleValue, y.doubleValue)
+  }
+
+  /** One ordering step: null placement + direction, Spark defaults. */
+  private def compareWithNulls(k1: Any, k2: Any, desc: Boolean): Int =
+    if (k1 == null && k2 == null) 0
+    else if (k1 == null) { if (desc) 1 else -1 } // asc: nulls first
+    else if (k2 == null) { if (desc) -1 else 1 } // desc: nulls last
+    else { val c = compareValues(k1, k2); if (desc) -c else c }
+
+  /** `Compilers.orderingCol` over a plain value. */
+  private def orderKey(dimensionOrder: String, v: Any): Any =
+    dimensionOrder match {
+      case "numeric" => castToDouble(v)
+      case "strlen" =>
+        val s = castToString(v)
+        if (s == null) null
+        else Integer.valueOf(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s).numChars())
+      case "alphanumeric" =>
+        val s = castToString(v)
+        if (s == null) null
+        else graft.functions.AlphanumericSortKey.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => v
+    }
+
+  /** Three-valued having evaluation mirroring `QueryPlanner.havingCol`:
+    * numeric comparators go through cast-to-double with Spark's double
+    * comparison; dimSelector through cast-to-string equality; and/or keep
+    * Spark's null logic; not is `!coalesce(h, false)`. Returns
+    * TRUE/FALSE/null(unknown); only TRUE keeps the row. */
+  private def evalHaving(h: HavingSpec,
+      row: collection.Map[String, Any]): java.lang.Boolean = {
+    import HavingSpec._
+    def cmpTo(a: String, v: Double, f: Int => Boolean): java.lang.Boolean = {
+      val d = castToDouble(row.getOrElse(a, null))
+      if (d == null) null
+      else java.lang.Boolean.valueOf(f(cmpDouble(d.doubleValue, v)))
+    }
+    h match {
+      case EqualTo(a, v)     => cmpTo(a, v, _ == 0)
+      case GreaterThan(a, v) => cmpTo(a, v, _ > 0)
+      case LessThan(a, v)    => cmpTo(a, v, _ < 0)
+      case DimSelector(dim, v) =>
+        val s = castToString(row.getOrElse(dim, null))
+        if (s == null) null else java.lang.Boolean.valueOf(s == v)
+      case AndH(hs) =>
+        var sawNull = false
+        hs.foreach { h0 =>
+          val b = evalHaving(h0, row)
+          if (b == null) sawNull = true
+          else if (!b.booleanValue) return java.lang.Boolean.FALSE
+        }
+        if (sawNull) null else java.lang.Boolean.TRUE
+      case OrH(hs) =>
+        var sawNull = false
+        hs.foreach { h0 =>
+          val b = evalHaving(h0, row)
+          if (b == null) sawNull = true
+          else if (b.booleanValue) return java.lang.Boolean.TRUE
+        }
+        if (sawNull) null else java.lang.Boolean.FALSE
+      case NotH(h0) =>
+        val b = evalHaving(h0, row) // !coalesce(h, false): unknown -> true
+        java.lang.Boolean.valueOf(b == null || !b.booleanValue)
+      case other => throw new IllegalArgumentException(
+        s"not driver-evaluable having: ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** JSON value -> the plain value used by having/ordering. Matches the
+    * whole plan's column values for string/long dims and all aggregates;
+    * FLOAT-typed dims reparse as the nearest double to their shortest
+    * decimal rendering (an ulp-level deviation possible only for a
+    * float-typed dim under a numeric having/ordering - documented). */
+  private def nodeToAny(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isTextual) n.asText()
+    else if (n.isIntegralNumber) java.lang.Long.valueOf(n.asLong())
+    else if (n.isNumber) java.lang.Double.valueOf(n.asDouble())
+    else if (n.isBoolean) java.lang.Boolean.valueOf(n.asBoolean())
+    else n.toString
+
+  /** A merged output row: bucket, verbatim dim nodes (for rendering), and
+    * the name -> value map (dims + merged aggs + post-aggs) for
+    * evaluation. */
+  private final case class MRow(bucket: Option[Instant], dimVals: Seq[JsonNode],
+      values: scala.collection.mutable.LinkedHashMap[String, Any])
+
+  /** Merge groupBy-shaped day fragments into rows in deterministic
+    * (bucket, dims) order, evaluating post-aggs over the merged values.
+    * `bucketOf` maps a fragment row's day timestamp to its output bucket
+    * (None = no timestamp in the output, the groupBy `all` shape). */
+  private def mergeGroupRows(dims: Seq[String], aggs: Seq[Aggregator],
+      postAggs: Seq[PostAggregator], bucketOf: Instant => Option[Instant],
+      fragments: Seq[String], rollup: Boolean, maxGroups: Int): Seq[MRow] = {
     final case class Group(bucket: Option[Instant], dimVals: Seq[JsonNode],
       accs: Array[Acc])
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Group]
@@ -260,47 +450,44 @@ object PartialMerge {
       val rows = mapper.readTree("[" + frag + "]")
       (0 until rows.size()).foreach { i =>
         val row = rows.get(i)
-        val bucket = g match {
-          case Granularity.All => None
-          case _ => Some(Compilers.truncInstant(g,
-            Instant.parse(row.get("timestamp").asText())))
-        }
+        val bucket = bucketOf(Instant.parse(row.get("timestamp").asText()))
         val ev = row.get("event")
         val dimVals = dims.map(d => ev.get(d): JsonNode)
-        val key = bucket.map(_.toString).getOrElse("") + " " +
-          dimVals.map(n => if (n == null) "" else n.toString)
-            .mkString(" ")
-        val grp = merged.getOrElseUpdate(key,
-          Group(bucket, dimVals, q.aggregations.map(newAcc(_, rollup)).toArray))
+        val key = bucket.map(_.toString).getOrElse("") + " " +
+          dimVals.map(n => if (n == null) "" else n.toString)
+            .mkString(" ")
+        val grp = merged.getOrElseUpdate(key, {
+          if (merged.size >= maxGroups) throw new Overflow(maxGroups)
+          Group(bucket, dimVals, aggs.map(newAcc(_, rollup)).toArray)
+        })
         var j = 0
-        q.aggregations.foreach { a => grp.accs(j).add(ev.get(a.name)); j += 1 }
+        aggs.foreach { a => grp.accs(j).add(ev.get(a.name)); j += 1 }
       }
     }
-    val ordered = merged.values.toSeq.sortBy(grp =>
+    merged.values.toSeq.sortBy(grp =>
       (grp.bucket.map(_.toEpochMilli).getOrElse(0L),
-        grp.dimVals.map(n => if (n == null) "" else n.toString)
-          .mkString(" ")))
-    val out = new java.io.StringWriter()
-    val gen = mapper.getFactory.createGenerator(out)
-    gen.setCodec(mapper)
-    gen.writeStartArray()
-    ordered.foreach { grp =>
-      gen.writeStartObject()
-      gen.writeStringField("version", "v1")
-      grp.bucket.foreach(b => gen.writeStringField("timestamp", isoFmt.format(b)))
-      gen.writeFieldName("event")
-      gen.writeStartObject()
-      val row = scala.collection.mutable.LinkedHashMap.empty[String, Any]
-      dims.zip(grp.dimVals).foreach { case (d, n) =>
-        gen.writeFieldName(d)
-        if (n == null || n.isNull) gen.writeNull() else gen.writeTree(n)
+        grp.dimVals.map(n => if (n == null) "" else n.toString)
+          .mkString(" ")))
+      .map { grp =>
+        val values = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+        dims.zip(grp.dimVals).foreach { case (d, n) => values.put(d, nodeToAny(n)) }
+        var j = 0
+        aggs.foreach { a => values.put(a.name, grp.accs(j).value(false)); j += 1 }
+        postAggs.foreach(pa => values.put(pa.name, evalPost(pa, values)))
+        MRow(grp.bucket, grp.dimVals, values)
       }
-      var j = 0
-      q.aggregations.foreach { a =>
-        row.put(a.name, grp.accs(j).value(false)); j += 1
-      }
-      q.postAggregations.foreach(pa => row.put(pa.name, evalPost(pa, row)))
-      row.foreach { case (k, v) =>
+  }
+
+  /** Event-object fields: dims render VERBATIM as parsed JSON nodes (typed
+    * dims round-trip exactly), merged aggregate/post-agg values by type. */
+  private def writeEventFields(gen: com.fasterxml.jackson.core.JsonGenerator,
+      dims: Seq[String], row: MRow): Unit = {
+    dims.zip(row.dimVals).foreach { case (d, n) =>
+      gen.writeFieldName(d)
+      if (n == null || n.isNull) gen.writeNull() else gen.writeTree(n)
+    }
+    row.values.foreach { case (k, v) =>
+      if (!dims.contains(k)) {
         gen.writeFieldName(k)
         v match {
           case null                => gen.writeNull()
@@ -310,7 +497,139 @@ object PartialMerge {
           case other               => gen.writeString(String.valueOf(other))
         }
       }
+    }
+  }
+
+  /** Merge day-partial GROUPBY fragments into the final result bytes:
+    * group day rows by (original-granularity bucket, dimension values),
+    * merge aggregators by their algebra, evaluate post-aggs, then apply
+    * the serve-time post-merge algebra — having filter, limitSpec ordering
+    * and limit (Druid's broker order, reference
+    * `query/query-internal-procedure.md:128-142`). GroupBy has NO zero-fill
+    * spine; without a limitSpec there is no defined output order (the
+    * whole-query plan returns partition-arbitrary rows; the fragment law is
+    * SET equality of event objects) and rows emit in deterministic
+    * (bucket, dims) order. With limitSpec columns the order is the spec's —
+    * ties resolve by the deterministic pre-order (the whole plan's tie
+    * order is partition-arbitrary there too). */
+  def mergeGroupBy(q: Query.GroupBy, fragments: Seq[String],
+      rollup: Boolean, maxGroups: Int = Int.MaxValue): String = {
+    val g = q.granularity
+    val dims = q.dimensions.map(_.outputName)
+    val rows0 = mergeGroupRows(dims, q.aggregations, q.postAggregations,
+      ts => g match {
+        case Granularity.All => None
+        case _ => Some(Compilers.truncInstant(g, ts))
+      },
+      fragments, rollup, maxGroups)
+    val havinged = q.having match {
+      case Some(h) => rows0.filter { r =>
+        val b = evalHaving(h, r.values); b != null && b.booleanValue
+      }
+      case None => rows0
+    }
+    val finalRows = q.limitSpec match {
+      case Some(LimitSpec(cols, limitOpt)) =>
+        val ordered =
+          if (cols.isEmpty) havinged
+          else {
+            val ord = new Ordering[MRow] {
+              def compare(r1: MRow, r2: MRow): Int = {
+                cols.foreach { c =>
+                  val desc = c.direction.startsWith("desc")
+                  val cv = compareWithNulls(
+                    orderKey(c.dimensionOrder,
+                      r1.values.getOrElse(c.dimension, null)),
+                    orderKey(c.dimensionOrder,
+                      r2.values.getOrElse(c.dimension, null)),
+                    desc)
+                  if (cv != 0) return cv
+                }
+                0
+              }
+            }
+            havinged.sorted(ord) // stable: ties keep the (bucket, dims) order
+          }
+        limitOpt.map(ordered.take).getOrElse(ordered)
+      case None => havinged
+    }
+    val out = new java.io.StringWriter()
+    val gen = mapper.getFactory.createGenerator(out)
+    gen.setCodec(mapper)
+    gen.writeStartArray()
+    finalRows.foreach { row =>
+      gen.writeStartObject()
+      gen.writeStringField("version", "v1")
+      row.bucket.foreach(b => gen.writeStringField("timestamp", isoFmt.format(b)))
+      gen.writeFieldName("event")
+      gen.writeStartObject()
+      writeEventFields(gen, dims, row)
       gen.writeEndObject()
+      gen.writeEndObject()
+    }
+    gen.writeEndArray()
+    gen.close()
+    out.toString
+  }
+
+  /** `QueryPlanner.topNOrder` over a merged row: (ranking key, desc?). */
+  private def topNOrderKey(m: TopNMetricSpec, dimOut: String)
+      : (collection.Map[String, Any] => Any, Boolean) = m match {
+    case TopNMetricSpec.Numeric(metric)  => (r => r.getOrElse(metric, null), true)
+    case TopNMetricSpec.Lexicographic(_) => (r => r.getOrElse(dimOut, null), false)
+    case TopNMetricSpec.Alphanumeric(_)  =>
+      (r => orderKey("alphanumeric", r.getOrElse(dimOut, null)), false)
+    case TopNMetricSpec.Inverted(delegate) =>
+      val (k, desc) = topNOrderKey(delegate, dimOut)
+      (k, !desc)
+  }
+
+  /** Merge day-partial fragments (groupBy-shaped, one dimension) into the
+    * final TOPN result bytes: merge per (bucket, dim), evaluate post-aggs,
+    * rank per bucket by the metric spec with the dim-ascending tiebreak,
+    * cut at the threshold, render buckets ascending — exactly
+    * `QueryPlanner.planTopN`'s exact path evaluated at serve time over the
+    * merged partials (Druid's broker topN merge, reference
+    * `query/query-internal-procedure.md:128-142`). The per-bucket ranking
+    * is TOTAL (the dim tiebreak is unique within a bucket), so the bytes
+    * match the whole-query plan's. */
+  def mergeTopN(q: Query.TopN, fragments: Seq[String],
+      rollup: Boolean, maxGroups: Int = Int.MaxValue): String = {
+    val dimOut = q.dimension.outputName
+    val g = q.granularity
+    val allBucket: Instant =
+      q.intervals.headOption.map(_.start).getOrElse(Instant.EPOCH)
+    val rows = mergeGroupRows(Seq(dimOut), q.aggregations, q.postAggregations,
+      ts => Some(g match {
+        case Granularity.All => allBucket
+        case _               => Compilers.truncInstant(g, ts)
+      }),
+      fragments, rollup, maxGroups)
+    val (keyFn, desc) = topNOrderKey(q.metric, dimOut)
+    val rankOrd = new Ordering[MRow] {
+      def compare(r1: MRow, r2: MRow): Int = {
+        val c = compareWithNulls(keyFn(r1.values), keyFn(r2.values), desc)
+        if (c != 0) c
+        else compareWithNulls(r1.values.getOrElse(dimOut, null),
+          r2.values.getOrElse(dimOut, null), desc = false)
+      }
+    }
+    val byBucket = rows.groupBy(_.bucket.get).toSeq.sortBy(_._1)
+    val out = new java.io.StringWriter()
+    val gen = mapper.getFactory.createGenerator(out)
+    gen.setCodec(mapper)
+    gen.writeStartArray()
+    byBucket.foreach { case (bucket, bucketRows) =>
+      gen.writeStartObject()
+      gen.writeStringField("timestamp", isoFmt.format(bucket))
+      gen.writeFieldName("result")
+      gen.writeStartArray()
+      bucketRows.sorted(rankOrd).take(q.threshold).foreach { row =>
+        gen.writeStartObject()
+        writeEventFields(gen, Seq(dimOut), row)
+        gen.writeEndObject()
+      }
+      gen.writeEndArray()
       gen.writeEndObject()
     }
     gen.writeEndArray()

@@ -82,12 +82,16 @@ object SegmentResultCache {
     * back (conservative, like [[nestsInDayChunk]]). */
   def dayNestsInBucket(g: Granularity): Boolean = g match {
     case Granularity.All => true
+    // `day` itself nests trivially (bucket == chunk): it normally takes the
+    // nesting path first, but shapes the nesting path refuses (groupBy
+    // limitSpec/having, topN week-equivalents) reach here and decompose as
+    // day partials + a serve-time evaluation
     case Granularity.Simple(u) =>
-      Set("week", "month", "quarter", "year").contains(u)
+      Set("day", "week", "month", "quarter", "year").contains(u)
     case Granularity.Duration(ms, None) => ms > 0 && ms % 86400000L == 0
     case Granularity.Period(p, tz, None)
         if tz.forall(z => z == "UTC" || z == "Etc/UTC") =>
-      Set("P1W", "P1M", "P3M", "P1Y").contains(p)
+      Set("P1D", "P1W", "P1M", "P3M", "P1Y").contains(p)
     case _ => false
   }
 
@@ -99,13 +103,16 @@ object SegmentResultCache {
     * chunk-ascending order, and "value at the bucket's max non-null
     * timestamp" equals "the last non-null day value" (dually for first;
     * [[PartialMerge]] documents the proof obligation). hyperUnique and
-    * cardinality (need the sketch registers, not the finalized estimate)
-    * do not merge from finalized day values — queries using them fall
-    * back to the whole-query cache. */
+    * cardinality merge as SKETCH partials: the day sub-query compiles them
+    * to mergeable register bytes (`Compilers.aggCol(sketchPartial)` —
+    * Druid's per-segment sketch partials, reference `TOC.md:47`), and the
+    * serve-time merge unions registers (elementwise max — order-free) and
+    * finalizes to the whole-plan-identical estimate. */
   def mergeableAgg(a: Aggregator): Boolean = a match {
     case _: Aggregator.Count | _: Aggregator.Sum |
          _: Aggregator.Min | _: Aggregator.Max |
-         _: Aggregator.First | _: Aggregator.Last => true
+         _: Aggregator.First | _: Aggregator.Last |
+         _: Aggregator.HyperUnique | _: Aggregator.Cardinality => true
     case Aggregator.Filtered(_, inner) => mergeableAgg(inner)
     case _ => false
   }
@@ -126,8 +133,38 @@ object SegmentResultCache {
       case _: PostAggregator.Constant => true
       case PostAggregator.GreatestLeast(_, _, _, fields) =>
         fields.forall(evaluablePostAgg(_, aggNames))
+      case PostAggregator.HyperUniqueCardinality(_, f) => aggNames.contains(f)
       case _ => false
     }
+
+  /** Having specs [[PartialMerge]] evaluates driver-side over merged rows
+    * — Druid's broker applies having AFTER merging partials (reference
+    * `query/query-internal-procedure.md:128-142`). The numeric/dimension
+    * comparators and the and/or/not combinators mirror the planner's
+    * `havingCol` three-valued logic exactly; `FilterH` wraps a full filter
+    * spec over the aggregated schema (a much larger surface), so it falls
+    * back to the whole-query path. */
+  def evaluableHaving(h: HavingSpec, cols: Set[String]): Boolean = h match {
+    // a name outside the query's own output columns falls back too — the
+    // whole-query plan raises its (better) unresolved-column error there
+    case HavingSpec.EqualTo(a, _)     => cols.contains(a)
+    case HavingSpec.GreaterThan(a, _) => cols.contains(a)
+    case HavingSpec.LessThan(a, _)    => cols.contains(a)
+    case HavingSpec.DimSelector(d, _) => cols.contains(d)
+    case HavingSpec.AndH(hs) => hs.forall(evaluableHaving(_, cols))
+    case HavingSpec.OrH(hs)  => hs.forall(evaluableHaving(_, cols))
+    case HavingSpec.NotH(s)  => evaluableHaving(s, cols)
+    case _: HavingSpec.FilterH => false
+  }
+
+  /** Whether a topN metric spec resolves against the query's own output
+    * columns (anything else falls back, raising the planner's error). */
+  def resolvableMetric(m: TopNMetricSpec, cols: Set[String]): Boolean = m match {
+    case TopNMetricSpec.Numeric(metric)   => cols.contains(metric)
+    case _: TopNMetricSpec.Lexicographic  => true
+    case _: TopNMetricSpec.Alphanumeric   => true
+    case TopNMetricSpec.Inverted(d)       => resolvableMetric(d, cols)
+  }
 
   /** Conservative upper bound on the merged-bucket count the serve-time
     * spine materializes driver-side; far past any dashboard shape. */
@@ -164,8 +201,15 @@ object SegmentResultCache {
     // the partial-merge surface. GroupBy has NO zero-fill spine and no
     // defined output order, so its merge needs neither the span bound nor
     // the coverage replica — just per-(bucket, dims) algebra. having /
-    // limitSpec / maxResults are post-aggregation-global and fall back
-    // (the nesting path excludes the latter two for the same reason).
+    // limitSpec (groupBy) and threshold ranking (topN) are post-merge
+    // evaluations over the merged rows — Druid's broker applies them AFTER
+    // merging partials (reference `query/query-internal-procedure.md:
+    // 128-142`) — so the templates STRIP them and [[PartialMerge]] applies
+    // them at serve time; only `FilterH` having and context maxResults
+    // (a stream-truncation resource cap) still fall back. The sketchPartials
+    // context flag makes hyperUnique/cardinality compile to mergeable
+    // register bytes instead of finalized estimates.
+    val partialCtx = "graft.sketchPartials" -> "true"
     val parts: Option[(Seq[Interval], Granularity, Query)] = query match {
       case t: Query.Timeseries
           if dayNestsInBucket(t.granularity) &&
@@ -176,18 +220,46 @@ object SegmentResultCache {
           granularity = Granularity.Simple("day"),
           postAggregations = Seq.empty,
           descending = false,
-          context = Map("skipEmptyBuckets" -> "true"))))
+          context = Map("skipEmptyBuckets" -> "true", partialCtx))))
       case g: Query.GroupBy
           if dayNestsInBucket(g.granularity) &&
             g.aggregations.forall(mergeableAgg) &&
             g.postAggregations.forall(evaluablePostAgg(_,
-              g.aggregations.map(_.name).toSet)) &&
-            g.having.isEmpty && g.limitSpec.isEmpty &&
+              g.aggregations.map(_.name).toSet)) && {
+              val outCols = (g.dimensions.map(_.outputName) ++
+                g.aggregations.map(_.name) ++
+                g.postAggregations.map(_.name)).toSet
+              g.having.forall(evaluableHaving(_, outCols)) &&
+                g.limitSpec.forall(_.columns.forall(c =>
+                  outCols.contains(c.dimension)))
+            } &&
             !g.context.contains("maxResults") =>
         Some((g.intervals, g.granularity, g.copy(
           granularity = Granularity.Simple("day"),
           postAggregations = Seq.empty,
-          context = Map.empty)))
+          having = None, limitSpec = None,
+          context = Map(partialCtx))))
+      case t: Query.TopN
+          if dayNestsInBucket(t.granularity) &&
+            t.aggregations.nonEmpty && t.aggregations.forall(mergeableAgg) &&
+            t.postAggregations.forall(evaluablePostAgg(_,
+              t.aggregations.map(_.name).toSet)) &&
+            resolvableMetric(t.metric,
+              (t.aggregations.map(_.name) ++
+                t.postAggregations.map(_.name)).toSet) &&
+            !t.context.get("approxTopN").exists(_.toBoolean) =>
+        // topN day partials ARE a groupBy over the dimension: per-bucket
+        // ranking needs every dimension value's FULL bucket aggregate, so
+        // the fragment is the raw per-(day, dim) partial and the rank/
+        // threshold cut happens after the serve-time merge (exactly the
+        // default-exact topN plan's shape, `QueryPlanner.planTopN`)
+        Some((t.intervals, t.granularity, Query.GroupBy(
+          dataSource = t.dataSource, intervals = t.intervals,
+          granularity = Granularity.Simple("day"),
+          dimensions = Seq(t.dimension), filter = t.filter,
+          aggregations = t.aggregations, postAggregations = Seq.empty,
+          having = None, limitSpec = None,
+          context = Map(partialCtx))))
       case _ => return None
     }
     val (intervals, granularity, template) = parts.get
@@ -326,18 +398,22 @@ object SegmentResultCache {
   }
 
   /** [[canonicalSansIntervals]] for the PARTIAL path: additionally drops
-    * `granularity`, `postAggregations`, `descending`, and the
-    * `skipEmptyBuckets` context key — none of them affect the day-partial
-    * fragment bytes (the sub-query normalizes all four), so queries
-    * differing only in them share fragments. The `partial|` prefix
-    * domain-separates these keys from the nesting path's: a day-partial
-    * fragment (no post-aggs, always ascending) must never serve as a
-    * whole result slice. */
+    * `granularity`, `postAggregations`, `descending`, the serve-time
+    * post-merge fields (`having`, `limitSpec`, and topN's `threshold` +
+    * `metric`), and the `skipEmptyBuckets` context key — none of them
+    * affect the day-partial fragment bytes (the sub-query normalizes all
+    * of them away), so queries differing only in them share fragments: a
+    * dashboard editing its having threshold, limit, or topN metric reuses
+    * the SAME warm day partials. The `partial|` prefix domain-separates
+    * these keys from the nesting path's: a day-partial fragment (no
+    * post-aggs, possibly sketch-encoded) must never serve as a whole
+    * result slice. */
   private[engine] def canonicalPartialSansIntervals(json: String): String = {
     val body = mapper.readTree(json) match {
       case root: ObjectNode =>
         val o = root.deepCopy()
-        Seq("intervals", "granularity", "postAggregations", "descending")
+        Seq("intervals", "granularity", "postAggregations", "descending",
+          "having", "limitSpec", "threshold", "metric")
           .foreach(o.remove)
         o.get("context") match {
           case ctx: ObjectNode =>

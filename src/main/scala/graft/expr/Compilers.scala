@@ -580,8 +580,20 @@ object Compilers {
   /** Compile an aggregator to an aggregate Column aliased to its name.
     * `rollupCount`: when reading rolled-up segments, `count` must become
     * `sum(<storedCountMetric>)` (SURVEY §7.3). */
-  def aggCol(a: Aggregator, schema: StructType, rollupCount: Option[String] = None): Column = {
+  def aggCol(a: Aggregator, schema: StructType, rollupCount: Option[String] = None,
+      sketchPartial: Boolean = false): Column = {
     import Aggregator._
+
+    // sketchPartial: emit the MERGEABLE sketch (self-describing
+    // `<algo>:<base64>` string) instead of the finalized estimate — the
+    // day-partial fragment form for the serve-time partial merge (Druid's
+    // broker merges per-segment sketch partials the same way, reference
+    // `arch/druid-arch.md:38-40`). The prefix names the register layout so
+    // the driver merge needs no schema: `hllpp:` = Spark HLL++ words at
+    // rsd 0.023 (the raw-column compile), `hll11:` = the engine's own p=11
+    // sketch (the pre-built BinaryType column compile).
+    def sketchStr(prefix: String, sketch: Column): Column =
+      concat(lit(prefix), base64(sketch))
 
     def input(field: String, typ: String): Column = {
       val c = col(field)
@@ -623,10 +635,15 @@ object Compilers {
         val in = pred.map(p => when(p, col(f))).getOrElse(col(f))
         fieldType(schema, f) match {
           case Some(BinaryType) =>
+            if (sketchPartial)
+              sketchStr("hll11:", graft.functions.HllFunctions.hll_sketch_merge(in))
+            else
             // pre-built mergeable sketch column (rollup segment):
             // merge sketches, then finalize (Druid hyperUnique-on-metric)
             graft.functions.HllFunctions.hll_sketch_estimate(
               graft.functions.HllFunctions.hll_sketch_merge(in))
+          case _ if sketchPartial =>
+            sketchStr("hllpp:", graft.functions.HllppFunctions.hllpp_sketch_words(in))
           case _ =>
             // raw column in a single query: the built-in HLL++ (codegen'd,
             // partial-aggregated, no per-row sketch object churn) at rsd
@@ -668,7 +685,9 @@ object Compilers {
         // raw-input cardinality: same built-in HLL++ routing (and rsd) as
         // raw-column hyperUnique above — cardinality never reads sketch
         // columns, so there is no mergeable-sketch case to preserve here
-        approx_count_distinct(in, 0.023)
+        if (sketchPartial)
+          sketchStr("hllpp:", graft.functions.HllppFunctions.hllpp_sketch_words(in))
+        else approx_count_distinct(in, 0.023)
       case Filtered(f, agg) =>
         val p = filterCol(f, schema)
         inner(agg, pred.map(_ && p).orElse(Some(p)))

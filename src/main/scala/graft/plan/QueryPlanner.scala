@@ -163,7 +163,11 @@ object QueryPlanner {
     val src = source(spark, q.dataSource, catalog, q.intervals)
     val base = filtered(spark, catalog, src, q.intervals, q.filter)
     val rollupCount = rollupCountOf(q.dataSource, catalog)
-    val aggs = q.aggregations.map(a => Compilers.aggCol(a, src.schema, rollupCount))
+    // engine-internal (SegmentResultCache.decomposePartial): day-partial
+    // sub-queries emit mergeable sketches instead of finalized estimates
+    val sketchPartial = q.context.get("graft.sketchPartials").exists(_.toBoolean)
+    val aggs = q.aggregations.map(a =>
+      Compilers.aggCol(a, src.schema, rollupCount, sketchPartial))
     require(aggs.nonEmpty, "timeseries query requires at least one aggregation")
 
     val skipEmpty = q.context.get("skipEmptyBuckets").exists(_.toBoolean)
@@ -357,7 +361,8 @@ object QueryPlanner {
     val (base, dimCols) = explodeMultiValue(base1, specs1, base1.schema)
 
     val aggs = q.aggregations.map(a =>
-      Compilers.aggCol(a, base.schema, rollupCountOf(q.dataSource, catalog)))
+      Compilers.aggCol(a, base.schema, rollupCountOf(q.dataSource, catalog),
+        q.context.get("graft.sketchPartials").exists(_.toBoolean)))
     require(q.dimensions.nonEmpty || aggs.nonEmpty,
       "groupBy requires at least one dimension or aggregation")
     val bucketOpt = Compilers.granularityCol(q.granularity, col(TimeColumn))
