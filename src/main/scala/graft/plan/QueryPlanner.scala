@@ -587,6 +587,62 @@ object QueryPlanner {
             case _         => minDf.crossJoin(maxDf)
           })
         }
+      // FILTERED timeBoundary: chunks partition by __time, so the filtered
+      // min lives in the EARLIEST chunk containing any matching row (dually
+      // for max) — probe chunks from each end in manifest order and stop at
+      // the first batch with a match, instead of scanning the datasource
+      // (the same segment-routing argument as the unfiltered prune; Druid
+      // routes timeBoundary by segment timeline, reference
+      // `query/query-internal-procedure.md:7`). Batches grow exponentially
+      // (1, 2, 4, ...), so the dashboard-typical case is O(1) chunks and
+      // the nothing-matches worst case is log(N) jobs over ~2N chunk scans
+      // — never N tiny per-chunk jobs. The probe executes EAGERLY at plan
+      // time (under the caller's job group/tag, so cancellation applies)
+      // and returns a local one-row relation.
+      case DataSource.Table(name)
+          if spark.conf.getOption("spark.graft.timeBoundary.filteredProbe")
+            .forall(_.toBoolean) =>
+        val live = catalog.segmentInfos(name).filter(_._3 > 0L)
+          .map(_._1).distinct.sorted
+        if (live.isEmpty) None
+        else {
+          def dayIvs(chunks: Seq[String]): Seq[Interval] = chunks.map { c =>
+            val s = java.time.LocalDate.parse(c)
+              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+            Interval(s, s.plus(java.time.Duration.ofDays(1)))
+          }
+          def probe(chunks: Seq[String], isMin: Boolean): Any = {
+            var idx = 0
+            var batch = 1
+            while (idx < chunks.length) {
+              val ivs = dayIvs(chunks.slice(idx,
+                math.min(idx + batch, chunks.length)))
+              val base = filtered(spark, catalog,
+                source(spark, q.dataSource, catalog, ivs), ivs, q.filter)
+              val agg = if (isMin) min(col(TimeColumn)) else max(col(TimeColumn))
+              base.agg(agg.as("t")).collect()(0).get(0) match {
+                case null              =>
+                case t: Timestamp      => return t
+                case i: Instant        => return Timestamp.from(i)
+                case other => throw new IllegalStateException(
+                  s"unexpected __time bound value: $other")
+              }
+              idx += batch
+              batch <<= 1
+            }
+            null // filter matched nothing: same null bounds as a full scan
+          }
+          val minV = if (q.bound != "maxTime") probe(live, isMin = true) else null
+          val maxV = if (q.bound != "minTime") probe(live.reverse, isMin = false) else null
+          val (row, fields) = q.bound match {
+            case "minTime" => (Row(minV), Seq("minTime"))
+            case "maxTime" => (Row(maxV), Seq("maxTime"))
+            case _         => (Row(minV, maxV), Seq("minTime", "maxTime"))
+          }
+          Some(spark.createDataFrame(Seq(row).asJava,
+            StructType(fields.map(f =>
+              StructField(f, TimestampType, nullable = true)))))
+        }
       case _ => None
     }
     pruned.getOrElse {

@@ -671,14 +671,68 @@ class IngestSpec extends SparkTestBase {
     assert(engine.plan(
       """{"queryType":"timeBoundary","dataSource":"ev","bound":"maxTime"}""")
       .inputFiles.forall(_.contains("dt=2024-05-17")))
-    // a FILTER can empty any chunk — the filtered shape keeps the full
-    // scan and the exact semantics
+    // FILTERED timeBoundary probes chunks from each end and stops at the
+    // first match (r14): exact semantics preserved, O(1) chunks in the
+    // dashboard-typical case instead of a datasource scan
     val filtered = engine.plan(
       """{"queryType":"timeBoundary","dataSource":"ev","bound":"both",
         |"filter":{"type":"selector","dimension":"value","value":"3.0"}}""".stripMargin)
       .collect().head
     assert(filtered.getAs[Timestamp]("minTime") == ts("2024-05-09T04:00:00Z"))
     assert(filtered.getAs[Timestamp]("maxTime") == ts("2024-05-09T04:00:00Z"))
+    // job-count pins: an early-hit filter (matches the first AND last
+    // chunks) resolves bound=both in exactly 2 probe jobs — one batch per
+    // end — regardless of how many chunks sit between them
+    locally {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      def stableJobCount(): Int = {
+        var last = -1; var cur = jobs.get(); var spins = 0
+        while (cur != last && spins < 100) {
+          last = cur; Thread.sleep(100); cur = jobs.get(); spins += 1
+        }
+        cur
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val early = engine.plan(
+          """{"queryType":"timeBoundary","dataSource":"ev","bound":"both",
+            |"filter":{"type":"selector","dimension":"event_type","value":"click"}}""".stripMargin)
+        // one batch per end; AQE may materialize an agg collect as up to
+        // two stage-jobs, so the pin is per-BATCH (2 batches → ≤ 4 jobs),
+        // independent of how many chunks sit between the ends
+        val earlyJobs = stableJobCount()
+        assert(earlyJobs <= 4,
+          s"early-hit probe must scan one batch per end, ran $earlyJobs jobs")
+        val r2 = early.collect().head
+        assert(r2.getAs[Timestamp]("minTime") == ts("2024-05-01T01:00:00Z"))
+        assert(r2.getAs[Timestamp]("maxTime") == ts("2024-05-17T05:00:00Z"))
+        // a LATE hit walks exponentially-growing batches: for the middle
+        // chunk of five, min needs batches 1+2+4clipped (3), max needs 1+2
+        // (2) — 5 batches, bounded by log(N), never N per-chunk jobs
+        jobs.set(0)
+        engine.plan(
+          """{"queryType":"timeBoundary","dataSource":"ev","bound":"both",
+            |"filter":{"type":"selector","dimension":"value","value":"3.0"}}""".stripMargin)
+        val lateJobs = stableJobCount()
+        assert(lateJobs > earlyJobs && lateJobs <= 10,
+          s"late-hit probe ran $lateJobs jobs (early ran $earlyJobs)")
+        // filter matching NOTHING: all batches probed (3 per end), null
+        // bounds — the same bytes the full scan produces
+        jobs.set(0)
+        val none = engine.plan(
+          """{"queryType":"timeBoundary","dataSource":"ev","bound":"both",
+            |"filter":{"type":"selector","dimension":"event_type","value":"nope"}}""".stripMargin)
+          .collect().head
+        assert(none.isNullAt(0) && none.isNullAt(1), none.toString)
+        // 6 batches; AQE job count per batch varies with the batch's file
+        // count (measured ~2.2/batch) — the pin is the log-shaped bound
+        assert(stableJobCount() <= 15, s"no-match probe ran ${jobs.get()} jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
     // dataSourceMetadata prunes to the latest chunk the same way
     val dsm = engine.plan(
       """{"queryType":"dataSourceMetadata","dataSource":"ev"}""")
