@@ -65,3 +65,40 @@ object QueryAuthorizer {
         AllowList(acl)
     }
 }
+
+/** Shared-secret → principal map for token-mapped AUTHENTICATION at the
+  * transport (the missing half of the reference's AUTHORIZING lifecycle,
+  * `query/query-internal-procedure.md:68-96`): without it, identity is
+  * CLIENT-ASSERTED — `Authorization: alice` impersonates alice whenever no
+  * fronting authenticator rewrites the header. With
+  * `spark.graft.auth.tokens = "s3cr3t:alice;t0k2:bob"` armed, the HTTP
+  * layer resolves the header (bare token or `Bearer <token>`) through this
+  * map and REJECTS anything else with 403 — an armed ACL is then keyed by
+  * principals only this process's secrets can assert. */
+object AuthTokens {
+  /** None = not armed (legacy verbatim principal forwarding). A
+    * present-but-malformed value fails loudly — and the error NEVER echoes
+    * the entry, which may be a half-typed secret. */
+  def fromConf(spark: org.apache.spark.sql.SparkSession)
+      : Option[Map[String, String]] =
+    spark.conf.getOption("spark.graft.auth.tokens").map { raw =>
+      val entries = raw.split(';').iterator.map(_.trim).filter(_.nonEmpty)
+        .map { entry =>
+          val i = entry.indexOf(':')
+          if (i <= 0 || i == entry.length - 1)
+            throw new IllegalArgumentException(
+              "spark.graft.auth.tokens: expected 'token:identity' entries " +
+                "(entry value withheld — it may contain a secret)")
+          entry.substring(0, i).trim -> entry.substring(i + 1).trim
+        }.toMap
+      if (entries.isEmpty) throw new IllegalArgumentException(
+        "spark.graft.auth.tokens is set but holds no entries")
+      entries
+    }
+
+  /** The token inside an `Authorization` header: RFC 6750 `Bearer <token>`
+    * or the bare value. */
+  def tokenOf(header: String): String =
+    if (header.regionMatches(true, 0, "Bearer ", 0, 7)) header.substring(7).trim
+    else header
+}

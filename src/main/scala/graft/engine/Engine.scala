@@ -37,6 +37,39 @@ class Engine(spark: SparkSession, catalog: Catalog,
     if (authorizer ne QueryAuthorizer.AllowAll) authorizer
     else QueryAuthorizer.fromConf(spark)
 
+  // token-mapped transport authentication (`spark.graft.auth.tokens`):
+  // when armed, the HTTP layer resolves Authorization headers through this
+  // secret → principal map and rejects everything else — see [[AuthTokens]]
+  private val authTokens: Option[Map[String, String]] = AuthTokens.fromConf(spark)
+  if (authTokens.isEmpty &&
+      (effectiveAuthorizer ne QueryAuthorizer.AllowAll)) {
+    // an ACL without an authenticator trusts client-asserted principals:
+    // deployable (a fronting proxy may authenticate), but worth a loud note
+    org.slf4j.LoggerFactory.getLogger(classOf[Engine]).warn(
+      "an authorizer is armed but spark.graft.auth.tokens is not set: " +
+        "identities are CLIENT-ASSERTED unless a fronting authenticator " +
+        "rewrites the Authorization header to a principal name")
+  }
+
+  /** Transport-layer identity resolution: with [[AuthTokens]] armed, a
+    * valid token resolves to its principal and anything else — absent,
+    * malformed, unknown — raises the documented 403 shape (and counts
+    * under the fixed `(invalid-token)` audit key, never the presented
+    * secret). Unarmed, the header forwards verbatim (the documented
+    * fronting-authenticator contract). */
+  def resolveTransportIdentity(header: Option[String]): Option[String] =
+    authTokens match {
+      case None => header
+      case Some(tokens) =>
+        header.map(AuthTokens.tokenOf).flatMap(tokens.get) match {
+          case some @ Some(_) => some
+          case None =>
+            countersFor(Some("(invalid-token)"))._2.incrementAndGet()
+            throw QueryError("Forbidden",
+              "invalid or missing authorization token", "ForbiddenException")
+        }
+    }
+
   // Druid comparisons/casts are lenient (no-match, not error) — ANSI off.
   spark.conf.set("spark.sql.ansi.enabled", "false")
   // Druid is UTC-native: granularity bucketing, the zero-fill spine join

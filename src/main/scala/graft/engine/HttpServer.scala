@@ -84,10 +84,13 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
 
   /** Caller principal for the AUTHORIZING lifecycle step (reference
     * `query/query-internal-procedure.md:68-96`): the `Authorization`
-    * header, forwarded verbatim — the engine's `QueryAuthorizer` decides
-    * what it means. Absent header = anonymous. */
+    * header, resolved through the engine's token map when
+    * `spark.graft.auth.tokens` is armed (valid token → principal, anything
+    * else → 403) and forwarded verbatim otherwise — the engine's
+    * `QueryAuthorizer` decides what it means. Absent header = anonymous. */
   private def identityOf(ex: HttpExchange): Option[String] =
-    Option(ex.getRequestHeaders.getFirst("Authorization"))
+    engine.resolveTransportIdentity(
+      Option(ex.getRequestHeaders.getFirst("Authorization")))
 
   server.createContext("/druid/v2", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =

@@ -464,6 +464,73 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("token-mapped authentication: valid token resolves the principal; " +
+      "bad/absent tokens → 403 and never leak into the audit (VERDICT r13 #4)") {
+    spark.conf.set("spark.graft.auth.tokens", "s3cr3t:alice;t0k2:bob")
+    spark.conf.set("spark.graft.auth.acl", "alice:ev")
+    try {
+      val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+      val srv = new HttpServer(engine)
+      srv.start()
+      try {
+        val base = s"http://127.0.0.1:${srv.boundPort}"
+        val q =
+          """{"queryType":"timeseries","dataSource":"ev",
+            |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+            |"granularity":"day",
+            |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+        // a valid token (bare or RFC 6750 Bearer) resolves to its principal,
+        // and the ACL authorizes the PRINCIPAL
+        assert(postAs(s"$base/druid/v2", q, Some("s3cr3t")).statusCode() == 200)
+        assert(postAs(s"$base/druid/v2", q, Some("Bearer s3cr3t")).statusCode() == 200)
+        // a valid token whose principal the ACL doesn't allow still denies
+        assert(postAs(s"$base/druid/v2", q, Some("t0k2")).statusCode() == 403)
+        // asserting a PRINCIPAL NAME is no longer enough (the r12 advice
+        // hole): with tokens armed, 'alice' is just an unknown token
+        val spoof = postAs(s"$base/druid/v2", q, Some("alice"))
+        assert(spoof.statusCode() == 403, spoof.body())
+        assert(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(spoof.body()).get("errorClass").asText() == "ForbiddenException")
+        // absent header → 403 (the ACL has no anonymous grant)
+        assert(postAs(s"$base/druid/v2", q, None).statusCode() == 403)
+        // SQL endpoint runs the same resolution
+        assert(postAs(s"$base/druid/v2/sql",
+          """{"query":"SELECT count(*) AS c FROM ev"}""",
+          Some("s3cr3t")).statusCode() == 200)
+        assert(postAs(s"$base/druid/v2/sql",
+          """{"query":"SELECT count(*) AS c FROM ev"}""",
+          Some("wrong")).statusCode() == 403)
+        // audit counters key by the RESOLVED identity; rejected tokens
+        // aggregate under (invalid-token) — the presented secret is never
+        // an audit key and never appears in the metrics body
+        assert(engine.metrics.exists(_.identity.contains("alice")))
+        val m = client.send(java.net.http.HttpRequest.newBuilder(
+          URI.create(s"$base/druid/v2/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(m.body())
+        val ids = (0 until root.get("identities").size())
+          .map(root.get("identities").get(_))
+          .map(n => n.get("identity").asText() ->
+            (n.get("queries").asLong(), n.get("denied").asLong())).toMap
+        assert(ids("alice")._1 > 0, ids.toString)
+        assert(ids("(invalid-token)")._2 > 0, ids.toString)
+        assert(!m.body().contains("s3cr3t") && !m.body().contains("t0k2") &&
+          !m.body().contains("wrong"), "secrets must never reach the audit")
+      } finally srv.stop()
+      // a malformed token map fails Engine construction loudly, and the
+      // error withholds the entry (it may be a half-typed secret)
+      spark.conf.set("spark.graft.auth.tokens", "no-colon-here")
+      val e = intercept[IllegalArgumentException] {
+        new Engine(spark, new MapCatalog(Map("ev" -> events)))
+      }
+      assert(!e.getMessage.contains("no-colon-here"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.auth.tokens")
+      spark.conf.unset("spark.graft.auth.acl")
+    }
+  }
+
   test("SQL endpoint is read-only and flat-named: multipart refs, file " +
       "paths, and SET/DDL/DML are rejected (r12 advice)") {
     import graft.engine.QueryAuthorizer
