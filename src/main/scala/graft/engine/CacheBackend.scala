@@ -76,17 +76,117 @@ object CacheBackend {
     }
   }
 
+  /** Out-of-heap SHARED tier: one file per entry under a common directory
+    * — the concrete cross-process backend the seam promised (the
+    * reference ships local AND distributed cache tiers the same way,
+    * `TOC.md:53`). Any number of broker JVMs pointing at the same
+    * directory (local disk, NFS, a fuse-mounted bucket) share every
+    * fragment and whole-query result: one broker computes a cold chunk,
+    * every other broker's identical dashboard serves it with zero Spark
+    * jobs (rehearsed cross-JVM by LocalClusterRehearsal).
+    *
+    * Mechanics:
+    *  - entry file = `sha256(key).cache`; writes land in a pid-unique tmp
+    *    and ATOMIC_MOVE into place, so readers never observe a torn value
+    *    and concurrent writers are last-write-wins (both wrote the same
+    *    verbatim result — the engine's contract);
+    *  - `get` touches mtime (best-effort), so eviction approximates LRU;
+    *  - `put` evicts oldest-mtime entries past `maxBytes` (the byte budget
+    *    is per-directory, shared by design) and never stores an entry
+    *    larger than the whole budget;
+    *  - every IO failure degrades to a miss/no-op: a shared tier outage
+    *    costs recompute time, never correctness (the trait's contract).
+    */
+  final class FileStore(dir: java.nio.file.Path, maxBytes: Long)
+      extends CacheBackend {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    Files.createDirectories(dir)
+    private val evictions = new java.util.concurrent.atomic.AtomicLong()
+    private val nonce = new java.util.concurrent.atomic.AtomicLong()
+
+    override def name: String = "file"
+
+    private def fileOf(key: String): Path = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val h = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+      dir.resolve(h + ".cache")
+    }
+
+    private def entries(): Seq[Path] =
+      try {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.getFileName.toString.endsWith(".cache"))
+            .toVector
+        } finally s.close()
+      } catch { case _: java.io.IOException => Vector.empty }
+
+    override def get(key: String): Option[String] =
+      try {
+        val f = fileOf(key)
+        val bytes = Files.readAllBytes(f)
+        try Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => } // touch is best-effort
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: java.io.IOException => None } // absent/racing-evicted
+
+    override def put(key: String, value: String): Unit = {
+      val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (bytes.length > maxBytes) return
+      try {
+        val tmp = dir.resolve(
+          s".tmp-${ProcessHandle.current().pid()}-${nonce.incrementAndGet()}")
+        Files.write(tmp, bytes)
+        Files.move(tmp, fileOf(key), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        // evict oldest-touched entries past the shared byte budget
+        val all = entries().map(p =>
+          (p, try Files.size(p) catch { case _: java.io.IOException => 0L },
+            try Files.getLastModifiedTime(p).toMillis
+            catch { case _: java.io.IOException => 0L }))
+        var total = all.map(_._2).sum
+        if (total > maxBytes) {
+          val target = fileOf(key)
+          all.sortBy(_._3).iterator
+            .takeWhile(_ => total > maxBytes)
+            .filterNot(_._1 == target)
+            .foreach { case (p, sz, _) =>
+              if (Files.deleteIfExists(p)) { total -= sz; evictions.incrementAndGet() }
+            }
+        }
+      } catch { case _: java.io.IOException => } // lossy is allowed, wrong is not
+    }
+
+    override def stats: Map[String, Long] = {
+      val all = entries()
+      Map("entries" -> all.size.toLong,
+        "bytes" -> all.map(p =>
+          try Files.size(p) catch { case _: java.io.IOException => 0L }).sum,
+        "evictions" -> evictions.get())
+    }
+  }
+
   /** Conf-driven backend so a shared tier deploys without code:
-    * `spark.graft.resultCache.backend` = `heap` (default) or the fully
-    * qualified class name of a [[CacheBackend]] with a no-arg constructor
-    * (the adapter owns its client/endpoint configuration — this engine
-    * adds no network dependencies). A present-but-unloadable value fails
-    * Engine construction loudly: a typo'd cache tier must not silently
-    * fall back to an unshared heap. */
+    * `spark.graft.resultCache.backend` = `heap` (default), `file` (the
+    * [[FileStore]] shared tier; requires `spark.graft.resultCache.dir`),
+    * or the fully qualified class name of a [[CacheBackend]] with a no-arg
+    * constructor (the adapter owns its client/endpoint configuration —
+    * this engine adds no network dependencies). A present-but-unloadable
+    * value fails Engine construction loudly: a typo'd cache tier must not
+    * silently fall back to an unshared heap. */
   def fromConf(spark: org.apache.spark.sql.SparkSession,
       maxBytes: Long): CacheBackend =
     spark.conf.getOption("spark.graft.resultCache.backend") match {
       case None | Some("heap") => new HeapLru(maxBytes)
+      case Some("file") =>
+        val dir = spark.conf.getOption("spark.graft.resultCache.dir")
+          .getOrElse(throw new IllegalArgumentException(
+            "spark.graft.resultCache.backend=file requires " +
+              "spark.graft.resultCache.dir"))
+        new FileStore(java.nio.file.Paths.get(dir), maxBytes)
       case Some(cls) =>
         Class.forName(cls).getDeclaredConstructor()
           .newInstance().asInstanceOf[CacheBackend]

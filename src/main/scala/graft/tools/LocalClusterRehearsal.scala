@@ -351,6 +351,54 @@ object LocalClusterRehearsal {
           f"cold=(${coldPM.segmentHits},${coldPM.segmentMisses}) " +
             f"warm=(${warmPM.segmentHits},${warmPM.segmentMisses}) " +
             f"bytesMatch=${warmP.body() == want}")
+
+        // shared FILE cache tier, true cross-JVM (VERDICT r13 #3): THIS
+        // broker computes a monthly window's day partials into a shared
+        // directory; a SECOND broker JVM (forked below, own SparkSession)
+        // then serves a QUARTER view over the same window — different
+        // whole-query etag, same day partials — with every fragment hit
+        // and ZERO Spark jobs, byte-equal to the cache-disabled plan.
+        val cacheDir = java.nio.file.Files
+          .createTempDirectory("graft-rehearse-filecache")
+        spark.conf.set("spark.graft.resultCache.backend", "file")
+        spark.conf.set("spark.graft.resultCache.dir", cacheDir.toString)
+        val fileEng = new graft.engine.Engine(spark,
+          new graft.store.SegmentCatalog(store))
+        spark.conf.unset("spark.graft.resultCache.backend")
+        spark.conf.unset("spark.graft.resultCache.dir")
+        fileEng.executeJson(monthly(0, 4)) // day partials land in the dir
+        val quarterly = monthly(0, 4).replace("\"month\"", "\"quarter\"")
+        val wantQ = plainEng.executeJson(quarterly)
+        val qf = java.nio.file.Files.createTempFile("graft-replay-q", ".json")
+        val wf = java.nio.file.Files.createTempFile("graft-replay-want", ".json")
+        java.nio.file.Files.writeString(qf, quarterly)
+        java.nio.file.Files.writeString(wf, wantQ)
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar",
+        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        import scala.jdk.CollectionConverters._
+        val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+          "-Xmx2g", "-Dspark.ui.enabled=false",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.tools.CacheReplayProbe", root, cacheDir.toString,
+          qf.toString, wf.toString, chunksIn(0, 4).toString)).asJava)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val pout = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val pexit = proc.waitFor()
+        check("file_cache_cross_jvm")(
+          pexit == 0 && pout.contains("[cache-replay] PASS"),
+          pout.linesIterator.filter(_.contains("[cache-replay]"))
+            .mkString("; ") + s" (exit $pexit)")
       } finally srv.stop()
     }
 

@@ -1180,6 +1180,65 @@ class EngineSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.segmentCache.maxPartialGroups")
   }
 
+  test("file-backed cache tier: fragments computed by one engine serve a " +
+      "second engine instance with zero jobs; stats surface (VERDICT r13 #3)") {
+    val store = partialFixture("graft-segfiletier")
+    val catalog = new SegmentCatalog(store)
+    val dir = Files.createTempDirectory("graft-filetier")
+    spark.conf.set("spark.graft.resultCache.backend", "file")
+    spark.conf.set("spark.graft.resultCache.dir", dir.toString)
+    try {
+      val a = new Engine(spark, catalog)
+      val b = new Engine(spark, catalog) // fresh instance: zero shared heap
+      def q(g: String) =
+        s"""{"queryType":"timeseries","dataSource":"ev",
+           |"intervals":["2024-04-20T00:00:00Z/2024-06-20T00:00:00Z"],
+           |"granularity":"$g",
+           |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+      // the reference engine gets an ISOLATED heap tier — it must not
+      // pre-populate the shared directory with the very results under test
+      val whole = withSegCache(false)(new Engine(spark, catalog,
+        cacheBackend = Some(new graft.engine.CacheBackend.HeapLru(1L << 20))))
+      assert(a.executeJson(q("month")) == whole.executeJson(q("month")))
+      assert(a.cacheBackendName == "file")
+      // engine B asks for the QUARTER view: different whole-query etag,
+      // same day partials — every fragment hits THROUGH THE DIRECTORY and
+      // the serve runs zero Spark jobs (the same law the cross-JVM
+      // rehearsal asserts with a genuinely forked broker JVM)
+      val wantQ = whole.executeJson(q("quarter"))
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(b.executeJson(q("quarter")) == wantQ)
+        Thread.sleep(1500)
+        assert(jobs == 0, s"second engine must serve from the shared dir, ran $jobs jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(b.metrics.last.segmentHits == 9 && b.metrics.last.segmentMisses == 0,
+        b.metrics.last.toString)
+      // storage stats come from the DIRECTORY (shared truth), and the
+      // eviction counter is wired: a tiny-budget store evicts on put
+      val stats = b.cacheStats
+      assert(stats("resultCacheEntries") > 0 && stats("resultCacheBytes") > 0,
+        stats.toString)
+      val tiny = new graft.engine.CacheBackend.FileStore(
+        Files.createTempDirectory("graft-filetiny"), 64L)
+      tiny.put("k1", "x" * 40); tiny.put("k2", "y" * 40)
+      assert(tiny.stats("evictions") >= 1 && tiny.stats("bytes") <= 64L,
+        tiny.stats.toString)
+      // an entry larger than the whole budget is never stored
+      tiny.put("k3", "z" * 100)
+      assert(tiny.get("k3").isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.resultCache.backend")
+      spark.conf.unset("spark.graft.resultCache.dir")
+    }
+  }
+
   test("partial merge: monthly window advances recompute only the hot chunk; " +
       "fragments shared across granularities and post-aggs") {
     val store = partialFixture("graft-segpartwin")

@@ -464,6 +464,42 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("metrics endpoint reports the FILE cache tier: backend name, " +
+      "entries, bytes, evictions (VERDICT r13 #3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-httpfilecache")
+    spark.conf.set("spark.graft.resultCache.backend", "file")
+    spark.conf.set("spark.graft.resultCache.dir", dir.toString)
+    try {
+      val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+      val srv = new HttpServer(engine)
+      srv.start()
+      try {
+        val base = s"http://127.0.0.1:${srv.boundPort}"
+        val q =
+          """{"queryType":"timeseries","dataSource":"ev",
+            |"intervals":["2024-03-01T00:00:00Z/2024-03-03T00:00:00Z"],
+            |"granularity":"day",
+            |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin
+        val r1 = postAs(s"$base/druid/v2", q, None)
+        val r2 = postAs(s"$base/druid/v2", q, None)
+        assert(r1.statusCode() == 200 && r2.body() == r1.body())
+        assert(engine.metrics.last.cached, "second run must hit the file tier")
+        val m = client.send(java.net.http.HttpRequest.newBuilder(
+          URI.create(s"$base/druid/v2/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        val cache = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(m.body()).get("cache")
+        assert(cache.get("backend").asText() == "file", m.body().take(300))
+        assert(cache.get("resultCacheEntries").asLong() >= 1L)
+        assert(cache.get("resultCacheBytes").asLong() > 0L)
+        assert(cache.has("resultCacheEvictions"), m.body().take(300))
+      } finally srv.stop()
+    } finally {
+      spark.conf.unset("spark.graft.resultCache.backend")
+      spark.conf.unset("spark.graft.resultCache.dir")
+    }
+  }
+
   test("token-mapped authentication: valid token resolves the principal; " +
       "bad/absent tokens → 403 and never leak into the audit (VERDICT r13 #4)") {
     spark.conf.set("spark.graft.auth.tokens", "s3cr3t:alice;t0k2:bob")
