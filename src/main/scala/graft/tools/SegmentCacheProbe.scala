@@ -96,6 +96,72 @@ object SegmentCacheProbe {
     plain.executeJson(uncached(monthly(2)))
     val tNoM = (System.nanoTime() - t1) / 1e9
 
+    // STREAMING arm (VERDICT r13 #7): a live micro-batch append lands
+    // inside a warm dashboard loop. The cache-aware handoff law (r13's
+    // integration test, now MEASURED): each append bumps only the hot
+    // chunk's manifest token, so the next dashboard serve recomputes
+    // exactly ONE chunk (D−1 fragment hits) and reflects the new rows,
+    // while closed chunks stay warm across the whole append cycle. A
+    // separate narrow-schema datasource so the appended rows match the
+    // stored schema exactly.
+    val streaming = locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      implicit val sqlC: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val lstore = new graft.store.SegmentStore(
+        java.nio.file.Files.createTempDirectory("graft-segprobe-live").toString)
+      lstore.write(graft.sources.TableLoader.load(spark, sfDir, "events")
+        .select(col("ts").as("__time"), col("event_type"), col("value")),
+        "evlive")
+      val lchunks = lstore.readManifest("evlive").segments.map(_.chunk).distinct.sorted
+      val lengine = new graft.engine.Engine(spark,
+        new graft.store.SegmentCatalog(lstore))
+      val i0 = 1
+      val hotDay = lchunks(i0 + days - 1)
+      def lwindow(ctx: String = ""): String =
+        s"""{"queryType":"timeseries","dataSource":"evlive",
+           |"intervals":["${lchunks(i0)}T00:00:00Z/${lchunks(i0 + days)}T00:00:00Z"],
+           |"granularity":"hour",$ctx
+           |"aggregations":[{"type":"count","name":"cnt"},
+           |  {"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+      def ltimed(json: String): (Double, Int, Int) = {
+        val t0 = System.nanoTime()
+        lengine.executeJson(json)
+        val m = lengine.metrics.last
+        ((System.nanoTime() - t0) / 1e9, m.segmentHits, m.segmentMisses)
+      }
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val stream = mem.toDF().toDF("__time", "event_type", "value")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-segprobe-ckpt").toString
+      val q = graft.streaming.RealtimeIngest.start(stream, lstore, "evlive",
+        watermark = None, checkpointDir = ckpt,
+        trigger = Trigger.ProcessingTime("100 milliseconds"))
+      try {
+        val (tColdL, _, _) = ltimed(lwindow()) // warm the dashboard
+        val hotBase = java.time.Instant.parse(s"${hotDay}T12:00:00Z")
+        val appends = 5
+        var advSum = 0.0
+        var hits = 0; var misses = 0
+        var lawHeld = true
+        (1 to appends).foreach { k =>
+          mem.addData((java.sql.Timestamp.from(hotBase.plusSeconds(k.toLong)),
+            "live", 1.0))
+          q.processAllAvailable()
+          val (t, h, m) = ltimed(lwindow())
+          advSum += t; hits += h; misses += m
+          lawHeld &&= (h == days - 1 && m == 1)
+        }
+        // between appends the same window serves fully warm (all hits)
+        val (tWarmL, hw, mw) = ltimed(lwindow(
+          """"context":{"queryId":"liveAgain"},"""))
+        lawHeld &&= (hw == days && mw == 0)
+        (tColdL, advSum / appends, tWarmL, hits, misses, appends, lawHeld)
+      } finally { q.stop(); q.awaitTermination() }
+    }
+    val (tColdL, tAdvL, tWarmL, hitsL, missesL, appendsL, lawHeldL) = streaming
+
     def f(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
     println(s"""{"metric":"segment_cache_probe","unit":"sec","days":$days,""" +
       s""""cold":${f(tCold)},"advance":${f(tAdv)},"complete":${f(tFull)},""" +
@@ -103,7 +169,11 @@ object SegmentCacheProbe {
       s""""counts":{"cold":[$hc,$mc],"advance":[$ha,$ma],"complete":[$hf,$mf]},""" +
       s""""month":{"cold":${f(tColdM)},"advance":${f(tAdvM)},""" +
       s""""complete":${f(tFullM)},"nocache":${f(tNoM)},""" +
-      s""""counts":{"cold":[$hcM,$mcM],"advance":[$haM,$maM],"complete":[$hfM,$mfM]}}}""")
+      s""""counts":{"cold":[$hcM,$mcM],"advance":[$haM,$maM],"complete":[$hfM,$mfM]}},""" +
+      s""""streaming":{"cold":${f(tColdL)},"advance_mean":${f(tAdvL)},""" +
+      s""""complete":${f(tWarmL)},"appends":$appendsL,""" +
+      s""""counts":{"advance_total":[$hitsL,$missesL]},"law_held":$lawHeldL}}""")
+    require(lawHeldL, "streaming handoff law violated: see counts above")
     spark.stop()
   }
 }
