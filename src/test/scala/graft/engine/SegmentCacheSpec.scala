@@ -241,28 +241,42 @@ class SegmentCacheSpec extends graft.SparkTestBase {
       .get.map(_.key).toSet
     assert(month.values.toSet.intersect(nesting).isEmpty,
       "partial fragments must be domain-separated from whole-slice fragments")
-    // fallbacks: non-mergeable aggregators, non-evaluable post-aggs,
-    // origin-anchored periods, unknown field accesses, pathological spans
+    // fallbacks: non-evaluable post-aggs, origin-anchored periods,
+    // unknown field accesses, pathological spans
     def none(json: String): Unit =
       assert(SegmentResultCache.decomposePartial(json, parse(json), cat).isEmpty,
         s"must fall back: $json")
     // first/last merge positionally since r13 (one day value per fragment,
-    // chunk-ascending) — they decompose; sketch estimates never merge
+    // chunk-ascending) — they decompose
     assert(SegmentResultCache.decomposePartial(
       q("\"month\"", aggs = """{"type":"doubleLast","name":"lv","fieldName":"value"}"""),
       parse(q("\"month\"", aggs = """{"type":"doubleLast","name":"lv","fieldName":"value"}""")),
       cat).isDefined)
-    none(q("\"month\"",
-      aggs = """{"type":"hyperUnique","name":"uq","fieldName":"value"}"""))
+    // r14: hyperUnique/cardinality decompose as SKETCH partials — the
+    // template carries the sketchPartials flag so day fragments hold
+    // mergeable register bytes, and hyperUniqueCardinality post-aggs
+    // evaluate at serve time over the finalized merge
+    locally {
+      val hq = q("\"month\"",
+        aggs = """{"type":"hyperUnique","name":"uq","fieldName":"value"}""",
+        extra = ""","postAggregations":[{"type":"hyperUniqueCardinality","name":"h",
+          |"fieldName":"uq"}]""".stripMargin)
+      val slices = SegmentResultCache.decomposePartial(hq, parse(hq), cat)
+      assert(slices.isDefined)
+      val hsub = slices.get.head.subQuery.asInstanceOf[Query.Timeseries]
+      assert(hsub.context.get("graft.sketchPartials").contains("true"))
+      assert(hsub.postAggregations.isEmpty)
+    }
     none(q("""{"type":"period","period":"P1M","origin":"2024-01-01T06:00:00Z"}"""))
     none(q("""{"type":"period","period":"P1M","timeZone":"America/New_York"}"""))
     none(q("\"month\"", extra =
-      ""","postAggregations":[{"type":"hyperUniqueCardinality","name":"h",
-        |"fieldName":"sv"}]""".stripMargin))
-    none(q("\"month\"", extra =
       ""","postAggregations":[{"type":"arithmetic","name":"x","fn":"+",
         |"fields":[{"type":"fieldAccess","fieldName":"no_such_agg"}]}]""".stripMargin))
-    none(q("\"day\"")) // nesting granularities belong to decompose
+    // day granularity sits on BOTH surfaces since r14 (the engine tries
+    // the nesting decompose first; the partial surface serves day-gran
+    // groupBy having/limitSpec shapes the nesting path refuses)
+    assert(SegmentResultCache.decomposePartial(q("\"day\""),
+      parse(q("\"day\"")), cat).isDefined)
     // a 2-day duration IS partial-mergeable; a 7-hour one is neither
     // nesting-eligible here nor day-aligned
     assert(SegmentResultCache.decomposePartial(
