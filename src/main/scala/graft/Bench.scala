@@ -109,11 +109,20 @@ object Bench {
 
     // (seconds, succeeded) — a throwing query records its pass as failed;
     // its wall time never enters median/min/total
+    // first failure per query is PRINTED (not just counted): a silent
+    // FAIL(t) row cost a debugging round trip at sf10
+    val printedErrors = scala.collection.mutable.Set.empty[String]
     def runOne(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { exec(name, sfDir); true }
-        catch { case _: Throwable => false }
+        catch {
+          case t: Throwable =>
+            if (printedErrors.add(name))
+              System.err.println(s"[bench] ERROR $name: " +
+                t.toString.linesIterator.take(3).mkString(" | "))
+            false
+        }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     def settle(): Unit = { System.gc(); Thread.sleep(200) }

@@ -497,17 +497,29 @@ private[graft] object EntryPipeline {
     }),
     "q74_semantic_dedup" -> ((s, dir) => {
       // SemDeDup-style cluster-scoped semantic dedup over the q28 planted
-      // corpus: assignment to 8 fixed seed centroids (the first 8 base
-      // embeddings — deterministic, oracle-replayable), exact cosine pairs
+      // corpus: assignment to deterministic seed centroids (the first k
+      // base embeddings by vec_id — oracle-replayable), exact cosine pairs
       // within clusters only. Planted near-identical copies land in their
       // original's cluster, so cluster-scoping captures them.
+      // k ∝ n is SemDeDup's own scale lever (Similarity.semanticDupPairs
+      // Scaladoc; ScaleInvariants q74_kscale): k = max(8, n/500), so the
+      // within-cluster pair volume stays ≈780·n — linear — instead of
+      // n²/8, which trips the budget guard at the 100× corpus (observed at
+      // the r14 sf10 bench). At the oracle SFs (≤4,000 embeddings) k is
+      // exactly the historical 8, so the DuckDB replay is unchanged. The
+      // budget itself gets a linear allowance (1600·n with 2× skew
+      // headroom over the equal-split volume) — a quadratic regression
+      // still refuses to run.
       val corpus = q28PlantedUnion(s, dir)
-      val cents = graft.sources.TableLoader.load(s, dir, "embeddings")
-        .where(col("vec_id") < 8).orderBy("vec_id")
+      val emb = graft.sources.TableLoader.load(s, dir, "embeddings")
+      val n = emb.count()
+      val k = math.max(8, math.ceil(n / 500.0).toInt)
+      val cents = emb.orderBy("vec_id").limit(k)
         .select("embedding").collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       graft.ext.Similarity.semanticDupPairs(corpus, "vec_id", "embedding",
-          cents, threshold = 0.95)
+          cents, threshold = 0.95,
+          maxPairBudget = math.max(200000000L, 1600L * n))
         .select(col("id_a"), col("id_b"), col("cluster").cast("long").as("cluster"),
           round(col("cosine"), 3).as("cosine"))
         .orderBy("id_a", "id_b")
