@@ -103,6 +103,21 @@ object CacheBackend {
     Files.createDirectories(dir)
     private val evictions = new java.util.concurrent.atomic.AtomicLong()
     private val nonce = new java.util.concurrent.atomic.AtomicLong()
+    // running byte estimate so a put does NOT list the directory every
+    // time (on the NFS/fuse mounts this class targets, a per-put metadata
+    // sweep of every entry would dominate). This process's own puts move
+    // the estimate; OTHER brokers' writes are picked up by the periodic
+    // rescan below — an under-estimate only delays eviction by at most
+    // RescanEvery puts, never corrupts anything (lossy-is-allowed).
+    private val approxBytes = new java.util.concurrent.atomic.AtomicLong()
+    private val putsSinceScan = new java.util.concurrent.atomic.AtomicLong()
+    private val RescanEvery = 256L
+    // a broker killed between write and move orphans a .tmp file that no
+    // eviction pass would otherwise see — sweep stale ones (old enough
+    // that no live put can still be mid-move) at construction and on
+    // every rescan
+    private val TmpStaleMs = 3600000L
+    rescan()
 
     override def name: String = "file"
 
@@ -113,15 +128,48 @@ object CacheBackend {
       dir.resolve(h + ".cache")
     }
 
-    private def entries(): Seq[Path] =
+    private def listAll(): Seq[Path] =
       try {
         val s = Files.list(dir)
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(_.getFileName.toString.endsWith(".cache"))
-            .toVector
+          s.iterator().asScala.toVector
         } finally s.close()
       } catch { case _: java.io.IOException => Vector.empty }
+
+    private def entries(): Seq[Path] =
+      listAll().filter(_.getFileName.toString.endsWith(".cache"))
+
+    /** Full directory pass: sweep stale tmps, evict oldest-touched entries
+      * past the shared budget (optionally sparing the just-written file),
+      * and re-true the byte estimate. */
+    private def rescan(spare: Option[Path] = None): Unit = {
+      val now = System.currentTimeMillis()
+      listAll().foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(".tmp-") &&
+            (try Files.getLastModifiedTime(p).toMillis < now - TmpStaleMs
+            catch { case _: java.io.IOException => false }))
+          try Files.deleteIfExists(p): Unit
+          catch { case _: java.io.IOException => }
+      }
+      val all = entries().map(p =>
+        (p, try Files.size(p) catch { case _: java.io.IOException => 0L },
+          try Files.getLastModifiedTime(p).toMillis
+          catch { case _: java.io.IOException => 0L }))
+      var total = all.map(_._2).sum
+      if (total > maxBytes)
+        all.sortBy(_._3).iterator
+          .takeWhile(_ => total > maxBytes)
+          .filterNot(p => spare.contains(p._1))
+          .foreach { case (p, sz, _) =>
+            try {
+              if (Files.deleteIfExists(p)) { total -= sz; evictions.incrementAndGet() }
+            } catch { case _: java.io.IOException => }
+          }
+      approxBytes.set(total)
+      putsSinceScan.set(0L)
+    }
 
     override def get(key: String): Option[String] =
       try {
@@ -140,23 +188,12 @@ object CacheBackend {
         val tmp = dir.resolve(
           s".tmp-${ProcessHandle.current().pid()}-${nonce.incrementAndGet()}")
         Files.write(tmp, bytes)
-        Files.move(tmp, fileOf(key), StandardCopyOption.ATOMIC_MOVE,
+        val target = fileOf(key)
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-        // evict oldest-touched entries past the shared byte budget
-        val all = entries().map(p =>
-          (p, try Files.size(p) catch { case _: java.io.IOException => 0L },
-            try Files.getLastModifiedTime(p).toMillis
-            catch { case _: java.io.IOException => 0L }))
-        var total = all.map(_._2).sum
-        if (total > maxBytes) {
-          val target = fileOf(key)
-          all.sortBy(_._3).iterator
-            .takeWhile(_ => total > maxBytes)
-            .filterNot(_._1 == target)
-            .foreach { case (p, sz, _) =>
-              if (Files.deleteIfExists(p)) { total -= sz; evictions.incrementAndGet() }
-            }
-        }
+        if (approxBytes.addAndGet(bytes.length.toLong) > maxBytes ||
+            putsSinceScan.incrementAndGet() >= RescanEvery)
+          rescan(spare = Some(target))
       } catch { case _: java.io.IOException => } // lossy is allowed, wrong is not
     }
 

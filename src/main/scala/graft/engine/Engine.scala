@@ -689,8 +689,15 @@ class Engine(spark: SparkSession, catalog: Catalog,
         } catch {
           // driver group bound exceeded mid-merge: fall back to the whole
           // plan (the computed day partials stay cached — not wasted, a
-          // narrower window over the same data still reuses them)
-          case _: PartialMerge.Overflow => None
+          // narrower window over the same data still reuses them). The
+          // fragment counters are REWOUND: the whole plan serves this
+          // query, so a metric row claiming cached fragment hits would
+          // overstate cache effectiveness (r14 review finding).
+          case _: PartialMerge.Overflow =>
+            segmentCacheHits.addAndGet(-hits.get.toLong)
+            segmentCacheMisses.addAndGet(-misses.get.toLong)
+            hits.set(0); misses.set(0)
+            None
         }
     }
   }

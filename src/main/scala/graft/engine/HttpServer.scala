@@ -95,6 +95,11 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
   server.createContext("/druid/v2", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
+        // token AUTHENTICATION gates the WHOLE surface when armed — not
+        // just the query POSTs: cancellation (destructive by queryId),
+        // and the metrics endpoint (per-identity audit counters) must not
+        // stay anonymous behind an armed token map. No-op when unarmed.
+        identityOf(ex): Unit
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
           case ("POST", "/druid/v2/sql") | ("POST", "/druid/v2/sql/") =>
             // reference SQL endpoint: {"query": "...", "datasources": [...]}
@@ -281,6 +286,9 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
   server.createContext("/druid/indexer/v1/task", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try {
+        // same token gate as the query surface: task submission mutates
+        // datasources and must not stay anonymous behind an armed map
+        identityOf(ex): Unit
         val svc = tasks.getOrElse(
           throw new IllegalStateException("no TaskService configured"))
         (ex.getRequestMethod, ex.getRequestURI.getPath) match {
@@ -301,6 +309,8 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
           case _ => respond(ex, 405, """{"error":"unsupported method"}""")
         }
       } catch {
+        case e: Engine.QueryError if e.errorClass == "ForbiddenException" =>
+          respond(ex, 403, e.toJson)
         case e: IllegalStateException if e.getMessage.contains("already exists") =>
           respond(ex, 400, jsonObj("error" -> e.getMessage))
         case e: Exception => respond(ex, 500, Engine.QueryError.unknown(e).toJson)

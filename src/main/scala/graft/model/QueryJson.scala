@@ -55,7 +55,15 @@ object QueryJson {
 
   private def context(n: JsonNode): Map[String, String] =
     opt(n, "context").map { c =>
-      c.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      c.fields().asScala.map(e => e.getKey -> e.getValue.asText())
+        // `graft.`-prefixed context keys are ENGINE-INTERNAL plumbing
+        // (e.g. graft.sketchPartials switches aggregators to mergeable
+        // sketch output for the partial-merge cache templates, which are
+        // built as Query objects and never pass through this parser). A
+        // client-supplied copy must not change the result encoding —
+        // stripped here, the single choke point for external JSON.
+        .filterNot(_._1.startsWith("graft."))
+        .toMap
     }.getOrElse(Map.empty)
 
   // -- datasource -----------------------------------------------------------

@@ -557,6 +557,22 @@ object QueryPlanner {
 
   // -- timeBoundary ---------------------------------------------------------
 
+  /** UTC day interval of a `yyyy-MM-dd` manifest chunk (the manifest's
+    * chunk-naming contract; the engine's `SegmentResultCache.chunkInterval`
+    * is the same conversion on its side of the layer boundary). */
+  private def chunkDayInterval(chunk: String): Interval = {
+    val s = java.time.LocalDate.parse(chunk)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    Interval(s, s.plus(java.time.Duration.ofDays(1)))
+  }
+
+  /** NOTE: unlike every other planner, the FILTERED probe branch below
+    * executes bounded Spark jobs EAGERLY at plan time (it must observe
+    * per-chunk emptiness to stop early) — timeBoundary is a metadata-style
+    * query and this mirrors Druid answering it from the segment timeline
+    * rather than a data scan. `Engine.plan` on a filtered timeBoundary
+    * therefore runs those probe jobs; disable with
+    * `spark.graft.timeBoundary.filteredProbe=false` for a purely lazy plan. */
   private def planTimeBoundary(spark: SparkSession, q: Query.TimeBoundary, catalog: Catalog)
       : DataFrame = {
     // UNFILTERED timeBoundary over a segment timeline: chunks partition BY
@@ -570,16 +586,13 @@ object QueryPlanner {
         val live = catalog.segmentInfos(name).filter(_._3 > 0L)
         if (live.isEmpty) None
         else {
-          def dayIv(chunk: String): Seq[Interval] = {
-            val s = java.time.LocalDate.parse(chunk)
-              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-            Seq(Interval(s, s.plus(java.time.Duration.ofDays(1))))
-          }
           val first = live.map(_._1).min
           val last = live.map(_._1).max
-          def minDf = source(spark, q.dataSource, catalog, dayIv(first))
+          def minDf = source(spark, q.dataSource, catalog,
+              Seq(chunkDayInterval(first)))
             .agg(min(col(TimeColumn)).as("minTime"))
-          def maxDf = source(spark, q.dataSource, catalog, dayIv(last))
+          def maxDf = source(spark, q.dataSource, catalog,
+              Seq(chunkDayInterval(last)))
             .agg(max(col(TimeColumn)).as("maxTime"))
           Some(q.bound match {
             case "minTime" => minDf
@@ -606,17 +619,12 @@ object QueryPlanner {
           .map(_._1).distinct.sorted
         if (live.isEmpty) None
         else {
-          def dayIvs(chunks: Seq[String]): Seq[Interval] = chunks.map { c =>
-            val s = java.time.LocalDate.parse(c)
-              .atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-            Interval(s, s.plus(java.time.Duration.ofDays(1)))
-          }
           def probe(chunks: Seq[String], isMin: Boolean): Any = {
             var idx = 0
             var batch = 1
             while (idx < chunks.length) {
-              val ivs = dayIvs(chunks.slice(idx,
-                math.min(idx + batch, chunks.length)))
+              val ivs = chunks.slice(idx,
+                math.min(idx + batch, chunks.length)).map(chunkDayInterval)
               val base = filtered(spark, catalog,
                 source(spark, q.dataSource, catalog, ivs), ivs, q.filter)
               val agg = if (isMin) min(col(TimeColumn)) else max(col(TimeColumn))

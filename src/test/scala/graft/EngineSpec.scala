@@ -959,6 +959,17 @@ class EngineSpec extends SparkTestBase {
       assert(seg.executeJsonStream(q).mkString == want,
         s"warm streaming serve diverged: $q")
     }
+    // a CLIENT-supplied copy of the internal sketchPartials flag is
+    // stripped at parse time — the result encoding must never depend on
+    // which cache path serves (r14 review finding): finalized numbers,
+    // never raw register strings
+    locally {
+      val spoofed = queries.head.replace("\"granularity\":\"month\",",
+        "\"granularity\":\"month\",\"context\":{\"graft.sketchPartials\":\"true\"},")
+      assert(spoofed != queries.head, "spoof must inject the flag")
+      val r = withSegCache(false)(new Engine(spark, catalog)).executeJson(spoofed)
+      assert(!r.contains("hllpp:") && !r.contains("hll11:"), r.take(200))
+    }
     // groupBy with a sketch agg: merged per (bucket, dim), set-equal rows,
     // warm reuse across granularities
     val m = new com.fasterxml.jackson.databind.ObjectMapper()

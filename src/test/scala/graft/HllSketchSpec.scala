@@ -93,6 +93,25 @@ class HllSketchSpec extends SparkTestBase {
     assert(math.abs(merged - 3000).toDouble / 3000 < 0.05, s"est=$merged")
   }
 
+  test("HLL++ words finalize to the approx_count_distinct estimate " +
+      "bit-exactly, split-merged or whole (r14 sketch partials)") {
+    import graft.functions.HllppFunctions._
+    val df = (1 to 20000).map(i => (i.toLong, s"u${i % 7331}"))
+      .toDF("id", "u")
+    val want = df.agg(approx_count_distinct(col("u"), 0.023)).head().getLong(0)
+    // whole-corpus words → estimate
+    val whole = df.agg(hllpp_sketch_words(col("u")).as("w"))
+      .select(hllpp_estimate(col("w"))).head().getLong(0)
+    assert(whole == want, s"whole=$whole want=$want")
+    // per-half words merged driver-side (the partial-merge path's exact
+    // mechanics) → the SAME estimate: register union is order-free
+    val halves = Seq(df.where(col("id") % 2 === 0), df.where(col("id") % 2 === 1))
+      .map(_.agg(hllpp_sketch_words(col("u"))).head().getAs[Array[Byte]](0))
+    val acc = graft.functions.Hllpp.newBuffer()
+    halves.foreach(graft.functions.Hllpp.mergeInto(acc, _))
+    assert(graft.functions.Hllpp.estimate(acc) == want)
+  }
+
   test("streaming windowed rollup can build HLL sketches; query merges them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.nio.file.Files

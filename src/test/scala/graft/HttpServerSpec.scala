@@ -536,12 +536,25 @@ class HttpServerSpec extends SparkTestBase {
         assert(postAs(s"$base/druid/v2/sql",
           """{"query":"SELECT count(*) AS c FROM ev"}""",
           Some("wrong")).statusCode() == 403)
+        // the WHOLE surface is gated when armed — cancellation is
+        // destructive by queryId and metrics carries the audit trail
+        assert(client.send(java.net.http.HttpRequest.newBuilder(
+          URI.create(s"$base/druid/v2/some-query-id")).DELETE().build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode() == 403)
+        assert(client.send(java.net.http.HttpRequest.newBuilder(
+          URI.create(s"$base/druid/v2/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode() == 403)
+        assert(client.send(java.net.http.HttpRequest.newBuilder(
+          URI.create(s"$base/druid/v2/some-query-id"))
+          .header("Authorization", "s3cr3t").DELETE().build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode() == 202)
         // audit counters key by the RESOLVED identity; rejected tokens
         // aggregate under (invalid-token) — the presented secret is never
         // an audit key and never appears in the metrics body
         assert(engine.metrics.exists(_.identity.contains("alice")))
         val m = client.send(java.net.http.HttpRequest.newBuilder(
-          URI.create(s"$base/druid/v2/metrics")).GET().build(),
+          URI.create(s"$base/druid/v2/metrics"))
+          .header("Authorization", "s3cr3t").GET().build(),
           HttpResponse.BodyHandlers.ofString())
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(m.body())
