@@ -96,6 +96,29 @@ object SegmentCacheProbe {
     plain.executeJson(uncached(monthly(2)))
     val tNoM = (System.nanoTime() - t1) / 1e9
 
+    // SKETCH-window arm (VERDICT r13 #1): the same monthly dashboard
+    // cycle with a hyperUnique aggregator — day fragments carry mergeable
+    // HLL++ register bytes and finalize at serve time, so the moving
+    // monthly window gets the only-the-hot-chunk-recomputes property for
+    // the LAST aggregator family that used to fall back to whole-query
+    // compute. Fragment keys include the aggregations, so this cycle's
+    // cold pass computes its own partials.
+    def sketchMonthly(i0: Int): String =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["${chunks(i0)}T00:00:00Z/${chunks(i0 + days)}T00:00:00Z"],
+         |"granularity":"month",
+         |"aggregations":[{"type":"hyperUnique","name":"uu","fieldName":"user_id"},
+         |  {"type":"count","name":"cnt"}]}""".stripMargin
+    plain.executeJson(uncached(sketchMonthly(0)))
+    plain.executeJson(uncached(sketchMonthly(0)))
+    val (tColdS, hcS, mcS) = timed(sketchMonthly(1))
+    val (tAdvS, haS, maS) = timed(sketchMonthly(2))
+    val (tFullS, hfS, mfS) = timed(sketchMonthly(2).replace("\"granularity\"",
+      "\"context\":{\"queryId\":\"againS\"},\"granularity\""))
+    val t2 = System.nanoTime()
+    plain.executeJson(uncached(sketchMonthly(2)))
+    val tNoS = (System.nanoTime() - t2) / 1e9
+
     // STREAMING arm (VERDICT r13 #7): a live micro-batch append lands
     // inside a warm dashboard loop. The cache-aware handoff law (r13's
     // integration test, now MEASURED): each append bumps only the hot
@@ -170,6 +193,9 @@ object SegmentCacheProbe {
       s""""month":{"cold":${f(tColdM)},"advance":${f(tAdvM)},""" +
       s""""complete":${f(tFullM)},"nocache":${f(tNoM)},""" +
       s""""counts":{"cold":[$hcM,$mcM],"advance":[$haM,$maM],"complete":[$hfM,$mfM]}},""" +
+      s""""sketch":{"cold":${f(tColdS)},"advance":${f(tAdvS)},""" +
+      s""""complete":${f(tFullS)},"nocache":${f(tNoS)},""" +
+      s""""counts":{"cold":[$hcS,$mcS],"advance":[$haS,$maS],"complete":[$hfS,$mfS]}},""" +
       s""""streaming":{"cold":${f(tColdL)},"advance_mean":${f(tAdvL)},""" +
       s""""complete":${f(tWarmL)},"appends":$appendsL,""" +
       s""""counts":{"advance_total":[$hitsL,$missesL]},"law_held":$lawHeldL}}""")
