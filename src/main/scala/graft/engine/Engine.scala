@@ -144,6 +144,12 @@ class Engine(spark: SparkSession, catalog: Catalog,
   // cold fragments served by AWAITING another query's in-flight compute
   // instead of duplicating it (the single-flight seam, VERDICT r12 #6)
   private val segmentCacheCoalesced = new java.util.concurrent.atomic.AtomicLong
+  // serve-time partial merges abandoned at the maxPartialGroups bound
+  // (whole-plan fallback): a persistently climbing value says this
+  // datasource's dimension cardinality outgrew the partial path — raise
+  // the bound or accept whole-plan latency (observable, never silent)
+  private val segmentCachePartialOverflows =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Cache observability, surfaced at `GET /druid/v2/metrics`: the
     * engine's hit/miss counters (lookup-path semantics, identical across
@@ -160,7 +166,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
       "lookupCacheMisses" -> lookupCacheMisses.get,
       "segmentCacheHits" -> segmentCacheHits.get,
       "segmentCacheMisses" -> segmentCacheMisses.get,
-      "segmentCacheCoalesced" -> segmentCacheCoalesced.get)
+      "segmentCacheCoalesced" -> segmentCacheCoalesced.get,
+      "segmentCachePartialOverflows" -> segmentCachePartialOverflows.get)
   }
 
   /** The active storage tier's name (metrics endpoint field). */
@@ -474,7 +481,11 @@ class Engine(spark: SparkSession, catalog: Catalog,
                   // streaming whole-query plan
                   val mergedOpt =
                     try Some(mergePartial(query, frags.flatten))
-                    catch { case _: PartialMerge.Overflow => None }
+                    catch {
+                      case _: PartialMerge.Overflow =>
+                        segmentCachePartialOverflows.incrementAndGet()
+                        None
+                    }
                   mergedOpt.foreach { merged =>
                     segmentCacheHits.addAndGet(slices.size.toLong)
                     record(QueryMetric(queryId, query.getClass.getSimpleName,
@@ -694,6 +705,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
           // query, so a metric row claiming cached fragment hits would
           // overstate cache effectiveness (r14 review finding).
           case _: PartialMerge.Overflow =>
+            segmentCachePartialOverflows.incrementAndGet()
             segmentCacheHits.addAndGet(-hits.get.toLong)
             segmentCacheMisses.addAndGet(-misses.get.toLong)
             hits.set(0); misses.set(0)

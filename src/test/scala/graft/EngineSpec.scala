@@ -1152,6 +1152,16 @@ class EngineSpec extends SparkTestBase {
         else rowSet(streamed) == rowSet(want)
       }, s"warm streaming serve diverged: $q")
     }
+    // DAY granularity + limitSpec sits on the partial surface too (the
+    // nesting decompose refuses limitSpec); same-sv ties across buckets
+    // make the byte order unspecified in BOTH paths, so the law here is
+    // set equality plus the path assertion
+    val dq = gb("\"day\"",
+      """"limitSpec":{"type":"default",
+        |"columns":[{"dimension":"sv","direction":"descending"}]},""".stripMargin)
+    assert(rowSet(seg.executeJson(dq)) == rowSet(whole.executeJson(dq)))
+    assert(seg.metrics.last.segmentMisses + seg.metrics.last.segmentHits > 0,
+      s"day+limitSpec must decompose: $dq")
   }
 
   test("partial merge: driver group bound overflows fall back to the " +
@@ -1176,6 +1186,12 @@ class EngineSpec extends SparkTestBase {
       // cold: fragments compute, the merge overflows (6 groups > 1),
       // the whole plan serves — bytes stay correct
       assert(rowSet(seg.executeJson(q)) == want)
+      // the fallback is observable, never silent, and never reported as a
+      // cached serve (counters rewound)
+      assert(seg.cacheStats("segmentCachePartialOverflows") > 0L,
+        seg.cacheStats.toString)
+      assert(seg.metrics.last.segmentHits == 0 &&
+        seg.metrics.last.segmentMisses == 0, seg.metrics.last.toString)
       // warm streaming: the fully-cached merge overflows too and falls
       // through to the streaming whole plan
       assert(rowSet(seg.executeJsonStream(q).mkString) == want)
