@@ -230,8 +230,11 @@ object SegmentResultCache {
                 g.aggregations.map(_.name) ++
                 g.postAggregations.map(_.name)).toSet
               g.having.forall(evaluableHaving(_, outCols)) &&
-                g.limitSpec.forall(_.columns.forall(c =>
-                  outCols.contains(c.dimension)))
+                g.limitSpec.forall(ls =>
+                  ls.columns.forall(c => outCols.contains(c.dimension)) &&
+                    // a negative limit errors in the whole plan — fall
+                    // back so the planner raises its own error
+                    ls.limit.forall(_ >= 0))
             } &&
             !g.context.contains("maxResults") =>
         Some((g.intervals, g.granularity, g.copy(
@@ -241,6 +244,9 @@ object SegmentResultCache {
           context = Map(partialCtx))))
       case t: Query.TopN
           if dayNestsInBucket(t.granularity) &&
+            // threshold <= 0 yields zero ROWS in the whole plan (buckets
+            // absent), not empty per-bucket arrays — not merge-expressible
+            t.threshold > 0 &&
             t.aggregations.nonEmpty && t.aggregations.forall(mergeableAgg) &&
             t.postAggregations.forall(evaluablePostAgg(_,
               t.aggregations.map(_.name).toSet)) &&

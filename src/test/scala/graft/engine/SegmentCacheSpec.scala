@@ -277,6 +277,32 @@ class SegmentCacheSpec extends graft.SparkTestBase {
     // groupBy having/limitSpec shapes the nesting path refuses)
     assert(SegmentResultCache.decomposePartial(q("\"day\""),
       parse(q("\"day\"")), cat).isDefined)
+    // whole-plan-error / zero-row edges stay on the whole-plan path:
+    // threshold <= 0 yields zero rows there (no per-bucket arrays), and a
+    // negative limit raises the planner's own error
+    none("""{"queryType":"topN","dataSource":"ev","dimension":"event_type",
+      |"threshold":0,"metric":"sv",
+      |"intervals":["2024-04-20T00:00:00Z/2024-06-10T00:00:00Z"],
+      |"granularity":"month",
+      |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+    none("""{"queryType":"groupBy","dataSource":"ev","dimensions":["event_type"],
+      |"intervals":["2024-04-20T00:00:00Z/2024-06-10T00:00:00Z"],
+      |"granularity":"month",
+      |"limitSpec":{"type":"default","limit":-3,"columns":[]},
+      |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+    // ...while a positive topN threshold decomposes (to a groupBy-shaped
+    // day-partial template carrying the sketchPartials flag)
+    locally {
+      val tj =
+        """{"queryType":"topN","dataSource":"ev","dimension":"event_type",
+          |"threshold":2,"metric":"sv",
+          |"intervals":["2024-04-20T00:00:00Z/2024-06-10T00:00:00Z"],
+          |"granularity":"month",
+          |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+      val slices = SegmentResultCache.decomposePartial(tj, parse(tj), cat)
+      assert(slices.isDefined)
+      assert(slices.get.head.subQuery.isInstanceOf[Query.GroupBy])
+    }
     // a 2-day duration IS partial-mergeable; a 7-hour one is neither
     // nesting-eligible here nor day-aligned
     assert(SegmentResultCache.decomposePartial(
