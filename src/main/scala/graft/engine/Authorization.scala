@@ -74,7 +74,15 @@ object QueryAuthorizer {
   * `spark.graft.auth.tokens = "s3cr3t:alice;t0k2:bob"` armed, the HTTP
   * layer resolves the header (bare token or `Bearer <token>`) through this
   * map and REJECTS anything else with 403 — an armed ACL is then keyed by
-  * principals only this process's secrets can assert. */
+  * principals only this process's secrets can assert.
+  *
+  * Deployment posture (the engine WARNs about both at startup): the HTTP
+  * surface is plaintext, so tokens transit in the clear unless a fronting
+  * TLS terminator covers the hop; and the map lives in Spark conf, so conf
+  * dumps (the Spark UI environment page, event logs with conf capture)
+  * expose it — treat the conf as secret material. Token matching is
+  * constant-time (`MessageDigest.isEqual` per configured token), not a
+  * short-circuiting map lookup. */
 object AuthTokens {
   /** None = not armed (legacy verbatim principal forwarding). A
     * present-but-malformed value fails loudly — and the error NEVER echoes

@@ -103,6 +103,10 @@ object CacheBackend {
     Files.createDirectories(dir)
     private val evictions = new java.util.concurrent.atomic.AtomicLong()
     private val nonce = new java.util.concurrent.atomic.AtomicLong()
+    // a dead shared tier must be OBSERVABLE: put swallows IO failures by
+    // contract (lossy-never-wrong), so without a counter a permanently
+    // failing mount reads as a healthy-but-cold cache (r14 advice)
+    private val putFailures = new java.util.concurrent.atomic.AtomicLong()
     // running byte estimate so a put does NOT list the directory every
     // time (on the NFS/fuse mounts this class targets, a per-put metadata
     // sweep of every entry would dominate). This process's own puts move
@@ -110,6 +114,7 @@ object CacheBackend {
     // rescan below — an under-estimate only delays eviction by at most
     // RescanEvery puts, never corrupts anything (lossy-is-allowed).
     private val approxBytes = new java.util.concurrent.atomic.AtomicLong()
+    private val approxEntries = new java.util.concurrent.atomic.AtomicLong()
     private val putsSinceScan = new java.util.concurrent.atomic.AtomicLong()
     private val RescanEvery = 256L
     // a broker killed between write and move orphans a .tmp file that no
@@ -158,16 +163,20 @@ object CacheBackend {
           try Files.getLastModifiedTime(p).toMillis
           catch { case _: java.io.IOException => 0L }))
       var total = all.map(_._2).sum
+      var count = all.size.toLong
       if (total > maxBytes)
         all.sortBy(_._3).iterator
           .takeWhile(_ => total > maxBytes)
           .filterNot(p => spare.contains(p._1))
           .foreach { case (p, sz, _) =>
             try {
-              if (Files.deleteIfExists(p)) { total -= sz; evictions.incrementAndGet() }
+              if (Files.deleteIfExists(p)) {
+                total -= sz; count -= 1; evictions.incrementAndGet()
+              }
             } catch { case _: java.io.IOException => }
           }
       approxBytes.set(total)
+      approxEntries.set(count)
       putsSinceScan.set(0L)
     }
 
@@ -189,21 +198,40 @@ object CacheBackend {
           s".tmp-${ProcessHandle.current().pid()}-${nonce.incrementAndGet()}")
         Files.write(tmp, bytes)
         val target = fileOf(key)
-        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+        val overwrote = Files.exists(target) // estimate only — races are fine
+        try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          // exactly the NFS/fuse mounts this class targets may not support
+          // ATOMIC_MOVE — retry plain (a same-filesystem rename is atomic
+          // in practice on POSIX; worst case a reader's readAllBytes fails
+          // mid-replace and degrades to a miss, the trait's contract)
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+        }
+        if (!overwrote) approxEntries.incrementAndGet()
         if (approxBytes.addAndGet(bytes.length.toLong) > maxBytes ||
             putsSinceScan.incrementAndGet() >= RescanEvery)
           rescan(spare = Some(target))
-      } catch { case _: java.io.IOException => } // lossy is allowed, wrong is not
+      } catch {
+        // lossy is allowed, wrong is not — but count it (a dead tier must
+        // not read as a healthy-but-cold one)
+        case _: java.io.IOException => putFailures.incrementAndGet()
+      }
     }
 
-    override def stats: Map[String, Long] = {
-      val all = entries()
-      Map("entries" -> all.size.toLong,
-        "bytes" -> all.map(p =>
-          try Files.size(p) catch { case _: java.io.IOException => 0L }).sum,
-        "evictions" -> evictions.get())
-    }
+    /** Served from the RUNNING estimates (re-trued by every rescan), NOT a
+      * directory sweep: `stats` sits behind the metrics endpoint, and on an
+      * NFS tier with many entries a per-poll list+size of every file is a
+      * metadata storm a tight scraper turns continuous (r14 verdict #5).
+      * `entries`/`bytes` therefore track THIS process's view — other
+      * brokers' writes appear at the next rescan. */
+    override def stats: Map[String, Long] =
+      Map("entries" -> approxEntries.get(), "bytes" -> approxBytes.get(),
+        "evictions" -> evictions.get(), "putFailures" -> putFailures.get())
+
+    /** Test/operations hook: force the full directory pass now. */
+    private[graft] def rescanNow(): Unit = rescan()
   }
 
   /** Conf-driven backend so a shared tier deploys without code:

@@ -50,6 +50,17 @@ class Engine(spark: SparkSession, catalog: Catalog,
         "identities are CLIENT-ASSERTED unless a fronting authenticator " +
         "rewrites the Authorization header to a principal name")
   }
+  if (authTokens.isDefined) {
+    // the engine's HTTP surface is plaintext: shared secrets transit in
+    // the clear unless a fronting TLS terminator covers the hop, and they
+    // sit in Spark conf (visible to conf dumps / the Spark UI environment
+    // page) — name both so the deployment posture is a decision, not an
+    // accident (r14 verdict #6)
+    org.slf4j.LoggerFactory.getLogger(classOf[Engine]).warn(
+      "spark.graft.auth.tokens is armed: tokens transit PLAINTEXT HTTP " +
+        "(front this server with a TLS terminator) and are readable from " +
+        "Spark conf dumps — treat the conf as secret material")
+  }
 
   /** Transport-layer identity resolution: with [[AuthTokens]] armed, a
     * valid token resolves to its principal and anything else — absent,
@@ -61,7 +72,19 @@ class Engine(spark: SparkSession, catalog: Catalog,
     authTokens match {
       case None => header
       case Some(tokens) =>
-        header.map(AuthTokens.tokenOf).flatMap(tokens.get) match {
+        // constant-time membership: a HashMap lookup short-circuits on the
+        // first differing byte (a timing side channel over a shared
+        // secret); MessageDigest.isEqual compares full length regardless
+        // (r14 advice). The scan is over the CONFIGURED token count — a
+        // handful — so the cost is nil.
+        header.map(AuthTokens.tokenOf).flatMap { presented =>
+          val pb = presented.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          tokens.collectFirst {
+            case (t, principal) if java.security.MessageDigest.isEqual(
+              t.getBytes(java.nio.charset.StandardCharsets.UTF_8), pb) =>
+              principal
+          }
+        } match {
           case some @ Some(_) => some
           case None =>
             countersFor(Some("(invalid-token)"))._2.incrementAndGet()

@@ -166,6 +166,19 @@ object SegmentResultCache {
     case TopNMetricSpec.Inverted(d)       => resolvableMetric(d, cols)
   }
 
+  /** All output names (dimensions + aggregations + post-aggregations)
+    * pairwise distinct. A collision makes the whole-query plan raise a
+    * duplicate/ambiguous-column error, while the merge's row map would
+    * silently drop one of the colliding fields ([[PartialMerge]] keys
+    * values by name) — cache state must not change a query's outcome, so
+    * colliding shapes fall back and raise the planner's own error
+    * (r14 advice). */
+  private def distinctOutputNames(dims: Seq[String], aggs: Seq[Aggregator],
+      postAggs: Seq[PostAggregator]): Boolean = {
+    val names = dims ++ aggs.map(_.name) ++ postAggs.map(_.name)
+    names.distinct.size == names.size
+  }
+
   /** Conservative upper bound on the merged-bucket count the serve-time
     * spine materializes driver-side; far past any dashboard shape. */
   private val MaxPartialBuckets = 100000L
@@ -215,7 +228,8 @@ object SegmentResultCache {
           if dayNestsInBucket(t.granularity) &&
             t.aggregations.nonEmpty && t.aggregations.forall(mergeableAgg) &&
             t.postAggregations.forall(evaluablePostAgg(_,
-              t.aggregations.map(_.name).toSet)) =>
+              t.aggregations.map(_.name).toSet)) &&
+            distinctOutputNames(Seq.empty, t.aggregations, t.postAggregations) =>
         Some((t.intervals, t.granularity, t.copy(
           granularity = Granularity.Simple("day"),
           postAggregations = Seq.empty,
@@ -234,8 +248,17 @@ object SegmentResultCache {
                   ls.columns.forall(c => outCols.contains(c.dimension)) &&
                     // a negative limit errors in the whole plan — fall
                     // back so the planner raises its own error
-                    ls.limit.forall(_ >= 0))
+                    ls.limit.forall(_ >= 0) &&
+                    // a BINDING limit with no ordering columns truncates an
+                    // UNDEFINED order: the whole plan's .limit(n) keeps an
+                    // arbitrary row subset, while the merge's deterministic
+                    // (bucket, dims) prefix would keep a different one —
+                    // cache state must not change the returned row SET, so
+                    // the shape falls back (r14 advice)
+                    (ls.columns.nonEmpty || ls.limit.isEmpty))
             } &&
+            distinctOutputNames(g.dimensions.map(_.outputName),
+              g.aggregations, g.postAggregations) &&
             !g.context.contains("maxResults") =>
         Some((g.intervals, g.granularity, g.copy(
           granularity = Granularity.Simple("day"),
@@ -253,6 +276,8 @@ object SegmentResultCache {
             resolvableMetric(t.metric,
               (t.aggregations.map(_.name) ++
                 t.postAggregations.map(_.name)).toSet) &&
+            distinctOutputNames(Seq(t.dimension.outputName),
+              t.aggregations, t.postAggregations) &&
             !t.context.get("approxTopN").exists(_.toBoolean) =>
         // topN day partials ARE a groupBy over the dimension: per-bucket
         // ranking needs every dimension value's FULL bucket aggregate, so

@@ -818,11 +818,9 @@ class EngineSpec extends SparkTestBase {
     Seq(
       pq.replace(""""postAggregations"""",
         """"having":{"type":"greaterThan","aggregation":"cnt","value":1},"postAggregations""""),
-      // columns:[] + a non-binding limit: a BINDING unordered limit keeps
-      // arbitrary rows in both paths (not comparable); ordered cuts are
-      // exercised in the dedicated serve-time limitSpec test below
+      // columns:[] with NO limit: order-free, still serveable
       pq.replace(""""postAggregations"""",
-        """"limitSpec":{"type":"default","limit":100,"columns":[]},"postAggregations""""))
+        """"limitSpec":{"type":"default","columns":[]},"postAggregations""""))
       .foreach { q =>
         assert(rows(seg.executeJson(q)) == rows(whole.executeJson(q)),
           s"serve-time post-merge diverged: $q")
@@ -830,6 +828,29 @@ class EngineSpec extends SparkTestBase {
           seg.metrics.last.segmentHits == 9,
           s"must reuse the warm partials: $q → ${seg.metrics.last}")
       }
+    // columns:[] + a limit BINDS an undefined order: the whole plan keeps
+    // an arbitrary row subset while the merge's deterministic prefix would
+    // keep a different one — the shape must FALL BACK so cache state never
+    // changes the returned row set (r14 advice)
+    val ulq = pq.replace(""""postAggregations"""",
+      """"limitSpec":{"type":"default","limit":100,"columns":[]},"postAggregations"""")
+    seg.executeJson(ulq)
+    assert(seg.metrics.last.segmentHits == 0 &&
+      seg.metrics.last.segmentMisses == 0,
+      s"unordered binding limit must not decompose: ${seg.metrics.last}")
+    // a name collision between a dim and an agg makes the merge's
+    // name-keyed row map silently drop a field the whole plan would not —
+    // must FALL BACK so cache state never changes the query's outcome
+    // (whatever that outcome is, error included)
+    val collq =
+      """{"queryType":"groupBy","dataSource":"ev","dimensions":["event_type"],
+        |"intervals":["2024-04-20T00:00:00Z/2024-06-20T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"count","name":"event_type"}]}""".stripMargin
+    try seg.executeJson(collq) catch { case _: Exception => }
+    assert(seg.metrics.last.segmentHits == 0 &&
+      seg.metrics.last.segmentMisses == 0,
+      s"colliding output names must not decompose: ${seg.metrics.last}")
     // maxResults (stream-truncation resource cap): whole-query fallback
     val mq = pq.replace("""{"queryType":"groupBy"""",
       """{"context":{"maxResults":"1000"},"queryType":"groupBy"""")
@@ -1247,11 +1268,22 @@ class EngineSpec extends SparkTestBase {
       } finally spark.sparkContext.removeSparkListener(listener)
       assert(b.metrics.last.segmentHits == 9 && b.metrics.last.segmentMisses == 0,
         b.metrics.last.toString)
-      // storage stats come from the DIRECTORY (shared truth), and the
-      // eviction counter is wired: a tiny-budget store evicts on put
-      val stats = b.cacheStats
-      assert(stats("resultCacheEntries") > 0 && stats("resultCacheBytes") > 0,
-        stats.toString)
+      // storage stats are served from RUNNING estimates, not a per-poll
+      // directory sweep (r15: a metrics scraper over an NFS tier must not
+      // trigger a metadata storm): a store constructed NOW (fresh rescan)
+      // sees engine A's writes; engine B's own store was constructed
+      // before them and reports its local view until its next rescan
+      val fresh = new graft.engine.CacheBackend.FileStore(dir, 1L << 20)
+      assert(fresh.stats("entries") > 0 && fresh.stats("bytes") > 0,
+        fresh.stats.toString)
+      // a FOREIGN write (another broker) is invisible to the estimate
+      // until a rescan re-trues it — proving stats don't list the dir
+      val before = fresh.stats("entries")
+      Files.write(dir.resolve("f00d".padTo(64, '0') + ".cache"),
+        "foreign".getBytes)
+      assert(fresh.stats("entries") == before, fresh.stats.toString)
+      fresh.rescanNow()
+      assert(fresh.stats("entries") == before + 1, fresh.stats.toString)
       val tiny = new graft.engine.CacheBackend.FileStore(
         Files.createTempDirectory("graft-filetiny"), 64L)
       tiny.put("k1", "x" * 40); tiny.put("k2", "y" * 40)
@@ -1260,6 +1292,15 @@ class EngineSpec extends SparkTestBase {
       // an entry larger than the whole budget is never stored
       tiny.put("k3", "z" * 100)
       assert(tiny.get("k3").isEmpty)
+      // put failures are counted (r14 advice: a dead tier must be
+      // observable) — break the tier by replacing its directory with a file
+      val deadDir = Files.createTempDirectory("graft-filedead")
+      val dead = new graft.engine.CacheBackend.FileStore(deadDir, 1L << 20)
+      Files.delete(deadDir)
+      Files.write(deadDir, "not a directory".getBytes)
+      dead.put("k", "v")
+      assert(dead.stats("putFailures") == 1L, dead.stats.toString)
+      assert(dead.get("k").isEmpty)
     } finally {
       spark.conf.unset("spark.graft.resultCache.backend")
       spark.conf.unset("spark.graft.resultCache.dir")
