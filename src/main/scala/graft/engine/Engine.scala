@@ -698,7 +698,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
     SegmentResultCache.decompose(json, query, catalog)
       .filter(_.size <= segmentCacheMaxSlices) match {
       case Some(slices) =>
-        collectFragments(query, slices, useCache, populateCache, hits, misses)
+        collectFragments(slices, useCache, populateCache, hits, misses)
           .map { frags =>
             val ordered = query match {
               case t: Query.Timeseries if t.descending => frags.reverse
@@ -716,8 +716,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
           SegmentResultCache.decomposePartial(json, query, catalog)
             .filter(_.size <= segmentCacheMaxSlices)
             .flatMap { slices =>
-              collectFragments(slices.head.subQuery, slices,
-                  useCache, populateCache, hits, misses)
+              collectFragments(slices, useCache, populateCache, hits, misses)
                 .map(frags => mergePartial(query, frags.toSeq))
             }
         } catch {
@@ -785,13 +784,15 @@ class Engine(spark: SparkSession, catalog: Catalog,
       .map(_.toLong).getOrElse(600000L)
 
   /** Look up / compute the fragments for `slices`, aligned by index.
-    * `template` is the per-chunk sub-query shape (the original query on
-    * the nesting path; the day-partial template on the partial path) —
-    * cold fragments compute from ONE plan of `template` over the union of
-    * their sub-intervals. Returns None when populateCache=false and any
+    * Cold fragments compute from ONE plan per distinct sub-query TEMPLATE
+    * (the slice's sub-query with intervals stripped) over the union of
+    * that template's sub-intervals — one template on the nesting path and
+    * for all-interior partial decompositions, at most two (day + hour)
+    * when a timezone/origin granularity splits boundary chunks out at
+    * hour granularity. Returns None when populateCache=false and any
     * slice is cold (cold fragments would be computed and thrown away — no
     * benefit over the single whole-query plan). */
-  private def collectFragments(template: Query,
+  private def collectFragments(
       slices: Seq[SegmentResultCache.ChunkSlice],
       useCache: Boolean, populateCache: Boolean,
       hits: java.util.concurrent.atomic.AtomicInteger,
@@ -827,7 +828,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
       if (awaited.nonEmpty)
         segmentCacheCoalesced.addAndGet(awaited.size.toLong)
       try {
-        computeFragments(template, slices, cold.toSeq, frags, populateCache)
+        computeFragments(slices, cold.toSeq, frags, populateCache)
         cold.foreach { i =>
           val f = inflightFragments.remove(slices(i).key)
           if (f != null) f.complete(frags(i))
@@ -857,16 +858,30 @@ class Engine(spark: SparkSession, catalog: Catalog,
           }
         }
         if (leftover.nonEmpty)
-          computeFragments(template, slices, leftover.toSeq, frags,
-            populateCache)
+          computeFragments(slices, leftover.toSeq, frags, populateCache)
       }
       frags
     }
   }
 
-  /** Compute the `cold`-indexed slices' fragments into `frags` from ONE
-    * coalesced plan of `template`, populating the cache when asked. */
-  private def computeFragments(template: Query,
+  /** Compute the `cold`-indexed slices' fragments into `frags`, one
+    * coalesced plan per distinct sub-query template, populating the cache
+    * when asked. */
+  private def computeFragments(
+      slices: Seq[SegmentResultCache.ChunkSlice], cold: Seq[Int],
+      frags: Array[String], populateCache: Boolean): Unit =
+    // group by the slice's template (sub-query sans intervals): the
+    // nesting path has one group; the partial path has one (all-interior)
+    // or two (day + hour boundary chunks under a timezone/origin
+    // granularity). Groups write disjoint fragment indexes.
+    cold.groupBy(i => SegmentResultCache.withIntervals(
+        slices(i).subQuery, Seq.empty))
+      .foreach { case (template, coldIdx) =>
+        computeFragmentGroup(template, slices, coldIdx, frags, populateCache)
+      }
+
+  /** Compute one template group's fragments from ONE coalesced plan. */
+  private def computeFragmentGroup(template: Query,
       slices: Seq[SegmentResultCache.ChunkSlice], cold: Seq[Int],
       frags: Array[String], populateCache: Boolean): Unit = {
       if (cold.nonEmpty) {

@@ -448,8 +448,17 @@ object PartialMerge {
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, Group]
     fragments.filter(_.nonEmpty).foreach { frag =>
       val rows = mapper.readTree("[" + frag + "]")
-      (0 until rows.size()).foreach { i =>
-        val row = rows.get(i)
+      // groupBy fragments have NO defined row order (the whole plan's is
+      // partition-arbitrary), and an HOUR fragment can carry one group's
+      // values across many rows — first/last merge POSITIONALLY, so rows
+      // must feed the accumulators in time order. A stable sort by the
+      // fragment-granularity timestamp restores it (fragments themselves
+      // arrive chunk-ascending, and chunk intervals are disjoint-ordered,
+      // so the global order is time-ascending too); day fragments carry
+      // one timestamp and are unaffected.
+      (0 until rows.size()).map(i => rows.get(i))
+        .sortBy(r => Instant.parse(r.get("timestamp").asText()))
+        .foreach { row =>
         val bucket = bucketOf(Instant.parse(row.get("timestamp").asText()))
         val ev = row.get("event")
         val dimVals = dims.map(d => ev.get(d): JsonNode)

@@ -72,14 +72,15 @@ object SegmentResultCache {
     case _ => false
   }
 
-  /** Whether the PARTIAL-aggregate decomposition covers granularity `g`:
-    * UTC day chunks nest inside every bucket (the inverse of
-    * [[nestsInDayChunk]]'s condition), so per-chunk day-granularity partial
-    * aggregates merge losslessly into `g`'s buckets at serve time — Druid's
-    * broker partial-merge model (reference `arch/druid-arch.md:38-40`,
-    * `query/query-internal-procedure.md:7`). Origin-anchored periods and
-    * non-UTC timezones can place bucket boundaries mid-day, so they fall
-    * back (conservative, like [[nestsInDayChunk]]). */
+  /** Whether the PARTIAL-aggregate decomposition covers granularity `g`
+    * with DAY fragments alone: UTC day chunks nest inside every bucket
+    * (the inverse of [[nestsInDayChunk]]'s condition), so per-chunk
+    * day-granularity partial aggregates merge losslessly into `g`'s
+    * buckets at serve time — Druid's broker partial-merge model (reference
+    * `arch/druid-arch.md:38-40`, `query/query-internal-procedure.md:7`).
+    * Origin-anchored periods and non-UTC timezones can place bucket
+    * boundaries mid-day — those take the [[hourCandidate]] path, which
+    * decomposes BOUNDARY chunks at hour granularity. */
   def dayNestsInBucket(g: Granularity): Boolean = g match {
     case Granularity.All => true
     // `day` itself nests trivially (bucket == chunk): it normally takes the
@@ -93,6 +94,67 @@ object SegmentResultCache {
         if tz.forall(z => z == "UTC" || z == "Etc/UTC") =>
       Set("P1D", "P1W", "P1M", "P3M", "P1Y").contains(p)
     case _ => false
+  }
+
+  private val monthP = "P(\\d+)M".r
+  private val yearP = "P(\\d+)Y".r
+
+  /** Granularities outside [[dayNestsInBucket]] whose bucket boundaries
+    * can still fall on whole UTC hours — non-UTC timezones (every named
+    * zone with a whole-hour offset), origin-anchored periods, hour-multiple
+    * durations. The reference's own period-granularity example is exactly
+    * this shape (`query/query-module-overview.md:44`, a P1D dashboard in a
+    * named timezone). Candidates are verified PER CHUNK by the boundary
+    * walk in [[decomposePartial]]: a chunk whose internal bucket boundary
+    * is off the hour grid (a :30/:45-offset zone, a mid-hour origin) makes
+    * the whole decomposition fall back — conservative, never wrong. The
+    * step must be ≥ 1 hour so the walk is bounded (≤ 24 internal
+    * boundaries per UTC day chunk). */
+  def hourCandidate(g: Granularity): Boolean = g match {
+    // hourly itself: nests in day chunks for the NESTING path, but shapes
+    // that path refuses (groupBy limitSpec/having, topN) decompose here as
+    // hour partials + serve-time evaluation
+    case Granularity.Simple("hour") => true
+    case Granularity.Duration(ms, _) => ms > 0 && ms % 3600000L == 0
+    case Granularity.Period(p, _, _) => p match {
+      case monthP(_) | yearP(_) => true
+      case _ if graft.expr.Compilers.isDayBasedPeriod(p) => true
+      case _ if p.startsWith("PT") =>
+        val ms = try graft.expr.Compilers.periodMillis(p)
+          catch { case _: IllegalArgumentException => 0L }
+        ms > 0 && ms % 3600000L == 0
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** Whether `g` is on the partial-merge surface at all. */
+  def partialBucketable(g: Granularity): Boolean =
+    dayNestsInBucket(g) || hourCandidate(g)
+
+  /** Classify one UTC day chunk against `g`'s bucket grid: Some("day")
+    * when the chunk lies inside one bucket (its whole-day partial merges
+    * directly), Some("hour") when bucket boundaries cross it AND every
+    * internal boundary sits on a whole UTC hour (hour partials re-bucket
+    * losslessly), None when a boundary is off the hour grid or the walk
+    * misbehaves — the caller falls back to the whole-query plan. */
+  private def classifyChunk(g: Granularity, chunk: Interval): Option[String] = {
+    var b = graft.expr.Compilers.truncInstant(g, chunk.start)
+    if (b.isAfter(chunk.start)) return None // trunc must not move forward
+    var internal = false
+    var steps = 0
+    while (b.isBefore(chunk.end)) {
+      if (steps > 26) return None // step >= 1h bounds a day walk at 25
+      if (b.isAfter(chunk.start)) {
+        if (b.toEpochMilli % 3600000L != 0) return None
+        internal = true
+      }
+      val nb = graft.expr.Compilers.nextBucket(g, b)
+      if (!nb.isAfter(b)) return None // no progress: misbehaving shape
+      b = nb
+      steps += 1
+    }
+    Some(if (internal) "hour" else "day")
   }
 
   /** Aggregators whose per-chunk partials merge by a driver-side rule the
@@ -184,6 +246,7 @@ object SegmentResultCache {
   private val MaxPartialBuckets = 100000L
 
   private def minStepMillis(g: Granularity): Long = g match {
+    case Granularity.Simple("hour") => 3600000L
     case Granularity.Simple("week") | Granularity.Period("P1W", _, _) =>
       7L * 86400000L
     case Granularity.Simple("month") | Granularity.Period("P1M", _, _) =>
@@ -193,21 +256,31 @@ object SegmentResultCache {
     case Granularity.Simple("year") | Granularity.Period("P1Y", _, _) =>
       365L * 86400000L
     case Granularity.Duration(ms, _) => ms
+    case Granularity.Period(p, _, _) => p match {
+      case monthP(n) => n.toLong * 28L * 86400000L
+      case yearP(n)  => n.toLong * 365L * 86400000L
+      case _ =>
+        try math.max(graft.expr.Compilers.periodMillis(p), 1L)
+        catch { case _: IllegalArgumentException => 86400000L }
+    }
     case _ => 86400000L
   }
 
   /** Decompose a NON-nesting-granularity timeseries into per-chunk
-    * day-granularity PARTIAL slices (chunk-ascending), or None when the
-    * shape is outside the partial-merge surface. Each slice's sub-query is
-    * the original with granularity DAY, no post-aggregations, ascending,
-    * skipEmptyBuckets forced on (empty days contribute nothing to a merge,
-    * so fragments stay minimal), and intervals ∩ chunk — the cached bytes
-    * are day-level partial aggregates, independent of the original's
-    * granularity / post-aggs / direction / skipEmptyBuckets. The key's
-    * canonical ([[canonicalPartialSansIntervals]]) drops exactly those
-    * fields, so a dashboard switching month↔quarter↔year views, flipping
-    * sort direction, or editing post-aggregators reuses the SAME warm
-    * day partials. */
+    * PARTIAL slices (chunk-ascending), or None when the shape is outside
+    * the partial-merge surface. Each slice's sub-query is the original
+    * with granularity DAY — or HOUR for the boundary chunks of a
+    * timezone/origin-anchored granularity ([[classifyChunk]]) — no
+    * post-aggregations, ascending, skipEmptyBuckets forced on (empty
+    * buckets contribute nothing to a merge, so fragments stay minimal),
+    * and intervals ∩ chunk — the cached bytes are day/hour-level partial
+    * aggregates, independent of the original's granularity / post-aggs /
+    * direction / skipEmptyBuckets. The key's canonical
+    * ([[canonicalPartialSansIntervals]]) drops exactly those fields, so a
+    * dashboard switching month↔quarter↔year views, flipping sort
+    * direction, editing post-aggregators — or switching between UTC and a
+    * whole-hour timezone view — reuses every warm fragment the new shape
+    * can still use. */
   def decomposePartial(json: String, query: Query, catalog: Catalog)
       : Option[Seq[ChunkSlice]] = {
     // (intervals, granularity, day-partial template) when the shape is on
@@ -225,7 +298,7 @@ object SegmentResultCache {
     val partialCtx = "graft.sketchPartials" -> "true"
     val parts: Option[(Seq[Interval], Granularity, Query)] = query match {
       case t: Query.Timeseries
-          if dayNestsInBucket(t.granularity) &&
+          if partialBucketable(t.granularity) &&
             t.aggregations.nonEmpty && t.aggregations.forall(mergeableAgg) &&
             t.postAggregations.forall(evaluablePostAgg(_,
               t.aggregations.map(_.name).toSet)) &&
@@ -236,7 +309,7 @@ object SegmentResultCache {
           descending = false,
           context = Map("skipEmptyBuckets" -> "true", partialCtx))))
       case g: Query.GroupBy
-          if dayNestsInBucket(g.granularity) &&
+          if partialBucketable(g.granularity) &&
             g.aggregations.forall(mergeableAgg) &&
             g.postAggregations.forall(evaluablePostAgg(_,
               g.aggregations.map(_.name).toSet)) && {
@@ -266,7 +339,7 @@ object SegmentResultCache {
           having = None, limitSpec = None,
           context = Map(partialCtx))))
       case t: Query.TopN
-          if dayNestsInBucket(t.granularity) &&
+          if partialBucketable(t.granularity) &&
             // threshold <= 0 yields zero ROWS in the whole plan (buckets
             // absent), not empty per-bucket arrays — not merge-expressible
             t.threshold > 0 &&
@@ -312,16 +385,41 @@ object SegmentResultCache {
     val tokenByChunk = infos.groupBy(_._1).view
       .mapValues(_.map(i => s"v${i._2}:${i._3}").mkString(",")).toMap
     val canon = canonicalPartialSansIntervals(json)
+    // Per-chunk fragment granularity: a chunk INSIDE one bucket contributes
+    // its whole-day partial; a chunk bucket boundaries cross contributes
+    // HOUR partials (verified hour-aligned — [[classifyChunk]]), which the
+    // serve-time merge re-buckets by `Compilers.truncInstant` exactly like
+    // day rows. The fragment key carries the fragment granularity but NOT
+    // the query granularity, so fragments stay shared across views: a
+    // month and a quarter dashboard in the same timezone share every
+    // interior day fragment AND every boundary hour fragment (quarter
+    // boundaries are month boundaries).
+    val dayNests = dayNestsInBucket(granularity)
+    val hourTemplate = withGranularity(template, Granularity.Simple("hour"))
     val slices = tokenByChunk.keys.toSeq.sorted.flatMap { chunk =>
       val sub = intersect(intervals, chunkInterval(chunk))
       if (sub.isEmpty) None
       else {
+        val pgran =
+          if (dayNests) "day"
+          else classifyChunk(granularity, chunkInterval(chunk)) match {
+            case Some(p) => p
+            case None => return None // off-hour-grid boundary: whole plan
+          }
         val token = tokenByChunk(chunk)
-        Some(ChunkSlice(chunk, token, withIntervals(template, sub),
-          fragmentKey(canon, name, chunk, token, sub)))
+        val tmpl = if (pgran == "day") template else hourTemplate
+        Some(ChunkSlice(chunk, token, withIntervals(tmpl, sub),
+          fragmentKey(canon, name, chunk, token, sub, pgran)))
       }
     }
     if (slices.isEmpty) None else Some(slices)
+  }
+
+  private def withGranularity(q: Query, g: Granularity): Query = q match {
+    case t: Query.Timeseries => t.copy(granularity = g)
+    case gq: Query.GroupBy   => gq.copy(granularity = g)
+    case t: Query.TopN       => t.copy(granularity = g)
+    case other               => other
   }
 
   private def intersect(ivs: Seq[Interval], chunk: Interval): Seq[Interval] =
@@ -375,7 +473,7 @@ object SegmentResultCache {
       else {
         val token = tokenByChunk(chunk)
         Some(ChunkSlice(chunk, token, withIntervals(query, sub),
-          fragmentKey(canon, name, chunk, token, sub)))
+          fragmentKey(canon, name, chunk, token, sub, "whole")))
       }
     }
     if (slices.isEmpty) None else Some(slices)
@@ -469,15 +567,19 @@ object SegmentResultCache {
     } else n.toString
 
   /** SHA-256/128-bit fragment key, domain-separated from whole-query etags
-    * by the `seg:` prefix (the result-cache store is shared). */
+    * by the `seg:` prefix (the result-cache store is shared). `pgran`
+    * domain-separates fragment granularities within one canonical query:
+    * `whole` on the nesting path, `day`/`hour` on the partial path — a
+    * day-partial and an hour-partial fragment of the same chunk must never
+    * substitute for each other. */
   private def fragmentKey(canon: String, ds: String, chunk: String,
-      token: String, sub: Seq[Interval]): String = {
+      token: String, sub: Seq[Interval], pgran: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def upd(s: String): Unit = {
       md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.update(0.toByte)
     }
-    upd(canon); upd(ds); upd(chunk); upd(token)
+    upd(canon); upd(ds); upd(chunk); upd(token); upd(pgran)
     sub.foreach(iv => upd(s"${iv.start}/${iv.end}"))
     "seg:" + md.digest().take(16).map(b => f"$b%02x").mkString
   }

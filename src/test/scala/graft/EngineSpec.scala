@@ -542,10 +542,11 @@ class EngineSpec extends SparkTestBase {
     val store = segFixture("graft-segfall")
     val engine = new Engine(spark, new SegmentCatalog(store))
     val fallbacks = Seq(
-      // origin-anchored period: bucket boundaries sit mid-day
+      // origin-anchored period with a MID-HOUR origin: bucket boundaries
+      // sit off the hour grid, outside even the r15 hour-fragment surface
       """{"queryType":"timeseries","dataSource":"ev",
         |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
-        |"granularity":{"type":"period","period":"P1M","origin":"2024-01-01T06:00:00Z"},
+        |"granularity":{"type":"period","period":"P1M","origin":"2024-01-01T06:30:00Z"},
         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin,
       // FilterH having wraps a FULL filter spec over the aggregated schema
       // — outside the serve-time having evaluator's surface
@@ -702,7 +703,17 @@ class EngineSpec extends SparkTestBase {
       "\"all\"",
       """{"type":"duration","duration":172800000}""",
       """{"type":"period","period":"P1M","timeZone":"UTC"}""",
-      """{"type":"period","period":"P1W"}""")
+      """{"type":"period","period":"P1W"}""",
+      // r15: timezone / origin-anchored shapes — boundary chunks decompose
+      // at HOUR granularity and re-bucket at serve time
+      """{"type":"period","period":"P1D","timeZone":"Asia/Shanghai"}""",
+      """{"type":"period","period":"P1M","timeZone":"Asia/Shanghai"}""",
+      """{"type":"period","period":"P1W","timeZone":"America/New_York"}""",
+      """{"type":"period","period":"P1M","timeZone":"Europe/Berlin",
+        |"origin":"2024-01-15T00:00:00Z"}""".stripMargin,
+      """{"type":"duration","duration":172800000,
+        |"origin":"2024-01-01T06:00:00Z"}""".stripMargin,
+      """{"type":"period","period":"P2D","timeZone":"Asia/Tokyo"}""")
     val aggs = Seq(
       """{"type":"count","name":"cnt"}""",
       """{"type":"doubleSum","name":"sv","fieldName":"value"}""",
@@ -771,19 +782,26 @@ class EngineSpec extends SparkTestBase {
       (0 until a.size()).map(i => a.get(i).toString).toSet
     }
     val rnd = new scala.util.Random(77)
-    val grans = Seq("\"month\"", "\"week\"", "\"quarter\"", "\"year\"", "\"all\"")
+    val grans = Seq("\"month\"", "\"week\"", "\"quarter\"", "\"year\"", "\"all\"",
+      // r15: timezone shapes — boundary chunks at hour granularity; the
+      // first/last agg set below exercises the time-ordered hour merge
+      // over the groupBy plan's partition-arbitrary fragment row order
+      """{"type":"period","period":"P1D","timeZone":"Asia/Shanghai"}""",
+      """{"type":"period","period":"P1M","timeZone":"America/New_York"}""")
     val aggSets = Seq(
       """"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"},
         |{"type":"count","name":"cnt"}]""".stripMargin,
       """"aggregations":[{"type":"longMax","name":"mx","fieldName":"value"},
         |{"type":"filtered","filter":{"type":"selector","dimension":"event_type","value":"click"},
         |"aggregator":{"type":"longSum","name":"cs","fieldName":"value"}}]""".stripMargin,
+      """"aggregations":[{"type":"doubleLast","name":"dl","fieldName":"value"},
+        |{"type":"longFirst","name":"lf","fieldName":"value"}]""".stripMargin,
       """"aggregations":[]""") // distinct-dims path
     val dimSets = Seq(
       """"dimensions":["event_type"]""",
       """"dimensions":[{"type":"extraction","dimension":"event_type",
         |"outputName":"ep","extractionFn":{"type":"substring","index":0,"length":2}}]""".stripMargin)
-    (1 to 12).foreach { i =>
+    (1 to 18).foreach { i =>
       val q =
         s"""{"queryType":"groupBy","dataSource":"ev",
            |${dimSets(rnd.nextInt(dimSets.size))},
@@ -1370,5 +1388,68 @@ class EngineSpec extends SparkTestBase {
       engine.metrics.last.segmentMisses == 1, engine.metrics.last.toString)
     assert(r == withSegCache(false)(new Engine(spark, catalog))
       .executeJson(monthly("2024-06-30T00:00:00Z")))
+  }
+
+  test("partial merge: timezone dashboard — boundary chunks decompose at " +
+      "hour granularity, advances stay incremental, fragments shared " +
+      "across TZ views (VERDICT r14 #1)") {
+    val store = partialFixture("graft-segparttz")
+    val catalog = new SegmentCatalog(store)
+    val engine = new Engine(spark, catalog)
+    val whole = withSegCache(false)(new Engine(spark, catalog))
+    def q(gran: String, end: String): String =
+      s"""{"queryType":"timeseries","dataSource":"ev",
+         |"intervals":["2024-04-20T00:00:00Z/$end"],
+         |"granularity":$gran,
+         |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"},
+         |{"type":"doubleLast","name":"dl","fieldName":"value"}]}""".stripMargin
+    val shDay = """{"type":"period","period":"P1D","timeZone":"Asia/Shanghai"}"""
+    val shMonth = """{"type":"period","period":"P1M","timeZone":"Asia/Shanghai"}"""
+    // cold Shanghai-daily dashboard: every UTC day chunk straddles two
+    // Shanghai days, so all 8 in-window chunks decompose at HOUR
+    // granularity — bytes must equal the whole plan's
+    assert(engine.executeJson(q(shDay, "2024-06-02T00:00:00Z")) ==
+      whole.executeJson(q(shDay, "2024-06-02T00:00:00Z")))
+    assert(engine.metrics.last.segmentMisses == 8 &&
+      engine.metrics.last.segmentHits == 0, engine.metrics.last.toString)
+    // the window advances into June: only the new chunk recomputes
+    assert(engine.executeJson(q(shDay, "2024-06-30T00:00:00Z")) ==
+      whole.executeJson(q(shDay, "2024-06-30T00:00:00Z")))
+    assert(engine.metrics.last.segmentHits == 8 &&
+      engine.metrics.last.segmentMisses == 1, engine.metrics.last.toString)
+    // a Shanghai MONTHLY view of the same window: interior chunks want
+    // DAY fragments (cold), but the month-boundary chunks (2024-04-30,
+    // 2024-05-31 — each contains a 16:00Z Shanghai month boundary) reuse
+    // the daily view's HOUR fragments
+    assert(engine.executeJson(q(shMonth, "2024-06-30T00:00:00Z")) ==
+      whole.executeJson(q(shMonth, "2024-06-30T00:00:00Z")))
+    assert(engine.metrics.last.segmentHits == 2 &&
+      engine.metrics.last.segmentMisses == 7, engine.metrics.last.toString)
+    // a quarter view in the same TZ: no quarter boundary falls in the
+    // window, so every chunk is interior — it reuses the monthly view's 7
+    // day fragments; only the two month-boundary chunks (hour there, day
+    // here) recompute
+    val shQuarter =
+      """{"type":"period","period":"P3M","timeZone":"Asia/Shanghai"}"""
+    assert(engine.executeJson(q(shQuarter, "2024-06-30T00:00:00Z")) ==
+      whole.executeJson(q(shQuarter, "2024-06-30T00:00:00Z")))
+    assert(engine.metrics.last.segmentHits == 7 &&
+      engine.metrics.last.segmentMisses == 2, engine.metrics.last.toString)
+    // a :45-offset zone has off-hour-grid boundaries: whole-query fallback
+    val ktm = """{"type":"period","period":"P1D","timeZone":"Asia/Kathmandu"}"""
+    assert(engine.executeJson(q(ktm, "2024-06-30T00:00:00Z")) ==
+      whole.executeJson(q(ktm, "2024-06-30T00:00:00Z")))
+    assert(engine.metrics.last.segmentHits == 0 &&
+      engine.metrics.last.segmentMisses == 0, engine.metrics.last.toString)
+    // topN re-buckets hour partials at serve time too
+    val topn =
+      s"""{"queryType":"topN","dataSource":"ev","dimension":"event_type",
+         |"metric":"sv","threshold":2,
+         |"intervals":["2024-04-20T00:00:00Z/2024-06-30T00:00:00Z"],
+         |"granularity":$shDay,
+         |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+    assert(engine.executeJson(topn) == whole.executeJson(topn))
+    assert(engine.metrics.last.segmentMisses == 9 &&
+      engine.metrics.last.segmentHits == 0, engine.metrics.last.toString)
   }
 }

@@ -267,8 +267,19 @@ class SegmentCacheSpec extends graft.SparkTestBase {
       assert(hsub.context.get("graft.sketchPartials").contains("true"))
       assert(hsub.postAggregations.isEmpty)
     }
-    none(q("""{"type":"period","period":"P1M","origin":"2024-01-01T06:00:00Z"}"""))
-    none(q("""{"type":"period","period":"P1M","timeZone":"America/New_York"}"""))
+    // r15: origin-anchored periods and whole-hour timezones are ON the
+    // surface (boundary chunks decompose at hour granularity) — only
+    // off-hour-grid boundaries (a mid-hour origin, a :30/:45-offset zone)
+    // still fall back
+    locally {
+      val oq = q("""{"type":"period","period":"P1M","origin":"2024-01-01T06:00:00Z"}""")
+      val os = SegmentResultCache.decomposePartial(oq, parse(oq), cat)
+      assert(os.isDefined, "hour-aligned origin must decompose")
+      val nyq = q("""{"type":"period","period":"P1M","timeZone":"America/New_York"}""")
+      assert(SegmentResultCache.decomposePartial(nyq, parse(nyq), cat).isDefined)
+    }
+    none(q("""{"type":"period","period":"P1M","origin":"2024-01-01T06:30:00Z"}"""))
+    none(q("""{"type":"period","period":"P1D","timeZone":"Asia/Kathmandu"}"""))
     none(q("\"month\"", extra =
       ""","postAggregations":[{"type":"arithmetic","name":"x","fn":"+",
         |"fields":[{"type":"fieldAccess","fieldName":"no_such_agg"}]}]""".stripMargin))
@@ -303,12 +314,16 @@ class SegmentCacheSpec extends graft.SparkTestBase {
       assert(slices.isDefined)
       assert(slices.get.head.subQuery.isInstanceOf[Query.GroupBy])
     }
-    // a 2-day duration IS partial-mergeable; a 7-hour one is neither
-    // nesting-eligible here nor day-aligned
+    // a 2-day duration merges from day partials; a 7-hour one from HOUR
+    // partials (r15 — hour-multiple, boundaries on the hour grid); a
+    // 90-minute one has :30 boundaries and falls back
     assert(SegmentResultCache.decomposePartial(
       q("""{"type":"duration","duration":172800000}"""),
       parse(q("""{"type":"duration","duration":172800000}""")), cat).isDefined)
-    none(q("""{"type":"duration","duration":25200000}"""))
+    assert(SegmentResultCache.decomposePartial(
+      q("""{"type":"duration","duration":25200000}"""),
+      parse(q("""{"type":"duration","duration":25200000}""")), cat).isDefined)
+    none(q("""{"type":"duration","duration":5400000}"""))
     // span guard: a century of 2-day buckets is fine, 10,000 years is not
     val wide = q("""{"type":"duration","duration":172800000}""")
       .replace("2024-04-20T00:00:00Z/2024-06-10T00:00:00Z",
