@@ -508,6 +508,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
                       case _: PartialMerge.Overflow =>
                         segmentCachePartialOverflows.incrementAndGet()
                         None
+                      case _: PartialMerge.NotServeable => None
                     }
                   mergedOpt.foreach { merged =>
                     segmentCacheHits.addAndGet(slices.size.toLong)
@@ -732,6 +733,14 @@ class Engine(spark: SparkSession, catalog: Catalog,
             segmentCacheMisses.addAndGet(-misses.get.toLong)
             hits.set(0); misses.set(0)
             None
+          // a serve-time evaluation the merge cannot reproduce (FilterH
+          // analysis/eval, a value conversion): the whole plan serves the
+          // query — or raises its own, better error
+          case _: PartialMerge.NotServeable =>
+            segmentCacheHits.addAndGet(-hits.get.toLong)
+            segmentCacheMisses.addAndGet(-misses.get.toLong)
+            hits.set(0); misses.set(0)
+            None
         }
     }
   }
@@ -751,7 +760,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
       case t: Query.Timeseries =>
         PartialMerge.merge(t, frags, chunkCoverageOf(t.dataSource), rollup)
       case gq: Query.GroupBy =>
-        PartialMerge.mergeGroupBy(gq, frags, rollup, segmentCacheMaxPartialGroups)
+        PartialMerge.mergeGroupBy(gq, frags, rollup,
+          segmentCacheMaxPartialGroups, Some((spark, catalog)))
       case tn: Query.TopN =>
         PartialMerge.mergeTopN(tn, frags, rollup, segmentCacheMaxPartialGroups)
       case other => throw new IllegalStateException(

@@ -285,6 +285,13 @@ object PartialMerge {
     s"partial merge materialized > $bound groups; falling back " +
       s"(raise spark.graft.segmentCache.maxPartialGroups to serve this shape)")
 
+  /** Thrown when a serve-time evaluation (FilterH analysis/eval, a value
+    * conversion) cannot reproduce the whole plan — the engine falls back
+    * to the whole-query plan, which either serves the query or raises its
+    * own (better) error. */
+  final class NotServeable(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
   // -- driver-side post-merge evaluation (having / limitSpec / topN rank) ----
   //
   // Druid's broker applies having, limit ordering, and topN ranking AFTER
@@ -373,13 +380,132 @@ object PartialMerge {
       case _ => v
     }
 
+  // -- FilterH: serve-time evaluation through Spark's own analyzer ----------
+
+  private def collectFilterH(h: HavingSpec): Seq[Filter] = h match {
+    case HavingSpec.FilterH(f) => Seq(f)
+    case HavingSpec.AndH(hs)   => hs.flatMap(collectFilterH)
+    case HavingSpec.OrH(hs)    => hs.flatMap(collectFilterH)
+    case HavingSpec.NotH(h0)   => collectFilterH(h0)
+    case _                     => Seq.empty
+  }
+
+  /** Merged value → Catalyst internal value of the PLANNED column type.
+    * A shape the conversion can't reproduce raises [[NotServeable]] (the
+    * engine falls back). Float-typed columns share the documented
+    * float-reparse ulp caveat: the merged value is the double nearest the
+    * rendered decimal. */
+  private def toInternalValue(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (v == null) return null
+    dt match {
+      case StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(castToString(v))
+      case LongType => v match {
+        case l: java.lang.Long    => l
+        case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
+        case other => throw new NotServeable(s"FilterH: $other is not a long")
+      }
+      case IntegerType => v match {
+        case l: java.lang.Long    => java.lang.Integer.valueOf(l.intValue)
+        case i: java.lang.Integer => i
+        case other => throw new NotServeable(s"FilterH: $other is not an int")
+      }
+      case DoubleType => v match {
+        case d: java.lang.Double => d
+        case l: java.lang.Long   => java.lang.Double.valueOf(l.doubleValue)
+        case f: java.lang.Float  => java.lang.Double.valueOf(f.doubleValue)
+        case other => throw new NotServeable(s"FilterH: $other is not a double")
+      }
+      case FloatType => v match {
+        case f: java.lang.Float  => f
+        case d: java.lang.Double => java.lang.Float.valueOf(d.floatValue)
+        case l: java.lang.Long   => java.lang.Float.valueOf(l.floatValue)
+        case other => throw new NotServeable(s"FilterH: $other is not a float")
+      }
+      case BooleanType => v match {
+        case b: java.lang.Boolean => b
+        case other => throw new NotServeable(s"FilterH: $other is not a boolean")
+      }
+      case other =>
+        throw new NotServeable(s"FilterH: unsupported column type $other")
+    }
+  }
+
+  /** Compile each FilterH filter of `q.having` into a per-row predicate
+    * over the merged values. Rather than hand-mirroring
+    * `Compilers.filterCol`'s semantics (typed literals, legacy casts,
+    * like-escape normalization, search specs, type coercion...), the
+    * filter is compiled by filterCol ITSELF over the planner's aggregate
+    * output schema (a lazy plan — analysis only, never a Spark job; exact
+    * types matter: a double column whose merged window holds whole numbers
+    * renders integral, and a value-derived schema would mistype it),
+    * analyzed by Spark's own analyzer against a LocalRelation — the same
+    * coercion rules the whole-query plan gets — and evaluated interpreted
+    * per row. Semantics match the whole plan by construction; anything
+    * that fails raises [[NotServeable]] and the engine falls back to the
+    * whole plan, which serves the query or raises its own (better) error. */
+  private def filterHavingEvaluators(q: Query.GroupBy, names: Seq[String],
+      spark: org.apache.spark.sql.SparkSession, catalog: graft.sources.Catalog)
+      : Map[Filter, collection.Map[String, Any] => java.lang.Boolean] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      AttributeSeq, BindReferences, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.plans.logical
+    val filters = q.having.toSeq.flatMap(collectFilterH).distinct
+    if (filters.isEmpty) return Map.empty
+    val planned =
+      try QueryPlanner.plan(spark, q, catalog).schema
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new NotServeable("FilterH: schema planning failed", e) }
+    val fieldByName = planned.fields.map(f => f.name -> f).toMap
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      fieldByName.getOrElse(n,
+        throw new NotServeable(s"FilterH: no planned column '$n'"))))
+    val attrs = schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, nullable = true)())
+    val types = schema.fields.map(_.dataType)
+    filters.map { f =>
+      val cond = org.apache.spark.sql.GraftBridge.analyzableExpression(
+        Compilers.filterCol(f, schema))
+      val analyzed =
+        try spark.sessionState.analyzer.execute(
+          logical.Filter(cond, logical.LocalRelation(attrs)))
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new NotServeable("FilterH: analysis failed", e) }
+      val resolvedCond = analyzed match {
+        case lf: logical.Filter if lf.condition.resolved => lf.condition
+        case other => throw new NotServeable(s"FilterH: did not resolve: $other")
+      }
+      val bound = BindReferences.bindReference(resolvedCond, AttributeSeq(attrs))
+      val eval: collection.Map[String, Any] => java.lang.Boolean = { row =>
+        val arr = new Array[Any](names.size)
+        var i = 0
+        names.foreach { n =>
+          arr(i) = toInternalValue(row.getOrElse(n, null), types(i)); i += 1
+        }
+        (try bound.eval(new GenericInternalRow(arr))
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new NotServeable("FilterH: eval failed", e) }) match {
+          case null                 => null
+          case b: java.lang.Boolean => b
+          case other =>
+            throw new NotServeable(s"FilterH: non-boolean value $other")
+        }
+      }
+      f -> eval
+    }.toMap
+  }
+
   /** Three-valued having evaluation mirroring `QueryPlanner.havingCol`:
     * numeric comparators go through cast-to-double with Spark's double
     * comparison; dimSelector through cast-to-string equality; and/or keep
-    * Spark's null logic; not is `!coalesce(h, false)`. Returns
+    * Spark's null logic; not is `!coalesce(h, false)`; FilterH evaluates
+    * through the prebuilt `filterEvals` predicate. Returns
     * TRUE/FALSE/null(unknown); only TRUE keeps the row. */
-  private def evalHaving(h: HavingSpec,
-      row: collection.Map[String, Any]): java.lang.Boolean = {
+  private def evalHaving(h: HavingSpec, row: collection.Map[String, Any],
+      filterEvals: Map[Filter,
+        collection.Map[String, Any] => java.lang.Boolean]): java.lang.Boolean = {
     import HavingSpec._
     def cmpTo(a: String, v: Double, f: Int => Boolean): java.lang.Boolean = {
       val d = castToDouble(row.getOrElse(a, null))
@@ -396,7 +522,7 @@ object PartialMerge {
       case AndH(hs) =>
         var sawNull = false
         hs.foreach { h0 =>
-          val b = evalHaving(h0, row)
+          val b = evalHaving(h0, row, filterEvals)
           if (b == null) sawNull = true
           else if (!b.booleanValue) return java.lang.Boolean.FALSE
         }
@@ -404,14 +530,16 @@ object PartialMerge {
       case OrH(hs) =>
         var sawNull = false
         hs.foreach { h0 =>
-          val b = evalHaving(h0, row)
+          val b = evalHaving(h0, row, filterEvals)
           if (b == null) sawNull = true
           else if (b.booleanValue) return java.lang.Boolean.TRUE
         }
         if (sawNull) null else java.lang.Boolean.FALSE
       case NotH(h0) =>
-        val b = evalHaving(h0, row) // !coalesce(h, false): unknown -> true
+        val b = evalHaving(h0, row, filterEvals) // !coalesce(h, false): unknown -> true
         java.lang.Boolean.valueOf(b == null || !b.booleanValue)
+      case FilterH(f) => filterEvals.getOrElse(f,
+        throw new NotServeable("FilterH: no prebuilt predicate"))(row)
       case other => throw new IllegalArgumentException(
         s"not driver-evaluable having: ${other.getClass.getSimpleName}")
     }
@@ -522,7 +650,9 @@ object PartialMerge {
     * ties resolve by the deterministic pre-order (the whole plan's tie
     * order is partition-arbitrary there too). */
   def mergeGroupBy(q: Query.GroupBy, fragments: Seq[String],
-      rollup: Boolean, maxGroups: Int = Int.MaxValue): String = {
+      rollup: Boolean, maxGroups: Int = Int.MaxValue,
+      serveCtx: Option[(org.apache.spark.sql.SparkSession,
+        graft.sources.Catalog)] = None): String = {
     val g = q.granularity
     val dims = q.dimensions.map(_.outputName)
     val rows0 = mergeGroupRows(dims, q.aggregations, q.postAggregations,
@@ -531,9 +661,24 @@ object PartialMerge {
         case _ => Some(Compilers.truncInstant(g, ts))
       },
       fragments, rollup, maxGroups)
+    // FilterH predicates compile once per serve against the planner's
+    // schema (needs the session + catalog; absent context falls back)
+    val filterEvals = q.having.toSeq.flatMap(collectFilterH) match {
+      case Nil => Map.empty[Filter,
+        collection.Map[String, Any] => java.lang.Boolean]
+      case _ => serveCtx match {
+        case Some((spark, catalog)) =>
+          val names = dims ++ q.aggregations.map(_.name) ++
+            q.postAggregations.map(_.name)
+          filterHavingEvaluators(q, names, spark, catalog)
+        case None =>
+          throw new NotServeable("FilterH: no serve context provided")
+      }
+    }
     val havinged = q.having match {
       case Some(h) => rows0.filter { r =>
-        val b = evalHaving(h, r.values); b != null && b.booleanValue
+        val b = evalHaving(h, r.values, filterEvals)
+        b != null && b.booleanValue
       }
       case None => rows0
     }

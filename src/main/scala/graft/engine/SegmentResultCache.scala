@@ -203,9 +203,13 @@ object SegmentResultCache {
     * — Druid's broker applies having AFTER merging partials (reference
     * `query/query-internal-procedure.md:128-142`). The numeric/dimension
     * comparators and the and/or/not combinators mirror the planner's
-    * `havingCol` three-valued logic exactly; `FilterH` wraps a full filter
-    * spec over the aggregated schema (a much larger surface), so it falls
-    * back to the whole-query path. */
+    * `havingCol` three-valued logic exactly; `FilterH` (r15) compiles its
+    * filter through `Compilers.filterCol` over the PLANNED aggregate
+    * schema and evaluates it interpreted via Spark's own analyzer
+    * ([[PartialMerge.filterHavingEval]]), so its semantics are the whole
+    * plan's by construction — any filter over the query's own output
+    * columns qualifies, except registeredLookup extractions (they resolve
+    * against the catalog at plan time). */
   def evaluableHaving(h: HavingSpec, cols: Set[String]): Boolean = h match {
     // a name outside the query's own output columns falls back too — the
     // whole-query plan raises its (better) unresolved-column error there
@@ -216,7 +220,36 @@ object SegmentResultCache {
     case HavingSpec.AndH(hs) => hs.forall(evaluableHaving(_, cols))
     case HavingSpec.OrH(hs)  => hs.forall(evaluableHaving(_, cols))
     case HavingSpec.NotH(s)  => evaluableHaving(s, cols)
-    case _: HavingSpec.FilterH => false
+    case HavingSpec.FilterH(f) => evaluableFilter(f, cols)
+  }
+
+  /** Filters the serve-time FilterH evaluator covers: anything over the
+    * query's own OUTPUT columns without a registeredLookup extraction.
+    * Interval filters stay out (they address the time column, which the
+    * aggregated row exposes only as the bucket). */
+  def evaluableFilter(f: Filter, cols: Set[String]): Boolean = {
+    import Filter._
+    def exOk(e: Option[ExtractionFn]): Boolean = e.forall(noRegisteredLookup)
+    f match {
+      case Selector(d, _, ex)         => cols.contains(d) && exOk(ex)
+      case In(d, _, ex)               => cols.contains(d) && exOk(ex)
+      case Bound(d, _, _, _, _, _, ex) => cols.contains(d) && exOk(ex)
+      case Like(d, _, _, ex)          => cols.contains(d) && exOk(ex)
+      case Regex(d, _, ex)            => cols.contains(d) && exOk(ex)
+      case Search(d, _, ex)           => cols.contains(d) && exOk(ex)
+      case ColumnComparison(ds)       => ds.forall(cols.contains)
+      case And(fs)                    => fs.forall(evaluableFilter(_, cols))
+      case Or(fs)                     => fs.forall(evaluableFilter(_, cols))
+      case Not(f0)                    => evaluableFilter(f0, cols)
+      case True                       => true
+      case _: IntervalF               => false
+    }
+  }
+
+  private def noRegisteredLookup(e: ExtractionFn): Boolean = e match {
+    case _: ExtractionFn.RegisteredLookup => false
+    case ExtractionFn.Cascade(fns)        => fns.forall(noRegisteredLookup)
+    case _                                => true
   }
 
   /** Whether a topN metric spec resolves against the query's own output

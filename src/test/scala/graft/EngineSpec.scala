@@ -548,12 +548,13 @@ class EngineSpec extends SparkTestBase {
         |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
         |"granularity":{"type":"period","period":"P1M","origin":"2024-01-01T06:30:00Z"},
         |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin,
-      // FilterH having wraps a FULL filter spec over the aggregated schema
-      // — outside the serve-time having evaluator's surface
+      // FilterH referencing a column OUTSIDE the query's own outputs: the
+      // whole plan must raise its own unresolved-column error (r15 —
+      // in-output FilterH now serves; see the serve-time having test)
       """{"queryType":"groupBy","dataSource":"ev","dimensions":["event_type"],
         |"intervals":["2024-05-01T00:00:00Z/2024-05-04T00:00:00Z"],
         |"granularity":"month",
-        |"having":{"type":"filter","filter":{"type":"selector","dimension":"event_type","value":"click"}},
+        |"having":{"type":"filter","filter":{"type":"selector","dimension":"no_such_col","value":"x"}},
         |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin,
       // a having name outside the query's own output columns must fall
       // back so the whole plan raises its unresolved-column error
@@ -1172,7 +1173,55 @@ class EngineSpec extends SparkTestBase {
       // having WITHOUT limitSpec (set law, checked as bytes of sorted
       // merge vs whole-plan set below)
       gb("\"quarter\"",
-        """"having":{"type":"greaterThan","aggregation":"cnt","value":2},"""))
+        """"having":{"type":"greaterThan","aggregation":"cnt","value":2},"""),
+      // r15: FilterH — a FULL filter spec over the aggregated row,
+      // analyzed/evaluated by Spark itself at serve time. Selector on the
+      // dim; bound(numeric) on an agg; like + regex + search on the dim;
+      // an In with a non-integral literal against the LONG count column
+      // (legacy-cast coercion must match the whole plan); nested not/and.
+      gb("\"month\"",
+        """"having":{"type":"filter","filter":{"type":"selector",
+          |"dimension":"event_type","value":"click"}},
+          |"limitSpec":{"type":"default","limit":8,
+          |"columns":[{"dimension":"sv","direction":"descending"}]},""".stripMargin),
+      gb("\"month\"",
+        """"having":{"type":"filter","filter":{"type":"bound",
+          |"dimension":"sv","lower":"120","upper":"260.5","ordering":"numeric"}},
+          |"limitSpec":{"type":"default","limit":8,
+          |"columns":[{"dimension":"sv","direction":"ascending"}]},""".stripMargin),
+      gb("\"week\"",
+        """"having":{"type":"filter","filter":{"type":"and","fields":[
+          |{"type":"like","dimension":"event_type","pattern":"%ie%"},
+          |{"type":"not","field":{"type":"regex","dimension":"event_type","pattern":"^c"}}]}},
+          |"limitSpec":{"type":"default","limit":9,
+          |"columns":[{"dimension":"sv","direction":"descending"}]},""".stripMargin),
+      gb("\"month\"",
+        """"having":{"type":"filter","filter":{"type":"in",
+          |"dimension":"cnt","values":["3","2.5","nope"]}},
+          |"limitSpec":{"type":"default","limit":9,
+          |"columns":[{"dimension":"sv","direction":"descending"}]},""".stripMargin),
+      gb("\"month\"",
+        """"having":{"type":"filter","filter":{"type":"search",
+          |"dimension":"event_type","query":{"type":"insensitive_contains","value":"IEW"}}},
+          |"limitSpec":{"type":"default","limit":9,
+          |"columns":[{"dimension":"sv","direction":"ascending"}]},""".stripMargin),
+      // FilterH nested INSIDE and/not having combinators (3VL composition)
+      gb("\"month\"",
+        """"having":{"type":"and","havingSpecs":[
+          |{"type":"filter","filter":{"type":"bound","dimension":"sv",
+          |"lower":"100","ordering":"numeric"}},
+          |{"type":"not","havingSpec":{"type":"filter","filter":
+          |{"type":"selector","dimension":"event_type","value":"click"}}}]},
+          |"limitSpec":{"type":"default","limit":9,
+          |"columns":[{"dimension":"sv","direction":"descending"}]},""".stripMargin),
+      // FilterH over an extraction on the dim (substring upper)
+      gb("\"month\"",
+        """"having":{"type":"filter","filter":{"type":"selector",
+          |"dimension":"event_type","value":"VI",
+          |"extractionFn":{"type":"cascade","extractionFns":[
+          |{"type":"substring","index":0,"length":2},{"type":"upper"}]}}},
+          |"limitSpec":{"type":"default","limit":9,
+          |"columns":[{"dimension":"sv","direction":"ascending"}]},""".stripMargin))
     def rowSet(s: String) = {
       val a = m.readTree(s)
       (0 until a.size()).map(i => a.get(i).toString).toSet
