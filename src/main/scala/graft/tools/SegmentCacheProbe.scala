@@ -119,6 +119,46 @@ object SegmentCacheProbe {
     plain.executeJson(uncached(sketchMonthly(2)))
     val tNoS = (System.nanoTime() - t2) / 1e9
 
+    // TIMEZONE arm (VERDICT r14 #1): a Shanghai-daily dashboard. Every
+    // UTC day chunk straddles two Shanghai days, so the r15 partial path
+    // caches HOUR fragments per chunk and re-buckets them at serve time —
+    // this window shape recomputed whole-query on every advance before.
+    def tzDaily(i0: Int): String = window(i0).replace("\"hour\"",
+      """{"type":"period","period":"P1D","timeZone":"Asia/Shanghai"}""")
+    plain.executeJson(uncached(tzDaily(0)))
+    plain.executeJson(uncached(tzDaily(0)))
+    val (tColdT, hcT, mcT) = timed(tzDaily(1))
+    val (tAdvT, haT, maT) = timed(tzDaily(2))
+    val (tFullT, hfT, mfT) = timed(tzDaily(2).replace("\"granularity\"",
+      "\"context\":{\"queryId\":\"againT\"},\"granularity\""))
+    val t3 = System.nanoTime()
+    plain.executeJson(uncached(tzDaily(2)))
+    val tNoT = (System.nanoTime() - t3) / 1e9
+
+    // SEARCH arm (VERDICT r14 #7 — measure before building): search does
+    // NOT decompose into fragments; a moving search window only has the
+    // whole-query cache, so every advance recomputes. cold = first load,
+    // advance = window moved (recompute), complete = same window again
+    // (whole-query cache hit). If advance/nocache ≈ 1 and cold is
+    // chunk-compute dominated, a per-chunk search cache would pay.
+    def searchQ(i0: Int): String =
+      s"""{"queryType":"search","dataSource":"ev",
+         |"intervals":["${chunks(i0)}T00:00:00Z/${chunks(i0 + days)}T00:00:00Z"],
+         |"searchDimensions":["event_type"],
+         |"query":{"type":"insensitive_contains","value":"c"},
+         |"sort":"count","limit":100}""".stripMargin
+    plain.executeJson(uncached(searchQ(0)))
+    plain.executeJson(uncached(searchQ(0)))
+    val tColdSe = { val t = System.nanoTime()
+      engine.executeJson(searchQ(1)); (System.nanoTime() - t) / 1e9 }
+    val tAdvSe = { val t = System.nanoTime()
+      engine.executeJson(searchQ(2)); (System.nanoTime() - t) / 1e9 }
+    val tFullSe = { val t = System.nanoTime()
+      engine.executeJson(searchQ(2)); (System.nanoTime() - t) / 1e9 }
+    val t4 = System.nanoTime()
+    plain.executeJson(uncached(searchQ(2)))
+    val tNoSe = (System.nanoTime() - t4) / 1e9
+
     // STREAMING arm (VERDICT r13 #7): a live micro-batch append lands
     // inside a warm dashboard loop. The cache-aware handoff law (r13's
     // integration test, now MEASURED): each append bumps only the hot
@@ -196,6 +236,11 @@ object SegmentCacheProbe {
       s""""sketch":{"cold":${f(tColdS)},"advance":${f(tAdvS)},""" +
       s""""complete":${f(tFullS)},"nocache":${f(tNoS)},""" +
       s""""counts":{"cold":[$hcS,$mcS],"advance":[$haS,$maS],"complete":[$hfS,$mfS]}},""" +
+      s""""tz_daily":{"cold":${f(tColdT)},"advance":${f(tAdvT)},""" +
+      s""""complete":${f(tFullT)},"nocache":${f(tNoT)},""" +
+      s""""counts":{"cold":[$hcT,$mcT],"advance":[$haT,$maT],"complete":[$hfT,$mfT]}},""" +
+      s""""search":{"cold":${f(tColdSe)},"advance":${f(tAdvSe)},""" +
+      s""""complete":${f(tFullSe)},"nocache":${f(tNoSe)}},""" +
       s""""streaming":{"cold":${f(tColdL)},"advance_mean":${f(tAdvL)},""" +
       s""""complete":${f(tWarmL)},"appends":$appendsL,""" +
       s""""counts":{"advance_total":[$hitsL,$missesL]},"law_held":$lawHeldL}}""")
