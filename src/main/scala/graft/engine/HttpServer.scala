@@ -20,7 +20,8 @@ import java.nio.charset.StandardCharsets
   * body.
   */
 class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 0,
-    streamCap: Int = 12) {
+    streamCap: Int = 12,
+    retention: Option[graft.ingest.RetentionService] = None) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -248,6 +249,13 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               st.rows.foreach(o.put("rows", _))
               st.bytes.foreach(o.put("bytes", _))
               o.put("durationMs", st.durationMs)
+            }
+            // retention family (r15 — the Coordinator's rules loop):
+            // cycle/kill/archive/skip/failure counters; the emitted tasks
+            // themselves appear in the task list above
+            retention.foreach { r =>
+              val o = root.putObject("retention")
+              r.stats.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
             }
             // LSH family: the dedup/near-dup observability ring — candidate
             // estimates and bucket-cap truncation reports (capture

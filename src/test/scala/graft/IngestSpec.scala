@@ -857,4 +857,95 @@ class IngestSpec extends SparkTestBase {
     assert(w10.get.getAs[Long]("cnt") == 2L)
     assert(w10.get.getAs[Double]("sv") == 3.0)
   }
+
+  test("retention rules: conf-driven kill/archive sweep emits the existing " +
+      "task types, idempotent across cycles (VERDICT r14 #4)") {
+    import graft.ingest.RetentionService
+    val store = freshStore()
+    // synthetic timeline: an ancient, an old, and a recent chunk — plus a
+    // second datasource the rules do NOT mention (must stay untouched)
+    store.write(Seq(
+      (ts("2024-01-05T10:00:00Z"), "click", 1.0),
+      (ts("2024-03-10T10:00:00Z"), "view", 2.0),
+      (ts("2024-05-20T10:00:00Z"), "view", 3.0),
+    ).toDF("__time", "event_type", "value"), "ev")
+    store.write(Seq((ts("2023-01-01T00:00:00Z"), "x", 1.0))
+      .toDF("__time", "event_type", "value"), "other")
+    val archiveRoot = Files.createTempDirectory("graft-cold").toString
+    spark.conf.set("spark.graft.retention.rules",
+      "ev:dropBefore=P90D|archiveBefore=P30D")
+    spark.conf.set("spark.graft.retention.archiveRoot", archiveRoot)
+    try {
+      val tasks = new TaskService(spark, store)
+      val svc = new RetentionService(spark, store, tasks)
+      val now = java.time.Instant.parse("2024-06-01T00:00:00Z")
+      // cutoffs: drop <= 2024-03-03, archive <= 2024-05-02 →
+      // 01-05 kills, 03-10 archives, 05-20 stays
+      val dry = svc.evaluate(now, dryRun = true)
+      assert(dry.dryRun && dry.submitted.isEmpty)
+      assert(dry.planned.map(a => (a.taskType, a.dataSource, a.chunk)) == Seq(
+        ("kill", "ev", "2024-01-05"), ("archive", "ev", "2024-03-10")),
+        dry.planned.toString)
+      // dry-run touched nothing
+      assert(store.readManifest("ev").segments.map(_.chunk).sorted ==
+        Seq("2024-01-05", "2024-03-10", "2024-05-20"))
+      // real cycle: tasks run through TaskService (status lifecycle)
+      val r1 = svc.evaluate(now)
+      assert(r1.submitted == Seq("retention-kill-ev-2024-01-05",
+        "retention-archive-ev-2024-03-10"), r1.toString)
+      assert(tasks.status("retention-kill-ev-2024-01-05").exists(_.state == "SUCCESS"))
+      val segs = store.readManifest("ev").segments
+      assert(segs.map(_.chunk).sorted == Seq("2024-03-10", "2024-05-20"))
+      val archived = segs.find(_.chunk == "2024-03-10").get
+      assert(archived.path.startsWith(archiveRoot),
+        s"archived segment must live under the cold root: ${archived.path}")
+      // the archived chunk stays QUERYABLE (archive repoints, kill deletes)
+      val engine = new Engine(spark, new SegmentCatalog(store))
+      val res = engine.executeJson(
+        """{"queryType":"timeseries","dataSource":"ev",
+          |"intervals":["2024-01-01T00:00:00Z/2024-06-01T00:00:00Z"],
+          |"granularity":"all",
+          |"aggregations":[{"type":"count","name":"cnt"}]}""".stripMargin)
+      assert(res.contains("\"cnt\":2"), res)
+      // the unmentioned datasource is untouched
+      assert(store.readManifest("other").segments.map(_.chunk) == Seq("2023-01-01"))
+      // idempotence: the same cycle re-plans NOTHING (killed chunk is
+      // gone, archived chunk already lives under the root)
+      val r2 = svc.evaluate(now)
+      assert(r2.planned.isEmpty, r2.toString)
+      // later: the archived chunk ages past dropBefore and is killed even
+      // though it lives in cold storage; the recent chunk ages into the
+      // archive band in the same cycle
+      val later = java.time.Instant.parse("2024-07-15T00:00:00Z")
+      val r3 = svc.evaluate(later)
+      assert(r3.submitted == Seq("retention-kill-ev-2024-03-10",
+        "retention-archive-ev-2024-05-20"), r3.toString)
+      assert(store.readManifest("ev").segments.map(_.chunk) == Seq("2024-05-20"))
+      assert(store.readManifest("ev").segments.head.path.startsWith(archiveRoot))
+      // a squatting task id makes the sweep SKIP (duplicate-id rejection),
+      // observable in the counters, never doubled or crashed
+      val evenLater = java.time.Instant.parse("2024-09-15T00:00:00Z")
+      tasks.submit("""{"type":"noop","id":"retention-kill-ev-2024-05-20"}""")
+      val r4 = svc.evaluate(evenLater)
+      assert(r4.skipped == Seq("retention-kill-ev-2024-05-20"), r4.toString)
+      assert(store.readManifest("ev").segments.map(_.chunk) == Seq("2024-05-20"))
+      assert(svc.stats == Map("retentionCycles" -> 5L, "retentionKills" -> 2L,
+        "retentionArchives" -> 2L, "retentionSkipped" -> 1L,
+        "retentionFailures" -> 0L), svc.stats.toString)
+      // malformed policies fail LOUDLY at construction
+      intercept[IllegalArgumentException](
+        RetentionService.parseRules("ev:dropBefore=banana"))
+      intercept[IllegalArgumentException](
+        RetentionService.parseRules("ev:dropBefore=P30D|archiveBefore=P90D"))
+      intercept[IllegalArgumentException](RetentionService.parseRules("ev:"))
+      spark.conf.set("spark.graft.retention.rules", "ev:archiveBefore=P30D")
+      spark.conf.unset("spark.graft.retention.archiveRoot")
+      intercept[IllegalArgumentException](
+        new RetentionService(spark, store, tasks))
+    } finally {
+      spark.conf.unset("spark.graft.retention.rules")
+      if (spark.conf.getOption("spark.graft.retention.archiveRoot").isDefined)
+        spark.conf.unset("spark.graft.retention.archiveRoot")
+    }
+  }
 }
