@@ -173,6 +173,14 @@ class Engine(spark: SparkSession, catalog: Catalog,
   // the bound or accept whole-plan latency (observable, never silent)
   private val segmentCachePartialOverflows =
     new java.util.concurrent.atomic.AtomicLong
+  // serve-time merges abandoned because an evaluation could not reproduce
+  // the whole plan (FilterH analysis/eval, a value conversion, a binding
+  // limit cutting a tie): each one is fragment compute + merge work done
+  // and thrown away before the whole plan recomputes — a climbing value
+  // says some dashboard's shape silently pays double (observable here,
+  // r15 review finding)
+  private val segmentCacheNotServeable =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Cache observability, surfaced at `GET /druid/v2/metrics`: the
     * engine's hit/miss counters (lookup-path semantics, identical across
@@ -190,7 +198,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
       "segmentCacheHits" -> segmentCacheHits.get,
       "segmentCacheMisses" -> segmentCacheMisses.get,
       "segmentCacheCoalesced" -> segmentCacheCoalesced.get,
-      "segmentCachePartialOverflows" -> segmentCachePartialOverflows.get)
+      "segmentCachePartialOverflows" -> segmentCachePartialOverflows.get,
+      "segmentCacheNotServeable" -> segmentCacheNotServeable.get)
   }
 
   /** The active storage tier's name (metrics endpoint field). */
@@ -508,7 +517,9 @@ class Engine(spark: SparkSession, catalog: Catalog,
                       case _: PartialMerge.Overflow =>
                         segmentCachePartialOverflows.incrementAndGet()
                         None
-                      case _: PartialMerge.NotServeable => None
+                      case _: PartialMerge.NotServeable =>
+                        segmentCacheNotServeable.incrementAndGet()
+                        None
                     }
                   mergedOpt.foreach { merged =>
                     segmentCacheHits.addAndGet(slices.size.toLong)
@@ -737,6 +748,7 @@ class Engine(spark: SparkSession, catalog: Catalog,
           // analysis/eval, a value conversion): the whole plan serves the
           // query — or raises its own, better error
           case _: PartialMerge.NotServeable =>
+            segmentCacheNotServeable.incrementAndGet()
             segmentCacheHits.addAndGet(-hits.get.toLong)
             segmentCacheMisses.addAndGet(-misses.get.toLong)
             hits.set(0); misses.set(0)

@@ -382,6 +382,17 @@ object PartialMerge {
 
   // -- FilterH: serve-time evaluation through Spark's own analyzer ----------
 
+  /** Access-ordered LRU of compiled FilterH predicates, keyed by
+    * (query sans intervals/context, manifest token). Bounded — predicates
+    * hold only small bound expressions, but the key is client-shaped. */
+  private val filterEvalCache = new java.util.LinkedHashMap[(Query, String),
+      Map[Filter, collection.Map[String, Any] => java.lang.Boolean]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[(Query, String),
+        Map[Filter, collection.Map[String, Any] => java.lang.Boolean]])
+        : Boolean = size() > 64
+  }
+
   private def collectFilterH(h: HavingSpec): Seq[Filter] = h match {
     case HavingSpec.FilterH(f) => Seq(f)
     case HavingSpec.AndH(hs)   => hs.flatMap(collectFilterH)
@@ -661,16 +672,31 @@ object PartialMerge {
         case _ => Some(Compilers.truncInstant(g, ts))
       },
       fragments, rollup, maxGroups)
-    // FilterH predicates compile once per serve against the planner's
-    // schema (needs the session + catalog; absent context falls back)
+    // FilterH predicates compile against the planner's schema (needs the
+    // session + catalog; absent context falls back) — MEMOIZED per
+    // (query-sans-intervals, manifest state): a warm dashboard polling the
+    // same FilterH shape must not re-plan the whole query and re-run the
+    // analyzer on every serve (r15 review finding). The manifest token in
+    // the key rebuilds the predicate when segments flip, so a reingest
+    // that changes a column's type cannot serve a stale evaluator.
     val filterEvals = q.having.toSeq.flatMap(collectFilterH) match {
       case Nil => Map.empty[Filter,
         collection.Map[String, Any] => java.lang.Boolean]
       case _ => serveCtx match {
         case Some((spark, catalog)) =>
-          val names = dims ++ q.aggregations.map(_.name) ++
-            q.postAggregations.map(_.name)
-          filterHavingEvaluators(q, names, spark, catalog)
+          val token = q.dataSource match {
+            case DataSource.Table(n) => catalog.segmentInfos(n).mkString(";")
+            case _ => ""
+          }
+          val key = (q.copy(intervals = Seq.empty, context = Map.empty), token)
+          filterEvalCache.synchronized(Option(filterEvalCache.get(key)))
+            .getOrElse {
+              val names = dims ++ q.aggregations.map(_.name) ++
+                q.postAggregations.map(_.name)
+              val built = filterHavingEvaluators(q, names, spark, catalog)
+              filterEvalCache.synchronized(filterEvalCache.put(key, built)): Unit
+              built
+            }
         case None =>
           throw new NotServeable("FilterH: no serve context provided")
       }
@@ -684,26 +710,38 @@ object PartialMerge {
     }
     val finalRows = q.limitSpec match {
       case Some(LimitSpec(cols, limitOpt)) =>
+        val ord = new Ordering[MRow] {
+          def compare(r1: MRow, r2: MRow): Int = {
+            cols.foreach { c =>
+              val desc = c.direction.startsWith("desc")
+              val cv = compareWithNulls(
+                orderKey(c.dimensionOrder,
+                  r1.values.getOrElse(c.dimension, null)),
+                orderKey(c.dimensionOrder,
+                  r2.values.getOrElse(c.dimension, null)),
+                desc)
+              if (cv != 0) return cv
+            }
+            0
+          }
+        }
         val ordered =
           if (cols.isEmpty) havinged
-          else {
-            val ord = new Ordering[MRow] {
-              def compare(r1: MRow, r2: MRow): Int = {
-                cols.foreach { c =>
-                  val desc = c.direction.startsWith("desc")
-                  val cv = compareWithNulls(
-                    orderKey(c.dimensionOrder,
-                      r1.values.getOrElse(c.dimension, null)),
-                    orderKey(c.dimensionOrder,
-                      r2.values.getOrElse(c.dimension, null)),
-                    desc)
-                  if (cv != 0) return cv
-                }
-                0
-              }
-            }
-            havinged.sorted(ord) // stable: ties keep the (bucket, dims) order
-          }
+          // stable sort: ties keep the (bucket, dims) pre-order
+          else havinged.sorted(ord)
+        limitOpt.foreach { n =>
+          // a BINDING cut through a spec-ordering tie is order-dependent:
+          // the whole plan's non-stable distributed sort keeps an
+          // arbitrary subset of the tied rows while this merge's stable
+          // pre-order keeps a specific one — cache state must not change
+          // the returned row SET, so the shape falls back (sibling of the
+          // r14 columns-empty guard, which the decompose guard rejects
+          // before it ever reaches here)
+          if (cols.nonEmpty && n > 0 && n < ordered.size &&
+              ord.compare(ordered(n - 1), ordered(n)) == 0)
+            throw new NotServeable(
+              "binding limit cuts through an ordering tie")
+        }
         limitOpt.map(ordered.take).getOrElse(ordered)
       case None => havinged
     }

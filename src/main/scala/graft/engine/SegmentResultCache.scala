@@ -116,15 +116,22 @@ object SegmentResultCache {
     // hour partials + serve-time evaluation
     case Granularity.Simple("hour") => true
     case Granularity.Duration(ms, _) => ms > 0 && ms % 3600000L == 0
-    case Granularity.Period(p, _, _) => p match {
-      case monthP(_) | yearP(_) => true
-      case _ if graft.expr.Compilers.isDayBasedPeriod(p) => true
-      case _ if p.startsWith("PT") =>
-        val ms = try graft.expr.Compilers.periodMillis(p)
-          catch { case _: IllegalArgumentException => 0L }
-        ms > 0 && ms % 3600000L == 0
-      case _ => false
-    }
+    case Granularity.Period(p, _, _) =>
+      // fixedMs is 0 (→ reject) for anything periodMillis can't parse or a
+      // ZERO-length period (P0D) — a degenerate shape must fall back to
+      // the whole plan's own error, not divide the classify walk by zero.
+      // periodMillis throws DateTimeParseException for bad PT strings and
+      // IllegalArgumentException for calendar units, hence NonFatal.
+      def fixedMs: Long =
+        try graft.expr.Compilers.periodMillis(p)
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      p match {
+        case monthP(n) => n.toInt > 0
+        case yearP(n)  => n.toInt > 0
+        case _ if graft.expr.Compilers.isDayBasedPeriod(p) => fixedMs > 0
+        case _ if p.startsWith("PT") => fixedMs > 0 && fixedMs % 3600000L == 0
+        case _ => false
+      }
     case _ => false
   }
 
@@ -290,11 +297,11 @@ object SegmentResultCache {
       365L * 86400000L
     case Granularity.Duration(ms, _) => ms
     case Granularity.Period(p, _, _) => p match {
-      case monthP(n) => n.toLong * 28L * 86400000L
-      case yearP(n)  => n.toLong * 365L * 86400000L
+      case monthP(n) => math.max(n.toLong, 1L) * 28L * 86400000L
+      case yearP(n)  => math.max(n.toLong, 1L) * 365L * 86400000L
       case _ =>
         try math.max(graft.expr.Compilers.periodMillis(p), 1L)
-        catch { case _: IllegalArgumentException => 86400000L }
+        catch { case scala.util.control.NonFatal(_) => 86400000L }
     }
     case _ => 86400000L
   }

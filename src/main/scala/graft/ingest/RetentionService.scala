@@ -67,35 +67,50 @@ class RetentionService(spark: org.apache.spark.sql.SparkSession,
     "retentionSkipped" -> skippedExisting.get(),
     "retentionFailures" -> failures.get())
 
-  /** One planned action: the task id is deterministic so re-evaluation is
+  /** One planned action. The base task id is deterministic — including
+    * the chunk's segment VERSION, so a chunk re-created after a
+    * successful kill (fresh ingest for an old day) plans under a fresh id
+    * instead of being forever shadowed by the old SUCCESS status — and
     * idempotent through TaskService's duplicate-id rejection. */
-  final case class Action(taskType: String, dataSource: String, chunk: String) {
-    def taskId: String = s"retention-$taskType-$dataSource-$chunk"
+  final case class Action(taskType: String, dataSource: String, chunk: String,
+      version: Int) {
+    def taskId: String = s"retention-$taskType-$dataSource-$chunk-v$version"
   }
   final case class Report(planned: Seq[Action], submitted: Seq[String],
     skipped: Seq[String], failed: Seq[String], dryRun: Boolean)
 
+  // FAILED attempts per base id: a transiently failing task (interval
+  // locked by a concurrent compaction, a cold-storage hiccup) must be
+  // RETRIED next cycle, but TaskService keeps terminal statuses forever —
+  // so the retry submits under `<base>-retry<n>` instead of being
+  // permanently mistaken for an idempotent skip (r15 review finding)
+  private val retryCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
   /** Plan the rule-mandated actions against the CURRENT manifests — pure
-    * (no submission): the dry-run surface and the evaluate() input. */
+    * (no submission): the dry-run surface and the evaluate() input. One
+    * action per chunk (the store keeps one SegmentInfo per chunk; this
+    * groups defensively anyway). */
   def plan(now: Instant): Seq[Action] = rules.flatMap { rule =>
     val dropCut = rule.dropBefore.map(cutoff(now, _))
     val archiveCut = rule.archiveBefore.map(cutoff(now, _))
     val segs = store.readManifest(rule.dataSource).segments
-    segs.map(s => s.chunk -> s.path).distinct.sortBy(_._1).flatMap {
-      case (chunk, path) =>
-        val end = chunkEnd(chunk)
-        if (dropCut.exists(c => !end.isAfter(c)))
-          Some(Action("kill", rule.dataSource, chunk))
-        else if (archiveCut.exists(c => !end.isAfter(c)) &&
-            !archiveRoot.exists(r => path.startsWith(r)))
-          Some(Action("archive", rule.dataSource, chunk))
-        else None
+    segs.groupBy(_.chunk).toSeq.sortBy(_._1).flatMap { case (chunk, infos) =>
+      val end = chunkEnd(chunk)
+      val version = infos.map(_.version).max
+      if (dropCut.exists(c => !end.isAfter(c)))
+        Some(Action("kill", rule.dataSource, chunk, version))
+      else if (archiveCut.exists(c => !end.isAfter(c)) &&
+          !archiveRoot.exists(r => infos.forall(_.path.startsWith(r))))
+        Some(Action("archive", rule.dataSource, chunk, version))
+      else None
     }
   }
 
   /** Run one cycle: plan, then submit each action through [[TaskService]]
     * (unless dry-run). Failures count and continue — one locked or broken
-    * chunk must not stall the rest of the sweep. */
+    * chunk must not stall the rest of the sweep — and schedule a retry id
+    * for the next cycle. */
   def evaluate(now: Instant = Instant.now(),
       dryRun: Boolean = confDryRun): Report = {
     cycles.incrementAndGet()
@@ -104,24 +119,33 @@ class RetentionService(spark: org.apache.spark.sql.SparkSession,
     val submitted = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[String]
     val failed = Seq.newBuilder[String]
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     planned.foreach { a =>
-      val json = a.taskType match {
-        case "kill" =>
-          s"""{"type":"kill","id":"${a.taskId}","dataSource":"${a.dataSource}","chunk":"${a.chunk}"}"""
-        case _ =>
-          s"""{"type":"archive","id":"${a.taskId}","dataSource":"${a.dataSource}",
-             |"chunk":"${a.chunk}","archiveRoot":"${archiveRoot.get}"}""".stripMargin
-      }
+      val base = a.taskId
+      val attempt: Int = retryCounts.getOrDefault(base, 0)
+      val id = if (attempt == 0) base else s"$base-retry$attempt"
+      // task JSON via Jackson: a datasource/root with a quote or
+      // backslash must not produce unparseable task bodies
+      val o = mapper.createObjectNode()
+      o.put("type", a.taskType); o.put("id", id)
+      o.put("dataSource", a.dataSource); o.put("chunk", a.chunk)
+      if (a.taskType == "archive") o.put("archiveRoot", archiveRoot.get)
       try {
-        tasks.submit(json): Unit
+        tasks.submit(mapper.writeValueAsString(o)): Unit
         (if (a.taskType == "kill") kills else archives).incrementAndGet()
-        submitted += a.taskId
+        submitted += id
       } catch {
         case e: IllegalStateException if String.valueOf(e.getMessage)
             .contains("already exists") =>
-          skippedExisting.incrementAndGet(); skipped += a.taskId
+          // a FAILED holder retries under a fresh id next cycle; a
+          // RUNNING/SUCCESS holder is a genuine idempotent skip
+          if (tasks.status(id).exists(_.state == "FAILED"))
+            retryCounts.put(base, attempt + 1): Unit
+          skippedExisting.incrementAndGet(); skipped += id
         case scala.util.control.NonFatal(_) =>
-          failures.incrementAndGet(); failed += a.taskId
+          // submit rethrows after recording FAILED: retry next cycle
+          retryCounts.put(base, attempt + 1): Unit
+          failures.incrementAndGet(); failed += id
       }
     }
     Report(planned, submitted.result(), skipped.result(), failed.result(),
@@ -173,6 +197,8 @@ object RetentionService {
                 catch { case e: DateTimeParseException =>
                   throw new IllegalArgumentException(
                     s"spark.graft.retention.rules: bad period '${v.trim}'", e) }
+              if (toDays(p) <= 0) throw new IllegalArgumentException(
+                s"spark.graft.retention.rules: period '${v.trim}' must be positive")
               k.trim match {
                 case "dropBefore"    => drop = Some(p)
                 case "archiveBefore" => archive = Some(p)

@@ -1240,6 +1240,29 @@ class EngineSpec extends SparkTestBase {
         else rowSet(streamed) == rowSet(want)
       }, s"warm streaming serve diverged: $q")
     }
+    // a binding limit whose ordering TIES at the cut is order-dependent
+    // (the whole plan keeps an arbitrary subset of the tied rows): the
+    // merge detects the tie and falls back — observable in the counter,
+    // never a silently different row set (r15 review finding). The
+    // fixture's per-month counts: Apr/Jun click = 2 each (the tie),
+    // May view = 10 etc.
+    val tieq = gb("\"month\"",
+      """"limitSpec":{"type":"default","limit":1,
+        |"columns":[{"dimension":"cnt","direction":"ascending","dimensionOrder":"numeric"}]},""".stripMargin)
+    val tieRes = seg.executeJson(tieq)
+    assert(m.readTree(tieRes).size() == 1)
+    assert(seg.metrics.last.segmentHits == 0 &&
+      seg.metrics.last.segmentMisses == 0,
+      s"tied cut must fall back: ${seg.metrics.last}")
+    assert(seg.cacheStats("segmentCacheNotServeable") > 0L,
+      seg.cacheStats.toString)
+    // limit 2 keeps BOTH tied rows — the cut is between 2 and 4, no tie —
+    // so it serves (set law: the order between the tied pair is arbitrary
+    // in the whole plan)
+    val tieq2 = tieq.replace("\"limit\":1", "\"limit\":2")
+    assert(rowSet(seg.executeJson(tieq2)) == rowSet(whole.executeJson(tieq2)))
+    assert(seg.metrics.last.segmentMisses + seg.metrics.last.segmentHits > 0,
+      s"untied cut must serve: ${seg.metrics.last}")
     // DAY granularity + limitSpec sits on the partial surface too (the
     // nesting decompose refuses limitSpec); same-sv ties across buckets
     // make the byte order unspecified in BOTH paths, so the law here is

@@ -891,9 +891,9 @@ class IngestSpec extends SparkTestBase {
         Seq("2024-01-05", "2024-03-10", "2024-05-20"))
       // real cycle: tasks run through TaskService (status lifecycle)
       val r1 = svc.evaluate(now)
-      assert(r1.submitted == Seq("retention-kill-ev-2024-01-05",
-        "retention-archive-ev-2024-03-10"), r1.toString)
-      assert(tasks.status("retention-kill-ev-2024-01-05").exists(_.state == "SUCCESS"))
+      assert(r1.submitted == Seq("retention-kill-ev-2024-01-05-v1",
+        "retention-archive-ev-2024-03-10-v1"), r1.toString)
+      assert(tasks.status("retention-kill-ev-2024-01-05-v1").exists(_.state == "SUCCESS"))
       val segs = store.readManifest("ev").segments
       assert(segs.map(_.chunk).sorted == Seq("2024-03-10", "2024-05-20"))
       val archived = segs.find(_.chunk == "2024-03-10").get
@@ -909,6 +909,9 @@ class IngestSpec extends SparkTestBase {
       assert(res.contains("\"cnt\":2"), res)
       // the unmentioned datasource is untouched
       assert(store.readManifest("other").segments.map(_.chunk) == Seq("2023-01-01"))
+      // degenerate zero-length periods are rejected, not divided by
+      intercept[IllegalArgumentException](
+        RetentionService.parseRules("ev:dropBefore=P0D")): Unit
       // idempotence: the same cycle re-plans NOTHING (killed chunk is
       // gone, archived chunk already lives under the root)
       val r2 = svc.evaluate(now)
@@ -918,20 +921,43 @@ class IngestSpec extends SparkTestBase {
       // archive band in the same cycle
       val later = java.time.Instant.parse("2024-07-15T00:00:00Z")
       val r3 = svc.evaluate(later)
-      assert(r3.submitted == Seq("retention-kill-ev-2024-03-10",
-        "retention-archive-ev-2024-05-20"), r3.toString)
+      assert(r3.submitted == Seq("retention-kill-ev-2024-03-10-v1",
+        "retention-archive-ev-2024-05-20-v1"), r3.toString)
       assert(store.readManifest("ev").segments.map(_.chunk) == Seq("2024-05-20"))
       assert(store.readManifest("ev").segments.head.path.startsWith(archiveRoot))
       // a squatting task id makes the sweep SKIP (duplicate-id rejection),
       // observable in the counters, never doubled or crashed
       val evenLater = java.time.Instant.parse("2024-09-15T00:00:00Z")
-      tasks.submit("""{"type":"noop","id":"retention-kill-ev-2024-05-20"}""")
+      tasks.submit("""{"type":"noop","id":"retention-kill-ev-2024-05-20-v1"}""")
       val r4 = svc.evaluate(evenLater)
-      assert(r4.skipped == Seq("retention-kill-ev-2024-05-20"), r4.toString)
+      assert(r4.skipped == Seq("retention-kill-ev-2024-05-20-v1"), r4.toString)
       assert(store.readManifest("ev").segments.map(_.chunk) == Seq("2024-05-20"))
-      assert(svc.stats == Map("retentionCycles" -> 5L, "retentionKills" -> 2L,
-        "retentionArchives" -> 2L, "retentionSkipped" -> 1L,
+      // the squatter is SUCCESS-terminal, so this is a genuine idempotent
+      // skip — the next cycle does NOT escalate to a retry id
+      val r4b = svc.evaluate(evenLater)
+      assert(r4b.skipped == Seq("retention-kill-ev-2024-05-20-v1"), r4b.toString)
+      assert(svc.stats == Map("retentionCycles" -> 6L, "retentionKills" -> 2L,
+        "retentionArchives" -> 2L, "retentionSkipped" -> 2L,
         "retentionFailures" -> 0L), svc.stats.toString)
+      // a FAILED holder of the deterministic id is RETRIED under a fresh
+      // id on the next cycle (a transient failure must not permanently
+      // exempt a chunk from retention)
+      intercept[Exception](tasks.submit(
+        """{"type":"index","id":"retention-kill-other-2023-01-01-v1",
+          |"dataSource":"other","inputPath":"/no/such/input",
+          |"inputFormat":"parquet","timestampColumn":"__time"}""".stripMargin))
+      assert(tasks.status("retention-kill-other-2023-01-01-v1")
+        .exists(_.state == "FAILED"))
+      spark.conf.set("spark.graft.retention.rules", "other:dropBefore=P90D")
+      spark.conf.set("spark.graft.retention.archiveRoot", archiveRoot)
+      val svc2 = new RetentionService(spark, store, tasks)
+      val s1 = svc2.evaluate(now)
+      assert(s1.skipped == Seq("retention-kill-other-2023-01-01-v1"), s1.toString)
+      assert(store.readManifest("other").segments.nonEmpty)
+      val s2 = svc2.evaluate(now)
+      assert(s2.submitted == Seq("retention-kill-other-2023-01-01-v1-retry1"),
+        s2.toString)
+      assert(store.readManifest("other").segments.isEmpty)
       // malformed policies fail LOUDLY at construction
       intercept[IllegalArgumentException](
         RetentionService.parseRules("ev:dropBefore=banana"))

@@ -324,6 +324,13 @@ class SegmentCacheSpec extends graft.SparkTestBase {
       q("""{"type":"duration","duration":25200000}"""),
       parse(q("""{"type":"duration","duration":25200000}""")), cat).isDefined)
     none(q("""{"type":"duration","duration":5400000}"""))
+    // degenerate shapes must fall back cleanly, not crash the classify
+    // walk (zero-length periods divide by zero; PT parse errors throw
+    // DateTimeParseException, not IllegalArgumentException — r15 review)
+    none(q("""{"type":"period","period":"P0M"}"""))
+    none(q("""{"type":"period","period":"P0D"}"""))
+    none(q("""{"type":"period","period":"PT1X"}"""))
+    none(q("""{"type":"duration","duration":0}"""))
     // span guard: a century of 2-day buckets is fine, 10,000 years is not
     val wide = q("""{"type":"duration","duration":172800000}""")
       .replace("2024-04-20T00:00:00Z/2024-06-10T00:00:00Z",
