@@ -369,6 +369,36 @@ class HttpServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("metrics endpoint carries the retention family when the rules loop " +
+      "is wired (r15)") {
+    val store = new SegmentStore(Files.createTempDirectory("graft-httpret").toString)
+    store.write(Seq((ts("2024-01-05T10:00:00Z"), "click", 1.0))
+      .toDF("__time", "event_type", "value"), "ev")
+    val engine = new Engine(spark, new MapCatalog(Map("ev" -> events)))
+    val tasks = new TaskService(spark, store)
+    spark.conf.set("spark.graft.retention.rules", "ev:dropBefore=P90D")
+    try {
+      val retention = new graft.ingest.RetentionService(spark, store, tasks)
+      retention.evaluate(java.time.Instant.parse("2024-06-01T00:00:00Z"))
+      val srv = new HttpServer(engine, Some(tasks), retention = Some(retention))
+      srv.start()
+      try {
+        val m = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv.boundPort}/druid/v2/metrics")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(m.statusCode() == 200)
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(m.body())
+        val ret = root.get("retention")
+        assert(ret != null, m.body().take(200))
+        assert(ret.get("retentionCycles").asLong() == 1L, ret.toString)
+        assert(ret.get("retentionKills").asLong() == 1L, ret.toString)
+        // the emitted task itself shows in the task family
+        assert(m.body().contains("retention-kill-ev-2024-01-05-v1"))
+      } finally srv.stop()
+    } finally spark.conf.unset("spark.graft.retention.rules")
+  }
+
   private def postAs(url: String, body: String, identity: Option[String])
       : HttpResponse[String] = {
     val b = HttpRequest.newBuilder(URI.create(url))
