@@ -635,7 +635,12 @@ object Dedup {
       msigCol: String, ssigCol: String,
       mBands: Int, estThreshold: Double, maxHamming: Int,
       sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5,
-      wideArmMinDocs: Long = 1000000L): DataFrame = {
+      // crossover measured, not guessed (r15 full-suite sf10): at 55k docs
+      // the two arms tie (1.75 s vs 1.67 s), at 545k the 64-bit arm's
+      // n²/2^16 candidate volume already costs 3.7× the wide arm (43.9 s
+      // vs 11.8 s) — switch well before the gap opens, far above any
+      // corpus where the narrow arm's smaller constant still matters
+      wideArmMinDocs: Long = 250000L): DataFrame = {
     val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
     // corpus size from the materialization record when available (free);
     // a count job only for externally-materialized frames
