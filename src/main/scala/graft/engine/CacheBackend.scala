@@ -204,8 +204,11 @@ object CacheBackend {
         catch {
           // exactly the NFS/fuse mounts this class targets may not support
           // ATOMIC_MOVE — retry plain (a same-filesystem rename is atomic
-          // in practice on POSIX; worst case a reader's readAllBytes fails
-          // mid-replace and degrades to a miss, the trait's contract)
+          // in practice on POSIX; worst case a reader observes a torn
+          // value, which every consumer degrades to a miss: a failed
+          // readAllBytes returns None here, and truncated-but-readable
+          // bytes are caught at merge time — Engine counts them under
+          // segmentCacheMergeErrors and falls back to the whole plan)
           case _: java.nio.file.AtomicMoveNotSupportedException =>
             Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
         }

@@ -181,6 +181,11 @@ class Engine(spark: SparkSession, catalog: Catalog,
   // r15 review finding)
   private val segmentCacheNotServeable =
     new java.util.concurrent.atomic.AtomicLong
+  // serve-time merges that DIED (torn cached fragment → parse error):
+  // degraded to a miss per the lossy-never-wrong contract, but a climbing
+  // value says a cache tier is serving corrupt bytes — investigate it
+  private val segmentCacheMergeErrors =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Cache observability, surfaced at `GET /druid/v2/metrics`: the
     * engine's hit/miss counters (lookup-path semantics, identical across
@@ -199,7 +204,8 @@ class Engine(spark: SparkSession, catalog: Catalog,
       "segmentCacheMisses" -> segmentCacheMisses.get,
       "segmentCacheCoalesced" -> segmentCacheCoalesced.get,
       "segmentCachePartialOverflows" -> segmentCachePartialOverflows.get,
-      "segmentCacheNotServeable" -> segmentCacheNotServeable.get)
+      "segmentCacheNotServeable" -> segmentCacheNotServeable.get,
+      "segmentCacheMergeErrors" -> segmentCacheMergeErrors.get)
   }
 
   /** The active storage tier's name (metrics endpoint field). */
@@ -520,6 +526,13 @@ class Engine(spark: SparkSession, catalog: Catalog,
                       case _: PartialMerge.NotServeable =>
                         segmentCacheNotServeable.incrementAndGet()
                         None
+                      // a torn/corrupt cached fragment (e.g. a shared
+                      // file-tier replace raced by a reader) surfaces as a
+                      // parse error at merge time — the lossy-never-wrong
+                      // contract says that is a MISS, not a query error
+                      case NonFatal(_) =>
+                        segmentCacheMergeErrors.incrementAndGet()
+                        None
                     }
                   mergedOpt.foreach { merged =>
                     segmentCacheHits.addAndGet(slices.size.toLong)
@@ -749,6 +762,16 @@ class Engine(spark: SparkSession, catalog: Catalog,
           // query — or raises its own, better error
           case _: PartialMerge.NotServeable =>
             segmentCacheNotServeable.incrementAndGet()
+            segmentCacheHits.addAndGet(-hits.get.toLong)
+            segmentCacheMisses.addAndGet(-misses.get.toLong)
+            hits.set(0); misses.set(0)
+            None
+          // a torn/corrupt cached fragment (a shared file-tier ATOMIC_MOVE
+          // fallback mid-replace, a truncated write) raises a parse error
+          // at merge time — degrade to a MISS (whole-query plan), never a
+          // query error (r15 advice: the lossy-never-wrong contract)
+          case NonFatal(_) =>
+            segmentCacheMergeErrors.incrementAndGet()
             segmentCacheHits.addAndGet(-hits.get.toLong)
             segmentCacheMisses.addAndGet(-misses.get.toLong)
             hits.set(0); misses.set(0)

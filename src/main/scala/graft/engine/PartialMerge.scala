@@ -382,9 +382,17 @@ object PartialMerge {
 
   // -- FilterH: serve-time evaluation through Spark's own analyzer ----------
 
+  /** Context keys that can change the PLANNED schema or row shape — these
+    * stay in the filterEvalCache key; everything else (queryId, timeout,
+    * priority …) is blanked so a polling dashboard still memoizes. */
+  private val planShapeContextKeys: Set[String] = Set(
+    "graft.sketchPartials", "skipEmptyBuckets", "approxTopN",
+    "minTopNThreshold")
+
   /** Access-ordered LRU of compiled FilterH predicates, keyed by
-    * (query sans intervals/context, manifest token). Bounded — predicates
-    * hold only small bound expressions, but the key is client-shaped. */
+    * (query sans intervals/client-noise context, manifest token). Bounded —
+    * predicates hold only small bound expressions, but the key is
+    * client-shaped. */
   private val filterEvalCache = new java.util.LinkedHashMap[(Query, String),
       Map[Filter, collection.Map[String, Any] => java.lang.Boolean]](
       16, 0.75f, true) {
@@ -688,7 +696,15 @@ object PartialMerge {
             case DataSource.Table(n) => catalog.segmentInfos(n).mkString(";")
             case _ => ""
           }
-          val key = (q.copy(intervals = Seq.empty, context = Map.empty), token)
+          // the key blanks CLIENT noise (queryId, timeout, priority …) but
+          // must retain context flags that change the PLANNED schema —
+          // e.g. graft.sketchPartials flips finalized vs mergeable
+          // aggregate output (QueryPlanner.scala:168) — or two queries
+          // differing only in such a flag would share one compiled
+          // evaluator over the wrong schema (r15 advice)
+          val key = (q.copy(intervals = Seq.empty,
+            context = q.context.view.filterKeys(planShapeContextKeys).toMap),
+            token)
           filterEvalCache.synchronized(Option(filterEvalCache.get(key)))
             .getOrElse {
               val names = dims ++ q.aggregations.map(_.name) ++

@@ -60,12 +60,15 @@ class RetentionService(spark: org.apache.spark.sql.SparkSession,
   private val skippedExisting = new java.util.concurrent.atomic.AtomicLong()
   private val failures = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Cumulative counters for the metrics endpoint. */
+  /** Cumulative counters for the metrics endpoint. `retentionRetryQueue`
+    * is the live size of the retry map (bounded only by chunk count —
+    * observable beats silent). */
   def stats: Map[String, Long] = Map(
     "retentionCycles" -> cycles.get(), "retentionKills" -> kills.get(),
     "retentionArchives" -> archives.get(),
     "retentionSkipped" -> skippedExisting.get(),
-    "retentionFailures" -> failures.get())
+    "retentionFailures" -> failures.get(),
+    "retentionRetryQueue" -> retryCounts.size().toLong)
 
   /** One planned action. The base task id is deterministic — including
     * the chunk's segment VERSION, so a chunk re-created after a
@@ -92,19 +95,32 @@ class RetentionService(spark: org.apache.spark.sql.SparkSession,
     * action per chunk (the store keeps one SegmentInfo per chunk; this
     * groups defensively anyway). */
   def plan(now: Instant): Seq[Action] = rules.flatMap { rule =>
-    val dropCut = rule.dropBefore.map(cutoff(now, _))
-    val archiveCut = rule.archiveBefore.map(cutoff(now, _))
-    val segs = store.readManifest(rule.dataSource).segments
-    segs.groupBy(_.chunk).toSeq.sortBy(_._1).flatMap { case (chunk, infos) =>
-      val end = chunkEnd(chunk)
-      val version = infos.map(_.version).max
-      if (dropCut.exists(c => !end.isAfter(c)))
-        Some(Action("kill", rule.dataSource, chunk, version))
-      else if (archiveCut.exists(c => !end.isAfter(c)) &&
-          !archiveRoot.exists(r => infos.forall(_.path.startsWith(r))))
-        Some(Action("archive", rule.dataSource, chunk, version))
-      else None
+    // one broken/missing datasource manifest must not abort the sweep for
+    // every OTHER rule — isolate per rule, count, continue
+    try {
+      val dropCut = rule.dropBefore.map(cutoff(now, _))
+      val archiveCut = rule.archiveBefore.map(cutoff(now, _))
+      val segs = store.readManifest(rule.dataSource).segments
+      segs.groupBy(_.chunk).toSeq.sortBy(_._1).flatMap { case (chunk, infos) =>
+        val end = chunkEnd(chunk)
+        val version = infos.map(_.version).max
+        if (dropCut.exists(c => !end.isAfter(c)))
+          Some(Action("kill", rule.dataSource, chunk, version))
+        else if (archiveCut.exists(c => !end.isAfter(c)) &&
+            !archiveRoot.exists(r => infos.forall(i => isUnder(i.path, r))))
+          Some(Action("archive", rule.dataSource, chunk, version))
+        else None
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        failures.incrementAndGet(); Seq.empty
     }
+  }
+
+  // proper path-prefix: '/cold/storage' must NOT claim '/cold/storage-old'
+  private def isUnder(path: String, root: String): Boolean = {
+    val r = root.stripSuffix("/")
+    path == r || path.startsWith(r + "/")
   }
 
   /** Run one cycle: plan, then submit each action through [[TaskService]]
@@ -197,7 +213,7 @@ object RetentionService {
                 catch { case e: DateTimeParseException =>
                   throw new IllegalArgumentException(
                     s"spark.graft.retention.rules: bad period '${v.trim}'", e) }
-              if (toDays(p) <= 0) throw new IllegalArgumentException(
+              if (p.isZero || p.isNegative) throw new IllegalArgumentException(
                 s"spark.graft.retention.rules: period '${v.trim}' must be positive")
               k.trim match {
                 case "dropBefore"    => drop = Some(p)
@@ -213,15 +229,28 @@ object RetentionService {
         throw new IllegalArgumentException(
           s"spark.graft.retention.rules: rule for '$ds' has no actions")
       // archive must act on a LONGER retention horizon than drop, or the
-      // archive would never fire (everything old enough is killed first)
+      // archive never fires (everything old enough is killed first). The
+      // cutoffs are CALENDAR-aware, so compare materialized cutoff instants
+      // — and because month subtraction depends on the reference date
+      // ('P1M' vs 'P30D' flips ordering after a 28-day February; 'P12M' ==
+      // 'P1Y' exactly), require the archive cutoff to be strictly later on
+      // EVERY day of a leap+non-leap year pair, which covers all month-
+      // length interactions the real `cutoff(now, p)` can see.
       for (d <- drop; a <- archive)
-        if (toDays(a) >= toDays(d)) throw new IllegalArgumentException(
-          s"spark.graft.retention.rules: '$ds' archiveBefore must be shorter than dropBefore")
+        if (!validationDates.forall(n => cutoff(n, a).isAfter(cutoff(n, d))))
+          throw new IllegalArgumentException(
+            s"spark.graft.retention.rules: '$ds' archiveBefore must be " +
+              "shorter than dropBefore for every calendar date")
       Rule(ds, drop, archive)
     }.toSeq
 
-  private def toDays(p: Period): Long =
-    p.getYears * 365L + p.getMonths * 31L + p.getDays
+  // every midnight of 2023 (non-leap) + 2024 (leap): Period arithmetic is
+  // date-granular, so sweeping days covers all reference times
+  private lazy val validationDates: IndexedSeq[Instant] = {
+    val start = java.time.LocalDate.of(2023, 1, 1)
+    (0 until 731).map(i =>
+      start.plusDays(i.toLong).atStartOfDay(ZoneOffset.UTC).toInstant)
+  }
 
   private def cutoff(now: Instant, p: Period): Instant =
     now.atZone(ZoneOffset.UTC).minus(p).toInstant

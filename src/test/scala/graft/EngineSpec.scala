@@ -634,6 +634,42 @@ class EngineSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.resultCache.backend")
   }
 
+  test("torn cached fragment degrades to a MISS (whole-plan result), " +
+      "never a query error (r15 advice: lossy-never-wrong)") {
+    import scala.jdk.CollectionConverters._
+    val store = partialFixture("graft-segtorn")
+    val backend = new graft.FakeCacheBackend
+    val catalog = new SegmentCatalog(store)
+    val engine = new Engine(spark, catalog, cacheBackend = Some(backend))
+    val want = withSegCache(false)(new Engine(spark, catalog)).executeJson(
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-04-01T00:00:00Z/2024-07-01T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin)
+    val q =
+      """{"queryType":"timeseries","dataSource":"ev",
+        |"intervals":["2024-04-01T00:00:00Z/2024-07-01T00:00:00Z"],
+        |"granularity":"month",
+        |"aggregations":[{"type":"doubleSum","name":"sv","fieldName":"value"}]}""".stripMargin
+    assert(engine.executeJson(q) == want) // cold: warms day partials
+    // simulate the shared file tier's torn replace: truncate one cached
+    // day-partial mid-value, and drop the whole-query entry so the next
+    // run must take the fragment path
+    val victim = backend.entries.asScala.collectFirst {
+      case (k, v) if k.startsWith("seg:") && v.length > 10 => k
+    }.getOrElse(fail("no non-trivial day partial cached"))
+    backend.entries.put(victim,
+      backend.entries.get(victim).dropRight(5)): Unit
+    backend.entries.keySet.asScala.filterNot(_.startsWith("seg:")).toList
+      .foreach(backend.entries.remove(_): Unit)
+    val got = engine.executeJson(q)
+    assert(got == want, s"torn fragment must fall back to the whole plan:\n$got")
+    assert(engine.cacheStats("segmentCacheMergeErrors") >= 1L,
+      engine.cacheStats.toString)
+    // the fallback's metric row must not claim fragment hits (rewound)
+    assert(engine.metrics.last.segmentHits == 0, engine.metrics.last.toString)
+  }
+
   test("single-flight: concurrent identical cold queries compute each " +
       "fragment at most once (VERDICT r12 #6)") {
     val store = segFixture("graft-segflight")

@@ -938,7 +938,8 @@ class IngestSpec extends SparkTestBase {
       assert(r4b.skipped == Seq("retention-kill-ev-2024-05-20-v1"), r4b.toString)
       assert(svc.stats == Map("retentionCycles" -> 6L, "retentionKills" -> 2L,
         "retentionArchives" -> 2L, "retentionSkipped" -> 2L,
-        "retentionFailures" -> 0L), svc.stats.toString)
+        "retentionFailures" -> 0L, "retentionRetryQueue" -> 0L),
+        svc.stats.toString)
       // a FAILED holder of the deterministic id is RETRIED under a fresh
       // id on the next cycle (a transient failure must not permanently
       // exempt a chunk from retention)
@@ -964,6 +965,18 @@ class IngestSpec extends SparkTestBase {
       intercept[IllegalArgumentException](
         RetentionService.parseRules("ev:dropBefore=P30D|archiveBefore=P90D"))
       intercept[IllegalArgumentException](RetentionService.parseRules("ev:"))
+      // calendar-aware validation (r15 advice): 'P1M' drop with 'P30D'
+      // archive flips ordering after a 28-day February — the archive-
+      // before-drop guarantee would silently break, so reject
+      intercept[IllegalArgumentException](
+        RetentionService.parseRules("ev:dropBefore=P1M|archiveBefore=P30D"))
+      // P12M == P1Y on every calendar date (zero-width archive band) even
+      // though the old day-count approximation said 372 vs 365
+      intercept[IllegalArgumentException](
+        RetentionService.parseRules("ev:dropBefore=P1Y|archiveBefore=P12M"))
+      // P1M archive under P2M drop is safe on every date — must parse
+      assert(RetentionService.parseRules("ev:dropBefore=P2M|archiveBefore=P1M")
+        .head.archiveBefore.contains(java.time.Period.ofMonths(1)))
       spark.conf.set("spark.graft.retention.rules", "ev:archiveBefore=P30D")
       spark.conf.unset("spark.graft.retention.archiveRoot")
       intercept[IllegalArgumentException](
