@@ -788,11 +788,18 @@ private[graft] object EntryPipeline {
   private val artifactLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // bump when the ARITHMETIC behind an artifact changes (v2: the r16
+  // fixed-point nano-nat sums) — the cache key otherwise only tracks the
+  // fixture version, and a stale model/cuts built under the old float
+  // fold would silently mismatch the new oracles
+  private val artifactArithVersion = 2
+
   private def artifactPath(dir: String, kind: String)
       (build: String => Unit): String = {
     val src = new java.io.File(s"$dir/documents.parquet")
     val key = java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3
-      .stringHash(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"))
+      .stringHash(s"${src.getAbsolutePath}:${src.length}:${src.lastModified}" +
+        s":v$artifactArithVersion"))
     val cacheRoot = new java.io.File("target/fixture-cache")
     val out = new java.io.File(cacheRoot, s"${kind}_$key")
     val lock = artifactLocks.computeIfAbsent(s"${kind}_$key", _ => new Object)
@@ -1464,7 +1471,11 @@ private[graft] object EntryPipeline {
     // q77: same tokenization as q70 (whitespace split of trim(text), no
     // case folding); bigrams via zipped list slices; Laplace bigram
     // ln((c2+1)/(c1+V)) with unigram backoff ln((c1(w2)+1)/(T+V)) for
-    // out-of-vocabulary contexts — doubles throughout, only avg/exp round
+    // out-of-vocabulary contexts. The per-doc sum replays the engine's
+    // fixed-point arithmetic EXACTLY: each logp quantized to long
+    // nano-nats (floor(x*1e9) — IEEE-exact, engine-portable), summed as
+    // integers, then the same division order — so the result is
+    // bit-identical regardless of either engine's partitioning
     "q77_lm_score" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -1496,8 +1507,10 @@ private[graft] object EntryPipeline {
         |  LEFT JOIN c1 k1 ON d.w1 = k1.w1
         |  LEFT JOIN c1 k2 ON d.w2 = k2.w1)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(-logp), 6) AS avg_neg_logp,
-        |  round(exp(avg(-logp)), 4) AS perplexity
+        |  round(-(CAST(sum(CAST(floor(logp * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / 1e9) / count(*), 6) AS avg_neg_logp,
+        |  round(exp(-(CAST(sum(CAST(floor(logp * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / 1e9) / count(*)), 4) AS perplexity
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // q75: identical arithmetic chain (max|v|/127, floor(x/scale + 0.5)
     // clamped, deq = q*scale) in doubles — codes and errors replay
@@ -1663,8 +1676,8 @@ private[graft] object EntryPipeline {
         |ORDER BY doc_id, span_start""".stripMargin,
     // q82: exact-feature DSIR replay — unigram+bigram streams for both
     // corpora, Laplace-smoothed probabilities with D = distinct features
-    // across BOTH, per-doc sum of log ratios (sum rounded to 4 decimals:
-    // summation order differs between engines)
+    // across BOTH, per-doc sum of log ratios in the engine's fixed-point
+    // (long nano-nat) arithmetic — bit-identical in any summation order
     "q82_dsir_weights" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -1688,7 +1701,8 @@ private[graft] object EntryPipeline {
         |  SELECT f, ln((ct + 1.0) / (tt + d)) - ln((cr + 1.0) / (tr + d)) AS lr
         |  FROM u, tot)
         |SELECT fe.doc_id, CAST(count(*) AS BIGINT) AS n_features,
-        |  round(sum(r.lr), 4) AS log_weight
+        |  round(CAST(sum(CAST(floor(r.lr * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / 1e9, 4) AS log_weight
         |FROM feat fe JOIN r USING (f)
         |WHERE fe.doc_id % 5 <> 0
         |GROUP BY fe.doc_id ORDER BY fe.doc_id""".stripMargin,
@@ -1717,7 +1731,8 @@ private[graft] object EntryPipeline {
         |  SELECT f, ln((ct + 1.0) / (tt + d)) - ln((cr + 1.0) / (tr + d)) AS lr
         |  FROM u, tot),
         |w AS (
-        |  SELECT fe.doc_id, sum(r.lr) AS lw
+        |  SELECT fe.doc_id,
+        |    CAST(sum(CAST(floor(r.lr * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS lw
         |  FROM feat fe JOIN r USING (f)
         |  WHERE fe.doc_id % 5 <> 0
         |  GROUP BY fe.doc_id),
@@ -1844,7 +1859,9 @@ private[graft] object EntryPipeline {
         |  LEFT JOIN c1 k1 ON d.w1 = k1.w1
         |  LEFT JOIN c1 k2 ON d.w2 = k2.w1),
         |ppx AS (
-        |  SELECT doc_id, round(exp(avg(-logp)), 4) AS perplexity
+        |  SELECT doc_id,
+        |    round(exp(-(CAST(sum(CAST(floor(logp * 1e9) AS BIGINT)) AS DOUBLE)
+        |      / 1e9) / count(*)), 4) AS perplexity
         |  FROM sc GROUP BY 1),
         |ranked AS (
         |  SELECT doc_id, perplexity,

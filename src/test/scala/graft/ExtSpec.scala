@@ -1215,9 +1215,12 @@ class ExtSpec extends SparkTestBase {
     val expectAvg = -(math.log(0.75) + math.log(0.25)) / 2
     assert(got.keySet == Set(1L, 3L))
     assert(got(1L)._1 == 2L)
-    assert(math.abs(got(1L)._2 - expectAvg) < 1e-12)
-    assert(math.abs(got(1L)._3 - math.exp(expectAvg)) < 1e-9)
-    assert(math.abs(got(3L)._2 - (-math.log(0.5))) < 1e-12)
+    // tolerance: the fixed-point (nano-nat) sum quantizes each logp by
+    // floor(x*1e9), an error in [0, 1e-9) per term — far below the
+    // 6-decimal rounding the oracles compare at
+    assert(math.abs(got(1L)._2 - expectAvg) < 2e-9)
+    assert(math.abs(got(1L)._3 - math.exp(expectAvg)) < 1e-8)
+    assert(math.abs(got(3L)._2 - (-math.log(0.5))) < 2e-9)
 
     // fixture property: text drawn from the reference distribution scores
     // lower (more reference-like) than shuffled-vocabulary noise
@@ -1392,7 +1395,7 @@ class ExtSpec extends SparkTestBase {
     assert(msg.contains("null element"), msg)
   }
 
-  test("lmScore is bit-deterministic across partitionings (ordered logp fold)") {
+  test("lmScore is bit-deterministic across partitionings (fixed-point sum)") {
     import graft.ext.Vocabulary
     val ref = docs.where(col("doc_id") % 2 === 0)
     val tgt = docs.where(col("doc_id") % 2 === 1 && col("doc_id") < 101)
@@ -1558,7 +1561,11 @@ class ExtSpec extends SparkTestBase {
     we.foreach { case (id, (n, w)) =>
       val (nh, whv) = wh(id)
       assert(n == nh)
-      assert(math.abs(whv - (w + shift * n)) < 1e-8,
+      // tolerance scales with n: each engine-side sum quantizes every
+      // term by floor(x*1e9) (error < 1e-9/term), and the two modes
+      // quantize DIFFERENT values (lr vs lr+shift), so the errors don't
+      // cancel — bound is 2e-9 per feature plus the old float slack
+      assert(math.abs(whv - (w + shift * n)) < 2e-9 * n + 1e-8,
         s"doc $id: hashed $whv vs exact-shifted ${w + shift * n}")
     }
   }
