@@ -21,9 +21,10 @@ import java.nio.charset.StandardCharsets
   */
 class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 0,
     streamCap: Int = 12,
-    retention: Option[graft.ingest.RetentionService] = None) {
+    retention: Option[graft.ingest.RetentionService] = None,
+    host: String = "127.0.0.1") {
 
-  private val server = JdkHttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val server = JdkHttpServer.create(new InetSocketAddress(host, port), 0)
 
   // concurrent handlers: without an executor everything runs on the single
   // dispatcher thread, so a long streaming response would block every other

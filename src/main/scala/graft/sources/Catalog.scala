@@ -118,6 +118,17 @@ class ParquetDirCatalog(dir: String,
 
   override def lookupNames: Seq[String] = Seq("nation_name", "region_name")
 
+  /** Enumerable: the `<name>.parquet` entries under the directory (plus
+    * the derived `events_mv` fixture when its base table exists) — powers
+    * the metrics endpoint's datasource family and the server liveness
+    * line. Listed per call: the dir is a live deployment surface. */
+  override def datasourceNames: Seq[String] = {
+    val d = new java.io.File(dir)
+    val base = Option(d.list()).getOrElse(Array.empty[String])
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).toSeq
+    (if (base.contains("events")) base :+ "events_mv" else base).sorted
+  }
+
   /** Built-in fixture lookups: nation/region key→name (FIXTURES.md). */
   override def lookupTable(spark: SparkSession, name: String): Option[DataFrame] =
     name match {

@@ -402,6 +402,74 @@ object LocalClusterRehearsal {
       } finally srv.stop()
     }
 
+    // ---- production entry point, started as its own process (r16) ---------
+    // ServerMain is what an operator actually runs; everything above drives
+    // engines constructed in-process. Fork the real main, parse its
+    // liveness line, query it over HTTP, and confirm SIGTERM stops it
+    // cleanly through the shutdown hook. Full mode only: spec mode is the
+    // per-`sbt test` subset and ServerMainSpec already covers the wiring
+    // in-process — this check exists to exercise the REAL process
+    // boundary (JVM flags, stdout contract, signal handling) once per
+    // round.
+    if (!specMode) locally {
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      import scala.jdk.CollectionConverters._
+      val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false",
+        "-Dspark.graft.server.port=0",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.tools.ServerMain", "/root/testdata/sf0.001")).asJava)
+      pb.environment().put("SPARK_MASTER", "local[4]")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream,
+          java.nio.charset.StandardCharsets.UTF_8))
+      // the liveness line carries the ephemeral port
+      var port = -1
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      var line: String = null
+      while (port < 0 && System.nanoTime() < deadline &&
+          { line = reader.readLine(); line != null }) {
+        if (line.startsWith("graft-server listening on port "))
+          port = line.stripPrefix("graft-server listening on port ")
+            .takeWhile(_.isDigit).toInt
+      }
+      // keep draining in the background so the child never blocks on a
+      // full stdout pipe
+      val drain = new Thread(() => {
+        try { while (reader.readLine() != null) () }
+        catch { case _: Exception => () }
+      }, "graft-servermain-drain")
+      drain.setDaemon(true); drain.start()
+      var queried = false
+      if (port > 0) {
+        val client = HttpClient.newHttpClient()
+        val resp = client.send(HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/druid/v2"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"queryType":"timeBoundary","dataSource":"events"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        queried = resp.statusCode() == 200 && resp.body().contains("result")
+      }
+      proc.destroy() // SIGTERM → the main's shutdown hook
+      val exited = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      if (!exited) proc.destroyForcibly()
+      check("server_main_subprocess")(port > 0 && queried && exited,
+        s"port=$port queried=$queried cleanExit=$exited")
+    }
+
     // ---- artifact ----------------------------------------------------------
     if (!specMode) {
       def fmt(d: Double): String =
