@@ -344,12 +344,31 @@ object Bench {
     val trendJson = trend.map(_._1).getOrElse("")
     val trendBreaches = trend.map(_._2).getOrElse(Seq.empty)
 
+    // Headline subtotal, MACHINE-emitted (VERDICT r15 #4 — round-over-round
+    // prose drifted from the artifacts twice): the cross-decade headline
+    // family is pinned in the baseline file (`headline_queries`); the sum
+    // of their clean mins lands in both the artifact and the stdout line
+    // whenever every member was measured successfully, so subtotal claims
+    // are computed, never transcribed.
+    val headlineJson = (try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(baselinePath))
+      Option(node.get("headline_queries")).filter(_.isArray).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asText())
+      }
+    } catch { case _: Throwable => None }).flatMap { hl =>
+      val statMap = stats.toMap
+      val mins = hl.map(n => statMap.get(n).flatten.map(_._2))
+      if (mins.exists(_.isEmpty)) None // a member unmeasured/failed: no lie
+      else Some(s""","headline_subtotal_sec":${fmt(mins.flatten.sum)}""")
+    }.getOrElse("")
+
     // The driver captures only a bounded stdout tail, so the line printed
     // here must stay SMALL enough to survive intact (BENCH_r06/r07 lost all
     // per-query numbers to mid-line truncation). stdout gets the compact
     // contract line (medians only); the complete artifact — per-pass
     // arrays, mins, canaries, contention flags — goes to a file.
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$canaryJson$contendedJson$trendJson$errorsJson}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$headlineJson$canaryJson$contendedJson$trendJson$errorsJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_full.json").getAbsolutePath)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -359,7 +378,7 @@ object Bench {
       if (trendBreaches.isEmpty) ""
       else ",\"trend_breaches\":[" +
         trendBreaches.map("\"" + _ + "\"").mkString(",") + "]"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"sf":"$sfDir","passes":$passes,"detail":"$outPath"$breachJson$errorsJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"sf":"$sfDir","passes":$passes,"detail":"$outPath"$headlineJson$breachJson$errorsJson}""")
     spark.stop()
     if (trendBreaches.nonEmpty &&
         sys.env.get("SPARK_GRAFT_TREND_STRICT").contains("1")) {

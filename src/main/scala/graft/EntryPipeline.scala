@@ -218,6 +218,48 @@ private[graft] object EntryPipeline {
         .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+    "q94_simhash_autoswitch" -> ((s, dir) => {
+      // The DECISION pin for the multi-family arm auto-switch (VERDICT r15
+      // #3): q23 exercises the sub-threshold (narrow-arm) corpus and q59
+      // FORCES the wide arm, but neither would catch a wideArmMinDocs
+      // regression — the switch silently not firing at scale just looks
+      // like the documented 64-bit ceiling. This entry runs the operator
+      // UNPINNED (default threshold), reads the recorded arm decision off
+      // lshStats, and FAILS if it contradicts the corpus count — so the
+      // correctness gate (and the sf10 bench row, where the 545k-doc
+      // corpus must engage the wide arm) pins the decision itself. The
+      // pair output is q59's exact-verified shape: capture at j≥0.8 comes
+      // from the minhash arm (est ≥ 0.65), so the result is arm- and
+      // engine-independent and q59's brute-force oracle replays it.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+      val frame = docs.select(col("doc_id").as("id"),
+        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+          .as("msig"),
+        graft.ext.Dedup.simhash128(col("text")).as("ssig"),
+        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+        .localCheckpoint(true)
+      val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
+        "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3)
+      val st = graft.ext.Dedup.lshStats.reverse
+        .find(_.kind == "multiband-arm")
+        .getOrElse(throw new IllegalStateException(
+          "multiFamilyDupCandidates did not record its arm decision"))
+      val wantWide = st.buckets >= graft.ext.Dedup.defaultWideArmMinDocs
+      if ((st.estCandidates == 1L) != wantWide)
+        throw new IllegalStateException(
+          s"simhash arm auto-switch regressed: corpus=${st.buckets} docs, " +
+            s"threshold=${st.overflowBuckets}, wide=${st.estCandidates == 1L}")
+      cand
+        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
+            .as("__j"))
+        .where(col("__j") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "q28_cosine_neardup" -> ((s, dir) => {
       // Embedding-cosine near-dup via hyperplane LSH + exact verify, at a
       // TRUE near-dup threshold (0.9) with the config you would run at
@@ -1935,5 +1977,10 @@ private[graft] object EntryPipeline {
   val oracleSql: Map[String, String] = baseOracles ++ Map(
     "q91_lm_score_amortized" -> baseOracles("q77_lm_score"),
     "q92_dsir_weights_amortized" -> baseOracles("q82_dsir_weights"),
-    "q93_perplexity_label_amortized" -> baseOracles("q89_perplexity_buckets"))
+    "q93_perplexity_label_amortized" -> baseOracles("q89_perplexity_buckets"),
+    // q94 = q59's pipeline run UNPINNED (the arm decision asserted
+    // in-entry against the corpus count); the pair set is arm-independent
+    // by the minhash-capture argument, so q59's brute-force oracle
+    // replays it verbatim
+    "q94_simhash_autoswitch" -> baseOracles("q59_simhash128_dups"))
 }

@@ -598,6 +598,14 @@ object Dedup {
       .where(col("est_jaccard") >= threshold)
   }
 
+  /** [[multiFamilyDupCandidates]]' auto-switch threshold — the crossover
+    * is measured, not guessed (r15 full-suite sf10): at 55k docs the two
+    * arms tie (1.75 s vs 1.67 s), at 545k the 64-bit arm's n²/2¹⁶
+    * candidate volume already costs 3.7× the wide arm (43.9 s vs 11.8 s) —
+    * switch well before the gap opens, far above any corpus where the
+    * narrow arm's smaller constant still matters. */
+  val defaultWideArmMinDocs: Long = 250000L
+
   /** Candidate pairs from BOTH hash families in ONE banding pass: minhash
     * band keys and simhash bit-slices explode together (simhash bands
     * indexed after the minhash ones, so the (band, bucket) keyspaces stay
@@ -635,12 +643,7 @@ object Dedup {
       msigCol: String, ssigCol: String,
       mBands: Int, estThreshold: Double, maxHamming: Int,
       sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5,
-      // crossover measured, not guessed (r15 full-suite sf10): at 55k docs
-      // the two arms tie (1.75 s vs 1.67 s), at 545k the 64-bit arm's
-      // n²/2^16 candidate volume already costs 3.7× the wide arm (43.9 s
-      // vs 11.8 s) — switch well before the gap opens, far above any
-      // corpus where the narrow arm's smaller constant still matters
-      wideArmMinDocs: Long = 250000L): DataFrame = {
+      wideArmMinDocs: Long = defaultWideArmMinDocs): DataFrame = {
     val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
     // corpus size from the materialization record when available (free);
     // a count job only for externally-materialized frames
@@ -648,6 +651,15 @@ object Dedup {
       val m = materializedRows(sigs); if (m >= 0) m else sigs.count()
     }
     val useWide = wideSig && (wideArmMinDocs <= 0L || nDocs >= wideArmMinDocs)
+    // the ARM DECISION is observable (VERDICT r15 #3): a wideArmMinDocs
+    // regression would otherwise hide behind the documented 64-bit-arm
+    // ceiling as mere slowness. kind="multiband-arm", buckets = corpus
+    // count when the decision needed it (else -1: forced or narrow-sig),
+    // overflowBuckets = the threshold, estCandidates = 1 iff wide engaged.
+    recordLshStat(LshStat("multiband-arm",
+      buckets = if (wideSig && wideArmMinDocs > 0L) nDocs else -1L,
+      overflowBuckets = wideArmMinDocs, droppedMembers = -1L,
+      maxBucket = -1L, estCandidates = if (useWide) 1L else 0L))
     if (useWide) require(maxHamming <= 3,
       "the 4x32-bit wide arm is pigeonhole-lossless only for maxHamming <= 3")
     // the 64-bit arm of a wide signature reads its low long (== simhash64)

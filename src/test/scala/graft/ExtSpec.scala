@@ -120,6 +120,34 @@ class ExtSpec extends SparkTestBase {
     assert(multi == separate)
   }
 
+  test("multi-family arm decision is recorded in lshStats (the q94 pin)") {
+    val frame = docs.where(col("doc_id") < 101)
+      .select(col("doc_id").as("id"),
+        Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3).as("msig"),
+        Dedup.simhash128(col("text")).as("ssig"))
+      .localCheckpoint(true)
+    def lastArm(): Dedup.LshStat =
+      Dedup.lshStats.reverse.find(_.kind == "multiband-arm").get
+    // sub-threshold corpus under the DEFAULT threshold → narrow, with the
+    // counted corpus and the threshold both visible
+    Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
+      mBands = 16, estThreshold = 0.75, maxHamming = 3)
+    val narrow = lastArm()
+    assert(narrow.estCandidates == 0L && narrow.buckets > 0L &&
+      narrow.buckets < Dedup.defaultWideArmMinDocs &&
+      narrow.overflowBuckets == Dedup.defaultWideArmMinDocs, narrow.toString)
+    // past the threshold → wide
+    Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
+      mBands = 16, estThreshold = 0.75, maxHamming = 3, wideArmMinDocs = 10L)
+    val wide = lastArm()
+    assert(wide.estCandidates == 1L && wide.buckets >= 10L, wide.toString)
+    // forced wide (0) records without paying a count (-1)
+    Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
+      mBands = 16, estThreshold = 0.75, maxHamming = 3, wideArmMinDocs = 0L)
+    val forced = lastArm()
+    assert(forced.estCandidates == 1L && forced.buckets == -1L, forced.toString)
+  }
+
   test("multi-family wide arm: engages past the doc threshold, same verified pairs as the hand-composed union") {
     import org.apache.spark.sql.DataFrame
     // the frame q23/q59 build: wide (128-bit) simhash signature
