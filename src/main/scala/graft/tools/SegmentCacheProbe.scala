@@ -135,6 +135,25 @@ object SegmentCacheProbe {
     plain.executeJson(uncached(tzDaily(2)))
     val tNoT = (System.nanoTime() - t3) / 1e9
 
+    // KATHMANDU arm (VERDICT r15 #7 — measure before building): a
+    // UTC+5:45 daily dashboard. The zone's bucket boundaries sit on a
+    // :15/:45 minute grid, so classifyChunk's hour-fragment machinery
+    // falls back conservatively and every advance should recompute
+    // whole-query. If the sf1 advance cost lands >= 2x the tz_daily
+    // arm's, MINUTE fragments (same machinery, 1440-step bound) pay;
+    // otherwise the fallback is the right trade and stays.
+    def tzKtm(i0: Int): String = window(i0).replace("\"hour\"",
+      """{"type":"period","period":"P1D","timeZone":"Asia/Kathmandu"}""")
+    plain.executeJson(uncached(tzKtm(0)))
+    plain.executeJson(uncached(tzKtm(0)))
+    val (tColdK, hcK, mcK) = timed(tzKtm(1))
+    val (tAdvK, haK, maK) = timed(tzKtm(2))
+    val (tFullK, hfK, mfK) = timed(tzKtm(2).replace("\"granularity\"",
+      "\"context\":{\"queryId\":\"againK\"},\"granularity\""))
+    val tK0 = System.nanoTime()
+    plain.executeJson(uncached(tzKtm(2)))
+    val tNoK = (System.nanoTime() - tK0) / 1e9
+
     // SEARCH arm (VERDICT r14 #7 — measure before building): search does
     // NOT decompose into fragments; a moving search window only has the
     // whole-query cache, so every advance recomputes. cold = first load,
@@ -239,6 +258,9 @@ object SegmentCacheProbe {
       s""""tz_daily":{"cold":${f(tColdT)},"advance":${f(tAdvT)},""" +
       s""""complete":${f(tFullT)},"nocache":${f(tNoT)},""" +
       s""""counts":{"cold":[$hcT,$mcT],"advance":[$haT,$maT],"complete":[$hfT,$mfT]}},""" +
+      s""""tz_kathmandu":{"cold":${f(tColdK)},"advance":${f(tAdvK)},""" +
+      s""""complete":${f(tFullK)},"nocache":${f(tNoK)},""" +
+      s""""counts":{"cold":[$hcK,$mcK],"advance":[$haK,$maK],"complete":[$hfK,$mfK]}},""" +
       s""""search":{"cold":${f(tColdSe)},"advance":${f(tAdvSe)},""" +
       s""""complete":${f(tFullSe)},"nocache":${f(tNoSe)}},""" +
       s""""streaming":{"cold":${f(tColdL)},"advance_mean":${f(tAdvL)},""" +
