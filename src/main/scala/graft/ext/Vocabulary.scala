@@ -113,15 +113,22 @@ object Vocabulary {
     *
     * Output: (idCol, n_bigrams, avg_neg_logp, perplexity), one row per
     * scored document with ≥ 1 bigram. */
-  private def bigrams(textC: org.apache.spark.sql.Column) = {
-    val t = tokens(textC)
-    // guard BEFORE sequence(): sequence(1, 0) yields the DESCENDING
-    // [1, 0], whose element_at(t, 2) then faults on a 1-token doc
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-  }
+  /** Bigram stream as NATIVE "w1 w2" gram strings
+    * ([[TextHashFunctions.word_ngrams]] — codegen'd, one tokenize pass,
+    * empty for <2-token docs). The previous HOF formulation
+    * (`transform(sequence(...), i => element_at(t, i))`) evaluated
+    * interpreted, re-running the whitespace split PER ELEMENT — O(len²)
+    * per document; at sf10 the bigram explode alone cost 87 s of q77's
+    * 114 s while the vocabulary-sized joins were nearly free (measured
+    * r16; the same fix [[dsirFeatures]] got in r12). Tokens are
+    * whitespace-split so the single-space re-split below is unambiguous. */
+  private def bigramGrams(textC: org.apache.spark.sql.Column) =
+    TextHashFunctions.word_ngrams(tokens(textC), 2)
+
+  /** Split an exploded "w1 w2" gram back into its words — plain codegen'd
+    * string ops on the exploded column, never a re-tokenize. */
+  private def gramW1(g: Column): Column = substring_index(g, " ", 1)
+  private def gramW2(g: Column): Column = substring_index(g, " ", -1)
 
   /** A counted reference LM — the persistable unit (write `c1`/`c2` next
     * to a corpus snapshot and score every future batch without re-reading
@@ -140,8 +147,8 @@ object Vocabulary {
     * recomputation (measured 1.28 s → 2.35 s on q77 when eager). */
   def lmModel(ref: DataFrame, textCol: String): LmModel = {
     val refBi = ref
-      .select(explode(bigrams(col(textCol))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(explode(bigramGrams(col(textCol))).as("g"))
+      .select(gramW1(col("g")).as("w1"), gramW2(col("g")).as("w2"))
     val c2 = refBi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = Dedup.materialize(ref
       .select(explode(tokens(col(textCol))).as("w1"))
@@ -194,8 +201,8 @@ object Vocabulary {
       textCol: String): DataFrame = {
     val LmModel(c2, c1, v, t) = model
     val scored = docs
-      .select(col(idCol), explode(bigrams(col(textCol))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col(idCol), explode(bigramGrams(col(textCol))).as("g"))
+      .select(col(idCol), gramW1(col("g")).as("w1"), gramW2(col("g")).as("w2"))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .join(c1.select(col("w1").as("w2"), col("c1").as("__c1w2")),
