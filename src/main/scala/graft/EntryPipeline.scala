@@ -177,13 +177,18 @@ private[graft] object EntryPipeline {
         .orderBy("doc_id")
     }),
     "q50_chunking" -> ((s, dir) => {
-      // overlapping token-window chunking (64-token chunks, 16 overlap)
+      // overlapping token-window chunking (64-token chunks, 16 overlap).
+      // Tokens and chunks materialize as ATTRIBUTES before the HOF and
+      // the two consumers — a computed expression inside the lambda (or
+      // referenced twice in one projection) re-evaluates per use (r16)
       import graft.ext.TextAnalysis._
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val chunks = chunkTokens(col("text"), 64, 16)
       docs.select(col("doc_id"),
-        size(chunks).cast("long").as("n_chunks"),
-        md5(element_at(chunks, 1)).as("first_chunk_md5"))
+          graft.functions.TextHashFunctions.split_ws(trim(col("text"))).as("__t"))
+        .select(col("doc_id"), chunkTokens(col("__t"), 64, 16).as("__chunks"))
+        .select(col("doc_id"),
+          size(col("__chunks")).cast("long").as("n_chunks"),
+          md5(element_at(col("__chunks"), 1)).as("first_chunk_md5"))
         .orderBy("doc_id")
     }),
     "q59_simhash128_dups" -> ((s, dir) => {

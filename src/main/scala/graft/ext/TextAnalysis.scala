@@ -121,10 +121,17 @@ object TextAnalysis {
   }
 
   /** Split a document into overlapping token-window chunks (context-window
-    * packing). Returns array<string>; explode for one row per chunk. */
-  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    * packing). Returns array<string>; explode for one row per chunk.
+    *
+    * SCALE CAVEAT: pass a MATERIALIZED token-array attribute (select the
+    * split into a column first, then call this on `col("__t")`). Spark
+    * evaluates higher-order-function lambdas interpreted without CSE, so
+    * handing this a computed expression (e.g. the split itself) re-runs
+    * it once per chunk — the O(len²) pathology the LM bigram path hit at
+    * 100× (r16). [[chunkText]] is the convenience wrapper for one-shot /
+    * fixture use. */
+  def chunkTokens(t: Column, chunkSize: Int, overlap: Int): Column = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
-    val t = graft.functions.TextHashFunctions.split_ws(trim(text))
     val step = chunkSize - overlap
     when(size(t) <= chunkSize, array(concat_ws(" ", t)))
       .otherwise(transform(
@@ -132,6 +139,13 @@ object TextAnalysis {
         sequence(lit(1), size(t) - overlap, lit(step)),
         s => concat_ws(" ", slice(t, s, lit(chunkSize)))))
   }
+
+  /** [[chunkTokens]] over raw text — tokenizes inline, so the lambda
+    * re-splits per chunk; fine for fixtures, use the attribute form at
+    * scale. */
+  def chunkText(text: Column, chunkSize: Int, overlap: Int): Column =
+    chunkTokens(graft.functions.TextHashFunctions.split_ws(trim(text)),
+      chunkSize, overlap)
 
   /** Deterministic train/val/test assignment: md5-based so ANY engine
     * reproduces the same split (percentile = first 8 md5 hex digits of the
