@@ -115,10 +115,18 @@ object SparkEntry {
     clusteredStores.getOrElseUpdate(dir, {
       val root = java.nio.file.Files.createTempDirectory("graft_clustered").toString
       val store = new graft.store.SegmentStore(root)
-      store.writeClustered(graft.sources.TableLoader.load(spark, dir, "lineitem"),
-        "lineitem_c", "l_orderkey", nBuckets = 16)
+      val lineitem = graft.sources.TableLoader.load(spark, dir, "lineitem")
+      // bucket count SCALES with the fact table (~4M rows/bucket, floor
+      // 16): a fixed 16 leaves 37M-row buckets at the 1000× SF, and the
+      // zero-Exchange join then runs 16-wide on a 32-core box with
+      // per-task spill (measured r16: q60 sf100 72 s → 26.6 s once sized).
+      // Both sides MUST share the count — that is the co-location
+      // contract. Small SFs keep the historical 16 (plan pins + oracles
+      // untouched). One count job, once per (dir, JVM).
+      val nBuckets = math.max(16L, lineitem.count() / 4000000L).toInt
+      store.writeClustered(lineitem, "lineitem_c", "l_orderkey", nBuckets)
       store.writeClustered(graft.sources.TableLoader.load(spark, dir, "orders"),
-        "orders_c", "o_orderkey", nBuckets = 16)
+        "orders_c", "o_orderkey", nBuckets)
       store
     })
 
