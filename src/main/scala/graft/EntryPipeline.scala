@@ -250,11 +250,12 @@ private[graft] object EntryPipeline {
         .find(_.kind == "multiband-arm")
         .getOrElse(throw new IllegalStateException(
           "multiFamilyDupCandidates did not record its arm decision"))
-      val wantWide = st.buckets >= graft.ext.Dedup.defaultWideArmMinDocs
-      if ((st.estCandidates == 1L) != wantWide)
+      val wantWide =
+        st.armCorpusDocs >= graft.ext.Dedup.defaultWideArmMinDocs
+      if (!st.armWide.contains(wantWide))
         throw new IllegalStateException(
-          s"simhash arm auto-switch regressed: corpus=${st.buckets} docs, " +
-            s"threshold=${st.overflowBuckets}, wide=${st.estCandidates == 1L}")
+          s"simhash arm auto-switch regressed: corpus=${st.armCorpusDocs} " +
+            s"docs, threshold=${st.armThresholdDocs}, wide=${st.armWide}")
       cand
         .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -269,6 +269,12 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
               o.put("droppedMembers", s.droppedMembers)
               o.put("maxBucket", s.maxBucket)
               o.put("estCandidates", s.estCandidates)
+              // the multiband auto-switch decision (first-class fields)
+              s.armWide.foreach { w =>
+                o.put("armWide", w)
+                o.put("armCorpusDocs", s.armCorpusDocs)
+                o.put("armThresholdDocs", s.armThresholdDocs)
+              }
             }
             respond(ex, 200, mapper.writeValueAsString(root))
           case ("DELETE", path) if path.startsWith("/druid/v2/") =>
@@ -327,5 +333,19 @@ class HttpServer(engine: Engine, tasks: Option[TaskService] = None, port: Int = 
   })
 
   def start(): Unit = server.start()
-  def stop(): Unit = server.stop(0)
+
+  /** Close the listening socket (no NEW exchanges), then block up to
+    * `graceSec` seconds for in-flight exchange handlers — chunked
+    * streaming responses and synchronous ingest-task submits — to finish
+    * before cutting them (JDK HttpServer stop semantics). A stream still
+    * writing past the grace gets its socket closed, which surfaces to the
+    * handler as a write failure and runs the same cleanup path as a
+    * client disconnect (query-job cancellation + thread-state clear), so
+    * a cut never leaks running Spark jobs. */
+  def stop(graceSec: Int): Unit = server.stop(graceSec)
+
+  /** Immediate stop — in-flight exchanges are cut, with the disconnect
+    * cleanup path reclaiming their jobs. Servers that should DRAIN on
+    * shutdown (ServerMain) call `stop(graceSec)`. */
+  def stop(): Unit = stop(0)
 }

@@ -51,7 +51,16 @@ object Dedup {
     * features in one bucket, `estCandidates` = total distinct features
     * observed. Collision rate = droppedMembers / estCandidates. */
   final case class LshStat(kind: String, buckets: Long, overflowBuckets: Long,
-      droppedMembers: Long, maxBucket: Long, estCandidates: Long)
+      droppedMembers: Long, maxBucket: Long, estCandidates: Long,
+      // kind="multiband-arm" only (the q94 decision pin): the auto-switch
+      // outcome as FIRST-CLASS fields (VERDICT r16 #4 — previously packed
+      // into buckets/overflowBuckets/estCandidates, which a future edit to
+      // those generic fields would silently break). armWide = Some(decision);
+      // armCorpusDocs = the counted corpus when the decision needed a count
+      // (-1 = forced or narrow signature); armThresholdDocs = the threshold
+      // in force (0 = forced wide).
+      armWide: Option[Boolean] = None, armCorpusDocs: Long = -1L,
+      armThresholdDocs: Long = -1L)
 
   private val lshStatsRing =
     new java.util.concurrent.ConcurrentLinkedDeque[LshStat]()
@@ -651,15 +660,17 @@ object Dedup {
       val m = materializedRows(sigs); if (m >= 0) m else sigs.count()
     }
     val useWide = wideSig && (wideArmMinDocs <= 0L || nDocs >= wideArmMinDocs)
-    // the ARM DECISION is observable (VERDICT r15 #3): a wideArmMinDocs
-    // regression would otherwise hide behind the documented 64-bit-arm
-    // ceiling as mere slowness. kind="multiband-arm", buckets = corpus
-    // count when the decision needed it (else -1: forced or narrow-sig),
-    // overflowBuckets = the threshold, estCandidates = 1 iff wide engaged.
-    recordLshStat(LshStat("multiband-arm",
-      buckets = if (wideSig && wideArmMinDocs > 0L) nDocs else -1L,
-      overflowBuckets = wideArmMinDocs, droppedMembers = -1L,
-      maxBucket = -1L, estCandidates = if (useWide) 1L else 0L))
+    // the ARM DECISION is observable (VERDICT r15 #3) through DEDICATED
+    // LshStat fields (VERDICT r16 #4): kind="multiband-arm", armWide = the
+    // decision, armCorpusDocs = the count when the decision needed one
+    // (-1 = forced or narrow-sig), armThresholdDocs = the threshold.
+    // The generic banding fields stay -1: they describe bucket geometry,
+    // which this record does not measure.
+    recordLshStat(LshStat("multiband-arm", buckets = -1L,
+      overflowBuckets = -1L, droppedMembers = -1L, maxBucket = -1L,
+      estCandidates = -1L, armWide = Some(useWide),
+      armCorpusDocs = if (wideSig && wideArmMinDocs > 0L) nDocs else -1L,
+      armThresholdDocs = wideArmMinDocs))
     if (useWide) require(maxHamming <= 3,
       "the 4x32-bit wide arm is pigeonhole-lossless only for maxHamming <= 3")
     // the 64-bit arm of a wide signature reads its low long (== simhash64)

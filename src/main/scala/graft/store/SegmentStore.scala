@@ -662,4 +662,17 @@ class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
       finally dirs.close()
     }
   }
+
+  /** O(1) ownership probe for ONE name — a single manifest stat instead of
+    * the full directory enumeration `datasourceNames` pays (ADVICE r16:
+    * the layered catalog resolves every served query through this, so the
+    * per-lookup cost must not scale with the number of datasources).
+    * Same freshness as the listing: manifest presence IS the criterion.
+    * Names with path separators are never datasources (they could stat
+    * outside the store root). */
+  def hasDatasource(name: String): Boolean =
+    name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
+      name != "." && name != ".." &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(store.root, name, "manifest.json"))
 }

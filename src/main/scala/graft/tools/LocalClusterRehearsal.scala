@@ -436,38 +436,69 @@ object LocalClusterRehearsal {
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(proc.getInputStream,
           java.nio.charset.StandardCharsets.UTF_8))
-      // the liveness line carries the ephemeral port
-      var port = -1
-      val deadline = System.nanoTime() + 120L * 1000000000L
-      var line: String = null
-      while (port < 0 && System.nanoTime() < deadline &&
-          { line = reader.readLine(); line != null }) {
-        if (line.startsWith("graft-server listening on port "))
-          port = line.stripPrefix("graft-server listening on port ")
-            .takeWhile(_.isDigit).toInt
-      }
-      // keep draining in the background so the child never blocks on a
-      // full stdout pipe
+      // liveness-line parse on a helper thread with a bounded latch await
+      // (ADVICE r16: a bare readLine() loop only evaluates its deadline
+      // BETWEEN lines — a child that starts but never prints would block
+      // the whole rehearsal forever). The same thread keeps draining
+      // afterwards so the child never blocks on a full stdout pipe.
+      @volatile var port = -1
+      val portSeen = new java.util.concurrent.CountDownLatch(1)
       val drain = new Thread(() => {
-        try { while (reader.readLine() != null) () }
-        catch { case _: Exception => () }
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            if (port < 0 && line.startsWith("graft-server listening on port ")) {
+              port = line.stripPrefix("graft-server listening on port ")
+                .takeWhile(_.isDigit).toInt
+              portSeen.countDown()
+            }
+            line = reader.readLine()
+          }
+        } catch { case _: Exception => () }
+        finally portSeen.countDown() // EOF/crash: release the waiter
       }, "graft-servermain-drain")
       drain.setDaemon(true); drain.start()
       var queried = false
-      if (port > 0) {
-        val client = HttpClient.newHttpClient()
-        val resp = client.send(HttpRequest.newBuilder(java.net.URI.create(
-          s"http://127.0.0.1:$port/druid/v2"))
-          .POST(HttpRequest.BodyPublishers.ofString(
-            """{"queryType":"timeBoundary","dataSource":"events"}"""))
-          .build(), HttpResponse.BodyHandlers.ofString())
-        queried = resp.statusCode() == 200 && resp.body().contains("result")
+      var streamStarted = false
+      var exited = false
+      try {
+        portSeen.await(120, java.util.concurrent.TimeUnit.SECONDS): Unit
+        if (port > 0) {
+          val client = HttpClient.newHttpClient()
+          val resp = client.send(HttpRequest.newBuilder(java.net.URI.create(
+            s"http://127.0.0.1:$port/druid/v2"))
+            .POST(HttpRequest.BodyPublishers.ofString(
+              """{"queryType":"timeBoundary","dataSource":"events"}"""))
+            .build(), HttpResponse.BodyHandlers.ofString())
+          queried = resp.statusCode() == 200 && resp.body().contains("result")
+          // kill-mid-query arm (VERDICT r16 #5): open a CHUNKED streaming
+          // scan, read only the first bytes, then SIGTERM with the stream
+          // in flight — the shutdown hook's bounded drain must still get
+          // the process to a clean exit (drained or cut, never wedged)
+          try {
+            val streamResp = client.send(HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:$port/druid/v2"))
+              .POST(HttpRequest.BodyPublishers.ofString(
+                """{"queryType":"scan","dataSource":"events",
+                  |"intervals":["1970-01-01T00:00:00Z/2100-01-01T00:00:00Z"],
+                  |"context":{"stream":"true"}}""".stripMargin))
+              .build(), HttpResponse.BodyHandlers.ofInputStream())
+            streamStarted = streamResp.statusCode() == 200 &&
+              streamResp.body().read() >= 0 // first byte is on the wire
+            // leave the rest unread: the server is now mid-stream (or has
+            // the remainder parked in socket buffers) when the SIGTERM in
+            // the finally block lands
+          } catch { case _: Exception => () }
+        }
+      } finally {
+        proc.destroy() // SIGTERM → the main's shutdown hook (graceful drain)
+        exited = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+        if (!exited) proc.destroyForcibly(): Unit
       }
-      proc.destroy() // SIGTERM → the main's shutdown hook
-      val exited = proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
-      if (!exited) proc.destroyForcibly()
       check("server_main_subprocess")(port > 0 && queried && exited,
         s"port=$port queried=$queried cleanExit=$exited")
+      check("server_main_sigterm_midstream")(streamStarted && exited,
+        s"streamStarted=$streamStarted cleanExit=$exited")
     }
 
     // ---- artifact ----------------------------------------------------------

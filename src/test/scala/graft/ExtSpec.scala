@@ -129,23 +129,27 @@ class ExtSpec extends SparkTestBase {
     def lastArm(): Dedup.LshStat =
       Dedup.lshStats.reverse.find(_.kind == "multiband-arm").get
     // sub-threshold corpus under the DEFAULT threshold → narrow, with the
-    // counted corpus and the threshold both visible
+    // counted corpus and the threshold both visible in the DEDICATED arm
+    // fields (VERDICT r16 #4); the generic banding fields stay unmeasured
     Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
       mBands = 16, estThreshold = 0.75, maxHamming = 3)
     val narrow = lastArm()
-    assert(narrow.estCandidates == 0L && narrow.buckets > 0L &&
-      narrow.buckets < Dedup.defaultWideArmMinDocs &&
-      narrow.overflowBuckets == Dedup.defaultWideArmMinDocs, narrow.toString)
+    assert(narrow.armWide.contains(false) && narrow.armCorpusDocs > 0L &&
+      narrow.armCorpusDocs < Dedup.defaultWideArmMinDocs &&
+      narrow.armThresholdDocs == Dedup.defaultWideArmMinDocs &&
+      narrow.buckets == -1L && narrow.estCandidates == -1L, narrow.toString)
     // past the threshold → wide
     Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
       mBands = 16, estThreshold = 0.75, maxHamming = 3, wideArmMinDocs = 10L)
     val wide = lastArm()
-    assert(wide.estCandidates == 1L && wide.buckets >= 10L, wide.toString)
+    assert(wide.armWide.contains(true) && wide.armCorpusDocs >= 10L,
+      wide.toString)
     // forced wide (0) records without paying a count (-1)
     Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
       mBands = 16, estThreshold = 0.75, maxHamming = 3, wideArmMinDocs = 0L)
     val forced = lastArm()
-    assert(forced.estCandidates == 1L && forced.buckets == -1L, forced.toString)
+    assert(forced.armWide.contains(true) && forced.armCorpusDocs == -1L &&
+      forced.armThresholdDocs == 0L, forced.toString)
   }
 
   test("multi-family wide arm: engages past the doc threshold, same verified pairs as the hand-composed union") {
