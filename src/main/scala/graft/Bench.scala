@@ -363,12 +363,47 @@ object Bench {
       else Some(s""","headline_subtotal_sec":${fmt(mins.flatten.sum)}""")
     }.getOrElse("")
 
+    // Fixture fingerprint (VERDICT r16 #2): per-table file count / total
+    // bytes / row-group count, read from the parquet footers. The driver
+    // regenerates /root/testdata each round; when untouched queries move
+    // together, this makes "different parquet layout" an artifact-backed
+    // adjudication instead of an inference. Lands in the FULL artifact
+    // only — the stdout contract line must stay truncation-proof.
+    val fixtureJson = try {
+      val root = new java.io.File(sfDir)
+      val tables = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val hconf = spark.sessionState.newHadoopConf()
+      def leafFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f).filter(_.getName.endsWith(".parquet"))
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(leafFiles)
+      val parts = tables.map { t =>
+        val fs = leafFiles(t)
+        val bytes = fs.map(_.length).sum
+        val rgs = fs.map { f =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getFooter.getBlocks.size().toLong finally r.close()
+          } catch { case _: Throwable => -1L }
+        }
+        val rg = if (rgs.contains(-1L)) -1L else rgs.sum
+        "\"" + t.getName.stripSuffix(".parquet") + "\":{\"files\":" +
+          fs.size + ",\"bytes\":" + bytes + ",\"row_groups\":" + rg + "}"
+      }
+      ",\"fixtures\":" + parts.mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fixture fingerprint skipped: $e"); ""
+    }
+
     // The driver captures only a bounded stdout tail, so the line printed
     // here must stay SMALL enough to survive intact (BENCH_r06/r07 lost all
     // per-query numbers to mid-line truncation). stdout gets the compact
     // contract line (medians only); the complete artifact — per-pass
     // arrays, mins, canaries, contention flags — goes to a file.
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$headlineJson$canaryJson$contendedJson$trendJson$errorsJson}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$headlineJson$canaryJson$contendedJson$trendJson$fixtureJson$errorsJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_full.json").getAbsolutePath)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

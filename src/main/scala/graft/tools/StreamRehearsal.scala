@@ -63,6 +63,13 @@ object StreamRehearsal {
       println(s"[stream-rehearsal] ${if (pass) "PASS" else "FAIL"} $label: $detail")
     }
 
+    // per-step artifact rows (VERDICT r16 #6: the reference's one
+    // quantitative streaming claim is ingest rate — pin ours per round):
+    // (offered, committedRows, wallSec, rowsPerSec, commitLatAvgMs,
+    //  commitLatMaxMs, batches, sustained)
+    val stepResults = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Double, Double, Double, Int, Boolean)]
+
     rates.foreach { rate =>
       val root = Files.createTempDirectory("graft_stream").toString
       val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
@@ -91,12 +98,23 @@ object StreamRehearsal {
       // rate never catches up and the call never returns (measured: wedged
       // at the first step). stop() finishes the in-flight batch; committed
       // rows are whole batches by construction.
+      // COMMIT LATENCY from the engine's own progress events, captured
+      // BEFORE stop() (stop clears recentProgress on some paths): per
+      // committed micro-batch, triggerExecution = source read + transform
+      // + appendBatch segment commit — the end-to-end batch latency
+      val progress = q.recentProgress.toSeq
       q.stop(); q.awaitTermination()
       val wallSecs = (System.nanoTime() - t0) / 1e9
+      val lats = progress.filter(_.numInputRows > 0).flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+      val latAvg = if (lats.isEmpty) -1.0 else lats.sum / lats.size
+      val latMax = if (lats.isEmpty) -1.0 else lats.max
 
       val committed = store.read(spark, "stream_events").count()
       val throughput = committed / wallSecs
       val sustained = throughput >= SustainedFraction * rate
+      stepResults += ((rate, committed, wallSecs, throughput, latAvg,
+        latMax, lats.size, sustained))
       // exact accounting: the rate source delivers a contiguous value
       // range; committed rows must be exactly that range, once each
       val agg = store.read(spark, "stream_events")
@@ -145,6 +163,31 @@ object StreamRehearsal {
       val total = out.agg(sum(col("cnt"))).head().getLong(0)
       check("rollup_windows_committed")(rows > 0 && total > 0,
         s"rollupRows=$rows eventsInClosedWindows=$total")
+    }
+
+    // JSON artifact (VERDICT r16 #6): per-step rows/s + commit latency,
+    // plus the sustained-throughput LAW result — the trend pin the
+    // segcache laws established. `value` = best committed rows/s across
+    // steps (the measured single-box micro-batch ingest ceiling).
+    locally {
+      def fmt(d: Double): String =
+        String.format(java.util.Locale.ROOT, "%.4f", d)
+      val steps = stepResults.map { case (off, rows, wall, thr, la, lm, b, sus) =>
+        s"""{"offered_rows_per_sec":$off,"committed_rows":$rows,""" +
+          s""""wall_sec":${fmt(wall)},"rows_per_sec":${fmt(thr)},""" +
+          s""""commit_latency_ms_avg":${fmt(la)},"commit_latency_ms_max":${fmt(lm)},""" +
+          s""""batches":$b,"sustained":$sus}"""
+      }.mkString("[", ",", "]")
+      val best = if (stepResults.isEmpty) 0.0 else stepResults.map(_._4).max
+      val lawHeld = stepResults.headOption.forall(_._8)
+      val line = s"""{"metric":"stream_ingest_rows_per_sec","value":${fmt(best)},""" +
+        s""""unit":"rows/sec","sustained_fraction":$SustainedFraction,""" +
+        s""""law_held":$lawHeld,"steps":$steps,"failures":$failures}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_streaming.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[stream-rehearsal] artifact written to $out")
+      println(line)
     }
 
     println(s"[stream-rehearsal] ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"}")
