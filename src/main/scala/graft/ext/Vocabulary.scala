@@ -379,11 +379,29 @@ object Vocabulary {
     * Output: (idCol, n_features, log_weight). */
   def dsirWeightsWith(model: DsirModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // Model-side join strategy, chosen EXPLICITLY from the model's KNOWN
+    // cardinality (featureSpace) instead of whatever stats the frame
+    // happens to carry: a freshly-counted (checkpointed) model has no
+    // file stats, and Catalyst falls back to a SortMergeJoin that SORTS
+    // the exploded doc-feature stream — the r17 probe measured that at
+    // 35.8 s vs 13.0 s for the IDENTICAL model read back from parquet
+    // (which the planner broadcasts on file-size stats) at sf10, and it
+    // was the real residual behind q83's 21x decade ratio (VERDICT r16
+    // #1). Broadcast up to `spark.graft.dsir.broadcastFeatures` entries
+    // (default 2^21 ≈ 170 MB of hashed relation — bucket mode's B rows
+    // always qualify); past that, shuffle-hash with the model as the
+    // build side — neither arm ever sorts the feature stream.
+    val cap = docs.sparkSession.conf
+      .getOption("spark.graft.dsir.broadcastFeatures").map(_.toLong)
+      .getOrElse(1L << 21)
+    val ratio =
+      if (model.featureSpace <= cap) broadcast(model.logRatio)
+      else model.logRatio.hint("shuffle_hash")
     docs.select(col(idCol),
         explode(dsirFeatures(col(textCol))).as("__f0"))
       .select(col(idCol),
         dsirBucket(col("__f0"), model.numBuckets).as("f"))
-      .join(model.logRatio, Seq("f"), "left")
+      .join(ratio, Seq("f"), "left")
       .withColumn("__lr", coalesce(col("log_ratio"), lit(model.oovLogRatio)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
