@@ -584,10 +584,18 @@ object Similarity {
     // measures the ACTUAL probed volume, so a pathological multiplier
     // still refuses instead of running). nProbe = 1 is bit-identical to
     // the flat assignment (the q74 default).
-    val assigned = Dedup.materialize(df.select(col(idCol).as("id"),
-      col(vecCol).as("__vec"),
-      explode(graft.functions.VectorFunctions.nearest_centroids(
-        col(vecCol), centroids, nProbe)).as("cluster")))
+    // the assignment map is COMPUTE-bound (n·k·dim multiplies), but a
+    // parquet-backed corpus parallelizes by file splits — at the r17
+    // sf100 measure that was ~13 tasks for a multi-Tflop stage, one
+    // straggler grinding for minutes while 31 cores idled. Spread it to
+    // the scheduler's width before paying the flops; the tiny vector
+    // shuffle is noise against the map cost.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val assigned = Dedup.materialize(df.repartition(par)
+      .select(col(idCol).as("id"),
+        col(vecCol).as("__vec"),
+        explode(graft.functions.VectorFunctions.nearest_centroids(
+          col(vecCol), centroids, nProbe)).as("cluster")))
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("m"))
     val pairVolume = sizes.agg(
       coalesce(sum((col("m") * (col("m") - 1) / 2).cast(LongType)), lit(0L)))

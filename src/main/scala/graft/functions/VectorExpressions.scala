@@ -306,20 +306,46 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val dim = a.numElements()
-    val scores = new Array[Double](normed.length)
-    var ci = 0
-    while (ci < normed.length) {
-      val c = normed(ci)
-      var dot = 0.0; var i = 0
-      val n = math.min(dim, c.length)
-      while (i < n) {
-        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        dot += x * c(i); i += 1
-      }
-      scores(ci) = dot; ci += 1
+    // copy the vector to a primitive array ONCE: ArrayData element access
+    // is a virtual dispatch, and the centroid loop reads each element k
+    // times (k = thousands at the k∝n regimes)
+    val x = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i); i += 1
     }
-    val order = scores.zipWithIndex.sortBy(-_._1).take(probe).map(_._2)
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(order)
+    val k = normed.length
+    val p = math.min(probe, k)
+    // bounded top-p selection, scores descending, ties → LOWER centroid
+    // index (the stable-sort rule shared with bestCentroid): the previous
+    // `zipWithIndex.sortBy` boxed and TimSorted all k scores PER ROW —
+    // the r17 sf100 find (8,000 centroids × 5M rows turned q74's
+    // assignment stage into a 30-minute single-straggler grind)
+    val topIdx = new Array[Int](p)
+    val topScore = new Array[Double](p)
+    var filled = 0
+    var ci = 0
+    while (ci < k) {
+      val c = normed(ci)
+      var dot = 0.0; var j = 0
+      val n = math.min(dim, c.length)
+      while (j < n) { dot += x(j) * c(j); j += 1 }
+      if (filled < p || dot > topScore(filled - 1)) {
+        // insertion point: move up only past STRICTLY smaller scores, so
+        // an equal score keeps the earlier (lower) centroid index first
+        var pos = if (filled < p) filled else p - 1
+        while (pos > 0 && dot > topScore(pos - 1)) pos -= 1
+        var m = math.min(filled, p - 1)
+        while (m > pos) {
+          topScore(m) = topScore(m - 1); topIdx(m) = topIdx(m - 1); m -= 1
+        }
+        topScore(pos) = dot; topIdx(pos) = ci
+        if (filled < p) filled += 1
+      }
+      ci += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      if (filled == p) topIdx else topIdx.take(filled))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
