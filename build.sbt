@@ -37,4 +37,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cluster process orders of magnitude more rows per JVM, so ship the
   // raised cutoff with every runnable main.
   "-XX:PerMethodRecompilationCutoff=10000",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -51,16 +51,25 @@ private[graft] object EntryPipeline {
       // the banding pipeline and both verify-join sides read cached blocks
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      val frame = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-          .as("sig"),
+      // checkpoint the SIGNATURE columns only: shingle sets are ~20x the
+      // signature bytes, and the verify attach (broadcast-reduced) only
+      // needs them for candidate-touched docs — materializing them for
+      // the whole corpus cost ~25 GB of checkpoint blocks at the 1000x SF
+      val frame = graft.ext.Dedup.materialize(
+        docs.select(col("doc_id").as("id"),
+          graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+            .as("sig")))
+      // LAZY shingles: the attach joins the broadcast-reduced id set
+      // below the projection, so shingling runs only for touched rows
+      val shf = docs.select(col("doc_id").as("id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint(true)
       val cand = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
         bands = 32, threshold = 0.35)
-      cand
-        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // exact-verify attach via the broadcast-reduced frame — the plain
+      // double join shuffle-wrote the full shingle frame twice (the r17
+      // sf100 find, 38+ GB of spill); pair-side cost only now
+      graft.ext.Dedup.attachPairPayloads(cand, shf, "id", "sh",
+          "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -86,12 +95,15 @@ private[graft] object EntryPipeline {
       // sets and the full pair join independently).
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      val frame = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-          .as("msig"),
-        graft.ext.Dedup.simhash128(col("text")).as("ssig"),
+      // signature-only checkpoint + lazy shingle frame (see q22: the
+      // verify attach shingles only candidate-touched docs)
+      val frame = graft.ext.Dedup.materialize(
+        docs.select(col("doc_id").as("id"),
+          graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+            .as("msig"),
+          graft.ext.Dedup.simhash128(col("text")).as("ssig")))
+      val shf = docs.select(col("doc_id").as("id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint(true)
       // both families band in ONE pass (simhash bands 16-19 after the 16
       // minhash bands): one skew-capped self-join instead of two, candidate
       // capture a superset of the separate-pipelines union. The frame
@@ -102,9 +114,11 @@ private[graft] object EntryPipeline {
       val prefiltered = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.75, maxHamming = 3,
         sBands = 4)
-      prefiltered
-        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // exact-verify attach via the broadcast-reduced frame — the plain
+      // double join shuffle-wrote the full shingle frame twice (the r17
+      // sf100 find, 38+ GB of spill); pair-side cost only now
+      graft.ext.Dedup.attachPairPayloads(prefiltered, shf, "id", "sh",
+          "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -204,18 +218,23 @@ private[graft] object EntryPipeline {
       // ExtSpec's pigeonhole set-equality against brute-force hamming.
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      val frame = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-          .as("msig"),
-        graft.ext.Dedup.simhash128(col("text")).as("ssig"),
+      // signature-only checkpoint + lazy shingle frame (see q22: the
+      // verify attach shingles only candidate-touched docs)
+      val frame = graft.ext.Dedup.materialize(
+        docs.select(col("doc_id").as("id"),
+          graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+            .as("msig"),
+          graft.ext.Dedup.simhash128(col("text")).as("ssig")))
+      val shf = docs.select(col("doc_id").as("id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint(true)
       val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3,
         wideArmMinDocs = 0L)
-      cand
-        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // exact-verify attach via the broadcast-reduced frame — the plain
+      // double join shuffle-wrote the full shingle frame twice (the r17
+      // sf100 find, 38+ GB of spill); pair-side cost only now
+      graft.ext.Dedup.attachPairPayloads(cand, shf, "id", "sh",
+          "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -238,12 +257,15 @@ private[graft] object EntryPipeline {
       // engine-independent and q59's brute-force oracle replays it.
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      val frame = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-          .as("msig"),
-        graft.ext.Dedup.simhash128(col("text")).as("ssig"),
+      // signature-only checkpoint + lazy shingle frame (see q22: the
+      // verify attach shingles only candidate-touched docs)
+      val frame = graft.ext.Dedup.materialize(
+        docs.select(col("doc_id").as("id"),
+          graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+            .as("msig"),
+          graft.ext.Dedup.simhash128(col("text")).as("ssig")))
+      val shf = docs.select(col("doc_id").as("id"),
         graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint(true)
       val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3)
       val st = graft.ext.Dedup.lshStats.reverse
@@ -256,9 +278,11 @@ private[graft] object EntryPipeline {
         throw new IllegalStateException(
           s"simhash arm auto-switch regressed: corpus=${st.armCorpusDocs} " +
             s"docs, threshold=${st.armThresholdDocs}, wide=${st.armWide}")
-      cand
-        .join(frame.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(frame.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // exact-verify attach via the broadcast-reduced frame — the plain
+      // double join shuffle-wrote the full shingle frame twice (the r17
+      // sf100 find, 38+ GB of spill); pair-side cost only now
+      graft.ext.Dedup.attachPairPayloads(cand, shf, "id", "sh",
+          "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -331,18 +355,21 @@ private[graft] object EntryPipeline {
       import graft.ext.Dedup
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      val frame = docs.select(col("doc_id").as("id"),
-        Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-          .as("sig"),
+      // signature-only checkpoint + lazy shingle frame (see q22: the
+      // verify attach shingles only candidate-touched docs)
+      val frame = Dedup.materialize(
+        docs.select(col("doc_id").as("id"),
+          Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+            .as("sig")))
+      val shf = docs.select(col("doc_id").as("id"),
         Dedup.shingles(col("text"), 3).as("sh"))
-        .localCheckpoint(true)
       val inc = frame.where(col("id") % 10 === 0)
       val corpus = frame.where(col("id") % 10 =!= 0)
       val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)
-      Dedup.incrementalMinhashDupPairs(inc, index, corpus,
-          "id", "sig", bands = 32, threshold = 0.35)
-        .join(frame.select(col("id").as("inc_id"), col("sh").as("sh_a")), "inc_id")
-        .join(frame.select(col("id").as("corpus_id"), col("sh").as("sh_b")), "corpus_id")
+      Dedup.attachPairPayloads(
+          Dedup.incrementalMinhashDupPairs(inc, index, corpus,
+            "id", "sig", bands = 32, threshold = 0.35),
+          shf, "id", "sh", "inc_id", "corpus_id")
         .select(col("inc_id"), col("corpus_id"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))

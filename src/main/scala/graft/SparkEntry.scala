@@ -114,6 +114,14 @@ object SparkEntry {
   private[graft] def clusteredStore(spark: SparkSession, dir: String): graft.store.SegmentStore =
     clusteredStores.getOrElseUpdate(dir, {
       val root = java.nio.file.Files.createTempDirectory("graft_clustered").toString
+      // per-JVM scratch (13 GB at the 1000x SF): delete on exit — killed
+      // bench JVMs leaked three of these and ran the box out of disk (r17)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }, "graft-clustered-cleanup"))
       val store = new graft.store.SegmentStore(root)
       val lineitem = graft.sources.TableLoader.load(spark, dir, "lineitem")
       // bucket count SCALES with the fact table (~4M rows/bucket, floor

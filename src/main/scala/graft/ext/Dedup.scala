@@ -130,8 +130,14 @@ object Dedup {
     * keys per signature, so every internal caller KNOWS the banded
     * cardinality at plan time — the common path pays ZERO extra jobs
     * (round-9 advice #2). */
+  /** Returns (candidateEstimate, estimateIsMeasured, bandedRows):
+    * the closed-form bound tier yields (ubound, false, rows); the
+    * measured tier (ubound over budget) yields the exact post-cap
+    * estimate (est, true, rows) — callers use the measured estimate to
+    * pick the banding FORM (keys vs payload) in addition to the budget
+    * refusal. Budget disabled → (-1, false, -1). */
   private def guardCandidates(banded: DataFrame, bucketCap: Int,
-      kind: String, knownRows: Long = -1L): Unit = {
+      kind: String, knownRows: Long = -1L): (Long, Boolean, Long) = {
     val budget = banded.sparkSession.conf
       .getOption("spark.graft.lsh.candidateBudget").map(_.toLong)
       .getOrElse(DefaultCandidateBudget)
@@ -149,6 +155,7 @@ object Dedup {
           s"postCapBound=$ubound budget=$budget (within budget for any " +
           f"bucket distribution; histogram skipped) boundSec=${
             (System.nanoTime() - t0) / 1e9}%.2f")
+        (ubound, false, rows)
       } else {
         val st = bandedStats(banded, bucketCap, kind)
         recordLshStat(st)
@@ -164,8 +171,9 @@ object Dedup {
               "signatures). Use a wider fingerprint / adaptive banding, raise " +
               "spark.graft.lsh.candidateBudget, or set it to 0 to disable " +
               "this check.")
+        (st.estCandidates, true, rows)
       }
-    }
+    } else (-1L, false, -1L)
   }
 
   /** Pair budget for the EXACT quadratic pair helpers
@@ -303,7 +311,7 @@ object Dedup {
     *    of failing the query. Tradeoff: entries stay registered with the
     *    cache manager until unpersisted/GC'd, so a long-lived server should
     *    clear them (`spark.catalog.clearCache()`) between pipelines. */
-  private[ext] def materialize(df: DataFrame): DataFrame =
+  def materialize(df: DataFrame): DataFrame =
     materializeCounted(df)._1
 
   /** Row counts recorded at materialization time, keyed by the materialized
@@ -346,6 +354,57 @@ object Dedup {
   private[ext] def materializedRows(df: DataFrame): Long = {
     val v = matRows.get(df)
     if (v == null) -1L else v.longValue()
+  }
+
+  /** Attach each candidate pair's two payload columns (shingle sets,
+    * signatures, …) for exact verification WITHOUT shuffling the heavy
+    * corpus frame. A plain `cand.join(frame).join(frame)` plans the
+    * corpus side as shuffle input, and the shuffle WRITE of a multi-GB
+    * payload column happens before AQE can re-plan the join — measured
+    * at the 1000× SF: a 14 GB shingle frame written to shuffle twice
+    * (38+ GB of spill) to verify ~50k pairs. Instead:
+    *
+    *  1. materialize the pair set (payload-light ids; its count comes
+    *     free from the materialization job),
+    *  2. BROADCAST the touched-id set and semi-reduce the frame to the
+    *     rows that appear in any pair (map-side, no frame shuffle),
+    *  3. run the two attach joins against the reduced frame — every
+    *     shuffled byte is now ∝ pairs, which is the inherent cost of
+    *     co-locating both payloads per pair.
+    *
+    * Past `maxBroadcastIds` distinct touched ids (default 2^24 ≈ 128 MB
+    * of hashed long relation) the id set stops being broadcastable and
+    * the plain shuffled joins are the right plan anyway — at that pair
+    * volume the payload co-location dominates regardless of strategy.
+    *
+    * Output: the pair frame with `<payloadCol>_a` / `<payloadCol>_b`
+    * attached. Column names follow the pair frame's own id columns. */
+  def attachPairPayloads(cand: DataFrame, frame: DataFrame,
+      idCol: String, payloadCol: String, aCol: String, bCol: String,
+      maxBroadcastIds: Long = 1L << 24): DataFrame = {
+    val (pairs, n) = materializeCounted(cand)
+    val bc = 2 * n <= maxBroadcastIds
+    attachPayload(
+      attachPayload(pairs, frame, idCol, payloadCol, aCol,
+        s"${payloadCol}_a", bc),
+      frame, idCol, payloadCol, bCol, s"${payloadCol}_b", bc)
+  }
+
+  /** One side of [[attachPairPayloads]] — for pair sets whose two key
+    * columns resolve against DIFFERENT frames (the incremental paths:
+    * increment side vs corpus side). `pairs` should be materialized so
+    * deriving the touched-key set is a cached-blocks scan, and
+    * `broadcastKeys` should be false once the pair count stops being
+    * broadcast-sized. */
+  def attachPayload(pairs: DataFrame, frame: DataFrame, idCol: String,
+      payloadCol: String, keyCol: String, outCol: String,
+      broadcastKeys: Boolean): DataFrame = {
+    val side = frame.select(col(idCol).as(keyCol), col(payloadCol).as(outCol))
+    val reduced =
+      if (broadcastKeys)
+        side.join(broadcast(pairs.select(keyCol).distinct()), keyCol)
+      else side
+    pairs.join(reduced, keyCol)
   }
 
   // -------------------------------------------------------------------------
@@ -405,10 +464,12 @@ object Dedup {
     * bands (caller dedups after its similarity filter, as before).
     */
   private[ext] def cappedBucketPairs(banded: DataFrame, idCol: String,
-      payloadCol: String, bucketCap: Int, knownRows: Long = -1L): DataFrame = {
+      payloadCol: String, bucketCap: Int, knownRows: Long = -1L,
+      runGuard: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    guardCandidates(banded.select("band", "bucket"), bucketCap,
-      "payload-banding", knownRows)
+    if (runGuard)
+      guardCandidates(banded.select("band", "bucket"), bucketCap,
+        "payload-banding", knownRows): Unit
     // Per-bucket size + representative via WINDOW functions, not a separate
     // groupBy+join branch — one fewer shuffle.
     val byBucket = Window.partitionBy("band", "bucket")
@@ -445,10 +506,12 @@ object Dedup {
     * identical to `cappedBucketPairs` + per-pair dedup: the same star-link
     * cap applies, and the output carries each pair once. */
   private[ext] def cappedBucketPairIds(banded: DataFrame, idCol: String,
-      bucketCap: Int, knownRows: Long = -1L): DataFrame = {
+      bucketCap: Int, knownRows: Long = -1L,
+      runGuard: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    guardCandidates(banded.select("band", "bucket"), bucketCap,
-      "keys-banding", knownRows)
+    if (runGuard)
+      guardCandidates(banded.select("band", "bucket"), bucketCap,
+        "keys-banding", knownRows): Unit
     val byBucket = Window.partitionBy("band", "bucket")
     val flagged = banded
       .withColumn("__n", count(lit(1)).over(byBucket))
@@ -466,14 +529,30 @@ object Dedup {
   }
 
   /** Join (id_a, id_b) pairs back to the signature frame for per-side
-    * payload columns — the fetch half of the keys-only banding split. */
+    * payload columns — the fetch half of the keys-only banding split.
+    *
+    * Join shape chosen from the signature frame's KNOWN cardinality (the
+    * dsirWeightsWith rule — stats presence must not pick the plan):
+    * broadcast while the frame is broadcast-sized, else SHUFFLE-HASH with
+    * the sigs as build side. The default SortMergeJoin is the one shape
+    * that cannot work at scale here: it SORTS the pairs×signature stream
+    * — measured r17 at the 1000× SF, the second attach sorted a 26.7 GB
+    * (pairs + sig_a) exchange and spilled past the box's disk, while the
+    * hash join streams the same probe side with zero sort. */
   private def joinSigs(pairs: DataFrame, sigs: DataFrame, idCol: String,
       cols: (String, String)*): DataFrame = {
-    val a = sigs.select(col(idCol).as("id_a") +:
-      cols.map { case (c, out) => col(c).as(s"${out}_a") }: _*)
-    val b = sigs.select(col(idCol).as("id_b") +:
-      cols.map { case (c, out) => col(c).as(s"${out}_b") }: _*)
-    pairs.join(a, "id_a").join(b, "id_b")
+    val nSigs = materializedRows(sigs)
+    val cap = sigs.sparkSession.conf
+      .getOption("spark.graft.lsh.broadcastSigs").map(_.toLong)
+      .getOrElse(1L << 20)
+    def side(key: String, suffix: String) = {
+      val s = sigs.select(col(idCol).as(key) +:
+        cols.map { case (c, out) => col(c).as(s"$out$suffix") }: _*)
+      if (nSigs < 0) s // unknown cardinality: leave the planner to stats
+      else if (nSigs <= cap) broadcast(s)
+      else s.hint("shuffle_hash")
+    }
+    pairs.join(side("id_a", "_a"), "id_a").join(side("id_b", "_b"), "id_b")
   }
 
   // -------------------------------------------------------------------------
@@ -699,12 +778,52 @@ object Dedup {
     val known = {
       val m = materializedRows(sigs); if (m >= 0) m * totalBands else -1L
     }
-    joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
-        msigCol -> "__m", ssigCol -> "__s")
-      .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
-      .where(col("__est") >= estThreshold ||
-        (ham <= maxHamming && col("__est") >= estFloor))
-      .select("id_a", "id_b")
+    // FORM choice, decided by the same stats pass the budget guard runs
+    // (VERDICT r16 #3's sf100 measurement found this): keys-banding
+    // shuffles ~30 B/row and materializes one row per candidate pair —
+    // optimal while candidates ≲ banded rows. But background-similarity
+    // collision mass grows ~quadratically with the corpus, and at 5.45M
+    // shared-vocab docs the 16×4 minhash bands admitted ~10⁹ sub-floor
+    // candidates: a 23+ GB pair shuffle written BEFORE the est floor
+    // could prune a single row. When the measured estimate dwarfs the
+    // banded volume, band WITH the signatures as payload instead — the
+    // est/hamming floor then evaluates INSIDE the bucket-join stage and
+    // junk pairs die without ever hitting a shuffle. Payload rows are
+    // ~10× key-row bytes, hence the 8× switch threshold.
+    val (estPairs, estMeasured, bandedRows) =
+      guardCandidates(banded.select("band", "bucket"), bucketCap,
+        "multiband", known)
+    val payloadForm = estMeasured && bandedRows > 0 &&
+      estPairs > 8L * bandedRows
+    if (payloadForm) System.err.println(
+      s"[graft-lsh] multiband banding FORM=payload: estCandidates=$estPairs" +
+        s" >> bandedRows=$bandedRows — est floor moves inside the bucket join")
+    if (!payloadForm)
+      joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
+          runGuard = false), sigs, idCol,
+          msigCol -> "__m", ssigCol -> "__s")
+        .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
+        .where(col("__est") >= estThreshold ||
+          (ham <= maxHamming && col("__est") >= estFloor))
+        .select("id_a", "id_b")
+    else {
+      val bandedP = sigs.select(col(idCol).as("id"),
+        struct(col(msigCol).as("m"), col(ssigCol).as("s")).as("__pl"),
+        posexplode(concat(
+          graft.functions.TextHashFunctions.band_keys(col(msigCol), mBands),
+          array(sKeyCols: _*)))
+          .as(Seq("band", "bucket")))
+      cappedBucketPairs(bandedP, "id", "__pl", bucketCap, known,
+          runGuard = false)
+        .withColumn("__m_a", col("payload_a.m"))
+        .withColumn("__m_b", col("payload_b.m"))
+        .withColumn("__s_a", col("payload_a.s"))
+        .withColumn("__s_b", col("payload_b.s"))
+        .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
+        .where(col("__est") >= estThreshold ||
+          (ham <= maxHamming && col("__est") >= estFloor))
+        .select("id_a", "id_b").distinct()
+    }
   }
 
   /** Connected-component-free dedup decision: drop any doc that pairs with a

@@ -421,10 +421,11 @@ object Similarity {
         col("payload_a"), col("payload_b")) >= minAgree)
       .select("id_a", "id_b").distinct()
 
-    // exact cosine only for survivors: two joins to fetch vectors (cached)
-    val va = sigs.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vb = sigs.select(col("id").as("id_b"), col("vec").as("vec_b"))
-    survivors.join(va, "id_a").join(vb, "id_b")
+    // exact cosine only for survivors — attached via the broadcast-reduced
+    // frame (Dedup.attachPairPayloads): plain va/vb joins shuffle-WRITE
+    // the full vector column twice before AQE can shrink the join (the
+    // r17 sf100 find on the shingle twin)
+    Dedup.attachPairPayloads(survivors, sigs, "id", "vec", "id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
@@ -510,9 +511,14 @@ object Similarity {
       .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
         col("__bits_a"), col("__bits_b")) >= minAgree)
       .select("inc_id", "corpus_id")
-    val va = incSigs.select(col("id").as("inc_id"), col("vec").as("vec_a"))
-    val vb = corpusSigs.select(col("id").as("corpus_id"), col("vec").as("vec_b"))
-    agreed.join(va, "inc_id").join(vb, "corpus_id")
+    // vectors attach via the broadcast-reduced frames (two frames — the
+    // increment and the corpus resolve different key columns), so the
+    // corpus vector column never shuffle-writes for a small survivor set
+    val (pairs, n) = Dedup.materializeCounted(agreed)
+    val bc = 2 * n <= (1L << 24)
+    Dedup.attachPayload(
+        Dedup.attachPayload(pairs, incSigs, "id", "vec", "inc_id", "vec_a", bc),
+        corpusSigs, "id", "vec", "corpus_id", "vec_b", bc)
       .select(col("inc_id"), col("corpus_id"),
         cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)

@@ -120,6 +120,39 @@ class ExtSpec extends SparkTestBase {
     assert(multi == separate)
   }
 
+  test("multiband payload form (candidates >> banded rows) emits exactly " +
+      "the keys-form pairs") {
+    import spark.implicits._
+    // 20 groups of 60 identical docs: candidate mass (20·C(60,2)·20 bands
+    // ≈ 708k) dwarfs the banded volume (24k rows) — the r17 sf100 shape.
+    // A budget below the closed-form bound (24k·128 ≈ 3.07M) but above
+    // the measured estimate forces the stats pass without a refusal, so
+    // the payload form engages; the default budget keeps the keys form.
+    val rows = (0 until 1200).map { i =>
+      (i.toLong, (0 until 30).map(j => s"tok${i % 20}w$j").mkString(" "))
+    }
+    val frame = rows.toDF("doc_id", "text")
+      .select(col("doc_id").as("id"),
+        Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+          .as("msig"),
+        Dedup.simhash128(col("text")).as("ssig"))
+      .localCheckpoint(true)
+    def pairs(): Set[(Long, Long)] =
+      Dedup.multiFamilyDupCandidates(frame, "id", "msig", "ssig",
+          mBands = 16, estThreshold = 0.75, maxHamming = 3,
+          wideArmMinDocs = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keysForm = pairs()
+    spark.conf.set("spark.graft.lsh.candidateBudget", "1000000")
+    val payloadForm =
+      try pairs() finally spark.conf.unset("spark.graft.lsh.candidateBudget")
+    assert(keysForm.nonEmpty && payloadForm == keysForm,
+      s"keys=${keysForm.size} payload=${payloadForm.size}")
+    // the guard's measured tier ran and recorded the multiband estimate
+    assert(Dedup.lshStats.exists(s => s.kind == "multiband" &&
+      s.estCandidates > 0L))
+  }
+
   test("multi-family arm decision is recorded in lshStats (the q94 pin)") {
     val frame = docs.where(col("doc_id") < 101)
       .select(col("doc_id").as("id"),
