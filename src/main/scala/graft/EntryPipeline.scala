@@ -68,7 +68,7 @@ private[graft] object EntryPipeline {
       // exact-verify attach via the broadcast-reduced frame — the plain
       // double join shuffle-wrote the full shingle frame twice (the r17
       // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloads(cand, shf, "id", "sh",
+      graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf, "id", "sh",
           "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
@@ -117,7 +117,7 @@ private[graft] object EntryPipeline {
       // exact-verify attach via the broadcast-reduced frame — the plain
       // double join shuffle-wrote the full shingle frame twice (the r17
       // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloads(prefiltered, shf, "id", "sh",
+      graft.ext.Dedup.attachPairPayloadsAuto(prefiltered, frame, shf, "id", "sh",
           "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
@@ -233,7 +233,7 @@ private[graft] object EntryPipeline {
       // exact-verify attach via the broadcast-reduced frame — the plain
       // double join shuffle-wrote the full shingle frame twice (the r17
       // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloads(cand, shf, "id", "sh",
+      graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf, "id", "sh",
           "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
@@ -281,7 +281,7 @@ private[graft] object EntryPipeline {
       // exact-verify attach via the broadcast-reduced frame — the plain
       // double join shuffle-wrote the full shingle frame twice (the r17
       // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloads(cand, shf, "id", "sh",
+      graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf, "id", "sh",
           "id_a", "id_b")
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
@@ -366,10 +366,10 @@ private[graft] object EntryPipeline {
       val inc = frame.where(col("id") % 10 === 0)
       val corpus = frame.where(col("id") % 10 =!= 0)
       val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)
-      Dedup.attachPairPayloads(
+      Dedup.attachPairPayloadsAuto(
           Dedup.incrementalMinhashDupPairs(inc, index, corpus,
             "id", "sig", bands = 32, threshold = 0.35),
-          shf, "id", "sh", "inc_id", "corpus_id")
+          frame, shf, "id", "sh", "inc_id", "corpus_id")
         .select(col("inc_id"), col("corpus_id"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -389,7 +389,10 @@ private[graft] object EntryPipeline {
         q28PlantedUnion(s, dir), "vec_id", "embedding",
         dim = 64, bands = 16, rowsPerBand = 8).localCheckpoint(true)
       val inc = sigs.where(col("id") >= 1000000L)
-      val corpus = sigs.where(col("id") < 1000000L)
+      // corpus side re-materialized so its cardinality is RECORDED — the
+      // incremental verify picks its attach shape from it (small corpus →
+      // direct joins; large → pair-side attach)
+      val corpus = graft.ext.Dedup.materialize(sigs.where(col("id") < 1000000L))
       val index = Similarity.cosineBandIndex(corpus, bands = 16)
       Similarity.incrementalCosineNearDupPairs(inc, index, corpus,
           threshold = 0.9, bands = 16, rowsPerBand = 8)

@@ -390,6 +390,28 @@ object Dedup {
       frame, idCol, payloadCol, bCol, s"${payloadCol}_b", bc)
   }
 
+  /** [[attachPairPayloads]] with a small-corpus fast path: when
+    * `sizedFrame` (the materialized signature frame — its row count was
+    * recorded for free) is at or under `directJoinMaxRows`, the plain
+    * two-sided join is cheaper than materializing the pair set — the
+    * extra checkpoint job dominates sub-second queries, and at these
+    * sizes AQE broadcasts the pair side from runtime stats anyway. Past
+    * the threshold the pair-side attach is the only shape whose shuffle
+    * volume stays pair-proportional (the r17 sf100 find). */
+  def attachPairPayloadsAuto(cand: DataFrame, sizedFrame: DataFrame,
+      payloadFrame: DataFrame, idCol: String, payloadCol: String,
+      aCol: String, bCol: String,
+      directJoinMaxRows: Long = 200000L): DataFrame = {
+    val n = materializedRows(sizedFrame)
+    if (n >= 0 && n <= directJoinMaxRows)
+      cand
+        .join(payloadFrame.select(col(idCol).as(aCol),
+          col(payloadCol).as(s"${payloadCol}_a")), aCol)
+        .join(payloadFrame.select(col(idCol).as(bCol),
+          col(payloadCol).as(s"${payloadCol}_b")), bCol)
+    else attachPairPayloads(cand, payloadFrame, idCol, payloadCol, aCol, bCol)
+  }
+
   /** One side of [[attachPairPayloads]] — for pair sets whose two key
     * columns resolve against DIFFERENT frames (the incremental paths:
     * increment side vs corpus side). `pairs` should be materialized so

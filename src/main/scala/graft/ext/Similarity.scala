@@ -425,7 +425,8 @@ object Similarity {
     // frame (Dedup.attachPairPayloads): plain va/vb joins shuffle-WRITE
     // the full vector column twice before AQE can shrink the join (the
     // r17 sf100 find on the shingle twin)
-    Dedup.attachPairPayloads(survivors, sigs, "id", "vec", "id_a", "id_b")
+    Dedup.attachPairPayloadsAuto(survivors, sigs, sigs, "id", "vec",
+        "id_a", "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
@@ -513,15 +514,29 @@ object Similarity {
       .select("inc_id", "corpus_id")
     // vectors attach via the broadcast-reduced frames (two frames — the
     // increment and the corpus resolve different key columns), so the
-    // corpus vector column never shuffle-writes for a small survivor set
-    val (pairs, n) = Dedup.materializeCounted(agreed)
-    val bc = 2 * n <= (1L << 24)
-    Dedup.attachPayload(
-        Dedup.attachPayload(pairs, incSigs, "id", "vec", "inc_id", "vec_a", bc),
-        corpusSigs, "id", "vec", "corpus_id", "vec_b", bc)
-      .select(col("inc_id"), col("corpus_id"),
-        cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .where(col("cosine") >= threshold)
+    // corpus vector column never shuffle-writes for a small survivor
+    // set. Small-corpus fast path (recorded cardinality): the extra
+    // pair-set checkpoint job dominates sub-second queries.
+    val nCorpus = Dedup.materializedRows(corpusSigs)
+    if (nCorpus >= 0 && nCorpus <= 200000L)
+      agreed
+        .join(incSigs.select(col("id").as("inc_id"), col("vec").as("vec_a")),
+          "inc_id")
+        .join(corpusSigs.select(col("id").as("corpus_id"),
+          col("vec").as("vec_b")), "corpus_id")
+        .select(col("inc_id"), col("corpus_id"),
+          cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    else {
+      val (pairs, n) = Dedup.materializeCounted(agreed)
+      val bc = 2 * n <= (1L << 24)
+      Dedup.attachPayload(
+          Dedup.attachPayload(pairs, incSigs, "id", "vec", "inc_id", "vec_a", bc),
+          corpusSigs, "id", "vec", "corpus_id", "vec_b", bc)
+        .select(col("inc_id"), col("corpus_id"),
+          cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        .where(col("cosine") >= threshold)
+    }
   }
 
   // -------------------------------------------------------------------------

@@ -197,19 +197,29 @@ class PlanQualitySpec extends SparkTestBase {
       "per-query top-k must pre-truncate map-side")
   }
 
-  test("near-dup pipelines materialize signatures: no parquet re-scan in the final plan") {
-    // the pair operators localCheckpoint their signature frame (and the
-    // entries their shingle frame), so the corpus parquet is read once per
-    // hash pass AT CONSTRUCTION and the final self-join/verify plan runs
-    // entirely over cached blocks — without this, both join sides plus the
-    // skew-cap window passes would re-read AND re-hash the corpus
+  test("near-dup pipelines materialize signatures: banding reads cached " +
+      "blocks, shingles stay lazy") {
+    // the pair operators localCheckpoint their SIGNATURE frame, so the
+    // banding self-join + skew-cap window passes run over cached blocks
+    // (ExistingRDD) and never re-hash the corpus. The verify SHINGLES are
+    // deliberately NOT checkpointed (r17): they are ~20x the signature
+    // bytes and only candidate-touched docs need them, so the attach
+    // re-scans the corpus TEXT (at most one scan per attach side) and
+    // shingles only the broadcast-reduced rows — the trade that removed
+    // ~25 GB of checkpoint blocks at the 1000x SF.
     Seq("q22_minhash_dups", "q23_simhash_dups", "q28_cosine_neardup").foreach { q =>
       val plan = physicalPlan(SparkEntry.queries(q)(spark, dir))
       val fileScans = plan.linesIterator.count(_.contains("Location:"))
-      assert(fileScans == 0,
-        s"$q final plan re-scans the corpus ($fileScans file scans) instead of cached signatures")
+      assert(fileScans <= 2,
+        s"$q final plan re-scans the corpus ($fileScans file scans) — " +
+          "signatures must come from cached blocks, text at most once per " +
+          "attach side")
       assert(plan.contains("ExistingRDD"),
-        s"$q should read checkpointed signature/shingle frames")
+        s"$q should read checkpointed signature frames")
+      assert(!plan.contains("minhash_signature") &&
+        !plan.contains("lsh_signature"),
+        s"$q final plan recomputes signatures instead of reading the " +
+          "checkpointed frame")
     }
   }
 
