@@ -321,6 +321,12 @@ object Dedup {
   private val matRows = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[DataFrame, java.lang.Long]())
 
+  /** Stored block bytes (mem + disk) recorded at materialization time —
+    * same lifecycle as [[matRows]]. -1 when the storage layer didn't
+    * expose the size (persist mode, or no storage info yet). */
+  private val matBytes = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+
   /** [[materialize]] that also returns the frame's row count FOR FREE —
     * the single materialization job yields it (lazy localCheckpoint
     * triggered by a count; persist populated by its count), so callers that
@@ -345,7 +351,27 @@ object Dedup {
         (c, c.count())
     }
     matRows.put(pair._1, java.lang.Long.valueOf(pair._2))
+    // checkpointed frames carry no file stats, so downstream join-shape
+    // decisions (joinSigs) need MEASURED bytes, not a row-count proxy —
+    // the count above populated the blocks, so the storage registry has
+    // the exact stored size for free (ADVICE r17: a row cap alone let
+    // several-hundred-MB signature relations broadcast near the boundary)
+    val storedBytes = pair._1.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id).map(i => i.memSize + i.diskSize)
+          .getOrElse(-1L)
+      case _ => -1L
+    }
+    matBytes.put(pair._1, java.lang.Long.valueOf(storedBytes))
     pair
+  }
+
+  /** Stored bytes recorded when `df` was produced by [[materialize]] /
+    * [[materializeCounted]] in this JVM; -1 when unknown. */
+  private[ext] def materializedBytes(df: DataFrame): Long = {
+    val v = matBytes.get(df)
+    if (v == null) -1L else v.longValue()
   }
 
   /** Row count recorded when `df` was produced by [[materialize]] /
@@ -384,10 +410,18 @@ object Dedup {
       maxBroadcastIds: Long = 1L << 24): DataFrame = {
     val (pairs, n) = materializeCounted(cand)
     val bc = 2 * n <= maxBroadcastIds
-    attachPayload(
-      attachPayload(pairs, frame, idCol, payloadCol, aCol,
-        s"${payloadCol}_a", bc),
-      frame, idCol, payloadCol, bCol, s"${payloadCol}_b", bc)
+    // BOTH reduced key sets derive from the materialized pair frame — a
+    // nested attachPayload(attachPayload(...)) fed the first join's OUTPUT
+    // in as the second call's pair frame, so deriving the second key set
+    // re-executed the first attach join (one extra full payload-frame
+    // scan, e.g. re-shingling the corpus — ADVICE r17)
+    def reduced(keyCol: String, outCol: String) = {
+      val side = frame.select(col(idCol).as(keyCol), col(payloadCol).as(outCol))
+      if (bc) side.join(broadcast(pairs.select(keyCol).distinct()), keyCol)
+      else side
+    }
+    pairs.join(reduced(aCol, s"${payloadCol}_a"), aCol)
+      .join(reduced(bCol, s"${payloadCol}_b"), bCol)
   }
 
   /** [[attachPairPayloads]] with a small-corpus fast path: when
@@ -564,14 +598,28 @@ object Dedup {
   private def joinSigs(pairs: DataFrame, sigs: DataFrame, idCol: String,
       cols: (String, String)*): DataFrame = {
     val nSigs = materializedRows(sigs)
-    val cap = sigs.sparkSession.conf
+    // broadcast decision sized by MEASURED stored bytes when the
+    // materialization recorded them (wide signatures make a row cap a bad
+    // proxy: 64-hash minhash + 128-bit simhash rows near a 2^20 cap are
+    // several hundred MB of hashed relation — ADVICE r17); the row cap is
+    // the fallback for externally-materialized frames
+    val byteCap = sigs.sparkSession.conf
+      .getOption("spark.graft.lsh.broadcastSigBytes").map(_.toLong)
+      .getOrElse(64L << 20)
+    val rowCap = sigs.sparkSession.conf
       .getOption("spark.graft.lsh.broadcastSigs").map(_.toLong)
-      .getOrElse(1L << 20)
+      .getOrElse(1L << 18)
+    val sigBytes = materializedBytes(sigs)
+    val small =
+      if (sigBytes >= 0) sigBytes <= byteCap else nSigs <= rowCap
+    if (nSigs >= 0) System.err.println(
+      s"[graft-lsh] joinSigs: rows=$nSigs bytes=$sigBytes -> " +
+        (if (small) "broadcast" else "shuffle_hash"))
     def side(key: String, suffix: String) = {
       val s = sigs.select(col(idCol).as(key) +:
         cols.map { case (c, out) => col(c).as(s"$out$suffix") }: _*)
       if (nSigs < 0) s // unknown cardinality: leave the planner to stats
-      else if (nSigs <= cap) broadcast(s)
+      else if (small) broadcast(s)
       else s.hint("shuffle_hash")
     }
     pairs.join(side("id_a", "_a"), "id_a").join(side("id_b", "_b"), "id_b")

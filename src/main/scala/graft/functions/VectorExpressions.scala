@@ -316,6 +316,11 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
     }
     val k = normed.length
     val p = math.min(probe, k)
+    // p == 0 (probe <= 0 or an empty centroid matrix): the selection loop
+    // below would index topScore(-1); the sort-based path returned [] here
+    if (p <= 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.empty[Int])
     // bounded top-p selection, scores descending, ties → LOWER centroid
     // index (the stable-sort rule shared with bestCentroid): the previous
     // `zipWithIndex.sortBy` boxed and TimSorted all k scores PER ROW —

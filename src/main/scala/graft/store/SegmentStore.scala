@@ -669,10 +669,16 @@ class SegmentCatalog(store: SegmentStore) extends graft.sources.Catalog {
     * per-lookup cost must not scale with the number of datasources).
     * Same freshness as the listing: manifest presence IS the criterion.
     * Names with path separators are never datasources (they could stat
-    * outside the store root). */
+    * outside the store root), and a name the filesystem rejects outright
+    * (NUL bytes and the like throw InvalidPathException from Paths.get)
+    * is just as absent — the listing-based predecessor returned false for
+    * those, and a client-supplied name must not 500 every served query
+    * resolution (ADVICE r17). */
   def hasDatasource(name: String): Boolean =
     name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
       name != "." && name != ".." &&
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(store.root, name, "manifest.json"))
+      (try
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(store.root, name, "manifest.json"))
+      catch { case _: java.nio.file.InvalidPathException => false })
 }

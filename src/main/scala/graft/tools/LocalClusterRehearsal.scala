@@ -467,6 +467,7 @@ object LocalClusterRehearsal {
           val client = HttpClient.newHttpClient()
           val resp = client.send(HttpRequest.newBuilder(java.net.URI.create(
             s"http://127.0.0.1:$port/druid/v2"))
+            .timeout(java.time.Duration.ofSeconds(60))
             .POST(HttpRequest.BodyPublishers.ofString(
               """{"queryType":"timeBoundary","dataSource":"events"}"""))
             .build(), HttpResponse.BodyHandlers.ofString())
@@ -476,15 +477,28 @@ object LocalClusterRehearsal {
           // in flight — the shutdown hook's bounded drain must still get
           // the process to a clean exit (drained or cut, never wedged)
           try {
+            // request timeout bounds the wait for response HEADERS; the
+            // first-byte read below is additionally deadlined on its own
+            // thread — a server that returns 200 then stalls before the
+            // first body byte must fall through to the SIGTERM in the
+            // finally block, not wedge the rehearsal (ADVICE r17, the same
+            // never-returns class as the port-parse fix above)
             val streamResp = client.send(HttpRequest.newBuilder(
               java.net.URI.create(s"http://127.0.0.1:$port/druid/v2"))
+              .timeout(java.time.Duration.ofSeconds(60))
               .POST(HttpRequest.BodyPublishers.ofString(
                 """{"queryType":"scan","dataSource":"events",
                   |"intervals":["1970-01-01T00:00:00Z/2100-01-01T00:00:00Z"],
                   |"context":{"stream":"true"}}""".stripMargin))
               .build(), HttpResponse.BodyHandlers.ofInputStream())
+            val firstByte = new java.util.concurrent.CompletableFuture[Int]()
+            val t = new Thread(() =>
+              try firstByte.complete(streamResp.body().read()): Unit
+              catch { case e: Exception => firstByte.completeExceptionally(e): Unit },
+              "graft-rehearsal-firstbyte")
+            t.setDaemon(true); t.start()
             streamStarted = streamResp.statusCode() == 200 &&
-              streamResp.body().read() >= 0 // first byte is on the wire
+              firstByte.get(60, java.util.concurrent.TimeUnit.SECONDS) >= 0
             // leave the rest unread: the server is now mid-stream (or has
             // the remainder parked in socket buffers) when the SIGTERM in
             // the finally block lands

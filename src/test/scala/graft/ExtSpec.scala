@@ -382,6 +382,21 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("nearest_centroids: p == 0 returns an empty array, not AIOOBE") {
+    // probe bounded to min(probe, k): a zero-probe request (or an empty
+    // centroid matrix) must return [] like the old sort-based path — the
+    // bounded top-p selection indexed topScore(-1) here (ADVICE r17)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val out = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+      .select(
+        graft.functions.VectorFunctions.nearest_centroids(col("v"), cents, 0)
+          .as("z"),
+        graft.functions.VectorFunctions.nearest_centroids(col("v"),
+          Array.empty[Array[Double]], 3).as("e"))
+      .head()
+    assert(out.getSeq[Int](0).isEmpty && out.getSeq[Int](1).isEmpty)
+  }
+
   test("knnJoin: exhaustive mode == brute-force graph; recall + budget guard") {
     // exhaustive (nProbe = nClusters) must equal brute force regardless of
     // centroid placement — the q85 oracle property, checked here on the

@@ -28,6 +28,17 @@ class IngestSpec extends SparkTestBase {
     (ts("2024-05-02T03:00:00Z"), "view", 7.0),
   ).toDF("__time", "event_type", "value")
 
+  test("hasDatasource: hostile names are absent, never a thrown 500") {
+    // client-supplied datasource names reach the O(1) manifest stat; a
+    // name the filesystem rejects (NUL) must read as not-owned like the
+    // old listing-based check did, not surface InvalidPathException on
+    // every served query resolution (ADVICE r17)
+    val cat = new SegmentCatalog(freshStore())
+    for (bad <- Seq("\u0000", "ev\u0000il", "", ".", "..", "a/b", "a\\b"))
+      assert(!cat.hasDatasource(bad), s"expected absent: ${bad.length} chars")
+    assert(!cat.hasDatasource("simply-missing"))
+  }
+
   test("index task writes day-chunked segments; queries read them back") {
     val store = freshStore()
     val svc = new TaskService(spark, store)
