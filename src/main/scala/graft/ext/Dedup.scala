@@ -60,7 +60,11 @@ object Dedup {
       // (-1 = forced or narrow signature); armThresholdDocs = the threshold
       // in force (0 = forced wide).
       armWide: Option[Boolean] = None, armCorpusDocs: Long = -1L,
-      armThresholdDocs: Long = -1L)
+      armThresholdDocs: Long = -1L,
+      // minhash band-geometry decision (the r18 scale ladder): the bands ×
+      // rows-per-band actually used for the minhash arm after corpus-
+      // adaptive scaling; -1 = not a geometry-scaled execution
+      geomBands: Int = -1, geomRows: Int = -1)
 
   private val lshStatsRing =
     new java.util.concurrent.ConcurrentLinkedDeque[LshStat]()
@@ -595,7 +599,7 @@ object Dedup {
     * — measured r17 at the 1000× SF, the second attach sorted a 26.7 GB
     * (pairs + sig_a) exchange and spilled past the box's disk, while the
     * hash join streams the same probe side with zero sort. */
-  private def joinSigs(pairs: DataFrame, sigs: DataFrame, idCol: String,
+  private[ext] def joinSigs(pairs: DataFrame, sigs: DataFrame, idCol: String,
       cols: (String, String)*): DataFrame = {
     val nSigs = materializedRows(sigs)
     // broadcast decision sized by MEASURED stored bytes when the
@@ -668,16 +672,32 @@ object Dedup {
     * hashed once instead of once per family. The caller owns
     * materialization; passing a lazy frame re-derives it per join side. */
   def minhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
-      bands: Int, threshold: Double, bucketCap: Int = 256): DataFrame = {
+      bands: Int, threshold: Double, bucketCap: Int = 256,
+      numHashes: Int = -1, scaleGeomMinDocs: Long = 0L): DataFrame = {
+    // OPT-IN corpus-adaptive geometry (numHashes + scaleGeomMinDocs > 0):
+    // past the threshold the banding trades per-band recall for candidate
+    // precision via the r18 scale ladder — see scaledMinhashGeometry for
+    // the capture numbers. Off by default: a caller that sized its bands
+    // for a LOW verify bar (q22's 32×2 at j≥0.5) must keep its capture
+    // guarantee, including its documented budget refusal at corpus scale.
+    val (gBands, gRows) =
+      if (numHashes <= 0 || scaleGeomMinDocs <= 0L) (bands, -1)
+      else {
+        val nDocs = { val m = materializedRows(sigs); if (m >= 0) m else sigs.count() }
+        scaledMinhashGeometry(nDocs, numHashes, bands, scaleGeomMinDocs)
+      }
     // one row per (doc, band), KEYS ONLY: bucket key = native band hash of
     // the slice; signatures are fetched per distinct pair afterwards, so
     // the banding shuffle never replicates a payload per band
+    val keys =
+      if (gBands == bands)
+        graft.functions.TextHashFunctions.band_keys(col(sigCol), bands)
+      else scaledBandKeys(col(sigCol), gBands, gRows, numHashes)
     val banded = sigs.select(col(idCol).as("id"),
-      posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
-        .as(Seq("band", "bucket")))
-    // banding emits exactly `bands` rows per signature, so the guard's
+      posexplode(keys).as(Seq("band", "bucket")))
+    // banding emits exactly `gBands` rows per signature, so the guard's
     // cardinality is known from the materialization — zero extra jobs
-    val known = { val m = materializedRows(sigs); if (m >= 0) m * bands else -1L }
+    val known = { val m = materializedRows(sigs); if (m >= 0) m * gBands else -1L }
     joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
         sigCol -> "__sig")
       .select(col("id_a"), col("id_b"),
@@ -764,6 +784,61 @@ object Dedup {
     * narrow arm's smaller constant still matters. */
   val defaultWideArmMinDocs: Long = 250000L
 
+  /** Corpus threshold where minhash banding starts trading per-band recall
+    * for candidate precision (the r18 scale ladder, [[scaledMinhashGeometry]]).
+    * Set from the r17 fourth-decade measurement: at 545k shared-vocab docs
+    * the 16×4 geometry's background-collision mass was still cheap (11.8 s
+    * whole-query), at 5.45M it admitted 123.7M est-floor candidates — a
+    * 26.7 GB signature co-location exchange that grew ~quadratically with
+    * the corpus. 2M sits between the measured-fine and measured-flooded
+    * decades with ~3× margin on the flooded side. */
+  val defaultScaleGeomMinDocs: Long = 2000000L
+
+  /** Corpus-adaptive minhash band geometry — the minhash twin of the
+    * simhash wide-arm switch. Background-similarity collisions admit a
+    * pair per band with probability j^r, so candidate mass grows
+    * ~quadratically with the corpus at FIXED r; growing r with the corpus
+    * keeps the admitted mass near-linear (each extra row multiplies a
+    * background pair's admit probability by its jaccard, ≤0.2 on the
+    * measured corpora, while a true near-dup's by ≥0.8). The ladder:
+    *
+    *  - below `scaleMinDocs`: the caller's geometry (bit-for-bit legacy —
+    *    small corpora keep their oracle);
+    *  - [scaleMinDocs, 25×scaleMinDocs): 5 rows/band — with 64 hashes that
+    *    is 12 bands × 5 (60 hashes banded; the estimate still uses all
+    *    64). Capture per TRUE pair: 0.99998 at j=0.9, 0.9989 at 0.85,
+    *    0.9915 at the 0.8 verify bar; admitted background mass shrinks
+    *    ~E[j_bg]·(12/16) ≈ 5-10× per decade of headroom.
+    *  - at/above 25×scaleMinDocs: 6 rows/band (10 bands × 6 with 64
+    *    hashes). Capture 0.99987 at j=0.9, 0.95 at 0.8 — the 64-hash
+    *    signature's honest ceiling; corpora past ~1e9 docs should raise
+    *    numHashes (the signature is caller-owned) rather than climb the
+    *    ladder further, which is why it stops at 6.
+    *
+    * Returns (bands, rowsPerBand). Never DROPS rows below the caller's
+    * geometry (a caller that picked 2-row bands for a low verify bar keeps
+    * its capture guarantee — and its documented budget refusal at scale). */
+  def scaledMinhashGeometry(nDocs: Long, numHashes: Int, baseBands: Int,
+      scaleMinDocs: Long): (Int, Int) = {
+    val baseRows = math.max(1, numHashes / baseBands)
+    val rows =
+      if (scaleMinDocs <= 0L || nDocs < scaleMinDocs) baseRows
+      else if (nDocs < 25L * scaleMinDocs) math.max(baseRows, 5)
+      else math.max(baseRows, 6)
+    if (rows == baseRows) (baseBands, baseRows) else (numHashes / rows, rows)
+  }
+
+  /** Band keys for a possibly geometry-scaled minhash signature: when the
+    * scaled geometry uses fewer hashes than the signature carries
+    * (e.g. 12×5 = 60 of 64), band over the PREFIX — the remaining hashes
+    * still serve the full-signature jaccard estimate. */
+  private def scaledBandKeys(sig: Column, bands: Int, rows: Int,
+      numHashes: Int): Column = {
+    val used = bands * rows
+    val s = if (used == numHashes) sig else slice(sig, 1, used)
+    graft.functions.TextHashFunctions.band_keys(s, bands)
+  }
+
   /** Candidate pairs from BOTH hash families in ONE banding pass: minhash
     * band keys and simhash bit-slices explode together (simhash bands
     * indexed after the minhash ones, so the (band, bucket) keyspaces stay
@@ -801,7 +876,9 @@ object Dedup {
       msigCol: String, ssigCol: String,
       mBands: Int, estThreshold: Double, maxHamming: Int,
       sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5,
-      wideArmMinDocs: Long = defaultWideArmMinDocs): DataFrame = {
+      wideArmMinDocs: Long = defaultWideArmMinDocs,
+      numHashes: Int = 64,
+      scaleGeomMinDocs: Long = defaultScaleGeomMinDocs): DataFrame = {
     val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
     // corpus size from the materialization record when available (free);
     // a count job only for externally-materialized frames
@@ -809,17 +886,34 @@ object Dedup {
       val m = materializedRows(sigs); if (m >= 0) m else sigs.count()
     }
     val useWide = wideSig && (wideArmMinDocs <= 0L || nDocs >= wideArmMinDocs)
+    // the minhash arm self-sizes the same way (the r18 scale ladder):
+    // more rows per band past scaleGeomMinDocs so background-collision
+    // candidate mass stays near-linear in the corpus — see
+    // scaledMinhashGeometry for the capture ladder
+    val (gBands, gRows) =
+      if (scaleGeomMinDocs <= 0L) (mBands, math.max(1, numHashes / mBands))
+      else scaledMinhashGeometry(nDocs, numHashes, mBands, scaleGeomMinDocs)
+    val geomScaled = gBands != mBands
+    if (geomScaled) System.err.println(
+      s"[graft-lsh] multiband minhash geometry scaled: docs=$nDocs " +
+        s"${mBands}x${numHashes / mBands} -> ${gBands}x$gRows")
+    val mKeys: Column =
+      if (!geomScaled)
+        graft.functions.TextHashFunctions.band_keys(col(msigCol), mBands)
+      else scaledBandKeys(col(msigCol), gBands, gRows, numHashes)
     // the ARM DECISION is observable (VERDICT r15 #3) through DEDICATED
     // LshStat fields (VERDICT r16 #4): kind="multiband-arm", armWide = the
     // decision, armCorpusDocs = the count when the decision needed one
     // (-1 = forced or narrow-sig), armThresholdDocs = the threshold.
     // The generic banding fields stay -1: they describe bucket geometry,
-    // which this record does not measure.
+    // which this record does not measure. geomBands/geomRows pin the
+    // minhash geometry ladder the same way armWide pins the simhash arm.
     recordLshStat(LshStat("multiband-arm", buckets = -1L,
       overflowBuckets = -1L, droppedMembers = -1L, maxBucket = -1L,
       estCandidates = -1L, armWide = Some(useWide),
       armCorpusDocs = if (wideSig && wideArmMinDocs > 0L) nDocs else -1L,
-      armThresholdDocs = wideArmMinDocs))
+      armThresholdDocs = wideArmMinDocs,
+      geomBands = gBands, geomRows = gRows))
     if (useWide) require(maxHamming <= 3,
       "the 4x32-bit wide arm is pigeonhole-lossless only for maxHamming <= 3")
     // the 64-bit arm of a wide signature reads its low long (== simhash64)
@@ -836,15 +930,13 @@ object Dedup {
         (0 until sBands).map(b => shiftright(s64, b * width).bitwiseAND(mask))
       }
     val banded = sigs.select(col(idCol).as("id"),
-      posexplode(concat(
-        graft.functions.TextHashFunctions.band_keys(col(msigCol), mBands),
-        array(sKeyCols: _*)))
+      posexplode(concat(mKeys, array(sKeyCols: _*)))
         .as(Seq("band", "bucket")))
     val ham =
       if (useWide) hamming128(col("__s_a"), col("__s_b"))
       else if (wideSig) hamming(element_at(col("__s_a"), 1), element_at(col("__s_b"), 1))
       else hamming(col("__s_a"), col("__s_b"))
-    val totalBands = mBands + (if (useWide) 4 else sBands)
+    val totalBands = gBands + (if (useWide) 4 else sBands)
     val known = {
       val m = materializedRows(sigs); if (m >= 0) m * totalBands else -1L
     }
@@ -879,9 +971,7 @@ object Dedup {
     else {
       val bandedP = sigs.select(col(idCol).as("id"),
         struct(col(msigCol).as("m"), col(ssigCol).as("s")).as("__pl"),
-        posexplode(concat(
-          graft.functions.TextHashFunctions.band_keys(col(msigCol), mBands),
-          array(sKeyCols: _*)))
+        posexplode(concat(mKeys, array(sKeyCols: _*)))
           .as(Seq("band", "bucket")))
       cappedBucketPairs(bandedP, "id", "__pl", bucketCap, known,
           runGuard = false)

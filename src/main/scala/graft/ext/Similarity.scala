@@ -49,11 +49,17 @@ object Similarity {
     val r = math.max(NearDupRowsPerBand,
       math.ceil(math.log(math.max(1.0, n.toDouble / TargetBucketLoad))
         / math.log(2)).toInt)
+    (captureBandsFor(threshold, r), r)
+  }
+
+  /** Band count for a GIVEN rows-per-band at the 99% per-pair capture
+    * target — the OR-amplification half of the adaptive law, shared with
+    * the self-resize retry so both venues derive b the same way. */
+  def captureBandsFor(threshold: Double, r: Int): Int = {
     val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
     val captureMiss = 0.01 // per-pair capture target 99%
-    val b = math.min(MaxAdaptiveBands, math.max(NearDupBands,
+    math.min(MaxAdaptiveBands, math.max(NearDupBands,
       math.ceil(math.log(captureMiss) / math.log1p(-math.pow(p, r))).toInt))
-    (b, r)
   }
   val TargetBucketLoad = 32
   val MaxAdaptiveBands = 96
@@ -385,22 +391,67 @@ object Similarity {
     require((bands > 0) == (rowsPerBand > 0),
       s"bands=$bands rowsPerBand=$rowsPerBand: specify BOTH to pin the " +
         "banding geometry, or neither to size it to the corpus")
-    val (bandsR, rowsR) =
-      if (bands > 0 && rowsPerBand > 0) (bands, rowsPerBand)
+    val adaptive = bands <= 0
+    var (bandsR, rowsR) =
+      if (!adaptive) (bands, rowsPerBand)
       else adaptiveNearDupBanding(df.count(), threshold)
-    val nBits = bandsR * rowsR
 
     // one corpus scan + hash pass; bit array for banding, packed longs for
     // the shuffle payload + popcount agreement
-    val sigs = Dedup.materialize(
+    def sigsFor(b: Int, r: Int) = Dedup.materialize(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-          lshSignature(col(vecCol), seed, nBits, dim).as("__sig"))
+          lshSignature(col(vecCol), seed, b * r, dim).as("__sig"))
         .withColumn("__sigbits",
           graft.functions.VectorFunctions.pack_bits(col("__sig"))))
+    var sigs = sigsFor(bandsR, rowsR)
+    def knownBanded = {
+      val m = Dedup.materializedRows(sigs); if (m >= 0) m * bandsR else -1L
+    }
 
-    val banded = sigs.select(col("id"), col("__sigbits"),
-      posexplode(graft.functions.TextHashFunctions.band_keys(col("__sig"), bandsR))
-        .as(Seq("band", "bucket")))
+    // SELF-RESIZING retry (VERDICT r17 #2): past the adaptive-law geometry,
+    // background similarity can still flood the bands (measured at the 4th
+    // decade: est 3.28e9 > the 2e9 budget at 2.7M near-random vectors, a
+    // hard refusal). The budget guard's own histogram estimate is already
+    // computed exactly when that happens — so USE it: each extra row/band
+    // halves near-random collision mass, so solve for the smallest r whose
+    // predicted mass fits budget/4 (margin for estimate error), re-derive b
+    // from the shared capture law, and re-hash. Costs one extra corpus
+    // hash pass, paid only in the regime where the alternative was
+    // refusing the query. Explicitly pinned geometries never resize — a
+    // test that pinned 16×8 must get 16×8 or the documented refusal.
+    var resized = false
+    if (adaptive) {
+      val budget = df.sparkSession.conf
+        .getOption("spark.graft.lsh.candidateBudget").map(_.toLong)
+        .getOrElse(Dedup.DefaultCandidateBudget)
+      val ubound = knownBanded * math.max(bucketCap, 2) / 2
+      if (budget > 0 && knownBanded >= 0 && ubound > budget) {
+        val probe = sigs.select(col("id"),
+          posexplode(graft.functions.TextHashFunctions.band_keys(
+            col("__sig"), bandsR)).as(Seq("band", "bucket")))
+        val st = Dedup.bandedStats(probe.select("band", "bucket"), bucketCap,
+          "cosine-neardup-probe")
+        Dedup.recordLshStat(st)
+        if (st.estCandidates > budget) {
+          var r2 = rowsR; var b2 = bandsR; var pred = st.estCandidates
+          while (pred > budget / 4 && r2 < rowsR + 16) {
+            r2 += 1
+            b2 = captureBandsFor(threshold, r2)
+            pred = (st.estCandidates * b2 / bandsR) >> (r2 - rowsR)
+          }
+          System.err.println(s"[graft-lsh] cosine near-dup self-resize: " +
+            s"est=${st.estCandidates} > budget=$budget at ${bandsR}x$rowsR " +
+            s"-> ${b2}x$r2 (predicted ~$pred)")
+          Dedup.recordLshStat(Dedup.LshStat("cosine-neardup-resize",
+            buckets = -1L, overflowBuckets = -1L, droppedMembers = -1L,
+            maxBucket = -1L, estCandidates = pred,
+            geomBands = b2, geomRows = r2))
+          sigs = sigsFor(b2, r2)
+          bandsR = b2; rowsR = r2; resized = true
+        }
+      }
+    }
+    val nBits = bandsR * rowsR
 
     // agreement cut: bits agree w.p. 1-θ/π; keep pairs within 3σ of the
     // threshold's expected agreement (2σ let ~2% of exactly-at-threshold
@@ -411,15 +462,37 @@ object Similarity {
 
     // skew-capped candidates (Dedup.cappedBucketPairs): oversize buckets —
     // e.g. zero/constant vectors — star-link to a representative instead of
-    // emitting m²/2 pairs in one task
-    val knownBanded = {
-      val m = Dedup.materializedRows(sigs); if (m >= 0) m * bandsR else -1L
-    }
-    val survivors = Dedup.cappedBucketPairs(banded, "id", "__sigbits",
-        bucketCap, knownBanded)
-      .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
-        col("payload_a"), col("payload_b")) >= minAgree)
-      .select("id_a", "id_b").distinct()
+    // emitting m²/2 pairs in one task.
+    //
+    // FORM: the default path bands WITH the packed bits as payload (the
+    // agreement cut evaluates inside the bucket join — junk dies without a
+    // second exchange, measured right for the small/mid-SF regime). A
+    // RESIZED run is in the opposite regime by construction: r is large,
+    // the signature is wide (b×r bits), and candidates are a small
+    // fraction of banded rows — so it bands KEYS ONLY (~30 B/row instead
+    // of replicating a multi-hundred-byte signature per band) and fetches
+    // the bits per distinct pair via the known-cardinality joinSigs.
+    val survivors =
+      if (resized) {
+        val banded = sigs.select(col("id"),
+          posexplode(graft.functions.TextHashFunctions.band_keys(
+            col("__sig"), bandsR)).as(Seq("band", "bucket")))
+        Dedup.joinSigs(
+            Dedup.cappedBucketPairIds(banded, "id", bucketCap, knownBanded),
+            sigs, "id", "__sigbits" -> "__bits")
+          .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
+            col("__bits_a"), col("__bits_b")) >= minAgree)
+          .select("id_a", "id_b")
+      } else {
+        val banded = sigs.select(col("id"), col("__sigbits"),
+          posexplode(graft.functions.TextHashFunctions.band_keys(
+            col("__sig"), bandsR)).as(Seq("band", "bucket")))
+        Dedup.cappedBucketPairs(banded, "id", "__sigbits",
+            bucketCap, knownBanded)
+          .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
+            col("payload_a"), col("payload_b")) >= minAgree)
+          .select("id_a", "id_b").distinct()
+      }
 
     // exact cosine only for survivors — attached via the broadcast-reduced
     // frame (Dedup.attachPairPayloads): plain va/vb joins shuffle-WRITE

@@ -74,8 +74,14 @@ object ScaleInvariants {
       check("q20_exact_Nx")(s == n * b, s"base=$b scaled=$s expected=${n * b}")
     }
     // LSH families: within the published capture band of N x
+    // q94/q96 emit EXACT-verified pairs (bar 0.8), so their counts band
+    // around N× like q22/q23 — and at the 4th decade (n=1000) they are the
+    // capture proof for the geometry ladder (scaledMinhashGeometry): the
+    // scaled corpus crosses defaultScaleGeomMinDocs, the banding switches
+    // to 12×5, and the count must still land within the band.
     for ((q, tol) <- Seq("q22_minhash_dups" -> 0.01, "q23_simhash_dups" -> 0.01,
-        "q28_cosine_neardup" -> 0.02) if wanted(q)) {
+        "q28_cosine_neardup" -> 0.02, "q94_simhash_autoswitch" -> 0.01,
+        "q96_minhash_scale_dups" -> 0.01) if wanted(q)) {
       val b = qcount(q, base)
       val s = qcount(q, scaled)
       val lo = ((1.0 - tol) * n * b).floor.toLong

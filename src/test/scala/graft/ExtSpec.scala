@@ -40,6 +40,70 @@ class ExtSpec extends SparkTestBase {
     assert(survivors.count() == docs.count() - pairs.map(_.getAs[Long]("id_b")).distinct.length)
   }
 
+  test("minhash geometry ladder: step thresholds + never-narrower rule") {
+    // the r18 scale ladder (VERDICT r17 #1): 16×4 below the threshold,
+    // 12×5 to 25× it, 10×6 past that — and a caller whose base geometry
+    // already has MORE rows per band keeps it (rows only ever grow)
+    val t = Dedup.defaultScaleGeomMinDocs
+    assert(Dedup.scaledMinhashGeometry(t - 1, 64, 16, t) == ((16, 4)))
+    assert(Dedup.scaledMinhashGeometry(t, 64, 16, t) == ((12, 5)))
+    assert(Dedup.scaledMinhashGeometry(25 * t - 1, 64, 16, t) == ((12, 5)))
+    assert(Dedup.scaledMinhashGeometry(25 * t, 64, 16, t) == ((10, 6)))
+    assert(Dedup.scaledMinhashGeometry(1000 * t, 64, 16, t) == ((10, 6)))
+    // 8×8 base: 8 rows/band already exceeds every ladder step
+    assert(Dedup.scaledMinhashGeometry(1000 * t, 64, 8, t) == ((8, 8)))
+    // disabled (scaleMinDocs = 0) → caller geometry verbatim
+    assert(Dedup.scaledMinhashGeometry(1000 * t, 64, 16, 0L) == ((16, 4)))
+  }
+
+  test("geometry-scaled banding: exact-verified pairs match legacy; decision observable") {
+    // force the 12×5 step on the fixture corpus: the CANDIDATE set may
+    // legitimately differ (that is the point — fewer background
+    // collisions), but after exact verification at the 0.8 bar the output
+    // must be the same pairs the legacy 16×4 geometry yields (capture at
+    // the bar ≥0.9915 per pair, deterministic for a fixed corpus+seed)
+    val frame = Dedup.materialize(docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+        .as("sig"),
+      Dedup.simhash128(col("text")).as("ssig")))
+    val shf = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    def verified(cand: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.attachPairPayloadsAuto(cand.select("id_a", "id_b"), frame, shf,
+          "id", "sh", "id_a", "id_b")
+        .where(graft.functions.TextHashFunctions.set_jaccard(
+          col("sh_a"), col("sh_b")) >= 0.8)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // pure minhash family (q96's path) — scaleGeomMinDocs=1 puts the 500-doc
+    // corpus past 25× the threshold: the TOP (10×6) step is exercised here
+    val legacy = verified(Dedup.minhashDupPairsFromSigs(
+      frame, "id", "sig", bands = 16, threshold = 0.65))
+    val scaled = verified(Dedup.minhashDupPairsFromSigs(
+      frame, "id", "sig", bands = 16, threshold = 0.65,
+      numHashes = 64, scaleGeomMinDocs = 1L))
+    assert(legacy.nonEmpty && scaled == legacy,
+      s"legacy=${legacy.size} scaled=${scaled.size} " +
+        s"missed=${(legacy -- scaled).size} extra=${(scaled -- legacy).size}")
+
+    // multi-family operator: forced MIDDLE (12×5) step — 500 docs lands in
+    // [400, 25×400) — plus the LshStat geometry pin
+    val mfScaled = verified(Dedup.multiFamilyDupCandidates(frame, "id",
+      "sig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3,
+      scaleGeomMinDocs = 400L))
+    val stScaled = Dedup.lshStats.reverse.find(_.kind == "multiband-arm").get
+    assert(stScaled.geomBands == 12 && stScaled.geomRows == 5,
+      s"forced ladder not recorded: $stScaled")
+    val mfLegacy = verified(Dedup.multiFamilyDupCandidates(frame, "id",
+      "sig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3))
+    val stLegacy = Dedup.lshStats.reverse.find(_.kind == "multiband-arm").get
+    assert(stLegacy.geomBands == 16 && stLegacy.geomRows == 4,
+      s"sub-threshold corpus must keep the caller geometry: $stLegacy")
+    assert(mfScaled == mfLegacy,
+      s"missed=${(mfLegacy -- mfScaled).size} extra=${(mfScaled -- mfLegacy).size}")
+  }
+
   test("bucket skew cap: 10k identical docs dedup without an m² task") {
     // 10k copies of one doc → every band bucket holds all 10k rows; without
     // the cap that is 16 bands × 50M pairs in single tasks. With the cap the
@@ -870,6 +934,50 @@ class ExtSpec extends SparkTestBase {
     assert(incPairs == fullPairs,
       s"incremental != full cross-split: onlyInc=${incPairs -- fullPairs} onlyFull=${fullPairs -- incPairs}")
     assert(incPairs.nonEmpty, "fixture must plant at least one cross-split near-dup")
+  }
+
+  test("cosine near-dup self-resize: flooded adaptive banding retries wider and stays exact") {
+    import graft.ext.{Dedup, Similarity}
+    // near-random corpus + planted perturbed copies: at the adaptive-law
+    // geometry (16×8 for 3k docs) a tiny budget forces the probe histogram
+    // and the resize retry (VERDICT r17 #2); the resized run must emit the
+    // same exact-verified pairs as an unbudgeted pinned-geometry run
+    val dim = 16
+    // hash-based uniform components — a periodic construction (sin(i·31))
+    // plants dense TRUE-similarity clusters, which no banding geometry can
+    // thin (that regime is the guard's honest refusal, not the retry's)
+    val base = (0 until 3000).map { i =>
+      val rnd = new scala.util.Random(i * 7919L + 13)
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, j) =>
+        x + ((id * 13 + j) % 5 - 2) * 0.01f })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding").localCheckpoint(true)
+    def pairs(d: org.apache.spark.sql.DataFrame) = d
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val conf = spark.conf
+    val resizedRun =
+      try {
+        conf.set("spark.graft.lsh.candidateBudget", "100000")
+        pairs(Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+          dim, threshold = 0.9))
+      } finally conf.unset("spark.graft.lsh.candidateBudget")
+    val st = Dedup.lshStats.reverse.find(_.kind == "cosine-neardup-resize")
+      .getOrElse(fail("resize did not fire / record"))
+    assert(st.geomRows > 8 && st.geomBands >= 16 &&
+      st.estCandidates <= 100000 / 4,
+      s"resize must widen rows and predict within budget/4: $st")
+    val pinned =
+      try {
+        conf.set("spark.graft.lsh.candidateBudget", "0") // guard off
+        pairs(Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+          dim, threshold = 0.9, bands = 16, rowsPerBand = 8))
+      } finally conf.unset("spark.graft.lsh.candidateBudget")
+    assert(resizedRun.nonEmpty && resizedRun == pinned,
+      s"resized=${resizedRun.size} pinned=${pinned.size} " +
+        s"missed=${(pinned -- resizedRun).size} extra=${(resizedRun -- pinned).size}")
   }
 
   test("sequencePack: greedy contiguous packing, budget overflow by at most one doc") {
