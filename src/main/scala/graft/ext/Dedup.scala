@@ -378,6 +378,18 @@ object Dedup {
     if (v == null) -1L else v.longValue()
   }
 
+  /** Eagerly free a [[materialize]]d frame's stored blocks. Normally the
+    * ContextCleaner frees them when the frame is GC'd; a pipeline that
+    * REPLACES a multi-GB frame mid-query (the cosine self-resize re-hash)
+    * should not gamble scratch disk on driver GC timing. No-op for frames
+    * not backed by a checkpointed RDD. */
+  private[ext] def releaseMaterialized(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   /** Row count recorded when `df` was produced by [[materialize]] /
     * [[materializeCounted]] in this JVM; -1 for frames materialized
     * elsewhere (callers fall back to counting). */
@@ -600,7 +612,7 @@ object Dedup {
     * (pairs + sig_a) exchange and spilled past the box's disk, while the
     * hash join streams the same probe side with zero sort. */
   private[ext] def joinSigs(pairs: DataFrame, sigs: DataFrame, idCol: String,
-      cols: (String, String)*): DataFrame = {
+      cols: (Column, String)*): DataFrame = {
     val nSigs = materializedRows(sigs)
     // broadcast decision sized by MEASURED stored bytes when the
     // materialization recorded them (wide signatures make a row cap a bad
@@ -621,7 +633,7 @@ object Dedup {
         (if (small) "broadcast" else "shuffle_hash"))
     def side(key: String, suffix: String) = {
       val s = sigs.select(col(idCol).as(key) +:
-        cols.map { case (c, out) => col(c).as(s"$out$suffix") }: _*)
+        cols.map { case (c, out) => c.as(s"$out$suffix") }: _*)
       if (nSigs < 0) s // unknown cardinality: leave the planner to stats
       else if (small) broadcast(s)
       else s.hint("shuffle_hash")
@@ -670,7 +682,13 @@ object Dedup {
     * simhash ∪ minhash candidates) compute all signatures in one
     * materialized select and feed each family here — the corpus is read and
     * hashed once instead of once per family. The caller owns
-    * materialization; passing a lazy frame re-derives it per join side. */
+    * materialization; passing a lazy frame re-derives it per join side.
+    *
+    * `est_jaccard` is the BYTE estimator ([[graft.functions.MinHashBytes]]):
+    * a ≤0.4%-absolute overestimate of the long-slot fraction, so a
+    * threshold keeps every pair the full-width estimate would keep; callers
+    * that need engine-independent output exact-verify downstream (all
+    * entries do). */
   def minhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int, threshold: Double, bucketCap: Int = 256,
       numHashes: Int = -1, scaleGeomMinDocs: Long = 0L): DataFrame = {
@@ -698,11 +716,34 @@ object Dedup {
     // banding emits exactly `gBands` rows per signature, so the guard's
     // cardinality is known from the materialization — zero extra jobs
     val known = { val m = materializedRows(sigs); if (m >= 0) m * gBands else -1L }
-    joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
-        sigCol -> "__sig")
-      .select(col("id_a"), col("id_b"),
-        minhashJaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
-      .where(col("est_jaccard") >= threshold)
+    // the estimate travels as MinHashBytes (64 B vs the long array's
+    // ~528 B) in BOTH forms — the est co-location, not the banding, is
+    // what exhausted scratch at the 4th decade. Form choice mirrors
+    // multiFamilyDupCandidates (see its cost-model comment).
+    val mb = graft.functions.TextHashFunctions.minhash_bytes(col(sigCol))
+    val (estPairs, estMeasured, bandedRows) =
+      guardCandidates(banded.select("band", "bucket"), bucketCap,
+        "minhash", known)
+    val payloadForm = estMeasured && bandedRows > 0 &&
+      estPairs > bandedRows / 2
+    if (!payloadForm)
+      joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
+          runGuard = false), sigs, idCol, mb -> "__mb")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.TextHashFunctions.byte_jaccard(
+            col("__mb_a"), col("__mb_b")).as("est_jaccard"))
+        .where(col("est_jaccard") >= threshold)
+    else {
+      val bandedP = sigs.select(col(idCol).as("id"), mb.as("__mb"),
+        posexplode(keys).as(Seq("band", "bucket")))
+      cappedBucketPairs(bandedP, "id", "__mb", bucketCap, known,
+          runGuard = false)
+        .select(col("id_a"), col("id_b"),
+          graft.functions.TextHashFunctions.byte_jaccard(
+            col("payload_a"), col("payload_b")).as("est_jaccard"))
+        .where(col("est_jaccard") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** Persistent LSH band index over a corpus signature frame: one row per
@@ -943,43 +984,52 @@ object Dedup {
     // FORM choice, decided by the same stats pass the budget guard runs
     // (VERDICT r16 #3's sf100 measurement found this): keys-banding
     // shuffles ~30 B/row and materializes one row per candidate pair —
-    // optimal while candidates ≲ banded rows. But background-similarity
-    // collision mass grows ~quadratically with the corpus, and at 5.45M
-    // shared-vocab docs the 16×4 minhash bands admitted ~10⁹ sub-floor
-    // candidates: a 23+ GB pair shuffle written BEFORE the est floor
-    // could prune a single row. When the measured estimate dwarfs the
-    // banded volume, band WITH the signatures as payload instead — the
-    // est/hamming floor then evaluates INSIDE the bucket-join stage and
-    // junk pairs die without ever hitting a shuffle. Payload rows are
-    // ~10× key-row bytes, hence the 8× switch threshold.
+    // optimal while candidates are few relative to banded rows; past that
+    // the per-pair payload co-location dominates, so band WITH the
+    // payloads instead and let the est/hamming floor evaluate INSIDE the
+    // bucket-join stage (junk dies without a second exchange).
+    //
+    // The estimate payload travels as MinHashBytes in BOTH forms — the
+    // r18 sf100 finding: geometry cannot thin this corpus's collision
+    // mass (143M candidates at 5.45M docs are high-prefix-agreement
+    // pairs, only ~0.75× per extra band row), so the per-candidate BYTES
+    // are the lever. 64 B + the wide simhash vs ~528 B of long-array
+    // signature; byte-est is a ≤0.4%-absolute overestimate (see
+    // MinHashBytes), so floors keep every pair the full estimate keeps
+    // and the exact verify downstream absorbs the inflation.
+    //
+    // Cost model for the switch: keys-form pays ~(16 B + 2×payload) per
+    // CANDIDATE in the fetch exchange; payload-form pays ~payload per
+    // BANDED row. Crossover at est ≈ banded/2.
     val (estPairs, estMeasured, bandedRows) =
       guardCandidates(banded.select("band", "bucket"), bucketCap,
         "multiband", known)
     val payloadForm = estMeasured && bandedRows > 0 &&
-      estPairs > 8L * bandedRows
+      estPairs > bandedRows / 2
     if (payloadForm) System.err.println(
       s"[graft-lsh] multiband banding FORM=payload: estCandidates=$estPairs" +
         s" >> bandedRows=$bandedRows — est floor moves inside the bucket join")
+    val mb = graft.functions.TextHashFunctions.minhash_bytes(col(msigCol))
+    def estOf(a: Column, b: Column) =
+      graft.functions.TextHashFunctions.byte_jaccard(a, b)
     if (!payloadForm)
       joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
           runGuard = false), sigs, idCol,
-          msigCol -> "__m", ssigCol -> "__s")
-        .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
+          mb -> "__m", col(ssigCol) -> "__s")
+        .withColumn("__est", estOf(col("__m_a"), col("__m_b")))
         .where(col("__est") >= estThreshold ||
           (ham <= maxHamming && col("__est") >= estFloor))
         .select("id_a", "id_b")
     else {
       val bandedP = sigs.select(col(idCol).as("id"),
-        struct(col(msigCol).as("m"), col(ssigCol).as("s")).as("__pl"),
+        struct(mb.as("m"), col(ssigCol).as("s")).as("__pl"),
         posexplode(concat(mKeys, array(sKeyCols: _*)))
           .as(Seq("band", "bucket")))
       cappedBucketPairs(bandedP, "id", "__pl", bucketCap, known,
           runGuard = false)
-        .withColumn("__m_a", col("payload_a.m"))
-        .withColumn("__m_b", col("payload_b.m"))
         .withColumn("__s_a", col("payload_a.s"))
         .withColumn("__s_b", col("payload_b.s"))
-        .withColumn("__est", minhashJaccard(col("__m_a"), col("__m_b")))
+        .withColumn("__est", estOf(col("payload_a.m"), col("payload_b.m")))
         .where(col("__est") >= estThreshold ||
           (ham <= maxHamming && col("__est") >= estFloor))
         .select("id_a", "id_b").distinct()
@@ -1249,7 +1299,7 @@ object Dedup {
     // hamming verify (see cappedBucketPairIds)
     val known = { val m = materializedRows(sigs); if (m >= 0) m * bands else -1L }
     joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
-        sigCol -> "__sig")
+        col(sigCol) -> "__sig")
       .select(col("id_a"), col("id_b"),
         hamming(col("__sig_a"), col("__sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -1285,7 +1335,7 @@ object Dedup {
       }: _*)).as(Seq("band", "bucket")))
     val known = { val m = materializedRows(sigs); if (m >= 0) m * 4 else -1L }
     joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known), sigs, idCol,
-        sigCol -> "__sig")
+        col(sigCol) -> "__sig")
       .select(col("id_a"), col("id_b"),
         hamming128(col("__sig_a"), col("__sig_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -64,6 +64,13 @@ object Similarity {
   val TargetBucketLoad = 32
   val MaxAdaptiveBands = 96
 
+  /** Pair target for the self-resize retry (see `cosineNearDupPairs`):
+    * the candidate stream that survives a resize carries both packed
+    * signatures through a re-shuffle, so the resize solves for a PAIR
+    * count whose byte volume stays single-query sane (~50M × ~600 B ≈
+    * 30 GB), not merely for the refusal budget. */
+  val ResizeTargetPairs = 50000000L
+
   /** Cosine similarity of two float-array columns (0 when either norm=0).
     * Backed by the native codegen'd expression (graft.functions). */
   def cosine(a: Column, b: Column): Column =
@@ -396,13 +403,19 @@ object Similarity {
       if (!adaptive) (bands, rowsPerBand)
       else adaptiveNearDupBanding(df.count(), threshold)
 
-    // one corpus scan + hash pass; bit array for banding, packed longs for
-    // the shuffle payload + popcount agreement
+    // one corpus scan + hash pass. The checkpoint stores the PACKED bits
+    // (agreement popcount) and the PRE-COMPUTED band keys (b longs), never
+    // the unpacked bit array — at a resized 2k-bit geometry the raw bits
+    // are ~8 KB/row (measured 23 GB of checkpoint blocks at the 4th
+    // decade, the scratch-disk killer) vs ~1 KB for bits+keys.
     def sigsFor(b: Int, r: Int) = Dedup.materialize(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"),
           lshSignature(col(vecCol), seed, b * r, dim).as("__sig"))
-        .withColumn("__sigbits",
-          graft.functions.VectorFunctions.pack_bits(col("__sig"))))
+        .select(col("id"), col("vec"),
+          graft.functions.VectorFunctions.pack_bits(col("__sig"))
+            .as("__sigbits"),
+          graft.functions.TextHashFunctions.band_keys(col("__sig"), b)
+            .as("__bands")))
     var sigs = sigsFor(bandsR, rowsR)
     def knownBanded = {
       val m = Dedup.materializedRows(sigs); if (m >= 0) m * bandsR else -1L
@@ -427,14 +440,21 @@ object Similarity {
       val ubound = knownBanded * math.max(bucketCap, 2) / 2
       if (budget > 0 && knownBanded >= 0 && ubound > budget) {
         val probe = sigs.select(col("id"),
-          posexplode(graft.functions.TextHashFunctions.band_keys(
-            col("__sig"), bandsR)).as(Seq("band", "bucket")))
+          posexplode(col("__bands")).as(Seq("band", "bucket")))
         val st = Dedup.bandedStats(probe.select("band", "bucket"), bucketCap,
           "cosine-neardup-probe")
         Dedup.recordLshStat(st)
         if (st.estCandidates > budget) {
+          // target in PAIRS but sized for BYTES: the surviving candidates
+          // co-locate both packed signatures (~2·nBits/8 B per pair) through
+          // a re-shuffle, so the resized stream must land well under the
+          // refusal budget — budget/4 of 2e9 pairs at a 2-kbit resized
+          // signature is still a ~140 GB exchange (measured to exhaust the
+          // box at the 4th decade). ResizeTargetPairs × ~600 B ≈ 30 GB,
+          // and each extra row halves the mass, so the extra rows are cheap.
+          val target = math.min(budget / 4, ResizeTargetPairs)
           var r2 = rowsR; var b2 = bandsR; var pred = st.estCandidates
-          while (pred > budget / 4 && r2 < rowsR + 16) {
+          while (pred > target && r2 < rowsR + 16) {
             r2 += 1
             b2 = captureBandsFor(threshold, r2)
             pred = (st.estCandidates * b2 / bandsR) >> (r2 - rowsR)
@@ -446,7 +466,9 @@ object Similarity {
             buckets = -1L, overflowBuckets = -1L, droppedMembers = -1L,
             maxBucket = -1L, estCandidates = pred,
             geomBands = b2, geomRows = r2))
+          val stale = sigs
           sigs = sigsFor(b2, r2)
+          Dedup.releaseMaterialized(stale) // multi-GB at corpus scale
           bandsR = b2; rowsR = r2; resized = true
         }
       }
@@ -475,18 +497,16 @@ object Similarity {
     val survivors =
       if (resized) {
         val banded = sigs.select(col("id"),
-          posexplode(graft.functions.TextHashFunctions.band_keys(
-            col("__sig"), bandsR)).as(Seq("band", "bucket")))
+          posexplode(col("__bands")).as(Seq("band", "bucket")))
         Dedup.joinSigs(
             Dedup.cappedBucketPairIds(banded, "id", bucketCap, knownBanded),
-            sigs, "id", "__sigbits" -> "__bits")
+            sigs, "id", col("__sigbits") -> "__bits")
           .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
             col("__bits_a"), col("__bits_b")) >= minAgree)
           .select("id_a", "id_b")
       } else {
         val banded = sigs.select(col("id"), col("__sigbits"),
-          posexplode(graft.functions.TextHashFunctions.band_keys(
-            col("__sig"), bandsR)).as(Seq("band", "bucket")))
+          posexplode(col("__bands")).as(Seq("band", "bucket")))
         Dedup.cappedBucketPairs(banded, "id", "__sigbits",
             bucketCap, knownBanded)
           .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(

@@ -390,6 +390,107 @@ case class MinHashJaccard(left: Expression, right: Expression)
       : Expression = copy(left = l, right = r)
 }
 
+/** Byte-compact MinHash co-location form: the LOW BYTE of each 64-bit
+  * signature slot, packed as binary — 64 B against the long array's ~528 B
+  * in an exchange row. Two slots' low bytes match whenever the slots match
+  * (plus a 1/256 coincidence on mismatch), so [[ByteJaccard]] over these
+  * is a slight OVER-estimate of [[MinHashJaccard]]: est_byte = j +
+  * (1−j)/256 in expectation — never lower per pair, so an est-floor keeps
+  * every pair the full-width estimate would keep, and the exact verify
+  * downstream absorbs the ≤0.4%-absolute inflation. This is what banding
+  * self-joins ship per candidate at corpus scale (the r17/r18 sf100
+  * finding: the est co-location exchange, not the banding, is the
+  * scratch-disk ceiling — measured 26.7 GB for 124M candidates with
+  * long-array signatures, 8× less in bytes). */
+case class MinHashBytes(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long> input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = arr.getLong(i).toByte; i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (byte) $a.getLong($i);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fraction of equal bytes of two binary columns, divided by the LEFT
+  * length ([[MinHashJaccard]]'s HOF semantics) — the estimator over
+  * [[MinHashBytes]] signatures. One primitive pass per candidate pair. */
+case class ByteJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two binary inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    if (x.length == 0) 0.0
+    else {
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (x(i) == y(i)) m += 1
+        i += 1
+      }
+      m.toDouble / x.length
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length == 0) { ${ev.value} = 0.0; } else {
+         |  int $m = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a[$i] == $b[$i]) $m++;
+         |  }
+         |  ${ev.value} = (double) $m / (double) $a.length;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Whitespace tokenizer with `String.split("\\s+")` semantics, minus the
   * regex: one byte-level pass over the UTF8String. Spark's `split(col,
   * "\\s+")` recompiles the pattern on EVERY row (`String.split` only
@@ -910,6 +1011,13 @@ object TextHashFunctions {
   def minhash_jaccard(sigA: Column, sigB: Column): Column =
     GraftBridge.column(MinHashJaccard(
       GraftBridge.expression(sigA), GraftBridge.expression(sigB)))
+
+  def minhash_bytes(sig: Column): Column =
+    GraftBridge.column(MinHashBytes(GraftBridge.expression(sig)))
+
+  def byte_jaccard(a: Column, b: Column): Column =
+    GraftBridge.column(ByteJaccard(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def alphanumeric_sort_key(s: Column): Column =
     GraftBridge.column(AlphanumericSortKey(GraftBridge.expression(s)))

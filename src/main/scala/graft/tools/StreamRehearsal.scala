@@ -31,7 +31,9 @@ import org.apache.spark.sql.streaming.Trigger
   *    the streaming path).
   *
   * Usage: `sbt "runMain graft.tools.StreamRehearsal [rowsPerSec...]"`
-  * (defaults 50k/200k/800k rows/s, 15s per step).
+  * (defaults 50k/200k/800k/1.6M/3.2M rows/s, 15s per step — the top two
+  * steps exist to drive the pipeline PAST saturation so the artifact
+  * names the knee instead of three sustained points, VERDICT r17 #7).
   */
 object StreamRehearsal {
   /** Single source of truth for the sustained-throughput contract (see
@@ -42,7 +44,8 @@ object StreamRehearsal {
 
   def main(args: Array[String]): Unit = {
     val rates: Seq[Long] =
-      if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(50000L, 200000L, 800000L)
+      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(50000L, 200000L, 800000L, 1600000L, 3200000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -173,16 +176,33 @@ object StreamRehearsal {
       def fmt(d: Double): String =
         String.format(java.util.Locale.ROOT, "%.4f", d)
       val steps = stepResults.map { case (off, rows, wall, thr, la, lm, b, sus) =>
+        // avg_batch_rows is the backlog signal past the knee: an
+        // over-offered pipeline commits ever-larger micro-batches (the
+        // source keeps generating while the sink lags), so batch size and
+        // commit latency inflate together while rows/s plateaus
         s"""{"offered_rows_per_sec":$off,"committed_rows":$rows,""" +
           s""""wall_sec":${fmt(wall)},"rows_per_sec":${fmt(thr)},""" +
           s""""commit_latency_ms_avg":${fmt(la)},"commit_latency_ms_max":${fmt(lm)},""" +
-          s""""batches":$b,"sustained":$sus}"""
+          s""""batches":$b,"avg_batch_rows":${if (b > 0) rows / b else -1},""" +
+          s""""sustained":$sus}"""
       }.mkString("[", ",", "]")
       val best = if (stepResults.isEmpty) 0.0 else stepResults.map(_._4).max
       val lawHeld = stepResults.headOption.forall(_._8)
+      // THE KNEE (VERDICT r17 #7): the first offered rate whose committed/
+      // offered ratio fell under SustainedFraction — null when every step
+      // sustained (the box's ceiling is past the top step). The max
+      // SUSTAINED rows/s is the number the 100-TB sizing math should use;
+      // `value` (best committed rows/s anywhere) may exceed it past the
+      // knee by draining backlog in oversized batches.
+      val knee = stepResults.find(!_._8).map(_._1)
+      val maxSustained = stepResults.filter(_._8).map(_._4)
+        .maxOption.getOrElse(0.0)
       val line = s"""{"metric":"stream_ingest_rows_per_sec","value":${fmt(best)},""" +
         s""""unit":"rows/sec","sustained_fraction":$SustainedFraction,""" +
-        s""""law_held":$lawHeld,"steps":$steps,"failures":$failures}"""
+        s""""law_held":$lawHeld,""" +
+        s""""knee_offered_rows_per_sec":${knee.map(_.toString).getOrElse("null")},""" +
+        s""""max_sustained_rows_per_sec":${fmt(maxSustained)},""" +
+        s""""steps":$steps,"failures":$failures}"""
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_streaming.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

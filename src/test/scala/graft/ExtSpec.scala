@@ -40,6 +40,29 @@ class ExtSpec extends SparkTestBase {
     assert(survivors.count() == docs.count() - pairs.map(_.getAs[Long]("id_b")).distinct.length)
   }
 
+  test("byte estimator dominates the long-slot estimate (floor-capture safety)") {
+    // minhash_bytes keeps the low byte per slot: equal slots stay equal,
+    // unequal slots coincide w.p. 1/256 — so byte_jaccard >= minhash_jaccard
+    // per PAIR, which is what makes est floors capture-safe after the
+    // byte-compact co-location switch
+    val rnd = new scala.util.Random(7)
+    val sigs = Seq.tabulate(200) { i =>
+      val base = Array.fill(64)(rnd.nextLong())
+      (i.toLong, base.toSeq)
+    }.toDF("id", "sig")
+    val l = sigs.select(col("id").as("ia"), col("sig").as("sa"))
+    val r = sigs.select(col("id").as("ib"), col("sig").as("sb"))
+    val viol = l.crossJoin(r).where(col("ia") < col("ib"))
+      .select(
+        graft.functions.TextHashFunctions.byte_jaccard(
+          graft.functions.TextHashFunctions.minhash_bytes(col("sa")),
+          graft.functions.TextHashFunctions.minhash_bytes(col("sb"))).as("be"),
+        graft.functions.TextHashFunctions.minhash_jaccard(
+          col("sa"), col("sb")).as("le"))
+      .where(col("be") < col("le")).count()
+    assert(viol == 0L)
+  }
+
   test("minhash geometry ladder: step thresholds + never-narrower rule") {
     // the r18 scale ladder (VERDICT r17 #1): 16×4 below the threshold,
     // 12×5 to 25× it, 10×6 past that — and a caller whose base geometry
