@@ -71,6 +71,18 @@ object Similarity {
     * 30 GB), not merely for the refusal budget. */
   val ResizeTargetPairs = 50000000L
 
+  /** Calibrated near-threshold mass fraction for the self-resize
+    * predictor (VERDICT r18 #2). Collision mass is a MIX: near-random
+    * pairs halve per extra row/band, but near-threshold pairs thin only
+    * by the threshold's per-bit agreement probability p — the r18
+    * 4th-decade run predicted 39.7M candidates from the pure-halving law
+    * and measured 98.8M (2.5× over), which back-solves to ~3.5% of the
+    * probe mass decaying at p^Δr instead of 2^-Δr
+    * (PERFORMANCE.md's q28 flood decomposition). 0.05 carries margin
+    * over the one measured corpus; the post-resize RE-PROBE, not this
+    * constant, is the safety guarantee. */
+  val NearThresholdMassFrac = 0.05
+
   /** Cosine similarity of two float-array columns (0 when either norm=0).
     * Backed by the native codegen'd expression (graft.functions). */
   def cosine(a: Column, b: Column): Column =
@@ -105,6 +117,14 @@ object Similarity {
     val rnd = new java.util.Random(seed)
     Array.fill(n, dim)(rnd.nextDouble() * 2 - 1)
   }
+
+  /** Test-visible accessor for the plane matrix: the PREFIX-CHAIN contract
+    * (`planes(seed, n1, dim)` is the first n1 rows of
+    * `planes(seed, n2, dim)` for n1 < n2 — row-major fill from one seeded
+    * LCG) is what the self-resize retry's extend-not-rehash path rests on,
+    * and ExtSpec pins it through this. */
+  private[graft] def planesFor(seed: Long, n: Int, dim: Int): Array[Array[Double]] =
+    planes(seed, n, dim)
 
   /** Bit signature of a vector against `n` hyperplanes (sign of dot).
     * Native expression: the plane matrix is baked into generated code and
@@ -425,52 +445,122 @@ object Similarity {
     // background similarity can still flood the bands (measured at the 4th
     // decade: est 3.28e9 > the 2e9 budget at 2.7M near-random vectors, a
     // hard refusal). The budget guard's own histogram estimate is already
-    // computed exactly when that happens — so USE it: each extra row/band
-    // halves near-random collision mass, so solve for the smallest r whose
-    // predicted mass fits budget/4 (margin for estimate error), re-derive b
-    // from the shared capture law, and re-hash. Costs one extra corpus
-    // hash pass, paid only in the regime where the alternative was
-    // refusing the query. Explicitly pinned geometries never resize — a
-    // test that pinned 16×8 must get 16×8 or the documented refusal.
+    // computed exactly when that happens — so USE it: solve for the
+    // smallest r whose CALIBRATED predicted mass (NearThresholdMassFrac:
+    // near-random pairs halve per extra row, near-threshold pairs thin
+    // only by the threshold's bit-agreement p) fits budget/4, re-derive b
+    // from the shared capture law, and EXTEND the signatures — the plane
+    // matrix is a seeded-LCG prefix chain, so the probe geometry's bits
+    // are reused verbatim and only the delta planes are hashed
+    // (ExtendSignBits; the two full re-hash passes dominated the r18
+    // 4th-decade completion). The resized banding is then RE-PROBED
+    // (VERDICT r18 #2): a corpus whose near-threshold mass beats the
+    // predictor re-resizes once more or takes the documented refusal
+    // instead of running unguarded. Explicitly pinned geometries never
+    // resize — a test that pinned 16×8 must get 16×8 or the refusal.
     var resized = false
+    var measuredEst = -1L // probe-measured candidates for the FINAL geometry
     if (adaptive) {
       val budget = df.sparkSession.conf
         .getOption("spark.graft.lsh.candidateBudget").map(_.toLong)
         .getOrElse(Dedup.DefaultCandidateBudget)
       val ubound = knownBanded * math.max(bucketCap, 2) / 2
       if (budget > 0 && knownBanded >= 0 && ubound > budget) {
-        val probe = sigs.select(col("id"),
-          posexplode(col("__bands")).as(Seq("band", "bucket")))
-        val st = Dedup.bandedStats(probe.select("band", "bucket"), bucketCap,
-          "cosine-neardup-probe")
-        Dedup.recordLshStat(st)
-        if (st.estCandidates > budget) {
-          // target in PAIRS but sized for BYTES: the surviving candidates
-          // co-locate both packed signatures (~2·nBits/8 B per pair) through
-          // a re-shuffle, so the resized stream must land well under the
-          // refusal budget — budget/4 of 2e9 pairs at a 2-kbit resized
-          // signature is still a ~140 GB exchange (measured to exhaust the
-          // box at the 4th decade). ResizeTargetPairs × ~600 B ≈ 30 GB,
-          // and each extra row halves the mass, so the extra rows are cheap.
-          val target = math.min(budget / 4, ResizeTargetPairs)
+        def probeStats(s: DataFrame, kind: String) = {
+          val probe = s.select(col("id"),
+            posexplode(col("__bands")).as(Seq("band", "bucket")))
+          val st = Dedup.bandedStats(probe.select("band", "bucket"),
+            bucketCap, kind)
+          Dedup.recordLshStat(st)
+          st
+        }
+        // target in PAIRS but sized for BYTES: the surviving candidates
+        // co-locate both packed signatures (~2·nBits/8 B per pair) through
+        // a re-shuffle, so the resized stream must land well under the
+        // refusal budget — budget/4 of 2e9 pairs at a 2-kbit resized
+        // signature is still a ~140 GB exchange (measured to exhaust the
+        // box at the 4th decade). ResizeTargetPairs × ~600 B ≈ 30 GB.
+        val target = math.min(budget / 4, ResizeTargetPairs)
+        val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+        def predict(est: Long, b0: Int, b2: Int, dr: Int): Long = {
+          val mass = (1.0 - NearThresholdMassFrac) * math.pow(0.5, dr) +
+            NearThresholdMassFrac * math.pow(p, dr)
+          (est * (b2.toDouble / b0) * mass).toLong
+        }
+        // EXTEND, not re-hash: planes(seed, n1, dim) is a strict prefix of
+        // planes(seed, n2, dim) (row-major from one LCG), so the new
+        // signature = stored packed bits ++ delta-plane bits, read from
+        // the materialized frame's cached blocks — no corpus re-scan, no
+        // recomputation of the first n1 dot products.
+        def extendSigs(prev: DataFrame, nOldBits: Int, b: Int, r: Int) =
+          if (b * r <= nOldBits) sigsFor(b, r) // geometry shrank: full hash
+          else {
+            val delta = planes(seed, b * r, dim).drop(nOldBits)
+            Dedup.materialize(prev.select(col("id"), col("vec"),
+                graft.functions.VectorFunctions.extend_hyperplane_bits(
+                  col("vec"), col("__sigbits"), nOldBits, delta).as("__sig"))
+              .select(col("id"), col("vec"),
+                graft.functions.VectorFunctions.pack_bits(col("__sig"))
+                  .as("__sigbits"),
+                graft.functions.TextHashFunctions.band_keys(col("__sig"), b)
+                  .as("__bands")))
+          }
+        var st = probeStats(sigs, "cosine-neardup-probe")
+        measuredEst = st.estCandidates
+        var attempts = 0
+        while (st.estCandidates > budget && attempts < 2) {
           var r2 = rowsR; var b2 = bandsR; var pred = st.estCandidates
           while (pred > target && r2 < rowsR + 16) {
             r2 += 1
             b2 = captureBandsFor(threshold, r2)
-            pred = (st.estCandidates * b2 / bandsR) >> (r2 - rowsR)
+            pred = predict(st.estCandidates, bandsR, b2, r2 - rowsR)
           }
-          System.err.println(s"[graft-lsh] cosine near-dup self-resize: " +
-            s"est=${st.estCandidates} > budget=$budget at ${bandsR}x$rowsR " +
-            s"-> ${b2}x$r2 (predicted ~$pred)")
-          Dedup.recordLshStat(Dedup.LshStat("cosine-neardup-resize",
-            buckets = -1L, overflowBuckets = -1L, droppedMembers = -1L,
-            maxBucket = -1L, estCandidates = pred,
-            geomBands = b2, geomRows = r2))
-          val stale = sigs
-          sigs = sigsFor(b2, r2)
-          Dedup.releaseMaterialized(stale) // multi-GB at corpus scale
-          bandsR = b2; rowsR = r2; resized = true
+          if (r2 == rowsR) attempts = 2 // solver cannot widen further: refuse
+          else {
+            // capture-shortfall observability (ADVICE r18): when the
+            // capture law's band demand exceeds MaxAdaptiveBands the
+            // clamped geometry's per-pair capture at EXACTLY the threshold
+            // drops below the 99% target — say so instead of degrading
+            // silently (pairs above the threshold keep near-1 capture).
+            val capture = 1.0 - math.pow(1.0 - math.pow(p, r2), b2)
+            if (capture < 0.99) System.err.println(
+              f"[graft-lsh] cosine near-dup resize WARNING: band demand at " +
+                f"r=$r2 exceeds MaxAdaptiveBands=$MaxAdaptiveBands; " +
+                f"at-threshold per-pair capture ≈ $capture%.4f (< 0.99 " +
+                f"target; capture for pairs above $threshold%.2f is higher)")
+            System.err.println(s"[graft-lsh] cosine near-dup self-resize: " +
+              s"est=${st.estCandidates} > budget=$budget at ${bandsR}x$rowsR " +
+              s"-> ${b2}x$r2 (predicted ~$pred, extend +${b2 * r2 - bandsR * rowsR} bits)")
+            Dedup.recordLshStat(Dedup.LshStat("cosine-neardup-resize",
+              buckets = -1L, overflowBuckets = -1L, droppedMembers = -1L,
+              maxBucket = -1L, estCandidates = pred,
+              geomBands = b2, geomRows = r2))
+            val stale = sigs
+            sigs = extendSigs(sigs, bandsR * rowsR, b2, r2)
+            Dedup.releaseMaterialized(stale) // multi-GB at corpus scale
+            bandsR = b2; rowsR = r2; resized = true
+            attempts += 1
+            // POST-RESIZE RE-PROBE: the authoritative guard. One keys-only
+            // histogram over the resized bands — the same pass the
+            // downstream skew-cap guard would have re-run anyway (it is
+            // skipped below because this measurement already exists).
+            st = probeStats(sigs, "cosine-neardup-reprobe")
+            measuredEst = st.estCandidates
+          }
         }
+        if (st.estCandidates > budget) throw new IllegalStateException(
+          s"LSH cosine near-dup banding would emit ~${st.estCandidates} " +
+            s"candidate pairs at ${bandsR}x$rowsR (budget $budget) after " +
+            s"${if (resized) "self-resizing" else "probing"}: the corpus's " +
+            "near-threshold similarity mass cannot be thinned by banding " +
+            "geometry. Raise spark.graft.lsh.candidateBudget, lower the " +
+            "threshold expectation, or set the budget to 0 to disable " +
+            "this check.")
+        if (measuredEst > target) System.err.println(
+          s"[graft-lsh] cosine near-dup: measured candidates $measuredEst " +
+            s"exceed the resize pair target $target but fit the budget " +
+            s"$budget — proceeding (predictor under-estimated the " +
+            "near-threshold mass; see NearThresholdMassFrac)")
       }
     }
     val nBits = bandsR * rowsR
@@ -494,12 +584,19 @@ object Similarity {
     // fraction of banded rows — so it bands KEYS ONLY (~30 B/row instead
     // of replicating a multi-hundred-byte signature per band) and fetches
     // the bits per distinct pair via the known-cardinality joinSigs.
+    // when the resize probe (or re-probe) already measured this exact
+    // banding's candidate estimate, the downstream skew-cap guard would
+    // recompute the identical two-stage histogram — skip it and keep the
+    // measurement as the guard result (ADVICE r18: the near-budget regime
+    // paid the expensive agg twice, exactly where it was meant to amortize)
+    val preGuarded = measuredEst >= 0
     val survivors =
       if (resized) {
         val banded = sigs.select(col("id"),
           posexplode(col("__bands")).as(Seq("band", "bucket")))
         Dedup.joinSigs(
-            Dedup.cappedBucketPairIds(banded, "id", bucketCap, knownBanded),
+            Dedup.cappedBucketPairIds(banded, "id", bucketCap, knownBanded,
+              runGuard = !preGuarded),
             sigs, "id", col("__sigbits") -> "__bits")
           .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
             col("__bits_a"), col("__bits_b")) >= minAgree)
@@ -508,7 +605,7 @@ object Similarity {
         val banded = sigs.select(col("id"), col("__sigbits"),
           posexplode(col("__bands")).as(Seq("band", "bucket")))
         Dedup.cappedBucketPairs(banded, "id", "__sigbits",
-            bucketCap, knownBanded)
+            bucketCap, knownBanded, runGuard = !preGuarded)
           .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
             col("payload_a"), col("payload_b")) >= minAgree)
           .select("id_a", "id_b").distinct()

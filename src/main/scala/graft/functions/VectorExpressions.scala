@@ -235,6 +235,89 @@ case class PackBits(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Extend a hyperplane sign-bit signature WITHOUT re-hashing its prefix:
+  * the first `nOld` bits are unpacked from an already-computed packed
+  * signature (`PackBits` layout — bit i in word i/64 at position i%64) and
+  * the remaining `deltaPlanes.length` bits are computed fresh from the
+  * vector. Because [[graft.ext.Similarity]] derives plane matrices
+  * row-major from one seeded LCG, `planes(seed, n1, dim)` is a strict
+  * PREFIX of `planes(seed, n2, dim)` for n1 < n2 — so
+  * `extend(vec, pack(sig(n1)), n1, planes(n2).drop(n1)) == sig(n2)`
+  * bit-for-bit (ExtSpec-pinned). This is the self-resize retry's hash
+  * pass: the probe geometry's dot products are never recomputed, only the
+  * delta planes are evaluated, roughly halving the flood-regime re-hash
+  * cost that dominated the 4th-decade cosine near-dup completion. */
+case class ExtendSignBits(left: Expression, right: Expression,
+    nOld: Int, deltaPlanes: Array[Array[Double]])
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+            ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<long>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, packed: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val w = packed.asInstanceOf[ArrayData]
+    val dim = a.numElements()
+    val bits = new Array[Int](nOld + deltaPlanes.length)
+    var i = 0
+    while (i < nOld) {
+      bits(i) = ((w.getLong(i / 64) >>> (i & 63)) & 1L).toInt
+      i += 1
+    }
+    var p = 0
+    while (p < deltaPlanes.length) {
+      val plane = deltaPlanes(p)
+      var dot = 0.0; var j = 0
+      val n = math.min(dim, plane.length)
+      while (j < n) {
+        val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        dot += x * plane(j); j += 1
+      }
+      bits(nOld + p) = if (dot >= 0.0) 1 else 0
+      p += 1
+    }
+    ArrayData.toArrayData(bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = if (isFloat) "getFloat" else "getDouble"
+    val planesRef = ctx.addReferenceObj("deltaPlanes", deltaPlanes, "double[][]")
+    nullSafeCodeGen(ctx, ev, (a, w) => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val dot = ctx.freshName("dot")
+      val bits = ctx.freshName("bits"); val n = ctx.freshName("n")
+      s"""
+         |int[] $bits = new int[$nOld + $planesRef.length];
+         |for (int $i = 0; $i < $nOld; $i++) {
+         |  $bits[$i] = (int) (($w.getLong($i / 64) >>> ($i & 63)) & 1L);
+         |}
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double $dot = 0.0;
+         |  int $n = java.lang.Math.min($a.numElements(), $planesRef[$p].length);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += (double) $a.$acc($j) * $planesRef[$p][$j];
+         |  }
+         |  $bits[$nOld + $p] = ($dot >= 0.0) ? 1 : 0;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bits);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : Expression = copy(left = l, right = r)
+}
+
 /** Hamming distance between two packed bit signatures (`array<long>`,
   * compared over the common prefix): sum of per-word XOR popcounts. */
 case class LongArrayHamming(left: Expression, right: Expression)
@@ -648,6 +731,11 @@ object VectorFunctions {
 
   def pack_bits(bits: Column): Column =
     GraftBridge.column(PackBits(GraftBridge.expression(bits)))
+
+  def extend_hyperplane_bits(v: Column, packed: Column, nOld: Int,
+      deltaPlanes: Array[Array[Double]]): Column =
+    GraftBridge.column(ExtendSignBits(GraftBridge.expression(v),
+      GraftBridge.expression(packed), nOld, deltaPlanes))
 
   def long_array_hamming(a: Column, b: Column): Column =
     GraftBridge.column(LongArrayHamming(

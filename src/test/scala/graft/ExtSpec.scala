@@ -981,17 +981,27 @@ class ExtSpec extends SparkTestBase {
     def pairs(d: org.apache.spark.sql.DataFrame) = d
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val conf = spark.conf
+    val statsBefore = Dedup.lshStats.size
     val resizedRun =
       try {
         conf.set("spark.graft.lsh.candidateBudget", "100000")
         pairs(Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
           dim, threshold = 0.9))
       } finally conf.unset("spark.graft.lsh.candidateBudget")
-    val st = Dedup.lshStats.reverse.find(_.kind == "cosine-neardup-resize")
+    val runStats = Dedup.lshStats.drop(statsBefore)
+    val st = runStats.reverse.find(_.kind == "cosine-neardup-resize")
       .getOrElse(fail("resize did not fire / record"))
     assert(st.geomRows > 8 && st.geomBands >= 16 &&
       st.estCandidates <= 100000 / 4,
       s"resize must widen rows and predict within budget/4: $st")
+    // the resized banding is RE-PROBED (VERDICT r18 #2) and that
+    // measurement IS the guard: the downstream skew-cap must not re-run
+    // the identical histogram (no keys-/payload-banding guard stat)
+    assert(runStats.exists(_.kind == "cosine-neardup-reprobe"),
+      s"post-resize re-probe missing: ${runStats.map(_.kind)}")
+    assert(!runStats.exists(s => s.kind.startsWith("keys-banding") ||
+      s.kind.startsWith("payload-banding")),
+      s"downstream guard re-ran the probed histogram: ${runStats.map(_.kind)}")
     val pinned =
       try {
         conf.set("spark.graft.lsh.candidateBudget", "0") // guard off
@@ -1001,6 +1011,71 @@ class ExtSpec extends SparkTestBase {
     assert(resizedRun.nonEmpty && resizedRun == pinned,
       s"resized=${resizedRun.size} pinned=${pinned.size} " +
         s"missed=${(pinned -- resizedRun).size} extra=${(resizedRun -- pinned).size}")
+  }
+
+  test("ExtendSignBits: extended signature == full re-hash, bit-for-bit") {
+    import graft.ext.Similarity
+    // the prefix-chain contract the self-resize retry's extend path rests
+    // on: planes(seed, n1, dim) is a strict prefix of planes(seed, n2, dim)
+    // (row-major from one LCG), so unpack(pack(sig_n1)) ++ delta-plane bits
+    // must equal the full n2-bit signature for every vector — including
+    // non-64-aligned prefix lengths (the measured flood geometries: 1054
+    // probe bits extended to 2304)
+    val dim = 24
+    val vecs = (0 until 64).map { i =>
+      val rnd = new scala.util.Random(i * 104729L + 7)
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "vec")
+    for ((n1, n2) <- Seq((130, 210), (64, 128), (1054, 1150))) {
+      val full = vecs.select(col("id"),
+        Similarity.lshSignature(col("vec"), seed = 42L, n = n2, dim = dim)
+          .as("sig"))
+      val extended = vecs.select(col("id"),
+        graft.functions.VectorFunctions.pack_bits(
+          Similarity.lshSignature(col("vec"), seed = 42L, n = n1, dim = dim))
+          .as("packed"), col("vec"))
+        .select(col("id"),
+          graft.functions.VectorFunctions.extend_hyperplane_bits(
+            col("vec"), col("packed"), n1,
+            Similarity.planesFor(seed = 42L, n = n2, dim = dim).drop(n1))
+            .as("sig"))
+      val mismatches = full.as("f").join(extended.as("e"), "id")
+        .where(col("f.sig") =!= col("e.sig")).count()
+      assert(mismatches == 0L, s"extend($n1 -> $n2) diverged from full hash")
+    }
+  }
+
+  test("cosine near-dup second flood: re-probe re-resizes, then refuses instead of running unguarded") {
+    import graft.ext.{Dedup, Similarity}
+    // clusters of IDENTICAL vectors: true-similarity mass that NO banding
+    // geometry can thin (identical signatures collide at every r). The
+    // calibrated predictor still proposes a wider geometry; the post-resize
+    // re-probe must measure that the mass did not thin and, after the
+    // bounded retries, take the documented refusal — never run unguarded
+    // past the budget (VERDICT r18 #2: the single-shot resize had no
+    // post-resize check)
+    val dim = 8
+    val docs = (0 until 20).flatMap { c =>
+      val rnd = new scala.util.Random(c * 7919L + 3)
+      val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      (0 until 60).map(m => ((c * 1000 + m).toLong, v.clone()))
+    }.toDF("vec_id", "embedding").localCheckpoint(true)
+    val conf = spark.conf
+    val statsBefore = Dedup.lshStats.size
+    val e =
+      try {
+        conf.set("spark.graft.lsh.candidateBudget", "20000")
+        intercept[IllegalStateException] {
+          Similarity.cosineNearDupPairs(docs, "vec_id", "embedding",
+            dim, threshold = 0.9).count()
+        }
+      } finally conf.unset("spark.graft.lsh.candidateBudget")
+    assert(e.getMessage.contains("near-threshold"),
+      s"refusal must name the un-thinnable mass: ${e.getMessage}")
+    val kinds = Dedup.lshStats.drop(statsBefore).map(_.kind)
+    assert(kinds.count(_ == "cosine-neardup-reprobe") >= 1 &&
+      kinds.count(_ == "cosine-neardup-resize") >= 1,
+      s"expected resize + re-probe before the refusal, got $kinds")
   }
 
   test("sequencePack: greedy contiguous packing, budget overflow by at most one doc") {
