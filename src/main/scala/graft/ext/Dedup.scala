@@ -68,10 +68,27 @@ object Dedup {
 
   private val lshStatsRing =
     new java.util.concurrent.ConcurrentLinkedDeque[LshStat]()
+  private val lshStatsTotal = new java.util.concurrent.atomic.AtomicLong()
 
   private[ext] def recordLshStat(s: LshStat): Unit = {
     lshStatsRing.addLast(s)
+    lshStatsTotal.incrementAndGet()
     while (lshStatsRing.size() > 64) lshStatsRing.pollFirst()
+  }
+
+  /** Monotonic count of stats ever recorded — a marker for
+    * [[lshStatsSince]]. The ring's SIZE is not a usable marker: once 64
+    * stats exist it stays 64 under eviction, so `lshStats.drop(sizeBefore)`
+    * silently returns empty in any long-lived JVM (the full-suite test
+    * failure mode this replaces). */
+  def lshStatsSeen: Long = lshStatsTotal.get
+
+  /** Stats recorded after `mark` (a prior [[lshStatsSeen]] value), newest
+    * last — at most the ring's 64 retained entries. */
+  def lshStatsSince(mark: Long): Seq[LshStat] = {
+    val all = lshStats
+    val newer = math.min(all.size.toLong, lshStatsSeen - mark).toInt
+    all.drop(all.size - math.max(0, newer))
   }
 
   /** Recent LSH stats, newest last — the observable signal (ADVICE r8) that
@@ -600,6 +617,100 @@ object Dedup {
     smallPairs.unionByName(starPairs).distinct()
   }
 
+  /** Collapse FULL-signature-identical documents to their min-id
+    * representative BEFORE banding (VERDICT r18 #4): a group of m docs
+    * with byte-identical signatures collides in EVERY band at EVERY
+    * geometry, so below the bucket cap it pays m²/2 candidate pairs that
+    * no geometry can thin — BandProbe's 4th-decade decomposition named
+    * sig-identical groups a top component of the un-thinnable candidate
+    * mass. This extends the proven star-link representative semantics
+    * (`cappedBucketPairs`, exactness spec-pinned) from oversize buckets
+    * to full-signature groups of ANY size: only distinct signatures are
+    * banded, and each group member attaches to its representative as a
+    * direct candidate pair (O(m) per group) that the caller's exact
+    * verify then confirms — identical signatures make the members
+    * interchangeable for the drop-the-duplicate decision, the same
+    * documented equivalence the star link rests on.
+    *
+    * Group key = two independent xxhash64 passes over the signature
+    * columns (128 bits — collision odds ~n²/2¹²⁹; a colliding pair would
+    * only mis-route a doc to the member path, where exact verify still
+    * gates the emitted pair). Cost: one keys-only shuffle (~24 B/row) +
+    * one group-table join per side — paid only at/above the corpus gate
+    * the callers set (`defaultScaleGeomMinDocs`), never at oracle SFs.
+    *
+    * Returns (bandSource, memberPairs, collapsedCount): `bandSource` =
+    * `sigs` minus non-representative members; `memberPairs` =
+    * (id_a = rep, id_b = member), disjoint from any banded pair since
+    * members never band. */
+  private[ext] def sigIdenticalCollapse(sigs: DataFrame, idCol: String,
+      sigCols: Seq[Column], kind: String): (DataFrame, DataFrame, Long) = {
+    val k1 = xxhash64(sigCols: _*)
+    val k2 = xxhash64(lit("graft-sig-collapse") +: sigCols: _*)
+    val keyed = sigs.select(col(idCol).as("__cid"), k1.as("__k1"), k2.as("__k2"))
+    val (groups, nGroups) = materializeCounted(
+      keyed.groupBy("__k1", "__k2")
+        .agg(min(col("__cid")).as("__rep"), count(lit(1)).as("__m"))
+        .where(col("__m") >= 2))
+    // one tiny agg over the (materialized, dup-groups-only) table: the
+    // member count sizes the banded cardinality exactly, so the banding
+    // guard's cheap tier keeps its zero-extra-jobs property
+    val collapsed =
+      if (nGroups == 0) 0L
+      else groups.agg(coalesce(sum(col("__m") - 1), lit(0L))).head().getLong(0)
+    recordLshStat(LshStat(kind, buckets = nGroups, overflowBuckets = -1L,
+      droppedMembers = collapsed, maxBucket = -1L, estCandidates = -1L))
+    System.err.println(s"[graft-lsh] $kind: $nGroups sig-identical groups, " +
+      s"$collapsed members collapsed to representatives before banding")
+    if (nGroups == 0) {
+      releaseMaterialized(groups)
+      (sigs, null, 0L)
+    } else {
+      // group table join shape: broadcast while small (the common case —
+      // one 32-byte row per DUP GROUP), else shuffle-hash with the groups
+      // as build side (never sort-merge a pair-stream-sized probe)
+      val g0 = groups.select("__k1", "__k2", "__rep")
+      val g = if (nGroups <= (1L << 20)) broadcast(g0) else g0.hint("shuffle_hash")
+      val memberPairs = keyed.join(g, Seq("__k1", "__k2"))
+        .where(col("__cid") =!= col("__rep"))
+        .select(col("__rep").as("id_a"), col("__cid").as("id_b"))
+      val bandSource = sigs
+        .withColumn("__k1", k1).withColumn("__k2", k2)
+        .join(g, Seq("__k1", "__k2"), "left")
+        .where(col("__rep").isNull || col(idCol) === col("__rep"))
+        .drop("__k1", "__k2", "__rep")
+      (bandSource, memberPairs, collapsed)
+    }
+  }
+
+  /** Actual element count of a signature column, probed from ONE row of
+    * the (cached) frame — the ladder-geometry validation the r18 advice
+    * asked for: a caller whose real signature width disagrees with its
+    * `numHashes` parameter must not get ladder rows computed from the
+    * wrong width (slice()'s lenient semantics would silently band a
+    * truncated or narrower-than-caller slice). Returns -1 for an empty
+    * frame (nothing to band — any geometry is fine). */
+  private def sigLength(sigs: DataFrame, sigCol: String): Int =
+    sigs.select(size(col(sigCol)).as("__n")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(-1)
+
+  /** Conservative serialized-size estimate of one PROJECTED row — the
+    * one-row probe behind [[joinSigs]]'s broadcast gate. Per-field: value
+    * bytes (element count for binaries/arrays, UTF-16 for strings, 8 for
+    * primitives) + 16 B object/offset overhead, matching the fidelity of
+    * the stored-block measurement it is compared against. */
+  private def projectedRowBytes(row: org.apache.spark.sql.Row): Long =
+    (0 until row.length).map { i =>
+      row.get(i) match {
+        case null => 8L
+        case b: Array[Byte] => b.length + 16L
+        case s: String => s.length * 2L + 16L
+        case a: scala.collection.Seq[_] => a.length * 8L + 16L
+        case r: org.apache.spark.sql.Row => projectedRowBytes(r) + 16L
+        case _ => 8L
+      }
+    }.sum
+
   /** Join (id_a, id_b) pairs back to the signature frame for per-side
     * payload columns — the fetch half of the keys-only banding split.
     *
@@ -626,10 +737,27 @@ object Dedup {
       .getOption("spark.graft.lsh.broadcastSigs").map(_.toLong)
       .getOrElse(1L << 18)
     val sigBytes = materializedBytes(sigs)
+    // the build side is a PRUNED projection of the stored frame — e.g.
+    // 64-B minhash_bytes columns off a frame whose stored rows are
+    // dominated by a never-shipped embedding/signature column — so gating
+    // on the FULL stored bytes systematically refuses broadcast for tiny
+    // build sides (ADVICE r18). Size the PROJECTION instead: probe ONE
+    // row of it (signatures are fixed-width, so one row sizes them all;
+    // ~ms against the cached frame), scale by the known cardinality, and
+    // cap at the stored bytes — a projection cannot exceed its source.
+    // The probe only runs when stored bytes EXCEED the cap: below it the
+    // decision is broadcast either way, so small corpora pay no extra job.
+    val projBytes =
+      if (sigBytes < 0 || nSigs <= 0 || sigBytes <= byteCap) sigBytes
+      else sigs.select(col(idCol) +: cols.map(_._1): _*)
+        .limit(1).collect().headOption
+        .map(r => math.min(sigBytes, (projectedRowBytes(r) + 24L) * nSigs))
+        .getOrElse(sigBytes)
     val small =
-      if (sigBytes >= 0) sigBytes <= byteCap else nSigs <= rowCap
+      if (projBytes >= 0) projBytes <= byteCap else nSigs <= rowCap
     if (nSigs >= 0) System.err.println(
-      s"[graft-lsh] joinSigs: rows=$nSigs bytes=$sigBytes -> " +
+      s"[graft-lsh] joinSigs: rows=$nSigs storedBytes=$sigBytes " +
+        s"projBytes=$projBytes -> " +
         (if (small) "broadcast" else "shuffle_hash"))
     def side(key: String, suffix: String) = {
       val s = sigs.select(col(idCol).as(key) +:
@@ -664,6 +792,15 @@ object Dedup {
     * full signature against `threshold`.
     *
     * Output: (id_a, id_b, est_jaccard), id_a < id_b.
+    *
+    * CONTRACT CHANGE (r18): `est_jaccard` is the byte-folded estimate
+    * ([[graft.functions.ByteJaccard]] over [[graft.functions.MinHashBytes]]
+    * signatures — what the engine ships at scale), a DETERMINISTIC
+    * OVERESTIMATE of the full-width slot fraction by at most
+    * (1−j)/256 ≈ 0.4% absolute. Thresholding keeps every pair the
+    * full-width estimate would keep (never fewer); consumers that report
+    * or re-threshold on the value downstream should verify on the raw
+    * signatures ([[minhashJaccard]]) if they need the full-width number.
     */
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
@@ -691,7 +828,11 @@ object Dedup {
     * entries do). */
   def minhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int, threshold: Double, bucketCap: Int = 256,
-      numHashes: Int = -1, scaleGeomMinDocs: Long = 0L): DataFrame = {
+      numHashes: Int = -1, scaleGeomMinDocs: Long = 0L,
+      collapseSigMinDocs: Long = defaultScaleGeomMinDocs): DataFrame = {
+    lazy val nDocs: Long = {
+      val m = materializedRows(sigs); if (m >= 0) m else sigs.count()
+    }
     // OPT-IN corpus-adaptive geometry (numHashes + scaleGeomMinDocs > 0):
     // past the threshold the banding trades per-band recall for candidate
     // precision via the r18 scale ladder — see scaledMinhashGeometry for
@@ -699,11 +840,34 @@ object Dedup {
     // for a LOW verify bar (q22's 32×2 at j≥0.5) must keep its capture
     // guarantee, including its documented budget refusal at corpus scale.
     val (gBands, gRows) =
-      if (numHashes <= 0 || scaleGeomMinDocs <= 0L) (bands, -1)
+      if (numHashes <= 0 || scaleGeomMinDocs <= 0L || nDocs < scaleGeomMinDocs)
+        (bands, -1)
       else {
-        val nDocs = { val m = materializedRows(sigs); if (m >= 0) m else sigs.count() }
-        scaledMinhashGeometry(nDocs, numHashes, bands, scaleGeomMinDocs)
+        // ladder width VALIDATION (ADVICE r18): a caller whose real
+        // signature width disagrees with numHashes must keep its own
+        // geometry — ladder rows computed from the wrong width could be
+        // NARROWER than the caller's real rows/band, silently breaking
+        // the never-narrower capture guarantee
+        val width = sigLength(sigs, sigCol)
+        if (width > 0 && width != numHashes) {
+          System.err.println(s"[graft-lsh] minhash scale ladder DISABLED: " +
+            s"numHashes=$numHashes but the signature column carries " +
+            s"$width hashes — keeping the caller geometry " +
+            "(never-narrower guarantee)")
+          recordLshStat(LshStat("ladder-width-fallback", buckets = width,
+            overflowBuckets = -1L, droppedMembers = -1L, maxBucket = -1L,
+            estCandidates = -1L, geomBands = bands, geomRows = -1))
+          (bands, -1)
+        } else scaledMinhashGeometry(nDocs, numHashes, bands, scaleGeomMinDocs)
       }
+    // sig-identical pre-banding collapse (VERDICT r18 #4): distinct
+    // signatures band, members attach to their representative directly —
+    // see sigIdenticalCollapse for semantics + the star-link equivalence
+    val (bandSrc, memberPairs, collapsed) =
+      if (collapseSigMinDocs > 0 && nDocs >= collapseSigMinDocs)
+        sigIdenticalCollapse(sigs, idCol, Seq(col(sigCol)),
+          "minhash-sig-collapse")
+      else (sigs, null, 0L)
     // one row per (doc, band), KEYS ONLY: bucket key = native band hash of
     // the slice; signatures are fetched per distinct pair afterwards, so
     // the banding shuffle never replicates a payload per band
@@ -711,11 +875,16 @@ object Dedup {
       if (gBands == bands)
         graft.functions.TextHashFunctions.band_keys(col(sigCol), bands)
       else scaledBandKeys(col(sigCol), gBands, gRows, numHashes)
-    val banded = sigs.select(col(idCol).as("id"),
+    val banded = bandSrc.select(col(idCol).as("id"),
       posexplode(keys).as(Seq("band", "bucket")))
-    // banding emits exactly `gBands` rows per signature, so the guard's
-    // cardinality is known from the materialization — zero extra jobs
-    val known = { val m = materializedRows(sigs); if (m >= 0) m * gBands else -1L }
+    // banding emits exactly `gBands` rows per banded signature, so the
+    // guard's cardinality is known from the materialization (minus the
+    // collapsed members, whose count the collapse already measured) —
+    // zero extra jobs
+    val known = {
+      val m = materializedRows(sigs)
+      if (m >= 0) (m - collapsed) * gBands else -1L
+    }
     // the estimate travels as MinHashBytes (64 B vs the long array's
     // ~528 B) in BOTH forms — the est co-location, not the banding, is
     // what exhausted scratch at the 4th decade. Form choice mirrors
@@ -726,24 +895,30 @@ object Dedup {
         "minhash", known)
     val payloadForm = estMeasured && bandedRows > 0 &&
       estPairs > bandedRows / 2
-    if (!payloadForm)
-      joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
-          runGuard = false), sigs, idCol, mb -> "__mb")
-        .select(col("id_a"), col("id_b"),
-          graft.functions.TextHashFunctions.byte_jaccard(
-            col("__mb_a"), col("__mb_b")).as("est_jaccard"))
-        .where(col("est_jaccard") >= threshold)
-    else {
-      val bandedP = sigs.select(col(idCol).as("id"), mb.as("__mb"),
-        posexplode(keys).as(Seq("band", "bucket")))
-      cappedBucketPairs(bandedP, "id", "__mb", bucketCap, known,
-          runGuard = false)
-        .select(col("id_a"), col("id_b"),
-          graft.functions.TextHashFunctions.byte_jaccard(
-            col("payload_a"), col("payload_b")).as("est_jaccard"))
-        .where(col("est_jaccard") >= threshold)
-        .dropDuplicates("id_a", "id_b")
-    }
+    val bandedPairs =
+      if (!payloadForm)
+        joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
+            runGuard = false), sigs, idCol, mb -> "__mb")
+          .select(col("id_a"), col("id_b"),
+            graft.functions.TextHashFunctions.byte_jaccard(
+              col("__mb_a"), col("__mb_b")).as("est_jaccard"))
+          .where(col("est_jaccard") >= threshold)
+      else {
+        val bandedP = bandSrc.select(col(idCol).as("id"), mb.as("__mb"),
+          posexplode(keys).as(Seq("band", "bucket")))
+        cappedBucketPairs(bandedP, "id", "__mb", bucketCap, known,
+            runGuard = false)
+          .select(col("id_a"), col("id_b"),
+            graft.functions.TextHashFunctions.byte_jaccard(
+              col("payload_a"), col("payload_b")).as("est_jaccard"))
+          .where(col("est_jaccard") >= threshold)
+          .dropDuplicates("id_a", "id_b")
+      }
+    // member pairs are disjoint from banded pairs by construction
+    // (members never band); est = 1.0 exactly — identical signatures
+    if (memberPairs == null) bandedPairs
+    else bandedPairs.unionByName(memberPairs
+      .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard")))
   }
 
   /** Persistent LSH band index over a corpus signature frame: one row per
@@ -919,7 +1094,8 @@ object Dedup {
       sBands: Int = 4, bucketCap: Int = 256, estFloor: Double = 0.5,
       wideArmMinDocs: Long = defaultWideArmMinDocs,
       numHashes: Int = 64,
-      scaleGeomMinDocs: Long = defaultScaleGeomMinDocs): DataFrame = {
+      scaleGeomMinDocs: Long = defaultScaleGeomMinDocs,
+      collapseSigMinDocs: Long = defaultScaleGeomMinDocs): DataFrame = {
     val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
     // corpus size from the materialization record when available (free);
     // a count job only for externally-materialized frames
@@ -930,10 +1106,27 @@ object Dedup {
     // the minhash arm self-sizes the same way (the r18 scale ladder):
     // more rows per band past scaleGeomMinDocs so background-collision
     // candidate mass stays near-linear in the corpus — see
-    // scaledMinhashGeometry for the capture ladder
+    // scaledMinhashGeometry for the capture ladder. The ladder only
+    // engages after VALIDATING numHashes against the signature's actual
+    // width (ADVICE r18): a mismatched width could yield ladder rows
+    // NARROWER than the caller's real rows/band, silently breaking the
+    // never-narrower capture guarantee — fall back to caller geometry.
     val (gBands, gRows) =
-      if (scaleGeomMinDocs <= 0L) (mBands, math.max(1, numHashes / mBands))
-      else scaledMinhashGeometry(nDocs, numHashes, mBands, scaleGeomMinDocs)
+      if (scaleGeomMinDocs <= 0L || nDocs < scaleGeomMinDocs)
+        (mBands, math.max(1, numHashes / mBands))
+      else {
+        val width = sigLength(sigs, msigCol)
+        if (width > 0 && width != numHashes) {
+          System.err.println(s"[graft-lsh] multiband minhash ladder " +
+            s"DISABLED: numHashes=$numHashes but the signature column " +
+            s"carries $width hashes — keeping the caller geometry " +
+            "(never-narrower guarantee)")
+          recordLshStat(LshStat("ladder-width-fallback", buckets = width,
+            overflowBuckets = -1L, droppedMembers = -1L, maxBucket = -1L,
+            estCandidates = -1L, geomBands = mBands, geomRows = -1))
+          (mBands, math.max(1, width / mBands))
+        } else scaledMinhashGeometry(nDocs, numHashes, mBands, scaleGeomMinDocs)
+      }
     val geomScaled = gBands != mBands
     if (geomScaled) System.err.println(
       s"[graft-lsh] multiband minhash geometry scaled: docs=$nDocs " +
@@ -970,7 +1163,15 @@ object Dedup {
         val mask = if (width == 64) -1L else (1L << width) - 1
         (0 until sBands).map(b => shiftright(s64, b * width).bitwiseAND(mask))
       }
-    val banded = sigs.select(col(idCol).as("id"),
+    // sig-identical pre-banding collapse (VERDICT r18 #4) — grouped on
+    // BOTH family signatures, so a member is interchangeable with its
+    // representative in every band of either family
+    val (bandSrc, memberPairs, collapsed) =
+      if (collapseSigMinDocs > 0 && nDocs >= collapseSigMinDocs)
+        sigIdenticalCollapse(sigs, idCol, Seq(col(msigCol), col(ssigCol)),
+          "multiband-sig-collapse")
+      else (sigs, null, 0L)
+    val banded = bandSrc.select(col(idCol).as("id"),
       posexplode(concat(mKeys, array(sKeyCols: _*)))
         .as(Seq("band", "bucket")))
     val ham =
@@ -979,7 +1180,8 @@ object Dedup {
       else hamming(col("__s_a"), col("__s_b"))
     val totalBands = gBands + (if (useWide) 4 else sBands)
     val known = {
-      val m = materializedRows(sigs); if (m >= 0) m * totalBands else -1L
+      val m = materializedRows(sigs)
+      if (m >= 0) (m - collapsed) * totalBands else -1L
     }
     // FORM choice, decided by the same stats pass the budget guard runs
     // (VERDICT r16 #3's sf100 measurement found this): keys-banding
@@ -1012,28 +1214,33 @@ object Dedup {
     val mb = graft.functions.TextHashFunctions.minhash_bytes(col(msigCol))
     def estOf(a: Column, b: Column) =
       graft.functions.TextHashFunctions.byte_jaccard(a, b)
-    if (!payloadForm)
-      joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
-          runGuard = false), sigs, idCol,
-          mb -> "__m", col(ssigCol) -> "__s")
-        .withColumn("__est", estOf(col("__m_a"), col("__m_b")))
-        .where(col("__est") >= estThreshold ||
-          (ham <= maxHamming && col("__est") >= estFloor))
-        .select("id_a", "id_b")
-    else {
-      val bandedP = sigs.select(col(idCol).as("id"),
-        struct(mb.as("m"), col(ssigCol).as("s")).as("__pl"),
-        posexplode(concat(mKeys, array(sKeyCols: _*)))
-          .as(Seq("band", "bucket")))
-      cappedBucketPairs(bandedP, "id", "__pl", bucketCap, known,
-          runGuard = false)
-        .withColumn("__s_a", col("payload_a.s"))
-        .withColumn("__s_b", col("payload_b.s"))
-        .withColumn("__est", estOf(col("payload_a.m"), col("payload_b.m")))
-        .where(col("__est") >= estThreshold ||
-          (ham <= maxHamming && col("__est") >= estFloor))
-        .select("id_a", "id_b").distinct()
-    }
+    val bandedPairs =
+      if (!payloadForm)
+        joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
+            runGuard = false), sigs, idCol,
+            mb -> "__m", col(ssigCol) -> "__s")
+          .withColumn("__est", estOf(col("__m_a"), col("__m_b")))
+          .where(col("__est") >= estThreshold ||
+            (ham <= maxHamming && col("__est") >= estFloor))
+          .select("id_a", "id_b")
+      else {
+        val bandedP = bandSrc.select(col(idCol).as("id"),
+          struct(mb.as("m"), col(ssigCol).as("s")).as("__pl"),
+          posexplode(concat(mKeys, array(sKeyCols: _*)))
+            .as(Seq("band", "bucket")))
+        cappedBucketPairs(bandedP, "id", "__pl", bucketCap, known,
+            runGuard = false)
+          .withColumn("__s_a", col("payload_a.s"))
+          .withColumn("__s_b", col("payload_b.s"))
+          .withColumn("__est", estOf(col("payload_a.m"), col("payload_b.m")))
+          .where(col("__est") >= estThreshold ||
+            (ham <= maxHamming && col("__est") >= estFloor))
+          .select("id_a", "id_b").distinct()
+      }
+    // member pairs: disjoint from banded pairs (members never band);
+    // identical signatures pass every per-family prefilter by definition
+    if (memberPairs == null) bandedPairs
+    else bandedPairs.unionByName(memberPairs.select("id_a", "id_b"))
   }
 
   /** Connected-component-free dedup decision: drop any doc that pairs with a

@@ -981,14 +981,14 @@ class ExtSpec extends SparkTestBase {
     def pairs(d: org.apache.spark.sql.DataFrame) = d
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val conf = spark.conf
-    val statsBefore = Dedup.lshStats.size
+    val statsMark = Dedup.lshStatsSeen
     val resizedRun =
       try {
         conf.set("spark.graft.lsh.candidateBudget", "100000")
         pairs(Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
           dim, threshold = 0.9))
       } finally conf.unset("spark.graft.lsh.candidateBudget")
-    val runStats = Dedup.lshStats.drop(statsBefore)
+    val runStats = Dedup.lshStatsSince(statsMark)
     val st = runStats.reverse.find(_.kind == "cosine-neardup-resize")
       .getOrElse(fail("resize did not fire / record"))
     assert(st.geomRows > 8 && st.geomBands >= 16 &&
@@ -1045,6 +1045,97 @@ class ExtSpec extends SparkTestBase {
     }
   }
 
+  test("sig-identical collapse: star parity with the uncollapsed path, members attach to reps") {
+    import graft.ext.Dedup
+    // corpus with planted FULL-signature-identical groups (repeated texts)
+    // plus near-dup-but-distinct docs: the collapsed run must band only
+    // distinct signatures, attach members to their min-id representative
+    // at est 1.0, keep every banded pair a subset of the uncollapsed
+    // run's, and make the identical drop-the-duplicate decision
+    val texts = (0 until 40).map { g =>
+      val rnd = new scala.util.Random(g * 2971L + 11)
+      (0 until 80).map(_ => s"tok${rnd.nextInt(500)}").mkString(" ")
+    }
+    val docs = (0 until 40).flatMap { g =>
+      // groups 0..9: 4 identical copies each; 10..39: singletons, and
+      // every 5th gets ONE near-dup (last token changed)
+      val copies =
+        if (g < 10) (0 until 4).map(m => ((g * 100 + m).toLong, texts(g)))
+        else if (g % 5 == 0)
+          Seq((g * 100L, texts(g)),
+            (g * 100L + 1, texts(g).split(" ").dropRight(1).mkString(" ") + " tokX"))
+        else Seq((g * 100L, texts(g)))
+      copies
+    }.toDF("doc_id", "text")
+    val frame = Dedup.materialize(docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3).as("sig")))
+    def run(collapseAt: Long) = Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+        bands = 16, threshold = 0.5, collapseSigMinDocs = collapseAt)
+      .select("id_a", "id_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val statsMark = Dedup.lshStatsSeen
+    val on = run(1L)
+    val off = run(0L)
+    // ground-truth sig groups from the signatures themselves (a near-dup
+    // pair can chance into an identical 64-hash signature, so the planted
+    // 10-groups-of-4 is a lower bound, not the exact group set)
+    val sigGroups = frame.select(col("id"), col("sig"))
+      .as[(Long, Seq[Long])].collect()
+      .groupBy(_._2).values.map(_.map(_._1).sorted.toSeq)
+      .filter(_.size >= 2).toSeq
+    val st = Dedup.lshStatsSince(statsMark)
+      .find(_.kind == "minhash-sig-collapse")
+      .getOrElse(fail("collapse did not record its stat"))
+    assert(st.buckets == sigGroups.size &&
+      st.droppedMembers == sigGroups.map(_.size - 1).sum,
+      s"expected ${sigGroups.size} groups / " +
+        s"${sigGroups.map(_.size - 1).sum} collapsed members: $st")
+    assert(sigGroups.size >= 10, "fixture must plant at least the 10 groups")
+    // every member attaches to its group's min id at est exactly 1.0
+    val memberPairs = sigGroups.flatMap(g =>
+      g.tail.map(m => (g.head, m))).toSet
+    val onPairs = on.map(t => (t._1, t._2)).toSet
+    assert(memberPairs.subsetOf(onPairs), s"missing member pairs: " +
+      s"${memberPairs -- onPairs}")
+    on.filter(t => memberPairs.contains((t._1, t._2)))
+      .foreach(t => assert(t._3 == 1.0, s"member pair est must be 1.0: $t"))
+    // banded pairs are a subset of the uncollapsed run's (the documented
+    // star loss is member<->member / member<->other pairs ONLY)
+    val offPairs = off.map(t => (t._1, t._2)).toSet
+    assert((onPairs -- offPairs).subsetOf(memberPairs),
+      s"collapse invented pairs: ${onPairs -- offPairs -- memberPairs}")
+    // identical dedup decision: the dropped-id set matches exactly
+    assert(on.map(_._2).toSet == off.map(_._2).toSet,
+      "collapse changed the drop-the-duplicate decision")
+  }
+
+  test("scale ladder refuses a numHashes/signature-width mismatch (never-narrower guarantee)") {
+    import graft.ext.Dedup
+    // 128-hash signatures with numHashes declared as 64: ladder rows
+    // computed from width 64 would band a NARROWER prefix than the
+    // caller's real 8 rows/band — the validation must keep the caller
+    // geometry (and say so in lshStats) instead
+    val docs = (0 until 300).map { i =>
+      val rnd = new scala.util.Random(i * 6121L + 5)
+      (i.toLong, (0 until 60).map(_ => s"w${rnd.nextInt(400)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val frame = Dedup.materialize(docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 128, shingleN = 3).as("sig")))
+    val statsMark = Dedup.lshStatsSeen
+    val laddered = Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+        bands = 16, threshold = 0.5, numHashes = 64, scaleGeomMinDocs = 1L,
+        collapseSigMinDocs = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(Dedup.lshStatsSince(statsMark)
+      .exists(_.kind == "ladder-width-fallback"),
+      "width mismatch must be observable in lshStats")
+    val plain = Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+        bands = 16, threshold = 0.5, collapseSigMinDocs = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(laddered == plain,
+      "mismatched-width ladder must fall back to the caller geometry exactly")
+  }
+
   test("cosine near-dup second flood: re-probe re-resizes, then refuses instead of running unguarded") {
     import graft.ext.{Dedup, Similarity}
     // clusters of IDENTICAL vectors: true-similarity mass that NO banding
@@ -1061,7 +1152,7 @@ class ExtSpec extends SparkTestBase {
       (0 until 60).map(m => ((c * 1000 + m).toLong, v.clone()))
     }.toDF("vec_id", "embedding").localCheckpoint(true)
     val conf = spark.conf
-    val statsBefore = Dedup.lshStats.size
+    val statsMark = Dedup.lshStatsSeen
     val e =
       try {
         conf.set("spark.graft.lsh.candidateBudget", "20000")
@@ -1072,7 +1163,7 @@ class ExtSpec extends SparkTestBase {
       } finally conf.unset("spark.graft.lsh.candidateBudget")
     assert(e.getMessage.contains("near-threshold"),
       s"refusal must name the un-thinnable mass: ${e.getMessage}")
-    val kinds = Dedup.lshStats.drop(statsBefore).map(_.kind)
+    val kinds = Dedup.lshStatsSince(statsMark).map(_.kind)
     assert(kinds.count(_ == "cosine-neardup-reprobe") >= 1 &&
       kinds.count(_ == "cosine-neardup-resize") >= 1,
       s"expected resize + re-probe before the refusal, got $kinds")
