@@ -12,6 +12,45 @@ import SparkEntry.{engine, roundCols, Q, rollupStore, clusteredStore, registerTp
   */
 private[graft] object EntryPipeline {
 
+  /** Parquet row count straight from the footers (no Spark job), cached
+    * per (path, length, mtime) for the JVM — the input-size probe behind
+    * the small-corpus eager-shingle fast path below. Input metadata, not
+    * a result: regenerated fixtures change the key. */
+  private val fixtureRowCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def parquetRowCount(s: SparkSession, path: String): Long = {
+    val root = new java.io.File(path)
+    val key = s"${root.getAbsolutePath}:${root.length}:${root.lastModified}"
+    fixtureRowCache.getOrElseUpdate(key, {
+      def leaf(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f).filter(_.getName.endsWith(".parquet"))
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(leaf)
+      val hconf = s.sessionState.newHadoopConf()
+      leaf(root).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val bs = r.getFooter.getBlocks
+          (0 until bs.size()).map(bs.get(_).getRowCount).sum
+        } finally r.close()
+      }.sum
+    })
+  }
+
+  /** Corpus ceiling for the eager-shingle fast path: at or below it the
+    * verify shingle sets ride IN the signature checkpoint (one scan, one
+    * shingling; the attach joins read cached blocks), above it the lazy
+    * shingle frame keeps the checkpoint signature-only (shingles are ~20×
+    * the signature bytes — r17's 25 GB at the 1000× SF). 200k docs ≈
+    * ≤200 MB of checkpointed shingles, and matches
+    * [[graft.ext.Dedup.attachPairPayloadsAuto]]'s direct-join ceiling. */
+  private[graft] val EagerShingleMaxDocs: Long = 200000L
+
+  private def eagerShingles(s: SparkSession, dir: String): Boolean =
+    parquetRowCount(s, s"$dir/documents.parquet") <= EagerShingleMaxDocs
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> ((s, dir) => {
       // exact dedup: hash-groupBy on content (SURVEY §7.1 step 8)
@@ -51,18 +90,21 @@ private[graft] object EntryPipeline {
       // the banding pipeline and both verify-join sides read cached blocks
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      // checkpoint the SIGNATURE columns only: shingle sets are ~20x the
-      // signature bytes, and the verify attach (broadcast-reduced) only
-      // needs them for candidate-touched docs — materializing them for
-      // the whole corpus cost ~25 GB of checkpoint blocks at the 1000x SF
-      val frame = graft.ext.Dedup.materialize(
-        docs.select(col("doc_id").as("id"),
-          graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-            .as("sig")))
-      // LAZY shingles: the attach joins the broadcast-reduced id set
-      // below the projection, so shingling runs only for touched rows
-      val shf = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+      // SMALL corpora (footer row count ≤ EagerShingleMaxDocs): shingles
+      // ride in the checkpoint — one scan+shingling, attach joins read
+      // cached blocks. LARGE corpora checkpoint SIGNATURES only: shingle
+      // sets are ~20x the signature bytes (~25 GB at the 1000x SF), and
+      // the lazy shingle frame re-shingles only candidate-touched docs
+      // through the broadcast-reduced attach.
+      val eager = eagerShingles(s, dir)
+      val sigCol = graft.ext.Dedup.minhashSignature(col("text"),
+        numHashes = 64, shingleN = 3).as("sig")
+      val shCol = graft.ext.Dedup.shingles(col("text"), 3).as("sh")
+      val frame = graft.ext.Dedup.materialize(docs.select(
+        Seq(col("doc_id").as("id"), sigCol) ++
+          (if (eager) Seq(shCol) else Nil): _*))
+      val shf = if (eager) frame
+        else docs.select(col("doc_id").as("id"), shCol)
       val cand = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
         bands = 32, threshold = 0.35)
       // exact-verify attach via the broadcast-reduced frame — the plain
@@ -95,15 +137,18 @@ private[graft] object EntryPipeline {
       // sets and the full pair join independently).
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      // signature-only checkpoint + lazy shingle frame (see q22: the
-      // verify attach shingles only candidate-touched docs)
-      val frame = graft.ext.Dedup.materialize(
-        docs.select(col("doc_id").as("id"),
+      // signature checkpoint + shingle source, eager-shingle fast path at
+      // small corpora (see q22 for the size-gated trade)
+      val eager = eagerShingles(s, dir)
+      val shCol = graft.ext.Dedup.shingles(col("text"), 3).as("sh")
+      val frame = graft.ext.Dedup.materialize(docs.select(
+        Seq(col("doc_id").as("id"),
           graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
             .as("msig"),
-          graft.ext.Dedup.simhash128(col("text")).as("ssig")))
-      val shf = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+          graft.ext.Dedup.simhash128(col("text")).as("ssig")) ++
+          (if (eager) Seq(shCol) else Nil): _*))
+      val shf = if (eager) frame
+        else docs.select(col("doc_id").as("id"), shCol)
       // both families band in ONE pass (simhash bands 16-19 after the 16
       // minhash bands): one skew-capped self-join instead of two, candidate
       // capture a superset of the separate-pipelines union. The frame
@@ -218,15 +263,18 @@ private[graft] object EntryPipeline {
       // ExtSpec's pigeonhole set-equality against brute-force hamming.
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      // signature-only checkpoint + lazy shingle frame (see q22: the
-      // verify attach shingles only candidate-touched docs)
-      val frame = graft.ext.Dedup.materialize(
-        docs.select(col("doc_id").as("id"),
+      // signature checkpoint + shingle source, eager-shingle fast path at
+      // small corpora (see q22 for the size-gated trade)
+      val eager = eagerShingles(s, dir)
+      val shCol = graft.ext.Dedup.shingles(col("text"), 3).as("sh")
+      val frame = graft.ext.Dedup.materialize(docs.select(
+        Seq(col("doc_id").as("id"),
           graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
             .as("msig"),
-          graft.ext.Dedup.simhash128(col("text")).as("ssig")))
-      val shf = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+          graft.ext.Dedup.simhash128(col("text")).as("ssig")) ++
+          (if (eager) Seq(shCol) else Nil): _*))
+      val shf = if (eager) frame
+        else docs.select(col("doc_id").as("id"), shCol)
       val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3,
         wideArmMinDocs = 0L)
@@ -257,15 +305,18 @@ private[graft] object EntryPipeline {
       // engine-independent and q59's brute-force oracle replays it.
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      // signature-only checkpoint + lazy shingle frame (see q22: the
-      // verify attach shingles only candidate-touched docs)
-      val frame = graft.ext.Dedup.materialize(
-        docs.select(col("doc_id").as("id"),
+      // signature checkpoint + shingle source, eager-shingle fast path at
+      // small corpora (see q22 for the size-gated trade)
+      val eager = eagerShingles(s, dir)
+      val shCol = graft.ext.Dedup.shingles(col("text"), 3).as("sh")
+      val frame = graft.ext.Dedup.materialize(docs.select(
+        Seq(col("doc_id").as("id"),
           graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
             .as("msig"),
-          graft.ext.Dedup.simhash128(col("text")).as("ssig")))
-      val shf = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+          graft.ext.Dedup.simhash128(col("text")).as("ssig")) ++
+          (if (eager) Seq(shCol) else Nil): _*))
+      val shf = if (eager) frame
+        else docs.select(col("doc_id").as("id"), shCol)
       val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3)
       val st = graft.ext.Dedup.lshStats.reverse
@@ -305,14 +356,17 @@ private[graft] object EntryPipeline {
       // the fixture's dup mass sits at j≥0.9).
       val docs = graft.sources.TableLoader.load(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      // signature-only checkpoint + lazy shingle frame (see q22: the
-      // verify attach shingles only candidate-touched docs)
-      val frame = graft.ext.Dedup.materialize(
-        docs.select(col("doc_id").as("id"),
+      // signature checkpoint + shingle source, eager-shingle fast path at
+      // small corpora (see q22 for the size-gated trade)
+      val eager = eagerShingles(s, dir)
+      val shCol = graft.ext.Dedup.shingles(col("text"), 3).as("sh")
+      val frame = graft.ext.Dedup.materialize(docs.select(
+        Seq(col("doc_id").as("id"),
           graft.ext.Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-            .as("sig")))
-      val shf = docs.select(col("doc_id").as("id"),
-        graft.ext.Dedup.shingles(col("text"), 3).as("sh"))
+            .as("sig")) ++
+          (if (eager) Seq(shCol) else Nil): _*))
+      val shf = if (eager) frame
+        else docs.select(col("doc_id").as("id"), shCol)
       val cand = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
         bands = 16, threshold = 0.65, numHashes = 64,
         scaleGeomMinDocs = graft.ext.Dedup.defaultScaleGeomMinDocs)
@@ -390,14 +444,17 @@ private[graft] object EntryPipeline {
       import graft.ext.Dedup
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .repartition(s.sparkContext.defaultParallelism)
-      // signature-only checkpoint + lazy shingle frame (see q22: the
-      // verify attach shingles only candidate-touched docs)
-      val frame = Dedup.materialize(
-        docs.select(col("doc_id").as("id"),
+      // signature checkpoint + shingle source, eager-shingle fast path at
+      // small corpora (see q22 for the size-gated trade)
+      val eager = eagerShingles(s, dir)
+      val shCol = Dedup.shingles(col("text"), 3).as("sh")
+      val frame = Dedup.materialize(docs.select(
+        Seq(col("doc_id").as("id"),
           Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
-            .as("sig")))
-      val shf = docs.select(col("doc_id").as("id"),
-        Dedup.shingles(col("text"), 3).as("sh"))
+            .as("sig")) ++
+          (if (eager) Seq(shCol) else Nil): _*))
+      val shf = if (eager) frame
+        else docs.select(col("doc_id").as("id"), shCol)
       val inc = frame.where(col("id") % 10 === 0)
       val corpus = frame.where(col("id") % 10 =!= 0)
       val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)

@@ -559,6 +559,8 @@ object Dedup {
     if (runGuard)
       guardCandidates(banded.select("band", "bucket"), bucketCap,
         "payload-banding", knownRows): Unit
+    if (aggPairsEligible(banded, knownRows))
+      return aggBucketPairs(banded, idCol, Some(payloadCol), bucketCap)
     // Per-bucket size + representative via WINDOW functions, not a separate
     // groupBy+join branch — one fewer shuffle.
     val byBucket = Window.partitionBy("band", "bucket")
@@ -601,6 +603,8 @@ object Dedup {
     if (runGuard)
       guardCandidates(banded.select("band", "bucket"), bucketCap,
         "keys-banding", knownRows): Unit
+    if (aggPairsEligible(banded, knownRows))
+      return aggBucketPairs(banded, idCol, None, bucketCap).distinct()
     val byBucket = Window.partitionBy("band", "bucket")
     val flagged = banded
       .withColumn("__n", count(lit(1)).over(byBucket))
@@ -615,6 +619,75 @@ object Dedup {
       .where(col(idCol) =!= col("__rep_id"))
       .select(col("__rep_id").as("id_a"), col(idCol).as("id_b"))
     smallPairs.unionByName(starPairs).distinct()
+  }
+
+  /** Banded-row ceiling for the single-aggregation pair-enumeration fast
+    * path (`spark.graft.lsh.aggPairsMaxBandedRows`, 0 disables). Below it,
+    * `cappedBucketPairIds`/`cappedBucketPairs` enumerate bucket pairs from
+    * ONE `collect_list` aggregation instead of the window+self-join shape —
+    * r19 measurement: the window subtree (Exchange+Sort+Window) is planned
+    * THREE times (small l, small r, star branch) plus the join and union,
+    * ~5 shuffle stages whose fixed per-stage cost dominates bench-SF dedup
+    * queries (q23 spent 1.5 of its 2.0 s in candidate generation at 100k
+    * banded rows). The agg path is gated because its star branch holds one
+    * full bucket's ids (or id+payload structs) in a single aggregation
+    * buffer: at the 2M-row default the worst degenerate bucket is ≤2M ids
+    * = 16 MB in one task — safe — while at corpus scale (knownRows far
+    * past the gate) the spillable window path keeps memory bounded. */
+  val DefaultAggPairsMaxBandedRows: Long = 2000000L
+
+  private def aggPairsEligible(banded: DataFrame, knownRows: Long): Boolean = {
+    val cap = banded.sparkSession.conf
+      .getOption("spark.graft.lsh.aggPairsMaxBandedRows").map(_.toLong)
+      .getOrElse(DefaultAggPairsMaxBandedRows)
+    cap > 0 && knownRows >= 0 && knownRows <= cap
+  }
+
+  /** Pair enumeration for [[cappedBucketPairIds]] (payloadCol=None) and
+    * [[cappedBucketPairs]] (payloadCol=Some) from a single groupBy
+    * aggregation: per (band, bucket) collect the members sorted by id,
+    * then emit all C(n,2) pairs for n ≤ bucketCap or the star
+    * (min-id representative × each other member) past the cap — the exact
+    * window-path semantics (star rep = bucket min id; its payload = the
+    * min-id row's; strict id_a < id_b everywhere), spec-pinned equal.
+    * One Exchange (the groupBy) replaces three windowed subtrees, a
+    * self-join and a union. */
+  private def aggBucketPairs(banded: DataFrame, idCol: String,
+      payloadCol: Option[String], bucketCap: Int): DataFrame = {
+    val member = payloadCol match {
+      case Some(p) => struct(col(idCol).as("i"), col(p).as("p"))
+      case None => struct(col(idCol).as("i"))
+    }
+    val grouped = banded.groupBy("band", "bucket")
+      .agg(sort_array(collect_list(member)).as("__ms"))
+      .where(size(col("__ms")) >= 2)
+    val ms = col("__ms")
+    val n = size(ms)
+    def pairOf(a: Column, b: Column) = payloadCol match {
+      case Some(_) => struct(a.getField("i").as("id_a"),
+        b.getField("i").as("id_b"), a.getField("p").as("payload_a"),
+        b.getField("p").as("payload_b"))
+      case None => struct(a.getField("i").as("id_a"),
+        b.getField("i").as("id_b"))
+    }
+    // n ≤ cap: all (i < j) position pairs of the sorted array; past the
+    // cap: the star. Sorted order makes position order = id order, so the
+    // strict filter below reproduces the window path's `id_a < id_b` (and
+    // drops degenerate equal-id pairs the same way).
+    val pairsArr = when(n <= bucketCap,
+      flatten(transform(ms, (a, i) =>
+        transform(slice(ms, i + lit(2), n), b => pairOf(a, b)))))
+      .otherwise(transform(slice(ms, lit(2), n - 1),
+        b => pairOf(element_at(ms, 1), b)))
+    val exploded = grouped.select(explode(pairsArr).as("__pr"))
+      .where(col("__pr.id_a") < col("__pr.id_b"))
+    payloadCol match {
+      case Some(_) => exploded.select(col("__pr.id_a").as("id_a"),
+        col("__pr.id_b").as("id_b"), col("__pr.payload_a").as("payload_a"),
+        col("__pr.payload_b").as("payload_b"))
+      case None => exploded.select(col("__pr.id_a").as("id_a"),
+        col("__pr.id_b").as("id_b"))
+    }
   }
 
   /** Collapse FULL-signature-identical documents to their min-id

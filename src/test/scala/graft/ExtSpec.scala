@@ -146,6 +146,54 @@ class ExtSpec extends SparkTestBase {
     assert(sPairs.count() == 9999L)
   }
 
+  test("agg-pairs fast path == window path (keys + payload forms, star cap)") {
+    // r19: below spark.graft.lsh.aggPairsMaxBandedRows the bucket pair
+    // enumeration runs from ONE collect_list aggregation instead of the
+    // window+self-join shape. Exactness pin on a corpus that exercises
+    // BOTH branches: small buckets (all-pairs) and an oversize cluster
+    // (star-link at bucketCap=16), on both the keys form and the payload
+    // form (candidateBudget forced into the measured tier so payloadForm
+    // engages), against the window path (fast path disabled via conf).
+    val texts = (0 until 300).map { i =>
+      if (i < 60) s"shared boilerplate header number ${i / 3} repeated for the cluster body tail"
+      else if (i < 200) "one giant oversize cluster every document identical beyond the cap"
+      else s"unique document $i with its own words ${i * 7} and ${i * 13} trailing"
+    }
+    val corpus = texts.zipWithIndex.toDF("text", "i")
+      .select(col("i").cast("long").as("doc_id"), col("text"))
+    def run(aggRows: String, budget: String): Set[(Long, Long)] = {
+      spark.conf.set("spark.graft.lsh.aggPairsMaxBandedRows", aggRows)
+      spark.conf.set("spark.graft.lsh.candidateBudget", budget)
+      try Dedup.minhashDupPairs(corpus, "text", "doc_id", numHashes = 64,
+          bands = 16, shingleN = 3, threshold = 0.5, bucketCap = 16)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally {
+        spark.conf.unset("spark.graft.lsh.aggPairsMaxBandedRows")
+        spark.conf.unset("spark.graft.lsh.candidateBudget")
+      }
+    }
+    // keys form (histogram skipped at the default budget)
+    val aggKeys = run("2000000", "2000000000")
+    val winKeys = run("0", "2000000000")
+    assert(aggKeys == winKeys,
+      s"keys form diverged: agg-only=${(aggKeys -- winKeys).size} " +
+        s"win-only=${(winKeys -- aggKeys).size}")
+    // payload form: a tight (but sufficient) budget forces the measured
+    // tier (4800 banded rows -> ubound 38400 > 20000); the 140-doc star
+    // cluster puts est (~3.2k) past bandedRows/2 = 2400, flipping the form
+    val aggPl = run("2000000", "20000")
+    assert(Dedup.lshStats.reverse.exists(s =>
+      s.kind == "minhash" && s.estCandidates > 2400),
+      "payload toggle did not reach the measured tier / form switch")
+    val winPl = run("0", "20000")
+    assert(aggPl == winPl,
+      s"payload form diverged: agg-only=${(aggPl -- winPl).size} " +
+        s"win-only=${(winPl -- aggPl).size}")
+    assert(aggKeys == aggPl, "form switch must not change the pair set")
+    assert(aggKeys.nonEmpty)
+  }
+
   test("bucket skew cap: constant embeddings near-dup without pair blowup") {
     val vec = (0 until 16).map(_ => 0.5f).toArray
     val clones = spark.range(0, 5000).toDF("id")
@@ -1231,9 +1279,12 @@ class ExtSpec extends SparkTestBase {
     // is read off the VERIFY expression: the wide arm's 128-bit hamming
     // unpacks the two signature words with element_at; the 64-bit arm's is
     // a single bit_count over longs with no element_at
+    // marker is element_at over the VERIFY's __sig columns specifically:
+    // the r19 agg-pairs fast path introduced an unrelated element_at
+    // (star representative off the collected bucket array __ms)
     val routed = Dedup.simhashDupPairs(docs, "text", "doc_id",
       maxHamming = 3, wideArmMinDocs = 1L)
-    assert(routed.queryExecution.analyzed.toString.contains("element_at"),
+    assert(routed.queryExecution.analyzed.toString.contains("element_at(__sig"),
       "guard must route to the wide arm above the corpus ceiling")
     val wide = Dedup.simhash128DupPairs(docs, "text", "doc_id", maxHamming = 3)
     assert(routed.select("id_a", "id_b").except(
@@ -1244,7 +1295,7 @@ class ExtSpec extends SparkTestBase {
     // pinned legacy arm stays 64-bit (no corpus count, no simhash128)
     val pinned = Dedup.simhashDupPairs(docs, "text", "doc_id",
       maxHamming = 3, wideArmMinDocs = Long.MaxValue)
-    assert(!pinned.queryExecution.analyzed.toString.contains("element_at"))
+    assert(!pinned.queryExecution.analyzed.toString.contains("element_at(__sig"))
 
     // a too-loose maxHamming cannot silently flood OR silently lose recall:
     // past the ceiling with maxHamming > 3 the call must fail with guidance
