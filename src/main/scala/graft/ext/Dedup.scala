@@ -1646,18 +1646,67 @@ object Dedup {
     * strictly monotone until the fixed point) instead of a change-count
     * join. Shuffle volume per round is O(|E|) longs — payload-free.
     *
+    * SMALL pair graphs (count from the materialized pair frame at or
+    * under `spark.graft.cc.driverMaxEdges`, default 1M ≈ 16 MB of longs)
+    * take a driver union-find fast path instead — one bounded collect
+    * replaces diameter+1 rounds of fixed job cost (r19; the same
+    * bounded-pull class as the ANN centroid fetches). Min-id-root unions
+    * reproduce the propagation labels exactly (spec-pinned, chains
+    * included) and the fast path converges for any diameter.
+    *
     * Returns (`id`, `cluster`) for every id that appears in a pair;
     * unpaired corpus ids are their own singleton clusters and are not
     * emitted (join back with a left join + coalesce to label a corpus).
     * Throws after `maxIter` non-converged rounds rather than returning a
     * partially-propagated (silently wrong) labeling. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = materialize(
+    val (dedupedPairs, nPairs) = materializeCounted(
       pairs.select(col("id_a").cast(LongType).as("src"),
-          col("id_b").cast(LongType).as("dst"))
-        .union(pairs.select(col("id_b").cast(LongType).as("src"),
-          col("id_a").cast(LongType).as("dst")))
-        .distinct())
+        col("id_b").cast(LongType).as("dst")).distinct())
+    // SMALL pair graphs (`spark.graft.cc.driverMaxEdges`, default 1M ≈
+    // 16 MB of longs — the bounded-driver-pull class the centroid fetches
+    // already sit in): a driver union-find labels components in one
+    // collect instead of diameter+1 rounds of (materialize + checksum) —
+    // at bench SFs those fixed per-round jobs WERE the query (r19: q71
+    // spent ~0.8 s on ~8 jobs for a 3-round graph). Min-id roots keep the
+    // iterative path's labels exactly (spec-pinned equal, chains incl.).
+    val driverMaxEdges = dedupedPairs.sparkSession.conf
+      .getOption("spark.graft.cc.driverMaxEdges").map(_.toLong)
+      .getOrElse(1000000L)
+    if (nPairs <= driverMaxEdges) {
+      val spark = dedupedPairs.sparkSession
+      val es = dedupedPairs.collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nx = parent.getOrDefault(c, c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      es.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min-id root: labels match the iterative path
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ids = es.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct
+      releaseMaterialized(dedupedPairs)
+      import spark.implicits._
+      return ids.map(i => (i, find(i))).toSeq.toDF("id", "cluster")
+    }
+    // large path: undirect the CHECKPOINTED directed pairs (the pair plan
+    // ran exactly once, into the checkpoint — the old two-branch union
+    // evaluated the candidate pipeline twice) and release the directed
+    // frame once the undirected edge frame is materialized
+    val edges = materialize(
+      dedupedPairs.union(dedupedPairs.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct())
+    releaseMaterialized(dedupedPairs)
     def checksum(labels: DataFrame): (Long, java.math.BigDecimal) = {
       val r = labels.agg(count(lit(1)), sum(col("label").cast(DecimalType(38, 0))))
         .head()

@@ -1510,14 +1510,33 @@ class ExtSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
 
     // a 30-node path needs 29 propagation rounds end to end — the
-    // convergence guard must throw, not return a half-propagated labeling
+    // convergence guard must throw, not return a half-propagated labeling.
+    // maxIter is an ITERATIVE-path contract, so pin that path via conf
+    // (the r19 driver union-find fast path always converges)
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val full = Dedup.dupClusters(chain, maxIter = 40).collect()
-      .map(r => r.getLong(1)).distinct
-    assert(full.sameElements(Array(0L)), "one component labeled by min id")
-    intercept[IllegalStateException] {
-      Dedup.dupClusters(chain, maxIter = 5)
-    }
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try {
+      val full = Dedup.dupClusters(chain, maxIter = 40).collect()
+        .map(r => r.getLong(1)).distinct
+      assert(full.sameElements(Array(0L)), "one component labeled by min id")
+      intercept[IllegalStateException] {
+        Dedup.dupClusters(chain, maxIter = 5)
+      }
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+
+    // r19 driver union-find fast path == iterative label propagation,
+    // on a shape that stresses both (long chain + multi-component graph)
+    val stress = chain.union(Seq((100L, 103L), (103L, 101L), (50L, 40L))
+      .toDF("id_a", "id_b"))
+    val fast = Dedup.dupClusters(stress).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    val iterative =
+      try Dedup.dupClusters(stress, maxIter = 40).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    assert(fast == iterative,
+      s"fast-only=${(fast -- iterative).size} iter-only=${(iterative -- fast).size}")
   }
 
   test("dupClusters agrees with brute-force components on the fixture pair graph") {
