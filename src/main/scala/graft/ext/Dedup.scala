@@ -1059,9 +1059,19 @@ object Dedup {
       .select("inc_id", "corpus_id").distinct()
     val a = incSigs.select(col(idCol).as("inc_id"), col(sigCol).as("__sig_a"))
     val b = corpusSigs.select(col(idCol).as("corpus_id"), col(sigCol).as("__sig_b"))
+    // est_jaccard is the BYTE estimator — the same public contract as
+    // minhashDupPairsFromSigs (r18). The two paths MUST share one
+    // estimator: with the full path on byte-est and this one on the
+    // full-width estimate, pairs inside the ≤0.4%-absolute overestimate
+    // band at the threshold diverged between incremental and full runs
+    // (ScaleInvariants q63 caught 3 such pairs at the 100× corpus on the
+    // r19 fixture). Exact-verify downstream absorbs the inflation.
     cand.join(a, "inc_id").join(b, "corpus_id")
       .select(col("inc_id"), col("corpus_id"),
-        minhashJaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+        graft.functions.TextHashFunctions.byte_jaccard(
+          graft.functions.TextHashFunctions.minhash_bytes(col("__sig_a")),
+          graft.functions.TextHashFunctions.minhash_bytes(col("__sig_b")))
+          .as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
   }
 
