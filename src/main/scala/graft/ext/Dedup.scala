@@ -1787,11 +1787,24 @@ object Dedup {
       k: Int, minDf: Int = 2, exactGrams: Boolean = false): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2: $minDf")
     val wins = windowFrame(df, idCol, textCol, k, exactGrams)
-    val dupKeys = wins.select(col("__w"), col("__id")).distinct()
-      .groupBy("__w").agg(count(lit(1)).as("__df"))
+    // The window subtree (scan + tokenize + window-hash, the dominant cost)
+    // is evaluated ONCE: the corpus-frequency count rides the SAME branch
+    // as the hit positions instead of a second evaluation under a separate
+    // df-count subtree (AQE stage reuse cannot rescue the two-branch shape
+    // — column pruning specializes each branch's projection below its
+    // exchange, de-canonicalizing them; measured, not assumed). One __w
+    // shuffle, one (w, id, pos) sort; the df count is sum(first-occurrence
+    // flag) over the __w partition, and the second window pass reuses the
+    // first's sort order (its partition key is a prefix).
+    import org.apache.spark.sql.expressions.Window
+    val byWid = Window.partitionBy("__w", "__id").orderBy("__pos")
+    val byW = Window.partitionBy("__w")
+    val hits = wins.repartition(col("__w"))
+      .withColumn("__first",
+        when(row_number().over(byWid) === 1, 1L).otherwise(0L))
+      .withColumn("__df", sum(col("__first")).over(byW))
       .where(col("__df") >= minDf)
-      .select("__w")
-    val hits = wins.join(dupKeys, "__w").select(col("__id"), col("__pos"))
+      .select(col("__id"), col("__pos"))
     mergeWindowSpans(hits, k, idCol)
   }
 
