@@ -64,6 +64,15 @@ object LocalClusterRehearsal {
       // two-JVM gate below false-fails
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+      // align the shuffle writer + scratch dir with Bench (r19): at R=32
+      // the bypass-merge writer pays ~9 ms of ext4 file churn per block in
+      // THIS venue's executor JVMs too, and production R (>200) runs the
+      // sort path anyway — same env overrides, same local defaults
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "0"))
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-shuffle"
+        else System.getProperty("java.io.tmpdir")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
