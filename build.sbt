@@ -27,7 +27,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs the driver AND all 32 task slots into ONE JVM: the old
+  // 8g default gave ~250 MB of heap per concurrent task — far below the
+  // 1-4 GB/core a production executor runs with — and the dedup/LM-scoring
+  // family measured 8 Full GCs + 100ms+ "G1 Preventive Collection" pauses
+  // in a 5-query sweep, degrading chaotically across a full 98-query run
+  // (adjacent-window A/B at sf0.1: q63 1.66→1.11 s, q96 1.22→0.84, q64
+  // 1.21→0.92, q62 0.61→0.51 at 24g, flat CPU canary). 24g ≈ 0.75 GB/core
+  // keeps local-mode per-task memory within sight of production sizing on
+  // this 128 GiB box; env-overridable for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // HotSpot permanently bans a method from C2 after 400 deopt→recompile
   // cycles ("made not compilable") — at >=10x the test row volume Spark's
   // generated iterator code can cross that budget mid-run, leaving hot

@@ -23,8 +23,12 @@ import org.apache.spark.sql.SparkSession
   *    contended wall-clock window — a transient CPU thief poisons at most
   *    one pass of each query instead of ALL passes of one query (which is
   *    how BENCH_r04 reported q22 at 25s when its clean time is ~1.6s).
-  * The reported min is over BOTH sweeps; the median is over all successful
-  * passes. Per-pass arrays are emitted IN the JSON line (nulls = failed
+  * The two sweeps run as separate SUITE-LEVEL phases (r19): each query's
+  * pass groups sit ~half the run apart, so a minute-scale host stall
+  * (observed: one randomly-placed shard per run with every pass 1.6-3.7×
+  * slow) can poison at most one of them; each shard re-warms before its
+  * phase-2 sweep. The reported min is over BOTH sweeps; the median is
+  * over all successful passes. Per-pass arrays are emitted IN the JSON line (nulls = failed
   * pass) so a contended window is visible in the file, not just stderr.
   * Failed passes never contribute a timing: a query that throws instantly
   * must not masquerade as a speedup — it lands in `errors` instead.
@@ -200,17 +204,34 @@ object Bench {
     val shardSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD_SIZE", "13").toInt
     require(shardSize > 0, s"shard size must be positive: $shardSize")
     val shards = names.grouped(shardSize).toSeq
+    def warmShard(shard: Seq[String]): Unit = shard.foreach { n =>
+      try exec(n, sfDir)
+      catch { case _: Throwable => () }
+    }
+    // The two sweeps run as SEPARATE suite-level phases (r19): this
+    // sandbox's hypervisor shows minute-scale stall bursts that a
+    // back-to-back shard (all 2n passes of a query inside one ~90 s
+    // window) cannot ride out — three same-binary full runs measured
+    // one randomly-placed shard per run with EVERY pass 1.6-3.7× slow
+    // (contiguous trend-breach blocks q48-q84 / q92-q96), while the
+    // suite median stayed flat. Phase-splitting puts each query's two
+    // pass groups ~half the run apart so a stall can eat at most one
+    // of them; the shard re-warms (one target-SF pass) before phase 2,
+    // restoring JIT/codegen/listing warmth exactly as phase 1 got it.
+    // Cost: one extra warm pass per query (~+15% wall). Pass counts,
+    // min/median semantics, and the JSON contract are unchanged.
+    // phase 1: query-major with a GC+settle barrier between queries
     shards.foreach { shard =>
-      shard.foreach { n =>
-        try exec(n, sfDir)
-        catch { case _: Throwable => () }
-      }
-      // sweep 1: query-major with a GC+settle barrier between queries
+      warmShard(shard)
       shard.foreach { n =>
         settle()
         (1 to passes).foreach(_ => acc(n) += runOne(n))
       }
-      // sweep 2: pass-major over the shard, GC barrier between passes
+      sampleCanary()
+    }
+    // phase 2: pass-major over each shard, GC barrier between passes
+    shards.foreach { shard =>
+      warmShard(shard)
       (1 to passes).foreach { _ =>
         settle()
         shard.foreach(n => acc(n) += runOne(n))
@@ -422,7 +443,7 @@ object Bench {
     // per-query numbers to mid-line truncation). stdout gets the compact
     // contract line (medians only); the complete artifact — per-pass
     // arrays, mins, canaries, contention flags — goes to a file.
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major)","shard_size":$shardSize$headlineJson$canaryJson$contendedJson$trendJson$fixtureJson$errorsJson}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"queries_min":$qsMin,"passes_sec":$perPass,"sf":"$sfDir","passes":$passes,"sweeps":"sharded(query-major+pass-major,split-phases)","shard_size":$shardSize$headlineJson$canaryJson$contendedJson$trendJson$fixtureJson$errorsJson}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_full.json").getAbsolutePath)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
