@@ -195,8 +195,18 @@ object LocalClusterRehearsal {
     // must be cancelled by the watchdog with the contract error body.
     locally {
       import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      // the permit hold below is backpressure-based: the held scans' JSON
+      // must be decisively larger than what loopback kernel buffers +
+      // client-side flow-control can swallow, or a stalled probe finds the
+      // permits already released (observed in spec mode: sf0.001's
+      // ~1-2 MB lineitem JSON fully drained on 5/5 attempts under a host
+      // stall burst → http_429_capacity saw 200). Hold with the largest
+      // available test SF (sf0.1 ≈ 100 MB of JSON — unsinkable) regardless
+      // of the rehearsal's own sfDir; every other block stays on sfDir.
+      val capDir = Seq("/root/testdata/sf0.1", sfDir)
+        .find(d => new java.io.File(s"$d/lineitem.parquet").exists).getOrElse(sfDir)
       val eng = new graft.engine.Engine(spark,
-        new graft.sources.ParquetDirCatalog(sfDir))
+        new graft.sources.ParquetDirCatalog(capDir))
       val srv = new graft.engine.HttpServer(eng, streamCap = 2)
       srv.start()
       try {
