@@ -105,13 +105,16 @@ private[graft] object EntryPipeline {
           (if (eager) Seq(shCol) else Nil): _*))
       val shf = if (eager) frame
         else docs.select(col("doc_id").as("id"), shCol)
+      // eager path: the shingle sets RIDE the operator's est-fetch joins
+      // (carry) — two broadcast builds instead of four (r19 JobProbe);
+      // lazy path keeps the broadcast-reduced attach (the r17 sf100 fix)
       val cand = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
-        bands = 32, threshold = 0.35)
-      // exact-verify attach via the broadcast-reduced frame — the plain
-      // double join shuffle-wrote the full shingle frame twice (the r17
-      // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf, "id", "sh",
-          "id_a", "id_b")
+        bands = 32, threshold = 0.35,
+        carry = if (eager) Seq("sh" -> "sh") else Nil)
+      val attached = if (eager) cand
+        else graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf,
+          "id", "sh", "id_a", "id_b")
+      attached
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -156,14 +159,16 @@ private[graft] object EntryPipeline {
       // bands its low long (== simhash64, so this fixture's candidates are
       // bit-for-bit the legacy ones); at corpus scale it self-routes to
       // 4×32-bit banding instead of flooding the est-floor join
+      // eager path: the shingle sets RIDE the operator's est-fetch joins
+      // (carry) — two broadcast builds instead of four (r19 JobProbe);
+      // lazy path keeps the broadcast-reduced attach (the r17 sf100 fix)
       val prefiltered = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.75, maxHamming = 3,
-        sBands = 4)
-      // exact-verify attach via the broadcast-reduced frame — the plain
-      // double join shuffle-wrote the full shingle frame twice (the r17
-      // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloadsAuto(prefiltered, frame, shf, "id", "sh",
-          "id_a", "id_b")
+        sBands = 4, carry = if (eager) Seq("sh" -> "sh") else Nil)
+      val attached = if (eager) prefiltered
+        else graft.ext.Dedup.attachPairPayloadsAuto(prefiltered, frame, shf,
+          "id", "sh", "id_a", "id_b")
+      attached
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -275,14 +280,16 @@ private[graft] object EntryPipeline {
           (if (eager) Seq(shCol) else Nil): _*))
       val shf = if (eager) frame
         else docs.select(col("doc_id").as("id"), shCol)
+      // eager path: the shingle sets RIDE the operator's est-fetch joins
+      // (carry) — two broadcast builds instead of four (r19 JobProbe);
+      // lazy path keeps the broadcast-reduced attach (the r17 sf100 fix)
       val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
         "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3,
-        wideArmMinDocs = 0L)
-      // exact-verify attach via the broadcast-reduced frame — the plain
-      // double join shuffle-wrote the full shingle frame twice (the r17
-      // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf, "id", "sh",
-          "id_a", "id_b")
+        wideArmMinDocs = 0L, carry = if (eager) Seq("sh" -> "sh") else Nil)
+      val attached = if (eager) cand
+        else graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf,
+          "id", "sh", "id_a", "id_b")
+      attached
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -317,8 +324,12 @@ private[graft] object EntryPipeline {
           (if (eager) Seq(shCol) else Nil): _*))
       val shf = if (eager) frame
         else docs.select(col("doc_id").as("id"), shCol)
+      // eager path: the shingle sets RIDE the operator's est-fetch joins
+      // (carry) — two broadcast builds instead of four (r19 JobProbe);
+      // lazy path keeps the broadcast-reduced attach (the r17 sf100 fix)
       val cand = graft.ext.Dedup.multiFamilyDupCandidates(frame,
-        "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3)
+        "id", "msig", "ssig", mBands = 16, estThreshold = 0.65, maxHamming = 3,
+        carry = if (eager) Seq("sh" -> "sh") else Nil)
       val st = graft.ext.Dedup.lshStats.reverse
         .find(_.kind == "multiband-arm")
         .getOrElse(throw new IllegalStateException(
@@ -329,11 +340,10 @@ private[graft] object EntryPipeline {
         throw new IllegalStateException(
           s"simhash arm auto-switch regressed: corpus=${st.armCorpusDocs} " +
             s"docs, threshold=${st.armThresholdDocs}, wide=${st.armWide}")
-      // exact-verify attach via the broadcast-reduced frame — the plain
-      // double join shuffle-wrote the full shingle frame twice (the r17
-      // sf100 find, 38+ GB of spill); pair-side cost only now
-      graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf, "id", "sh",
-          "id_a", "id_b")
+      val attached = if (eager) cand
+        else graft.ext.Dedup.attachPairPayloadsAuto(cand, frame, shf,
+          "id", "sh", "id_a", "id_b")
+      attached
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -367,11 +377,17 @@ private[graft] object EntryPipeline {
           (if (eager) Seq(shCol) else Nil): _*))
       val shf = if (eager) frame
         else docs.select(col("doc_id").as("id"), shCol)
+      // eager path: the shingle sets RIDE the operator's est-fetch joins
+      // (carry) — two broadcast builds instead of four (r19 JobProbe);
+      // lazy path keeps the broadcast-reduced attach (the r17 sf100 fix)
       val cand = graft.ext.Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
         bands = 16, threshold = 0.65, numHashes = 64,
-        scaleGeomMinDocs = graft.ext.Dedup.defaultScaleGeomMinDocs)
-      graft.ext.Dedup.attachPairPayloadsAuto(cand.select("id_a", "id_b"),
-          frame, shf, "id", "sh", "id_a", "id_b")
+        scaleGeomMinDocs = graft.ext.Dedup.defaultScaleGeomMinDocs,
+        carry = if (eager) Seq("sh" -> "sh") else Nil)
+      val attached = if (eager) cand
+        else graft.ext.Dedup.attachPairPayloadsAuto(
+          cand.select("id_a", "id_b"), frame, shf, "id", "sh", "id_a", "id_b")
+      attached
         .select(col("id_a"), col("id_b"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))
@@ -458,10 +474,16 @@ private[graft] object EntryPipeline {
       val inc = frame.where(col("id") % 10 === 0)
       val corpus = frame.where(col("id") % 10 =!= 0)
       val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)
-      Dedup.attachPairPayloadsAuto(
-          Dedup.incrementalMinhashDupPairs(inc, index, corpus,
-            "id", "sig", bands = 32, threshold = 0.35),
-          frame, shf, "id", "sh", "inc_id", "corpus_id")
+      // eager path: the shingle sets RIDE the operator's signature-fetch
+      // joins (carry) — two broadcast builds instead of four (r19
+      // JobProbe); lazy path keeps the broadcast-reduced attach
+      val cand = Dedup.incrementalMinhashDupPairs(inc, index, corpus,
+        "id", "sig", bands = 32, threshold = 0.35,
+        carry = if (eager) Seq("sh" -> "sh") else Nil)
+      val attached = if (eager) cand
+        else Dedup.attachPairPayloadsAuto(cand, frame, shf,
+          "id", "sh", "inc_id", "corpus_id")
+      attached
         .select(col("inc_id"), col("corpus_id"),
           graft.functions.TextHashFunctions.set_jaccard(col("sh_a"), col("sh_b"))
             .as("__j"))

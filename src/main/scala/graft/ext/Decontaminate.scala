@@ -112,7 +112,13 @@ object Decontaminate {
       posexplode(TextHashFunctions.band_keys(
         Dedup.minhashSignature(col(textCol), numHashes, shingleN), bands))
         .as(Seq("band", "bucket")))
-    val benchBanded = Dedup.materialize(banded(bench, benchIdCol))
+    // NOT materialized: the benchmark side is tiny by this operator's own
+    // premise (MBs vs TBs), so re-deriving it inside each of its two
+    // broadcast builds costs less than a checkpoint barrier — the barrier
+    // job + its driver gap dominated this operator's fixed overhead at
+    // bench SF (r19 JobProbe), and at corpus scale both derivations are
+    // noise next to the corpus banding pass
+    val benchBanded = banded(bench, benchIdCol)
     // map-only prefilter: only corpus rows landing in a benchmark bucket
     // survive; with a finite cap, the bucketCap window then shuffles ONLY
     // those (ADVICE r10) — uncapped (the default) skips the window

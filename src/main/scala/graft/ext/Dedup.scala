@@ -898,11 +898,23 @@ object Dedup {
     * a ≤0.4%-absolute overestimate of the long-slot fraction, so a
     * threshold keeps every pair the full-width estimate would keep; callers
     * that need engine-independent output exact-verify downstream (all
-    * entries do). */
+    * entries do).
+    *
+    * `carry` — verify-payload columns of `sigs` to RIDE the existing
+    * per-pair signature fetch (each ("col", "out") emits `out_a`/`out_b`):
+    * when the caller's verify payload already lives in the signature
+    * checkpoint (the entries' eager-shingle fast path), a separate
+    * attach join pair would re-broadcast the same frame — two more
+    * relation builds for columns the est fetch could have carried
+    * (r19 JobProbe: the 4 broadcast builds were half of q22's final-stage
+    * jobs). Carried columns ship with the est fetch BEFORE the est
+    * filter, so only carry payloads the fetch exchange can afford —
+    * callers gate on corpus size (the eager-shingle gate). */
   def minhashDupPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int, threshold: Double, bucketCap: Int = 256,
       numHashes: Int = -1, scaleGeomMinDocs: Long = 0L,
-      collapseSigMinDocs: Long = defaultScaleGeomMinDocs): DataFrame = {
+      collapseSigMinDocs: Long = defaultScaleGeomMinDocs,
+      carry: Seq[(String, String)] = Nil): DataFrame = {
     lazy val nDocs: Long = {
       val m = materializedRows(sigs); if (m >= 0) m else sigs.count()
     }
@@ -968,30 +980,43 @@ object Dedup {
         "minhash", known)
     val payloadForm = estMeasured && bandedRows > 0 &&
       estPairs > bandedRows / 2
+    val carryCols = carry.map { case (c, o) => col(c) -> o }
+    val carryOuts = carry.flatMap { case (_, o) => Seq(col(s"${o}_a"),
+      col(s"${o}_b")) }
     val bandedPairs =
       if (!payloadForm)
+        // carried columns ride the SAME per-pair fetch joins as the est
         joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
-            runGuard = false), sigs, idCol, mb -> "__mb")
-          .select(col("id_a"), col("id_b"),
+            runGuard = false), sigs, idCol, (mb -> "__mb") +: carryCols: _*)
+          .select(col("id_a") +: col("id_b") +:
             graft.functions.TextHashFunctions.byte_jaccard(
-              col("__mb_a"), col("__mb_b")).as("est_jaccard"))
+              col("__mb_a"), col("__mb_b")).as("est_jaccard") +:
+            carryOuts: _*)
           .where(col("est_jaccard") >= threshold)
       else {
         val bandedP = bandSrc.select(col(idCol).as("id"), mb.as("__mb"),
           posexplode(keys).as(Seq("band", "bucket")))
-        cappedBucketPairs(bandedP, "id", "__mb", bucketCap, known,
+        val p = cappedBucketPairs(bandedP, "id", "__mb", bucketCap, known,
             runGuard = false)
           .select(col("id_a"), col("id_b"),
             graft.functions.TextHashFunctions.byte_jaccard(
               col("payload_a"), col("payload_b")).as("est_jaccard"))
           .where(col("est_jaccard") >= threshold)
           .dropDuplicates("id_a", "id_b")
+        // payload form co-locates the est with the banding, so carried
+        // columns need their own fetch — the same join pair the caller's
+        // separate attach would have paid, just operator-owned
+        if (carry.isEmpty) p else joinSigs(p, sigs, idCol, carryCols: _*)
       }
     // member pairs are disjoint from banded pairs by construction
     // (members never band); est = 1.0 exactly — identical signatures
     if (memberPairs == null) bandedPairs
-    else bandedPairs.unionByName(memberPairs
-      .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard")))
+    else {
+      val m0 = memberPairs
+        .select(col("id_a"), col("id_b"), lit(1.0).as("est_jaccard"))
+      bandedPairs.unionByName(
+        if (carry.isEmpty) m0 else joinSigs(m0, sigs, idCol, carryCols: _*))
+    }
   }
 
   /** Persistent LSH band index over a corpus signature frame: one row per
@@ -1048,7 +1073,7 @@ object Dedup {
     */
   def incrementalMinhashDupPairs(incSigs: DataFrame, corpusIndex: DataFrame,
       corpusSigs: DataFrame, idCol: String, sigCol: String, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, carry: Seq[(String, String)] = Nil): DataFrame = {
     val incBanded = incSigs.select(col(idCol).as("inc_id"),
       posexplode(graft.functions.TextHashFunctions.band_keys(col(sigCol), bands))
         .as(Seq("band", "bucket")))
@@ -1057,8 +1082,15 @@ object Dedup {
         col("id").as("corpus_id")), Seq("band", "bucket"))
       .where(col("inc_id") =!= col("corpus_id"))
       .select("inc_id", "corpus_id").distinct()
-    val a = incSigs.select(col(idCol).as("inc_id"), col(sigCol).as("__sig_a"))
-    val b = corpusSigs.select(col(idCol).as("corpus_id"), col(sigCol).as("__sig_b"))
+    // carried verify-payload columns ride the two signature-fetch joins
+    // (see minhashDupPairsFromSigs' carry doc) — `_a` = increment side,
+    // `_b` = corpus side, matching the sig suffixes
+    val a = incSigs.select(col(idCol).as("inc_id") +:
+      col(sigCol).as("__sig_a") +:
+      carry.map { case (c, o) => col(c).as(s"${o}_a") }: _*)
+    val b = corpusSigs.select(col(idCol).as("corpus_id") +:
+      col(sigCol).as("__sig_b") +:
+      carry.map { case (c, o) => col(c).as(s"${o}_b") }: _*)
     // est_jaccard is the BYTE estimator — the same public contract as
     // minhashDupPairsFromSigs (r18). The two paths MUST share one
     // estimator: with the full path on byte-est and this one on the
@@ -1067,11 +1099,13 @@ object Dedup {
     // (ScaleInvariants q63 caught 3 such pairs at the 100× corpus on the
     // r19 fixture). Exact-verify downstream absorbs the inflation.
     cand.join(a, "inc_id").join(b, "corpus_id")
-      .select(col("inc_id"), col("corpus_id"),
+      .select(col("inc_id") +: col("corpus_id") +:
         graft.functions.TextHashFunctions.byte_jaccard(
           graft.functions.TextHashFunctions.minhash_bytes(col("__sig_a")),
           graft.functions.TextHashFunctions.minhash_bytes(col("__sig_b")))
-          .as("est_jaccard"))
+          .as("est_jaccard") +:
+        carry.flatMap { case (_, o) => Seq(col(s"${o}_a"),
+          col(s"${o}_b")) }: _*)
       .where(col("est_jaccard") >= threshold)
   }
 
@@ -1178,7 +1212,8 @@ object Dedup {
       wideArmMinDocs: Long = defaultWideArmMinDocs,
       numHashes: Int = 64,
       scaleGeomMinDocs: Long = defaultScaleGeomMinDocs,
-      collapseSigMinDocs: Long = defaultScaleGeomMinDocs): DataFrame = {
+      collapseSigMinDocs: Long = defaultScaleGeomMinDocs,
+      carry: Seq[(String, String)] = Nil): DataFrame = {
     val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
     // corpus size from the materialization record when available (free);
     // a count job only for externally-materialized frames
@@ -1297,21 +1332,27 @@ object Dedup {
     val mb = graft.functions.TextHashFunctions.minhash_bytes(col(msigCol))
     def estOf(a: Column, b: Column) =
       graft.functions.TextHashFunctions.byte_jaccard(a, b)
+    val carryCols = carry.map { case (c, o) => col(c) -> o }
+    val carryOuts = carry.flatMap { case (_, o) => Seq(col(s"${o}_a"),
+      col(s"${o}_b")) }
+    val outCols = col("id_a") +: col("id_b") +: carryOuts
     val bandedPairs =
       if (!payloadForm)
+        // carried columns ride the SAME per-pair fetch joins as the
+        // est/hamming payloads (see minhashDupPairsFromSigs' carry doc)
         joinSigs(cappedBucketPairIds(banded, "id", bucketCap, known,
             runGuard = false), sigs, idCol,
-            mb -> "__m", col(ssigCol) -> "__s")
+            (mb -> "__m") +: (col(ssigCol) -> "__s") +: carryCols: _*)
           .withColumn("__est", estOf(col("__m_a"), col("__m_b")))
           .where(col("__est") >= estThreshold ||
             (ham <= maxHamming && col("__est") >= estFloor))
-          .select("id_a", "id_b")
+          .select(outCols: _*)
       else {
         val bandedP = bandSrc.select(col(idCol).as("id"),
           struct(mb.as("m"), col(ssigCol).as("s")).as("__pl"),
           posexplode(concat(mKeys, array(sKeyCols: _*)))
             .as(Seq("band", "bucket")))
-        cappedBucketPairs(bandedP, "id", "__pl", bucketCap, known,
+        val p = cappedBucketPairs(bandedP, "id", "__pl", bucketCap, known,
             runGuard = false)
           .withColumn("__s_a", col("payload_a.s"))
           .withColumn("__s_b", col("payload_b.s"))
@@ -1319,11 +1360,16 @@ object Dedup {
           .where(col("__est") >= estThreshold ||
             (ham <= maxHamming && col("__est") >= estFloor))
           .select("id_a", "id_b").distinct()
+        if (carry.isEmpty) p
+        else joinSigs(p, sigs, idCol, carryCols: _*).select(outCols: _*)
       }
     // member pairs: disjoint from banded pairs (members never band);
     // identical signatures pass every per-family prefilter by definition
     if (memberPairs == null) bandedPairs
-    else bandedPairs.unionByName(memberPairs.select("id_a", "id_b"))
+    else bandedPairs.unionByName(
+      if (carry.isEmpty) memberPairs.select("id_a", "id_b")
+      else joinSigs(memberPairs.select("id_a", "id_b"), sigs, idCol,
+        carryCols: _*).select(outCols: _*))
   }
 
   /** Connected-component-free dedup decision: drop any doc that pairs with a

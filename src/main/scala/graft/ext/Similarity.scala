@@ -696,28 +696,34 @@ object Similarity {
         col("id").as("corpus_id")), Seq("band", "bucket"))
       .where(col("inc_id") =!= col("corpus_id"))
       .select("inc_id", "corpus_id", "__bits_a").distinct()
-    val agreed = cand
-      .join(corpusSigs.select(col("id").as("corpus_id"),
-        col("__sigbits").as("__bits_b")), "corpus_id")
+    def agreeCut(df: DataFrame) = df
       .where(lit(nBits) - graft.functions.VectorFunctions.long_array_hamming(
         col("__bits_a"), col("__bits_b")) >= minAgree)
-      .select("inc_id", "corpus_id")
     // vectors attach via the broadcast-reduced frames (two frames — the
     // increment and the corpus resolve different key columns), so the
     // corpus vector column never shuffle-writes for a small survivor
     // set. Small-corpus fast path (recorded cardinality): the extra
-    // pair-set checkpoint job dominates sub-second queries.
+    // pair-set checkpoint job dominates sub-second queries — and the
+    // corpus-side bits and vector ride ONE fetch join (the agreement cut
+    // runs fused between the join and the vector projection inside the
+    // same codegen stage, so pre-cut candidates never materialize a
+    // vector; one broadcast build instead of two — r19 JobProbe).
     val nCorpus = Dedup.materializedRows(corpusSigs)
     if (nCorpus >= 0 && nCorpus <= 200000L)
-      agreed
+      agreeCut(cand
+        .join(corpusSigs.select(col("id").as("corpus_id"),
+          col("__sigbits").as("__bits_b"), col("vec").as("vec_b")),
+          "corpus_id"))
         .join(incSigs.select(col("id").as("inc_id"), col("vec").as("vec_a")),
           "inc_id")
-        .join(corpusSigs.select(col("id").as("corpus_id"),
-          col("vec").as("vec_b")), "corpus_id")
         .select(col("inc_id"), col("corpus_id"),
           cosine(col("vec_a"), col("vec_b")).as("cosine"))
         .where(col("cosine") >= threshold)
     else {
+      val agreed = agreeCut(cand
+        .join(corpusSigs.select(col("id").as("corpus_id"),
+          col("__sigbits").as("__bits_b")), "corpus_id"))
+        .select("inc_id", "corpus_id")
       val (pairs, n) = Dedup.materializeCounted(agreed)
       val bc = 2 * n <= (1L << 24)
       Dedup.attachPayload(

@@ -492,14 +492,18 @@ object Vocabulary {
       s"fractions must be in (0,1): $fractions")
     require(maxDistinct > 0, s"maxDistinct must be positive: $maxDistinct")
     val v = col(valueCol).cast("double")
-    val hist = scored
+    // the histogram's materialization job yields its row count — the
+    // distinct-cardinality guard — for free (Dedup.materializeCounted);
+    // the total row count n folds into the same single-task window pass
+    // as the running sum, so the whole calibration is TWO executions
+    // (histogram shuffle + cut aggregate) instead of the previous three
+    // (r19: each extra driver action costs ~0.1 s at bench SF and a
+    // pipeline barrier at any scale)
+    val (hist, distinct) = Dedup.materializeCounted(scored
       .select(v.as("v"))
       .where(col("v").isNotNull && !isnan(col("v")))
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // histogram-sized; read by both aggregates below
-    val meta = hist.agg(count(lit(1)), coalesce(sum("cnt"), lit(0L))).head()
-    val (distinct, n) = (meta.getLong(0), meta.getLong(1))
-    require(n > 0, s"rankCutpoints: no non-null values in '$valueCol'")
+      .groupBy("v").agg(count(lit(1)).as("cnt")))
+    require(distinct > 0, s"rankCutpoints: no non-null values in '$valueCol'")
     if (distinct > maxDistinct)
       throw new IllegalStateException(
         f"rankCutpoints: $distinct%,d distinct values in '$valueCol' exceed " +
@@ -507,12 +511,19 @@ object Vocabulary {
           "running sum is safe only for a bounded value space. Round the " +
           "column first (e.g. round(col, 4)), or use perplexityCutpoints' " +
           "distributed GK quantiles, which need no cardinality precondition")
-    val cum = hist.select(col("v"), sum("cnt").over(Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
-    // every fraction's cut in ONE aggregate: the value at rank k is the
-    // smallest v whose cumulative count reaches k
+    val w = Window.orderBy("v")
+    val cum = hist.select(col("v"),
+      sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)).as("cum"),
+      sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)).as("tot"))
+    // every fraction's cut in ONE aggregate: the value at rank
+    // k = max(1, floor(f·n)) is the smallest v whose cumulative count
+    // reaches k; n rides the window as `tot` (same IEEE product as the
+    // previous driver-side math.floor(f * n))
     val cutAggs = fractions.zipWithIndex.map { case (f, i) =>
-      val k = math.max(1L, math.floor(f * n).toLong)
+      val k = greatest(lit(1L),
+        floor(lit(f) * col("tot").cast("double")).cast("long"))
       min(when(col("cum") >= k, col("v"))).as(s"__c$i")
     }
     val row = cum.agg(cutAggs.head, cutAggs.tail: _*).head()

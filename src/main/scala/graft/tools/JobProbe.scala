@@ -21,7 +21,10 @@ object JobProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_CODEGEN", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "0"))
@@ -38,10 +41,15 @@ object JobProbe {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val r = Rec(js.jobId)
-        r.desc = Option(js.properties)
+        val execId = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .map(id => s"exec=$id ").getOrElse("")
+        r.desc = execId + Option(js.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .flatMap(p => Option(p.getProperty("callSite.long"))
+              .map(_.split("\n").find(l => l.contains("graft") &&
+                !l.contains("graft.tools")).getOrElse("").trim)))
           .getOrElse("")
         r.start = js.time
         r.stages = js.stageIds.size
@@ -60,8 +68,11 @@ object JobProbe {
       jobs.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      val n = fn(spark, dir).count()
+      val df = fn(spark, dir)
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val n = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[jobprobe] $name rep$rep build=$tBuild%.3f s")
       spark.sparkContext.removeSparkListener(listener)
       Thread.sleep(100) // drain the listener bus
       import scala.jdk.CollectionConverters._

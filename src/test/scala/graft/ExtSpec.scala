@@ -2281,4 +2281,65 @@ class ExtSpec extends SparkTestBase {
       .toMap
     assert(out == Map(1L -> ("a b c d e f", 0L), 2L -> ("x y", 4L)))
   }
+
+  test("carry columns ride the est fetch == separate pair attach (all three candidate ops)") {
+    // the eager-shingle entries fetch verify payloads through the
+    // operator's existing per-pair signature joins (carry) instead of a
+    // second attach join pair; the carried output must be ROW-IDENTICAL
+    // (ids, est, payload) to the separate attachPairPayloadsAuto shape
+    val frame = Dedup.materialize(docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+        .as("sig"),
+      Dedup.simhash128(col("text")).as("ssig"),
+      Dedup.shingles(col("text"), 3).as("sh")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[String](3).sorted.mkString(","),
+        r.getSeq[String](4).sorted.mkString(","))
+    def pairsOf(df: org.apache.spark.sql.DataFrame, a: String, b: String,
+        est: Boolean) =
+      df.select(col(a), col(b),
+          (if (est) col("est_jaccard") else lit(0.0)).as("e"),
+          col("sh_a"), col("sh_b"))
+        .collect().map(key).sorted.toSeq
+
+    // minhash: keys form + member-pairs branch (collapse forced on)
+    val mhCarry = Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+      bands = 16, threshold = 0.5, collapseSigMinDocs = 1L,
+      carry = Seq("sh" -> "sh"))
+    val mhPlain = Dedup.attachPairPayloadsAuto(
+      Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+        bands = 16, threshold = 0.5, collapseSigMinDocs = 1L),
+      frame, frame, "id", "sh", "id_a", "id_b")
+    assert(pairsOf(mhCarry, "id_a", "id_b", est = true) ==
+      pairsOf(mhPlain, "id_a", "id_b", est = true), "minhash carry mismatch")
+    assert(pairsOf(mhCarry, "id_a", "id_b", est = true).nonEmpty)
+
+    // multi-family (narrow arm at this corpus)
+    val mfCarry = Dedup.multiFamilyDupCandidates(frame, "id", "sig", "ssig",
+      mBands = 16, estThreshold = 0.65, maxHamming = 3,
+      carry = Seq("sh" -> "sh"))
+    val mfPlain = Dedup.attachPairPayloadsAuto(
+      Dedup.multiFamilyDupCandidates(frame, "id", "sig", "ssig",
+        mBands = 16, estThreshold = 0.65, maxHamming = 3),
+      frame, frame, "id", "sh", "id_a", "id_b")
+    assert(pairsOf(mfCarry, "id_a", "id_b", est = false) ==
+      pairsOf(mfPlain, "id_a", "id_b", est = false),
+      "multi-family carry mismatch")
+
+    // incremental: inc split vs corpus index
+    val inc = frame.where(col("id") % 10 === 0)
+    val corpus = Dedup.materialize(frame.where(col("id") % 10 =!= 0))
+    val index = Dedup.minhashBandIndex(corpus, "id", "sig", bands = 32)
+    val incCarry = Dedup.incrementalMinhashDupPairs(inc, index, corpus,
+      "id", "sig", bands = 32, threshold = 0.35, carry = Seq("sh" -> "sh"))
+    val incPlain = Dedup.attachPairPayloadsAuto(
+      Dedup.incrementalMinhashDupPairs(inc, index, corpus,
+        "id", "sig", bands = 32, threshold = 0.35),
+      frame, frame, "id", "sh", "inc_id", "corpus_id")
+    assert(pairsOf(incCarry, "inc_id", "corpus_id", est = true) ==
+      pairsOf(incPlain, "inc_id", "corpus_id", est = true),
+      "incremental carry mismatch")
+    assert(pairsOf(incCarry, "inc_id", "corpus_id", est = true).nonEmpty)
+  }
 }
