@@ -63,17 +63,22 @@ object Bench {
       // whole-stage classes through janino — a uniform per-query tax the
       // canary can't see. Size the cache to hold the full suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // ALWAYS use the sort-path shuffle writer (r19 measurement): below
-      // the 200-partition bypass threshold Spark's bypass writer creates
-      // one file PER REDUCE PARTITION per map task — measured ~9 ms of
-      // file-op wall per block on this ext4 VM disk, i.e. a trivial
-      // 100k-row groupBy at R=32 burns 11 s of task time on file churn
-      // (1.1 s with the sort path). Production R is >200 so real
-      // deployments run the sort path anyway; forcing it here makes
-      // local-mode behavior match production AND removes the per-block
-      // tax at every core count the driver benches.
+      // Shuffle writer: SPARK'S DEFAULT threshold (bypass-merge at
+      // R ≤ 200), env-overridable. History (r19): the round initially
+      // forced the sort-path writer (threshold 0) off a measurement that
+      // the bypass writer's one-file-per-block cost (~9 ms/block on this
+      // ext4 VM disk) dominated tiny-SF shuffles — but (a) the round's
+      // structural work then removed most of those shuffles, and a
+      // same-window re-A/B at sf0.1 measures the two writers as a wash
+      // on the current code, while (b) at the 100× corpus the sort-path
+      // writer's buffer/spill pass costs real money on big-block
+      // shuffles (q19 sql join 6.93 s sort-path vs 4.06 s bypass;
+      // q22 12.89 vs 11.93 — measured this round). Production R is >200,
+      // where Spark takes the sort path regardless and this setting is
+      // inert; locally the default lets each shuffle's block size pick
+      // the cheaper writer the way upstream intended.
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "0"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "200"))
       // Shuffle/spill scratch: default /tmp sits on the sandbox's VM
       // disk whose small-file ops dominate tiny-SF shuffles. A tmpfs
       // default keeps the bench measuring the engine, not the VM's FS

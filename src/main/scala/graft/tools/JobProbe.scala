@@ -27,7 +27,7 @@ object JobProbe {
         sys.env.getOrElse("SPARK_GRAFT_PROBE_CODEGEN", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "0"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "200"))
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-shuffle"
         else System.getProperty("java.io.tmpdir")))

@@ -69,7 +69,7 @@ object LocalClusterRehearsal {
       // THIS venue's executor JVMs too, and production R (>200) runs the
       // sort path anyway — same env overrides, same local defaults
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "0"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "200"))
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-shuffle"
         else System.getProperty("java.io.tmpdir")))
