@@ -458,7 +458,28 @@ object Bench {
       if (trendBreaches.isEmpty) ""
       else ",\"trend_breaches\":[" +
         trendBreaches.map("\"" + _ + "\"").mkString(",") + "]"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"value_min":${fmt(totalMin)},"sf":"$sfDir","passes":$passes,"detail":"$outPath"$headlineJson$breachJson$errorsJson}""")
+    // STDOUT LINE SIZE (r20, VERDICT r19 #1): the full-name queries map is
+    // ~3.3 KB, so the line's opening brace fell outside the driver's
+    // ~2,000-char stdout tail and `parsed` was null in every BENCH_r*.json
+    // from r01–r19 — the driver's per-query PERF/scaling venue never
+    // worked. The stdout map now uses each query's short number prefix
+    // ("q63_incremental_dedup" → "q63"; q16b/q78b stay distinct), which
+    // fits the whole line in ~1.5 KB with the sbt trailer behind it. The
+    // full-name map is unchanged in the artifact file ($outPath), and
+    // `queries_key` on the line names the shortening so the mapping is
+    // machine-recoverable. No query was removed and none renamed in the
+    // artifact; medians/semantics are untouched.
+    val shortKey: String => String = n => n.takeWhile(_ != '_')
+    require(names.map(shortKey).distinct.size == names.size,
+      "short query keys must stay unique on the stdout contract line")
+    val qsShort = stats.map { case (k, st) =>
+      "\"" + shortKey(k) + "\":" + st.map(s => fmt(s._1)).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"queries_key":"number_prefix","value_min":${fmt(totalMin)},"sf":"$sfDir","passes":$passes,"detail":"$outPath"$headlineJson$breachJson$errorsJson}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING stdout contract line is " +
+        s"${line.length} chars — may exceed the driver's stdout tail")
+    println(line)
     spark.stop()
     if (trendBreaches.nonEmpty &&
         sys.env.get("SPARK_GRAFT_TREND_STRICT").contains("1")) {

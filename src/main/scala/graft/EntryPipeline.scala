@@ -21,13 +21,21 @@ private[graft] object EntryPipeline {
 
   private[graft] def parquetRowCount(s: SparkSession, path: String): Long = {
     val root = new java.io.File(path)
-    val key = s"${root.getAbsolutePath}:${root.length}:${root.lastModified}"
+    def leaf(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f).filter(_.getName.endsWith(".parquet"))
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(leaf)
+    // Key on the LEAF files' (path, length, mtime), not the directory's
+    // (VERDICT r19 #7): rewriting a parquet file in place keeps its name,
+    // so the parent directory's mtime does not move — a directory-keyed
+    // cache would serve a stale row count and misroute the eager/lazy gate
+    // after a fixture regeneration. Leaf metadata moves with the files.
+    val leaves = leaf(root).sortBy(_.getAbsolutePath)
+    val key = root.getAbsolutePath + "|" +
+      leaves.map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+        .mkString(";")
     fixtureRowCache.getOrElseUpdate(key, {
-      def leaf(f: java.io.File): Seq[java.io.File] =
-        if (f.isFile) Seq(f).filter(_.getName.endsWith(".parquet"))
-        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(leaf)
       val hconf = s.sessionState.newHadoopConf()
-      leaf(root).map { f =>
+      leaves.map { f =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getAbsolutePath), hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)

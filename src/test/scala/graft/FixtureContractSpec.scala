@@ -57,6 +57,43 @@ class FixtureContractSpec extends SparkTestBase {
     locally { val _ = dir } // tmp dir reserved for symmetry; nothing written
   }
 
+  test("parquetRowCount refreshes when a parquet file is rewritten in place") {
+    // VERDICT r19 #7: rewriting a parquet file keeps its NAME, so the parent
+    // directory's mtime does not move — the row-count cache must key on the
+    // leaf files' own (path, length, mtime) or the eager/lazy shingle gate
+    // routes on a stale corpus size after a fixture regeneration.
+    val dir = Files.createTempDirectory("graft_rowcount").toString
+    val table = s"$dir/documents.parquet"
+    spark.range(0, 100, 1, 1).toDF("doc_id")
+      .write.mode("overwrite").parquet(table)
+    assert(EntryPipeline.parquetRowCount(spark, table) == 100L)
+
+    // Rewrite IN PLACE: same leaf file names, different row count. Write to
+    // a sibling dir and copy bytes over the existing part files so the
+    // directory's own entry set (and thus its mtime key) stays plausible.
+    val tmp = s"$dir/rewrite.parquet"
+    spark.range(0, 37, 1, 1).toDF("doc_id")
+      .write.mode("overwrite").parquet(tmp)
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val (oldParts, newParts) = (parts(table), parts(tmp))
+    assert(oldParts.length == 1 && newParts.length == 1)
+    java.nio.file.Files.copy(newParts.head.toPath, oldParts.head.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // Spark's local write left a .crc sidecar per part; it no longer
+    // matches the rewritten bytes (a pyarrow-style regeneration writes no
+    // sidecars at all), so drop the stale ones.
+    new java.io.File(table).listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(f => assert(f.delete(), s"could not remove stale crc $f"))
+    // Coarse-mtime filesystems could leave (length, mtime) unchanged for a
+    // same-second rewrite; bump mtime explicitly the way a real regeneration
+    // (run minutes later) would.
+    assert(oldParts.head.setLastModified(oldParts.head.lastModified + 2000L))
+
+    assert(EntryPipeline.parquetRowCount(spark, table) == 37L,
+      "row count must refresh after an in-place parquet rewrite")
+  }
+
   test("driver fixtures (if present) load every time column as TimestampType") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
