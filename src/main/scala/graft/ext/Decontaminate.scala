@@ -97,6 +97,18 @@ object Decontaminate {
     * Tokenization is the near-dup family's (lowercased whitespace
     * tokens, distinct word shingles — [[Dedup.shingles]]).
     *
+    * DETERMINISM PRECONDITION (ADVICE r19): `bench` must be a
+    * deterministic frame (a file scan, or any plan free of `rand()` /
+    * unseeded sampling / non-deterministic UDFs). Its banded keys are
+    * intentionally NOT materialized — the benchmark side is tiny by this
+    * operator's premise, so re-deriving it inside each of its two
+    * broadcast builds (the bucket prefilter and the candidate join) is
+    * cheaper than a checkpoint barrier at every scale — which means the
+    * two builds evaluate the plan independently: a nondeterministic
+    * benchmark slice could band differently per build and silently drop
+    * hits. Callers sampling their benchmark must pass a seeded sample or
+    * materialize it first ([[Dedup.materialize]]).
+    *
     * Output: (`idCol`, `benchIdCol`, `jaccard`), exact Jaccard ≥
     * `threshold`. Anti-join `docs` on `idCol` to decontaminate, or use
     * [[fuzzyDecontaminate]]. */

@@ -795,6 +795,24 @@ object Dedup {
     * — measured r17 at the 1000× SF, the second attach sorted a 26.7 GB
     * (pairs + sig_a) exchange and spilled past the box's disk, while the
     * hash join streams the same probe side with zero sort. */
+  /** Carry out-name validation (ADVICE r19): a carry out name colliding
+    * with the operators' own output/internal columns ("id" would emit a
+    * second id_a/id_b; "__mb"/"__m"/"__s"/"payload" shadow the est/hamming
+    * payload fetches; "est_jaccard"/"band"/"bucket" shadow outputs) yields
+    * duplicate or ambiguous columns and a confusing downstream analysis
+    * error — refuse up front with the actual constraint. */
+  private def validateCarry(carry: Seq[(String, String)]): Unit = {
+    val reserved = Set("id", "payload", "est_jaccard", "band", "bucket")
+    carry.foreach { case (_, o) =>
+      require(!reserved(o) && !o.startsWith("__"),
+        s"carry out name '$o' collides with the operator's reserved " +
+          "output/internal columns (id, payload, est_jaccard, band, " +
+          "bucket, __*) — pick a different out name")
+    }
+    require(carry.map(_._2).distinct.size == carry.size,
+      s"carry out names must be distinct: ${carry.map(_._2).mkString(", ")}")
+  }
+
   private[ext] def joinSigs(pairs: DataFrame, sigs: DataFrame, idCol: String,
       cols: (Column, String)*): DataFrame = {
     val nSigs = materializedRows(sigs)
@@ -915,6 +933,7 @@ object Dedup {
       numHashes: Int = -1, scaleGeomMinDocs: Long = 0L,
       collapseSigMinDocs: Long = defaultScaleGeomMinDocs,
       carry: Seq[(String, String)] = Nil): DataFrame = {
+    validateCarry(carry)
     lazy val nDocs: Long = {
       val m = materializedRows(sigs); if (m >= 0) m else sigs.count()
     }
@@ -1214,6 +1233,7 @@ object Dedup {
       scaleGeomMinDocs: Long = defaultScaleGeomMinDocs,
       collapseSigMinDocs: Long = defaultScaleGeomMinDocs,
       carry: Seq[(String, String)] = Nil): DataFrame = {
+    validateCarry(carry)
     val wideSig = sigs.schema(ssigCol).dataType.isInstanceOf[ArrayType]
     // corpus size from the materialization record when available (free);
     // a count job only for externally-materialized frames

@@ -200,6 +200,57 @@ object Similarity {
     }
   }
 
+  /** UPPER BOUND on a plan's row count from parquet footers: like
+    * [[parquetFooterRowCount]] but `Filter` nodes are allowed (a filter
+    * only removes rows, so the unfiltered footer total bounds the output
+    * from above). None when the plan reshapes rows any other way or isn't
+    * a single parquet relation. Used to route small-corpus fast paths
+    * WITHOUT a counting job even when the input carries a predicate (the
+    * q85 `vec_id < 200` shape). */
+  private[graft] def parquetFooterRowUpperBound(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan: LogicalPlan = df.queryExecution.optimizedPlan
+    val boundPreserving = plan.collect { case p => p }.forall {
+      case _: Project | _: Filter | _: LogicalRelation => true
+      case _ => false
+    }
+    val relations = plan.collect { case lr: LogicalRelation => lr }
+    if (!boundPreserving || relations.size != 1) None
+    else {
+      val files = df.inputFiles
+      if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) None
+      else {
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        try Some(graft.sources.ParquetFooters.totalRecords(files.toSeq, conf))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+
+  /** Driver-side ordering matching Spark's ascending-nulls-first sort for
+    * the id types the centroid-build fast path supports; None for types
+    * where replicating Spark's sort order is not worth the risk (the
+    * caller keeps the distributed orderBy). */
+  private def sparkAscOrdering(dt: DataType): Option[Ordering[Any]] = {
+    def lift[T](ord: Ordering[T]): Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1 // Spark asc = nulls first
+        case (_, null) => 1
+        case (x, y) => ord.compare(x.asInstanceOf[T], y.asInstanceOf[T])
+      }
+    }
+    dt match {
+      case LongType => Some(lift(Ordering.Long))
+      case IntegerType => Some(lift(Ordering.Int))
+      case ShortType => Some(lift(Ordering.Short))
+      case ByteType => Some(lift(Ordering.Byte))
+      case StringType => Some(lift(Ordering.String))
+      case _ => None
+    }
+  }
+
   /** IVF (inverted-file) index: deterministic k-means-lite centroids —
     * seeded by the first `nClusters` sample vectors (by id), refined by
     * `lloydIters` Lloyd iterations over the sample — collected to the
@@ -223,6 +274,50 @@ object Similarity {
       nClusters: Int, maxSample: Int = 100000,
       lloydIters: Int = 3): Array[Array[Double]] = {
     val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+    // SMALL-CORPUS DIRECT PATH (r20, VERDICT r19 #5): when the parquet
+    // footers BOUND the corpus under the direct cap (Filter-tolerant upper
+    // bound — a predicate like q85's `vec_id < 200` only removes rows),
+    // the whole sample fits on the driver by construction, so collect it
+    // ONCE and derive everything locally: seeds = first nClusters by id
+    // (the same ascending order Spark's orderBy.limit produced), Lloyd
+    // over the same rows through the same shared assignment rule. This
+    // replaces four jobs (count fallback, sample checkpoint, seed
+    // take-ordered, Lloyd collect) with ONE collect — the r19 JobProbe
+    // measured those four at ~half of q85's build-side executions. Ids of
+    // types whose Spark sort order we don't replicate keep the
+    // distributed path; the rare huge-dim corner (rows fit, doubles
+    // don't) falls back too, so venue choice — and thus float-fold order
+    // — never changes for any input the old code handled locally.
+    val directCap = corpus.sparkSession.conf
+      .getOption("spark.graft.ivf.directBuildMaxRows").map(_.toLong)
+      .getOrElse(32768L)
+    val idOrd = sparkAscOrdering(base.schema("__id").dataType)
+    val directRows: Option[Array[org.apache.spark.sql.Row]] =
+      if (idOrd.isEmpty) None
+      else parquetFooterRowUpperBound(corpus).filter(_ <= directCap)
+        .map(_ => base.collect())
+    directRows match {
+      case Some(rows) =>
+        val dim0 = rows.headOption.flatMap(r => Option(r.getSeq[Float](1)))
+          .map(_.length).getOrElse(0)
+        if (rows.length.toLong * math.max(dim0, 1) <= 16000000L) {
+          val ord = idOrd.get
+          val sorted = rows.sortBy(_.get(0))(ord)
+          var cents: Array[Array[Double]] = sorted.take(nClusters)
+            .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+          val dim = cents.headOption.map(_.length).getOrElse(0)
+          val vecs = rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+          var iter = 0
+          while (iter < lloydIters) {
+            cents = lloydStepLocal(cents, vecs, dim)
+            iter += 1
+          }
+          return cents
+        }
+        // huge-dim corner: fall through to the materialized path so the
+        // refinement venue (and its float-fold order) matches the old code
+      case None => ()
+    }
     val n = parquetFooterRowCount(corpus).getOrElse(corpus.count())
     val (sample, sampleRows) = Dedup.materializeCounted(
       if (n <= maxSample) base
@@ -254,27 +349,7 @@ object Similarity {
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       var iter = 0
       while (iter < lloydIters) {
-        // shared canonical assignment rule (graft.functions.NearestCentroids
-        // companion) — the same code the expression path runs, so the two
-        // refinement venues cannot drift apart
-        val normed = graft.functions.NearestCentroids.normalize(cents)
-        val sums = Array.fill(cents.length)(new Array[Double](dim))
-        val cnts = Array.fill(cents.length)(new Array[Long](dim))
-        vecs.foreach { v =>
-          val best = graft.functions.NearestCentroids.bestCentroid(v, normed)
-          var i = 0
-          val m = math.min(v.length, dim)
-          while (i < m) { sums(best)(i) += v(i); cnts(best)(i) += 1; i += 1 }
-        }
-        cents = cents.zipWithIndex.map { case (c, ci) =>
-          val out = c.clone()
-          var i = 0
-          while (i < out.length) {
-            if (cnts(ci)(i) > 0) out(i) = sums(ci)(i) / cnts(ci)(i)
-            i += 1
-          }
-          out
-        }
+        cents = lloydStepLocal(cents, vecs, dim)
         iter += 1
       }
     } else {
@@ -295,6 +370,35 @@ object Similarity {
       }
     }
     cents
+  }
+
+  /** One local Lloyd iteration — the EXACT loop both centroid-build venues
+    * share (the direct-collect fast path and the materialized-sample local
+    * arm): shared canonical assignment rule
+    * ([[graft.functions.NearestCentroids]] companion — the same code the
+    * expression path runs), per-position sums in row order, empty slots
+    * keep the previous value. One definition so the two local venues
+    * cannot drift in float-fold order. */
+  private def lloydStepLocal(cents: Array[Array[Double]],
+      vecs: Array[Array[Double]], dim: Int): Array[Array[Double]] = {
+    val normed = graft.functions.NearestCentroids.normalize(cents)
+    val sums = Array.fill(cents.length)(new Array[Double](dim))
+    val cnts = Array.fill(cents.length)(new Array[Long](dim))
+    vecs.foreach { v =>
+      val best = graft.functions.NearestCentroids.bestCentroid(v, normed)
+      var i = 0
+      val m = math.min(v.length, dim)
+      while (i < m) { sums(best)(i) += v(i); cnts(best)(i) += 1; i += 1 }
+    }
+    cents.zipWithIndex.map { case (c, ci) =>
+      val out = c.clone()
+      var i = 0
+      while (i < out.length) {
+        if (cnts(ci)(i) > 0) out(i) = sums(ci)(i) / cnts(ci)(i)
+        i += 1
+      }
+      out
+    }
   }
 
   /** ANN top-k via IVF: probe the `nProbe` closest clusters per query,
@@ -338,7 +442,7 @@ object Similarity {
     *
     * Guarded like [[semanticDupPairs]]: the exact join volume
     * Σ_c m_assigned(c) · m_probed(c) is computed from cluster sizes
-    * BEFORE the join (two narrow count passes) and the operator refuses
+    * BEFORE the join (one aggregate over the cached assignment blocks) and the operator refuses
     * pathological geometry with re-clustering guidance instead of
     * launching a quadratic blob. Recall < 1 when `nProbe < nClusters`
     * (the IVF cost/recall trade, spec-gated on clustered data);
@@ -355,20 +459,34 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nClusters,
       s"nProbe must be in [1, nClusters]: $nProbe vs $nClusters")
     val cents = buildIvfCentroids(df, idCol, vecCol, nClusters)
-    val assigned = Dedup.materialize(df.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cvec"),
-      element_at(graft.functions.VectorFunctions.nearest_centroids(
-        col(vecCol), cents, 1), 1).as("cluster")))
-    val probed = df.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qvec"),
-      explode(graft.functions.VectorFunctions.nearest_centroids(
-        col(vecCol), cents, nProbe)).as("cluster"))
-    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("__m"))
-    // probe counts come from the SAME probed frame (one nearest_centroids
-    // pass for the guard, one for the join) — a separate re-derivation
-    // would be a third full-corpus assignment pass
-    val probeSizes = probed.groupBy("cluster").agg(count(lit(1)).as("__p"))
-    val vol = sizes.join(probeSizes, "cluster")
+    // ONE assignment pass (r20, VERDICT r19 #5): the corpus is scanned and
+    // run through nearest_centroids ONCE, materialized WITH the probe list
+    // (the home cluster is the list's first element — the expression's
+    // stable top-p selection pins that). The old shape paid the
+    // n·k·dim assignment flops THREE times: the materialized home
+    // assignment, the guard's probe-count re-derivation, and the join's
+    // probe side — at corpus scale two full extra scan+assign passes, at
+    // bench SF two extra executions. Now the home side, the probe side,
+    // AND the guard all read the same cached blocks.
+    val probeFrame = Dedup.materialize(df.select(col(idCol).as("__pid"),
+      col(vecCol).as("__pvec"),
+      graft.functions.VectorFunctions.nearest_centroids(
+        col(vecCol), cents, nProbe).as("__probes")))
+    val assigned = probeFrame.select(col("__pid").as("neighbor_id"),
+      col("__pvec").as("__cvec"),
+      element_at(col("__probes"), 1).as("cluster"))
+    val probed = probeFrame.select(col("__pid").as("query_id"),
+      col("__pvec").as("__qvec"),
+      explode(col("__probes")).as("cluster"))
+    // volume guard in ONE aggregate over the cached blocks: per cluster,
+    // p = probe memberships and m = home assignments (probe position 0),
+    // vol = Σ m·p — exactly the old sizes ⋈ probeSizes sum (clusters probed
+    // but never home contribute m·p = 0 there too, via the inner join)
+    val vol = probeFrame
+      .select(posexplode(col("__probes")).as(Seq("__pos", "cluster")))
+      .groupBy("cluster").agg(
+        count(lit(1)).as("__p"),
+        sum(when(col("__pos") === 0, 1L).otherwise(0L)).as("__m"))
       .agg(coalesce(sum((col("__m") * col("__p")).cast(LongType)), lit(0L)))
       .head().getLong(0)
     if (vol > maxPairBudget)

@@ -64,10 +64,11 @@ object LocalClusterRehearsal {
       // two-JVM gate below false-fails
       .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
       .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
-      // align the shuffle writer + scratch dir with Bench (r19): at R=32
-      // the bypass-merge writer pays ~9 ms of ext4 file churn per block in
-      // THIS venue's executor JVMs too, and production R (>200) runs the
-      // sort path anyway — same env overrides, same local defaults
+      // align the shuffle writer + scratch dir with Bench: Spark's DEFAULT
+      // writer threshold (bypass-merge at R ≤ 200 — the r19 revert after
+      // cross-decade evidence showed the forced sort path losing 1.7× on
+      // big-block shuffles), env-overridable the same way, so rehearsal
+      // numbers stay comparable to bench numbers on any host
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "200"))
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
@@ -203,7 +204,11 @@ object LocalClusterRehearsal {
       // stall burst → http_429_capacity saw 200). Hold with the largest
       // available test SF (sf0.1 ≈ 100 MB of JSON — unsinkable) regardless
       // of the rehearsal's own sfDir; every other block stays on sfDir.
-      val capDir = Seq("/root/testdata/sf0.1", sfDir)
+      // configurable (ADVICE r19): hosts without the default test layout
+      // point SPARK_GRAFT_REHEARSAL_CAP_DIR at any dir with a lineitem
+      // table big enough to exceed loopback buffering (~tens of MB JSON)
+      val capDir = (sys.env.get("SPARK_GRAFT_REHEARSAL_CAP_DIR").toSeq ++
+          Seq("/root/testdata/sf0.1", sfDir))
         .find(d => new java.io.File(s"$d/lineitem.parquet").exists).getOrElse(sfDir)
       val eng = new graft.engine.Engine(spark,
         new graft.sources.ParquetDirCatalog(capDir))
@@ -230,9 +235,14 @@ object LocalClusterRehearsal {
         // attempt proves the contract, while a drained-too-fast flood just
         // tries again.
         var held: Seq[HttpResponse[java.io.InputStream]] = Seq.empty
-        var third: HttpResponse[String] = null
+        // the probe reads STATUS first and drains a body only when it is
+        // the (tiny) 429 error JSON — an ofString handler here pulled the
+        // full ~100 MB scan JSON into a String on every drained-too-fast
+        // retry, inflating rehearsal wall time and driver heap (ADVICE r19)
+        var thirdStatus = -1
+        var thirdBody = ""
         var attempt = 0
-        while ((third == null || third.statusCode() != 429) && attempt < 5) {
+        while (thirdStatus != 429 && attempt < 5) {
           attempt += 1
           if (held.nonEmpty) { // previous attempt's flood drained — drop it
             held.foreach(h => try h.body().close() catch { case _: Exception => () })
@@ -242,19 +252,23 @@ object LocalClusterRehearsal {
             client.send(req("/druid/v2", scanQ),
               HttpResponse.BodyHandlers.ofInputStream())
           }
-          if (held.forall(_.statusCode() == 200))
-            third = client.send(req("/druid/v2", scanQ),
-              HttpResponse.BodyHandlers.ofString())
+          if (held.forall(_.statusCode() == 200)) {
+            val third = client.send(req("/druid/v2", scanQ),
+              HttpResponse.BodyHandlers.ofInputStream())
+            thirdStatus = third.statusCode()
+            if (thirdStatus == 429)
+              thirdBody = new String(third.body().readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8)
+            else try third.body().close() catch { case _: Exception => () }
+          }
         }
         check("http_stream_open")(held.forall(_.statusCode() == 200),
           s"two cross-JVM streams hold the ${2} permits (attempt $attempt)")
-        check("http_429_capacity")(third != null &&
-          third.statusCode() == 429 &&
-          third.body().contains("QueryCapacityExceededException") &&
-          third.body().contains("Query capacity exceeded"),
-          s"status=${if (third == null) "none" else third.statusCode().toString} " +
-            s"attempts=$attempt " +
-            s"body=${if (third == null) "" else third.body().take(100)}")
+        check("http_429_capacity")(thirdStatus == 429 &&
+          thirdBody.contains("QueryCapacityExceededException") &&
+          thirdBody.contains("Query capacity exceeded"),
+          s"status=${if (thirdStatus < 0) "none" else thirdStatus.toString} " +
+            s"attempts=$attempt body=${thirdBody.take(100)}")
         held.foreach(_.body().close()) // abandon → server cancels + releases
         val to = client.send(req("/druid/v2",
           """{"queryType":"groupBy","dataSource":"lineitem",
@@ -271,16 +285,23 @@ object LocalClusterRehearsal {
         // pipe at its next write, which can be seconds away while the
         // scan's current partition is still computing — so poll with a
         // deadline instead of asserting the instant after close()
-        val releaseDeadline = System.nanoTime() + 60L * 1000000000L
-        var after = client.send(req("/druid/v2", scanQ),
-          HttpResponse.BodyHandlers.ofString())
-        while (after.statusCode() == 429 && System.nanoTime() < releaseDeadline) {
-          Thread.sleep(1000)
-          after = client.send(req("/druid/v2", scanQ),
-            HttpResponse.BodyHandlers.ofString())
+        // status-only poll: a 200 here used to drain the full scan JSON
+        // into a String (ADVICE r19) — close the stream unread instead,
+        // which also releases the probe's own permit promptly
+        def pollStatus(): Int = {
+          val r = client.send(req("/druid/v2", scanQ),
+            HttpResponse.BodyHandlers.ofInputStream())
+          try r.body().close() catch { case _: Exception => () }
+          r.statusCode()
         }
-        check("http_permits_released")(after.statusCode() == 200,
-          s"status=${after.statusCode()} after abandoning the held streams")
+        val releaseDeadline = System.nanoTime() + 60L * 1000000000L
+        var afterStatus = pollStatus()
+        while (afterStatus == 429 && System.nanoTime() < releaseDeadline) {
+          Thread.sleep(1000)
+          afterStatus = pollStatus()
+        }
+        check("http_permits_released")(afterStatus == 200,
+          s"status=$afterStatus after abandoning the held streams")
       } finally srv.stop()
     }
 

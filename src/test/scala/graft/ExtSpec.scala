@@ -2342,4 +2342,96 @@ class ExtSpec extends SparkTestBase {
       "incremental carry mismatch")
     assert(pairsOf(incCarry, "inc_id", "corpus_id", est = true).nonEmpty)
   }
+
+  test("carry equivalence holds in PAYLOAD banding form (high-collision corpus)") {
+    // ADVICE r19: the payload-form carry branch (joinSigs after
+    // dropDuplicates, taken only when estCandidates > bandedRows/2) and its
+    // unionByName alignment were covered only by inspection — the keys-form
+    // test above never reaches it. Force the form: a high-collision corpus
+    // (3 texts × 10 copies — every group floods its buckets in every band)
+    // plus a candidate budget small enough that the closed-form bound tier
+    // escalates to the measured histogram, whose estimate then crosses the
+    // bandedRows/2 form switch.
+    val collDocs = (0 until 30).map { i =>
+      (i.toLong, s"duplicate payload group ${i % 3} with shared shingle text")
+    }.toDF("doc_id", "text")
+    val frame = Dedup.materialize(collDocs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+        .as("sig"),
+      Dedup.simhash128(col("text")).as("ssig"),
+      Dedup.shingles(col("text"), 3).as("sh")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getSeq[String](3).sorted.mkString(","),
+        r.getSeq[String](4).sorted.mkString(","))
+    def pairsOf(df: org.apache.spark.sql.DataFrame, est: Boolean) =
+      df.select(col("id_a"), col("id_b"),
+          (if (est) col("est_jaccard") else lit(0.0)).as("e"),
+          col("sh_a"), col("sh_b"))
+        .collect().map(key).sorted.toSeq
+    spark.conf.set("spark.graft.lsh.candidateBudget", "3000")
+    try {
+      // the stats ring is bounded, so "entries since a mark" is unreliable
+      // in a full-suite run — read the MOST RECENT stat of the family
+      // instead (this operator just recorded exactly one of the two kinds)
+      def lastOfFamily(prefix: String) = Dedup.lshStats.reverse
+        .find(st => st.kind == prefix || st.kind == s"$prefix-bound")
+      val mhCarry = Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+        bands = 16, threshold = 0.5, carry = Seq("sh" -> "sh"))
+      val carryPairs = pairsOf(mhCarry, est = true)
+      // prove the payload form actually engaged: the measured-histogram
+      // stat (kind "minhash", not the closed-form "minhash-bound") must be
+      // the one recorded, and its estimate must cross the form switch
+      // (bandedRows = 30 docs × 16 bands = 480)
+      val measured = lastOfFamily("minhash")
+      assert(measured.exists(st => st.kind == "minhash" &&
+          st.estCandidates > 480 / 2),
+        s"fixture failed to force payload form: $measured")
+      val mhPlain = Dedup.attachPairPayloadsAuto(
+        Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+          bands = 16, threshold = 0.5),
+        frame, frame, "id", "sh", "id_a", "id_b")
+      assert(carryPairs == pairsOf(mhPlain, est = true),
+        "minhash payload-form carry mismatch")
+      assert(carryPairs.nonEmpty)
+
+      val mfCarry = Dedup.multiFamilyDupCandidates(frame, "id", "sig", "ssig",
+        mBands = 16, estThreshold = 0.65, maxHamming = 3,
+        carry = Seq("sh" -> "sh"))
+      val mfPairs = pairsOf(mfCarry, est = false)
+      val mfMeasured = lastOfFamily("multiband")
+      // bandedRows = 30 docs × (16 minhash + 4 simhash bands) = 600
+      assert(mfMeasured.exists(st => st.kind == "multiband" &&
+          st.estCandidates > 600 / 2),
+        s"fixture failed to force multiband payload form: $mfMeasured")
+      val mfPlain = Dedup.attachPairPayloadsAuto(
+        Dedup.multiFamilyDupCandidates(frame, "id", "sig", "ssig",
+          mBands = 16, estThreshold = 0.65, maxHamming = 3),
+        frame, frame, "id", "sh", "id_a", "id_b")
+      assert(mfPairs == pairsOf(mfPlain, est = false),
+        "multi-family payload-form carry mismatch")
+      assert(mfPairs.nonEmpty)
+    } finally spark.conf.unset("spark.graft.lsh.candidateBudget")
+  }
+
+  test("carry out names colliding with operator internals are refused") {
+    val frame = Dedup.materialize(docs.select(col("doc_id").as("id"),
+      Dedup.minhashSignature(col("text"), numHashes = 64, shingleN = 3)
+        .as("sig"),
+      Dedup.simhash128(col("text")).as("ssig"),
+      Dedup.shingles(col("text"), 3).as("sh")))
+    Seq("id", "payload", "est_jaccard", "band", "bucket", "__mb").foreach { o =>
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashDupPairsFromSigs(frame, "id", "sig",
+          bands = 16, threshold = 0.5, carry = Seq("sh" -> o))
+      }
+      assert(e.getMessage.contains("reserved"), s"out=$o: ${e.getMessage}")
+    }
+    val dup = intercept[IllegalArgumentException] {
+      Dedup.multiFamilyDupCandidates(frame, "id", "sig", "ssig",
+        mBands = 16, estThreshold = 0.65, maxHamming = 3,
+        carry = Seq("sh" -> "x", "sig" -> "x"))
+    }
+    assert(dup.getMessage.contains("distinct"))
+  }
 }
