@@ -592,6 +592,37 @@ object Similarity {
           Dedup.recordLshStat(st)
           st
         }
+        // SAMPLED first probe (r20, VERDICT r19 #8, opt-in): at the 4th
+        // decade the first probe is a full (band, bucket) histogram over
+        // 338M banded keys — a real shuffle paid just to DECIDE whether to
+        // resize. With `spark.graft.lsh.probeSampleFraction` ∈ (0,1) the
+        // first probe samples that fraction of signature rows and scales
+        // the pair estimate by 1/f² (within-bucket pairs scale as f²;
+        // star-capped buckets scale as ~f, so their contribution is
+        // OVER-estimated — conservative for a resize trigger). Soundness
+        // is unchanged because a sampled estimate is never authoritative:
+        // the post-resize re-probe stays EXACT and gates the final
+        // geometry, a sampled over-budget verdict is re-confirmed exactly
+        // before any refusal, and a sampled under-budget verdict leaves
+        // `measuredEst` unset so the downstream skew-cap guard re-measures
+        // exactly. Default 0 (off): oracle SFs and the bench never sample.
+        val probeSampleF = df.sparkSession.conf
+          .getOption("spark.graft.lsh.probeSampleFraction")
+          .map(_.toDouble).getOrElse(0.0)
+        require(probeSampleF >= 0.0 && probeSampleF < 1.0,
+          s"spark.graft.lsh.probeSampleFraction must be in [0,1): $probeSampleF")
+        def sampledProbeStats(s: DataFrame): Dedup.LshStat = {
+          val st = probeStats(
+            s.sample(withReplacement = false, probeSampleF, seed = 77L),
+            "cosine-neardup-probe-sampled")
+          val scale = 1.0 / (probeSampleF * probeSampleF)
+          val scaled =
+            if (st.estCandidates <= 0) st.estCandidates
+            else if (st.estCandidates > (Long.MaxValue / scale).toLong)
+              Long.MaxValue
+            else (st.estCandidates * scale).toLong
+          st.copy(estCandidates = scaled)
+        }
         // target in PAIRS but sized for BYTES: the surviving candidates
         // co-locate both packed signatures (~2·nBits/8 B per pair) through
         // a re-shuffle, so the resized stream must land well under the
@@ -623,8 +654,13 @@ object Similarity {
                 graft.functions.TextHashFunctions.band_keys(col("__sig"), b)
                   .as("__bands")))
           }
-        var st = probeStats(sigs, "cosine-neardup-probe")
-        measuredEst = st.estCandidates
+        var stIsExact = probeSampleF <= 0.0
+        var st =
+          if (stIsExact) probeStats(sigs, "cosine-neardup-probe")
+          else sampledProbeStats(sigs)
+        // a sampled estimate must not authorize skipping the downstream
+        // exact guard — only exact measurements land in measuredEst
+        measuredEst = if (stIsExact) st.estCandidates else -1L
         var attempts = 0
         while (st.estCandidates > budget && attempts < 2) {
           var r2 = rowsR; var b2 = bandsR; var pred = st.estCandidates
@@ -633,7 +669,15 @@ object Similarity {
             b2 = captureBandsFor(threshold, r2)
             pred = predict(st.estCandidates, bandsR, b2, r2 - rowsR)
           }
-          if (r2 == rowsR) attempts = 2 // solver cannot widen further: refuse
+          if (r2 == rowsR && !stIsExact) {
+            // the sampled probe says refuse and the solver cannot widen —
+            // re-confirm EXACTLY before any refusal (or, if the exact
+            // number fits the budget after all, the loop exits clean)
+            st = probeStats(sigs, "cosine-neardup-probe")
+            stIsExact = true
+            measuredEst = st.estCandidates
+          }
+          else if (r2 == rowsR) attempts = 2 // solver cannot widen further: refuse
           else {
             // capture-shortfall observability (ADVICE r18): when the
             // capture law's band demand exceeds MaxAdaptiveBands the
@@ -658,11 +702,13 @@ object Similarity {
             Dedup.releaseMaterialized(stale) // multi-GB at corpus scale
             bandsR = b2; rowsR = r2; resized = true
             attempts += 1
-            // POST-RESIZE RE-PROBE: the authoritative guard. One keys-only
-            // histogram over the resized bands — the same pass the
-            // downstream skew-cap guard would have re-run anyway (it is
-            // skipped below because this measurement already exists).
+            // POST-RESIZE RE-PROBE: the authoritative guard, ALWAYS exact
+            // (sampling applies to the first decide-only probe, never
+            // here). One keys-only histogram over the resized bands — the
+            // same pass the downstream skew-cap guard would have re-run
+            // anyway (it is skipped below because this measurement exists).
             st = probeStats(sigs, "cosine-neardup-reprobe")
+            stIsExact = true
             measuredEst = st.estCandidates
           }
         }

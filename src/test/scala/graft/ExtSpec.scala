@@ -1061,6 +1061,55 @@ class ExtSpec extends SparkTestBase {
         s"missed=${(pinned -- resizedRun).size} extra=${(resizedRun -- pinned).size}")
   }
 
+  test("cosine near-dup SAMPLED first probe: same output, exact re-probe still gates") {
+    import graft.ext.{Dedup, Similarity}
+    // VERDICT r19 #8: at the 4th decade the first probe histograms 338M
+    // banded keys just to DECIDE whether to resize — the sampled probe
+    // (opt-in conf) scales a fraction's estimate instead. Soundness: the
+    // post-resize re-probe stays exact, and a sampled estimate never
+    // authorizes skipping the downstream guard. Same fixture as the
+    // self-resize test; the sampled run must land on the same exact pair
+    // set and record both the sampled probe and the exact re-probe.
+    val dim = 16
+    val base = (0 until 3000).map { i =>
+      val rnd = new scala.util.Random(i * 7919L + 13)
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, j) =>
+        x + ((id * 13 + j) % 5 - 2) * 0.01f })
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding").localCheckpoint(true)
+    def pairs(d: org.apache.spark.sql.DataFrame) = d
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val conf = spark.conf
+    val statsMark = Dedup.lshStatsSeen
+    val sampledRun =
+      try {
+        conf.set("spark.graft.lsh.candidateBudget", "100000")
+        conf.set("spark.graft.lsh.probeSampleFraction", "0.5")
+        pairs(Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+          dim, threshold = 0.9))
+      } finally {
+        conf.unset("spark.graft.lsh.candidateBudget")
+        conf.unset("spark.graft.lsh.probeSampleFraction")
+      }
+    val runStats = Dedup.lshStatsSince(statsMark)
+    assert(runStats.exists(_.kind == "cosine-neardup-probe-sampled"),
+      s"sampled probe missing: ${runStats.map(_.kind)}")
+    assert(runStats.exists(_.kind == "cosine-neardup-reprobe"),
+      s"exact post-resize re-probe missing: ${runStats.map(_.kind)}")
+    val pinned =
+      try {
+        conf.set("spark.graft.lsh.candidateBudget", "0")
+        pairs(Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+          dim, threshold = 0.9, bands = 16, rowsPerBand = 8))
+      } finally conf.unset("spark.graft.lsh.candidateBudget")
+    assert(sampledRun.nonEmpty && sampledRun == pinned,
+      s"sampled=${sampledRun.size} pinned=${pinned.size} " +
+        s"missed=${(pinned -- sampledRun).size} extra=${(sampledRun -- pinned).size}")
+  }
+
   test("ExtendSignBits: extended signature == full re-hash, bit-for-bit") {
     import graft.ext.Similarity
     // the prefix-chain contract the self-resize retry's extend path rests
